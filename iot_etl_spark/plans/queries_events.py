@@ -1,0 +1,613 @@
+"""Time-series / IoT analytics on the ``events`` table.
+
+``events`` plays the reference's ``sensor_readings`` role
+(FIXTURES.md §B): user_id -> device key, ts -> time, value -> reading,
+event_type -> device type, 'error' events -> anomaly flag. Every query
+here reproduces a row of SURVEY.md §2 (citations inline) with a DuckDB
+oracle twin.
+
+Reference timestamp discipline: the engine never emits raw timestamps —
+epoch seconds (BIGINT) on both sides (SURVEY.md §7.3 items 5/7). The
+reference's NOW()-anchored queries are reproduced with a *fixed*
+reference instant so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iot_etl_spark.plans.registry import query, DUCK_TS, DUCK_TS_EPOCH, duck_bucket_epoch
+from iot_etl_spark.sources.tables import load_events, load_table
+from iot_etl_spark.operators.rolling import add_rolling_features, add_lag_features
+from iot_etl_spark.operators.anomaly import add_zscore_anomaly
+from iot_etl_spark.operators.latest import latest_per_key
+from iot_etl_spark.operators.timefeatures import add_time_features
+
+# Fixed "now" anchor: just past the last event in the 2024-01 window.
+REF_INSTANT = "2024-01-30 00:00:00"
+
+
+def _ts_epoch(col: str = "ts"):
+    return F.unix_timestamp(F.col(col)).cast("long")
+
+
+def _bucket_epoch(unit: str, col: str = "ts"):
+    return F.unix_timestamp(F.date_trunc(unit, F.col(col))).cast("long")
+
+
+# ---------------------------------------------------------------- A4: hourly
+_HOURLY_ORACLE = f"""
+SELECT {duck_bucket_epoch('hour')} AS bucket_epoch,
+       event_type,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6)    AS avg_value,
+       ROUND(MIN(value), 6)    AS min_value,
+       ROUND(MAX(value), 6)    AS max_value,
+       ROUND(STDDEV(value), 6) AS stddev_value,
+       ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS median_value,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95_value,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("hourly_device_agg", oracle=_HOURLY_ORACLE)
+def hourly_device_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly bucketed aggregate with exact percentiles — the
+    reference's continuous aggregate ``fact_hourly_agg``
+    (create_dwh_schema.sql:142-170, SURVEY A4/A6/A7). Exact
+    ``F.percentile`` matches PERCENTILE_CONT interpolation;
+    ``approx_percentile`` is the documented 100 TB variant."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(_bucket_epoch("hour").alias("bucket_epoch"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.stddev("value"), 6).alias("stddev_value"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("anomaly_count"),
+        )
+        .orderBy("bucket_epoch", "event_type")
+    )
+
+
+# ------------------------------------------------ A5+A3: daily, business-hours
+_DAILY_ORACLE = f"""
+SELECT {duck_bucket_epoch('day')} AS bucket_epoch,
+       event_type,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(AVG(CASE WHEN hour({DUCK_TS}) >= 9 AND hour({DUCK_TS}) < 17
+                       AND dayofweek({DUCK_TS}) NOT IN (0, 6)
+                      THEN value END), 6) AS avg_value_business_hours,
+       ROUND(AVG(CASE WHEN NOT (hour({DUCK_TS}) >= 9 AND hour({DUCK_TS}) < 17
+                               AND dayofweek({DUCK_TS}) NOT IN (0, 6))
+                      THEN value END), 6) AS avg_value_non_business_hours
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("daily_agg_business_hours", oracle=_DAILY_ORACLE)
+def daily_agg_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily continuous aggregate with business-hours conditional AVG
+    (create_dwh_schema.sql:173-209; AVG(CASE WHEN ... THEN v END)
+    averages over the subset because NULLs are ignored — SURVEY A3/A5)."""
+    ev = add_time_features(load_events(spark, sf_dir))
+    biz = F.col("is_business_hours")
+    return (
+        ev.groupBy(_bucket_epoch("day").alias("bucket_epoch"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.avg(F.when(biz, F.col("value"))), 6).alias("avg_value_business_hours"),
+            F.round(F.avg(F.when(~biz, F.col("value"))), 6).alias("avg_value_non_business_hours"),
+        )
+        .orderBy("bucket_epoch", "event_type")
+    )
+
+
+# ---------------------------------------------------------- W7: latest-per-key
+_LATEST_ORACLE = f"""
+SELECT user_id, {DUCK_TS_EPOCH} AS ts_epoch, event_type, value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY {DUCK_TS} DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@query("latest_per_device", oracle=_LATEST_ORACLE)
+def latest_per_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (device_id) ... ORDER BY time DESC rewrite
+    (v_latest_readings, create_dwh_schema.sql:269-280; SURVEY W7) with a
+    deterministic event_id tiebreak."""
+    ev = load_events(spark, sf_dir)
+    return (
+        latest_per_key(ev, key_cols=("user_id",), time_col="ts", tiebreak_col="event_id")
+        .select("user_id", _ts_epoch().alias("ts_epoch"), "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------------------- W1/W2: rolling frames
+_ROLLING_ORACLE = f"""
+WITH base AS (
+    SELECT event_id, user_id, value, {DUCK_TS_EPOCH} AS ts_epoch FROM events
+)
+SELECT event_id, user_id, ts_epoch,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts_epoch
+             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 6) AS rolling_avg_5min,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts_epoch
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS rolling_avg_1h,
+       ROUND(STDDEV(value) OVER (PARTITION BY user_id ORDER BY ts_epoch
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS rolling_stddev_1h
+FROM base
+ORDER BY event_id
+"""
+
+
+@query("rolling_window_stats", oracle=_ROLLING_ORACLE)
+def rolling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling frames: 5-minute mean, 1-hour mean+stddev per
+    device via rangeBetween on epoch seconds — exactly the reference's
+    frames (spark_transform.py:124-136; SURVEY W1-W2)."""
+    ev = load_events(spark, sf_dir)
+    out = add_rolling_features(ev, key_cols=("user_id",))
+    return out.select(
+        "event_id",
+        "user_id",
+        _ts_epoch().alias("ts_epoch"),
+        F.round("rolling_avg_5min", 6).alias("rolling_avg_5min"),
+        F.round("rolling_avg_1h", 6).alias("rolling_avg_1h"),
+        F.round("rolling_stddev_1h", 6).alias("rolling_stddev_1h"),
+    ).orderBy("event_id")
+
+
+# ----------------------------------------------------------- W3/W4: lag/diff
+_LAG_ORACLE = f"""
+SELECT event_id, user_id, {DUCK_TS_EPOCH} AS ts_epoch, value,
+       lag(value, 1) OVER w AS value_lag_1,
+       lag(value, 2) OVER w AS value_lag_2,
+       value - lag(value, 1) OVER w AS value_change
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {DUCK_TS}, event_id)
+ORDER BY event_id
+"""
+
+
+@query("lag_features", oracle=_LAG_ORACLE)
+def lag_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(1)/lag(2)/first-difference per device
+    (spark_transform.py:139-144; SURVEY W3-W4)."""
+    ev = load_events(spark, sf_dir)
+    out = add_lag_features(ev, key_cols=("user_id",))
+    return out.select(
+        "event_id", "user_id", _ts_epoch().alias("ts_epoch"),
+        "value", "value_lag_1", "value_lag_2", "value_change",
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------- W5/W6: z-score
+_ZSCORE_ORACLE = """
+SELECT event_id, user_id, value,
+       ROUND(CASE WHEN sd > 0 THEN (value - mn) / sd ELSE 0.0 END, 6) AS z_score,
+       (CASE WHEN sd > 0 THEN abs((value - mn) / sd) ELSE 0.0 END) > 3.0 AS is_anomaly_zscore
+FROM (
+    SELECT event_id, user_id, value,
+           AVG(value)    OVER (PARTITION BY user_id) AS mn,
+           STDDEV(value) OVER (PARTITION BY user_id) AS sd
+    FROM events
+)
+ORDER BY event_id
+"""
+
+
+@query("zscore_anomaly", oracle=_ZSCORE_ORACLE)
+def zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition stats window + z-score anomaly flag with the
+    stddev>0 guard (spark_transform.py:161-179; SURVEY W5-W6;
+    threshold 3.0 per config.py:127)."""
+    ev = load_events(spark, sf_dir)
+    out = add_zscore_anomaly(ev, key_cols=("user_id",))
+    return out.select(
+        "event_id", "user_id", "value",
+        F.round("z_score", 6).alias("z_score"),
+        F.col("is_anomaly_zscore"),
+    ).orderBy("event_id")
+
+
+# -------------------------------------------------------- A10: hour-of-day
+_HOURLY_PROFILE_ORACLE = f"""
+SELECT user_id, hour({DUCK_TS}) AS hour_of_day,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(STDDEV(value), 6) AS stddev_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("hour_of_day_profile", oracle=_HOURLY_PROFILE_ORACLE)
+def hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device hour-of-day activity profile
+    (analytical_queries.sql:59-69; SURVEY A10/F1)."""
+    ev = add_time_features(load_events(spark, sf_dir))
+    return (
+        ev.groupBy("user_id", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.stddev("value"), 6).alias("stddev_value"),
+        )
+        .orderBy("user_id", "hour_of_day")
+    )
+
+
+# ------------------------------------------------- A11: weekend vs weekday
+_WEEKEND_ORACLE = f"""
+SELECT event_type,
+       CASE WHEN dayofweek({DUCK_TS}) IN (0, 6) THEN 'Weekend' ELSE 'Weekday' END AS day_category,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("weekend_weekday_comparison", oracle=_WEEKEND_ORACLE)
+def weekend_weekday_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend/weekday comparison with CASE label
+    (analytical_queries.sql:72-84; SURVEY A11; Spark dayofweek 1=Sun)."""
+    ev = add_time_features(load_events(spark, sf_dir))
+    return (
+        ev.withColumn(
+            "day_category", F.when(F.col("is_weekend"), "Weekend").otherwise("Weekday")
+        )
+        .groupBy("event_type", "day_category")
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("event_type", "day_category")
+    )
+
+
+# -------------------------------------------------- A9: anomaly rate + HAVING
+_ANOMALY_RATE_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS total_readings,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count,
+       ROUND(100.0 * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / COUNT(*), 6)
+           AS anomaly_rate_pct
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) > 30
+ORDER BY anomaly_rate_pct DESC, user_id
+"""
+
+
+@query("anomaly_rate_by_device", oracle=_ANOMALY_RATE_ORACLE)
+def anomaly_rate_by_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly-rate ranking with HAVING (analytical_queries.sql:100-127;
+    SURVEY A9/F9). 'error' events stand in for the anomaly flag."""
+    ev = load_events(spark, sf_dir)
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_readings"),
+            err.alias("anomaly_count"),
+            F.round(F.lit(100.0) * err / F.count(F.lit(1)), 6).alias("anomaly_rate_pct"),
+        )
+        .filter(F.col("total_readings") > 30)
+        .orderBy(F.col("anomaly_rate_pct").desc(), "user_id")
+    )
+
+
+# ----------------------------------------------------- A8: device health 24h
+_HEALTH_ORACLE = f"""
+SELECT user_id,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6) AS avg_value,
+       MAX({DUCK_TS_EPOCH}) AS last_seen_epoch,
+       epoch_us(TIMESTAMP '{REF_INSTANT}') // 1000000 - MAX({DUCK_TS_EPOCH})
+           AS seconds_since_last_reading
+FROM events
+WHERE {DUCK_TS} >= TIMESTAMP '{REF_INSTANT}' - INTERVAL 24 HOURS
+  AND {DUCK_TS} <  TIMESTAMP '{REF_INSTANT}'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("device_health_24h", oracle=_HEALTH_ORACLE)
+def device_health_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h device health summary (v_device_health_24h,
+    create_dwh_schema.sql:283-305; SURVEY A8/F12). NOW() is replaced by
+    a fixed instant for determinism; staleness is exposed as epoch-
+    seconds difference rather than an INTERVAL (SURVEY §7.3 item 7)."""
+    ev = load_events(spark, sf_dir)
+    ref = F.lit(REF_INSTANT).cast("timestamp")
+    return (
+        ev.filter((F.col("ts") >= ref - F.expr("INTERVAL 24 HOURS")) & (F.col("ts") < ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.max(_ts_epoch()).alias("last_seen_epoch"),
+            (F.unix_timestamp(ref) - F.max(_ts_epoch())).alias("seconds_since_last_reading"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# -------------------------------------------------- A12: data-quality metrics
+_QUALITY_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS total_records,
+       CAST(SUM(CASE WHEN value IS NOT NULL AND value >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS valid_records,
+       ROUND(100.0 * SUM(CASE WHEN value IS NOT NULL AND value >= 0 THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS data_quality_pct
+FROM events
+GROUP BY event_type
+ORDER BY data_quality_pct ASC, event_type
+"""
+
+
+@query("data_quality_metrics", oracle=_QUALITY_ORACLE)
+def data_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid-record rate per device type (analytical_queries.sql:166-179
+    + spark_transform.py:209-213; SURVEY A12)."""
+    ev = load_events(spark, sf_dir)
+    valid = F.sum(F.when(F.col("value").isNotNull() & (F.col("value") >= 0), 1).otherwise(0))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            valid.alias("valid_records"),
+            F.round(F.lit(100.0) * valid / F.count(F.lit(1)), 6).alias("data_quality_pct"),
+        )
+        .orderBy(F.col("data_quality_pct").asc(), "event_type")
+    )
+
+
+# --------------------------------------------- A14: parameterized device stats
+_DEVICE_STATS_ORACLE = f"""
+SELECT COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value,
+       ROUND(STDDEV(value), 6) AS stddev_value,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count
+FROM events
+WHERE user_id = 7
+  AND {DUCK_TS} >= TIMESTAMP '2024-01-05 00:00:00'
+  AND {DUCK_TS} <  TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+def get_device_stats(
+    spark: SparkSession, sf_dir: str, device_id: int, start: str, end: str
+) -> DataFrame:
+    """Parameterized stats table function (dwh.get_device_stats,
+    create_dwh_schema.sql:343-375; SURVEY A14) as a plain Python
+    function returning a DataFrame — no UDF machinery needed."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("user_id") == device_id)
+            & (F.col("ts") >= F.lit(start).cast("timestamp"))
+            & (F.col("ts") < F.lit(end).cast("timestamp"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.stddev("value"), 6).alias("stddev_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("anomaly_count"),
+        )
+    )
+
+
+@query("device_stats", oracle=_DEVICE_STATS_ORACLE)
+def device_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return get_device_stats(spark, sf_dir, 7, "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+
+
+# ------------------------------------------------- J4: device correlation
+_CORRELATION_ORACLE = f"""
+WITH a AS (
+    SELECT {duck_bucket_epoch('hour')} AS bucket_epoch, ROUND(AVG(value), 6) AS avg_value_a
+    FROM events WHERE user_id = 1 GROUP BY 1
+), b AS (
+    SELECT {duck_bucket_epoch('hour')} AS bucket_epoch, ROUND(AVG(value), 6) AS avg_value_b
+    FROM events WHERE user_id = 2 GROUP BY 1
+)
+SELECT a.bucket_epoch, a.avg_value_a, b.avg_value_b
+FROM a JOIN b USING (bucket_epoch)
+ORDER BY bucket_epoch
+"""
+
+
+@query("device_correlation", oracle=_CORRELATION_ORACLE)
+def device_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join of two per-device hourly aggregates on the time bucket
+    (analytical_queries.sql:236-259 Query 15; SURVEY J4)."""
+    ev = load_events(spark, sf_dir)
+
+    def hourly(uid: int, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("user_id") == uid)
+            .groupBy(_bucket_epoch("hour").alias("bucket_epoch"))
+            .agg(F.round(F.avg("value"), 6).alias(alias))
+        )
+
+    a = hourly(1, "avg_value_a")
+    b = hourly(2, "avg_value_b")
+    return a.join(b, "bucket_epoch", "inner").orderBy("bucket_epoch")
+
+
+# ------------------------------------------------------ O2: recent top-k
+_RECENT_ORACLE = f"""
+SELECT event_id, user_id, {DUCK_TS_EPOCH} AS ts_epoch, value
+FROM events
+WHERE event_type = 'error'
+ORDER BY {DUCK_TS} DESC, event_id DESC
+LIMIT 50
+"""
+
+
+@query("recent_anomalies_topk", oracle=_RECENT_ORACLE)
+def recent_anomalies_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-recent anomalies top-k (analytical_queries.sql:131-143;
+    SURVEY O2 — plans to TakeOrderedAndProject, no global sort)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", _ts_epoch().alias("ts_epoch"), "value")
+        .orderBy(F.col("ts_epoch").desc(), F.col("event_id").desc())
+        .limit(50)
+    )
+
+
+# ------------------------------------------------- F7/F8: deviation banding
+_DEVIATION_ORACLE = """
+SELECT event_id, event_type, value,
+       ROUND(abs(value - mn), 6) AS deviation,
+       CASE WHEN abs(value - mn) > 2 * sd THEN 'High'
+            WHEN abs(value - mn) > sd THEN 'Medium'
+            ELSE 'Normal' END AS deviation_category
+FROM (
+    SELECT event_id, event_type, value,
+           AVG(value)    OVER (PARTITION BY event_type) AS mn,
+           STDDEV(value) OVER (PARTITION BY event_type) AS sd
+    FROM events
+)
+ORDER BY deviation DESC, event_id
+LIMIT 100
+"""
+
+
+@query("deviation_banding", oracle=_DEVIATION_ORACLE)
+def deviation_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABS deviation from type mean with High/Medium/Normal CASE banding
+    (analytical_queries.sql:214-233; SURVEY F7/F8/O2)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    dev = F.abs(F.col("value") - F.avg("value").over(w))
+    sd = F.stddev("value").over(w)
+    return (
+        ev.withColumn("deviation_raw", dev)
+        .withColumn("sd", sd)
+        .withColumn(
+            "deviation_category",
+            F.when(F.col("deviation_raw") > 2 * F.col("sd"), "High")
+            .when(F.col("deviation_raw") > F.col("sd"), "Medium")
+            .otherwise("Normal"),
+        )
+        .select(
+            "event_id", "event_type", "value",
+            F.round("deviation_raw", 6).alias("deviation"),
+            "deviation_category",
+        )
+        .orderBy(F.col("deviation").desc(), "event_id")
+        .limit(100)
+    )
+
+
+# --------------------------------------------- JSON metadata extraction
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(k) AS k_count,
+       ROUND(AVG(k), 6) AS avg_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("json_props_extract", oracle=_JSON_ORACLE)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable JSON metadata — the reference carries `metadata`
+    opaquely (iot_simulator.py:198-201, flattened to string at
+    spark_streaming_consumer.py:41); the engine exposes it via
+    get_json_object (SURVEY §1.2, a documented improvement)."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("k_count"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------ flagship: enriched hourly rollup
+_FLAGSHIP_ORACLE = f"""
+SELECT {duck_bucket_epoch('hour')} AS bucket_epoch,
+       n.n_name,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(e.value), 6) AS avg_value,
+       ROUND(MAX(e.value), 6) AS max_value,
+       CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation   n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2 NULLS FIRST
+"""
+
+
+@query("flagship_enriched_hourly", oracle=_FLAGSHIP_ORACLE)
+def flagship_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M1 end-to-end slice (SURVEY §7.1): scan -> broadcast dim
+    enrichment (J1-J3) -> hourly bucket aggregate (A4) -> sort. Used by
+    __spark_entry__.entry()."""
+    ev = load_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    df = ev.join(F.broadcast(cust), "user_id", "left").join(
+        F.broadcast(nation), "c_nationkey", "left"
+    )
+    return (
+        df.groupBy(_bucket_epoch("hour").alias("bucket_epoch"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("anomaly_count"),
+        )
+        .orderBy("bucket_epoch", F.col("n_name").asc_nulls_first())
+    )

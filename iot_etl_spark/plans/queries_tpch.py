@@ -1,0 +1,195 @@
+"""Star-schema (TPC-H-ish) queries: enrichment joins, conditional
+aggregates, HAVING, top-k — the reference's J1-J4 / A3 / A9 / O1-O4
+surface exercised on the driver's joinable tables (FIXTURES.md §B).
+
+Scale notes: dimension joins broadcast the small side (customer /
+nation / region are dimension-sized; the fact side never shuffles for
+enrichment). Aggregations are hash aggs with map-side partial
+aggregation; top-k compiles to TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iot_etl_spark.plans.registry import query
+from iot_etl_spark.sources.tables import load_table
+from iot_etl_spark.operators.enrich import enrich_left_join
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6)                             AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6)                        AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)     AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6)                             AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6)                        AS avg_price,
+       ROUND(AVG(l_discount), 6)                             AS avg_disc,
+       COUNT(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", oracle=_PRICING_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship-grade scan->filter->agg->sort (TPC-H Q1 shape; covers
+    reference A1/A3-style grouped aggregates, spark_transform.py:282)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ENRICH_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+       o.o_orderpriority, c.c_name, n.n_name, r.r_name
+FROM lineitem l
+LEFT JOIN orders   o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation   n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region   r ON n.n_regionkey = r.r_regionkey
+ORDER BY l.l_extendedprice DESC, l.l_orderkey, l.l_linenumber
+LIMIT 100
+"""
+
+
+@query("enriched_lineitem_topk", oracle=_ENRICH_ORACLE)
+def enriched_lineitem_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment chain (reference J1-J3,
+    spark_transform.py:46-86: three left joins that must not drop fact
+    rows) + deterministic top-k (O2). All dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    df = li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    df = df.join(orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
+                 df.l_orderkey == orders.o_orderkey, "left").drop("o_orderkey")
+    df = enrich_left_join(df, cust.select(F.col("c_custkey").alias("o_custkey"),
+                                          "c_name", "c_nationkey"), on="o_custkey")
+    df = enrich_left_join(df, nation.select(F.col("n_nationkey").alias("c_nationkey"),
+                                            "n_name", "n_regionkey"), on="c_nationkey")
+    df = enrich_left_join(df, region.select(F.col("r_regionkey").alias("n_regionkey"),
+                                            "r_name"), on="n_regionkey")
+    return (
+        df.select("l_orderkey", "l_linenumber", "l_extendedprice",
+                  "o_orderpriority", "c_name", "n_name", "r_name")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+_REVENUE_NATION_ORACLE = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders   o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation   n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("revenue_by_nation", oracle=_REVENUE_NATION_ORACLE)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop inner-join + grouped revenue (A3/J1-J3 at joinable
+    scale). Fact side shuffles once for the orderkey join; all
+    dimension hops broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    df = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        df.groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+_TOP_CUSTOMERS_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(o.o_totalprice), 6) AS total_revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("top_customers_by_revenue", oracle=_TOP_CUSTOMERS_ORACLE)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_name")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_PRIORITY_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 6) AS avg_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders
+FROM orders
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+ORDER BY o_orderpriority
+"""
+
+
+@query("order_priority_counts", oracle=_PRIORITY_ORACLE)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregate + HAVING (reference A3/A9 pattern:
+    SUM(CASE WHEN ...), HAVING COUNT(*) > n, analytical_queries.sql:
+    100-127)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("finished_orders"),
+        )
+        .filter(F.col("n_orders") > 10)
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,46 @@
+"""Query registry: name -> Spark builder + optional DuckDB oracle SQL.
+
+Conventions that keep the Spark result and the oracle hash-identical
+(SURVEY.md §7.3):
+
+- **Timestamps leave the engine as epoch seconds** (BIGINT). The events
+  table is nanosecond parquet: Spark reads it truncated to microseconds
+  (sources/tables.py) and the oracle always compares/sorts on
+  ``CAST(ts AS TIMESTAMP)`` (same truncation), never raw ns.
+- **Computed doubles are ROUND(x, 2) on both sides** (the reference
+  rounds pervasively too, ``analytical_queries.sql:18-21``). Raw
+  pass-through doubles are bit-identical and stay unrounded.
+- **Every ORDER BY feeding a LIMIT carries a deterministic tiebreak.**
+- Spark ``dayofweek`` is 1=Sunday; DuckDB is 0=Sunday — weekend tests
+  are written per-dialect (``isin(1,7)`` vs ``IN (0,6)``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# DuckDB SQL fragments for the ns-timestamp events table.
+DUCK_TS = "CAST(ts AS TIMESTAMP)"
+DUCK_TS_EPOCH = "epoch_us(CAST(ts AS TIMESTAMP)) // 1000000"
+
+
+def duck_bucket_epoch(unit: str) -> str:
+    return f"epoch_us(date_trunc('{unit}', CAST(ts AS TIMESTAMP))) // 1000000"
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query builder; ``oracle=None`` marks a non-SQL-
+    expressible operator (driver records a rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,79 @@
+"""SparkSession factory and runtime configuration guard.
+
+The reference creates its session in ``batch_etl/spark_extract.py:31-51``
+(local[*], shuffle.partitions=4, JDBC jars) and
+``stream_etl/spark_streaming_consumer.py:60-92``. This engine keeps the
+same "one session, tuned shuffle" stance but:
+
+- AQE on (runtime coalesce / skew-join) instead of a fixed partition
+  count — at 100 TB the right shuffle width is data-dependent.
+- Session timezone pinned to UTC so time features (hour/day-of-week)
+  are deterministic regardless of host TZ (SURVEY.md §7.3 item 5).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` so nanosecond-precision
+  parquet timestamps (the ``events.ts`` column) are readable; loaders
+  convert to microsecond TimestampType explicitly.
+
+``ensure_runtime_confs(spark)`` applies the *runtime-settable* subset to
+an externally-created session (the verify driver constructs its own
+SparkSession); every public query entry point calls it defensively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are session-settable at runtime (all spark.sql.* SQLConfs).
+_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - read-only conf on some builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "iot_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine SparkSession.
+
+    Defaults size the shuffle to the local core count rather than
+    Spark's 200 — on a real cluster this is overridden per deployment
+    and AQE coalesces at runtime anyway.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_runtime_confs(spark)

@@ -1,0 +1,3 @@
+from iot_etl_spark.sources.tables import load_table, load_events, register_views
+
+__all__ = ["load_table", "load_events", "register_views"]

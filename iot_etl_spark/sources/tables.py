@@ -1,0 +1,63 @@
+"""Batch sources: parquet table loaders.
+
+Reference equivalents: the JDBC extract layer
+(``batch_etl/spark_extract.py:53-163`` — whole-table scans,
+query-pushdown scans, partitioned parallel reads). On Spark the same
+capabilities are native to the parquet DataSource: predicate pushdown
+and column pruning happen in Catalyst, scan parallelism comes from file
+splitting (``spark.sql.files.maxPartitionBytes``), so the loaders here
+are thin and *lazy* — no eager ``count()`` audit actions (the
+reference's anti-pattern at ``spark_extract.py:85,122,159``).
+
+Scale note (100 TB): these loaders take a directory per table; a
+production layout partitions the fact tables by date
+(``.../events/date=YYYY-MM-DD/``) so time predicates become partition
+pruning. The flat single-file layout of /root/testdata is the
+small-scale degenerate case of the same API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iot_etl_spark.session import ensure_runtime_confs
+from iot_etl_spark.schemas import STAR_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one star-schema table.
+
+    ``events`` gets its nanosecond `ts` column normalized to
+    microsecond TimestampType (truncating ns -> us, matching DuckDB's
+    TIMESTAMP_NS -> TIMESTAMP cast so oracle comparisons agree).
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division: float division would round half-up and
+        # diverge from DuckDB's truncation for ~50% of rows.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Multi-source extract orchestration (reference
+    ``spark_extract.py:165-214`` returns a dict of DataFrames; missing
+    optional sources degrade to None there — here all tables exist)."""
+    return {t: load_table(spark, sf_dir, t) for t in STAR_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the Spark SQL surface
+    (the reference's warehouse layer ran SQL in TimescaleDB; here the
+    same queries run as spark.sql over these views)."""
+    for t, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)
