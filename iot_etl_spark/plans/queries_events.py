@@ -611,3 +611,68 @@ def flagship_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_epoch", F.col("n_name").asc_nulls_first())
     )
+
+
+# ------------------------------------- M4: full batch transform pipeline
+_FULL_TRANSFORM_ORACLE = f"""
+WITH base AS (
+    SELECT event_id, user_id, {DUCK_TS} AS tts, {DUCK_TS_EPOCH} AS ts_epoch, value
+    FROM events
+),
+roll AS (
+    SELECT *,
+        hour(tts) AS hour_of_day,
+        month(tts) AS month,
+        dayofweek(tts) IN (0, 6) AS is_weekend,
+        (hour(tts) >= 9 AND hour(tts) < 17 AND dayofweek(tts) NOT IN (0, 6))
+            AS is_business_hours,
+        AVG(value) OVER (PARTITION BY user_id ORDER BY ts_epoch
+            RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS r5,
+        AVG(value) OVER (PARTITION BY user_id ORDER BY ts_epoch
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS r60,
+        STDDEV(value) OVER (PARTITION BY user_id ORDER BY ts_epoch
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS r60sd,
+        lag(value, 1) OVER wk AS lag1,
+        lag(value, 2) OVER wk AS lag2,
+        AVG(value)    OVER (PARTITION BY user_id) AS mn,
+        STDDEV(value) OVER (PARTITION BY user_id) AS sd
+    FROM base
+    WINDOW wk AS (PARTITION BY user_id ORDER BY tts, event_id)
+)
+SELECT event_id, user_id, ts_epoch, value, hour_of_day, month,
+       is_weekend, is_business_hours,
+       ROUND(r5, 6)    AS rolling_avg_5min,
+       ROUND(r60, 6)   AS rolling_avg_1h,
+       ROUND(r60sd, 6) AS rolling_stddev_1h,
+       lag1 AS value_lag_1,
+       lag2 AS value_lag_2,
+       value - lag1 AS value_change,
+       ROUND(CASE WHEN sd > 0 THEN (value - mn) / sd ELSE 0.0 END, 6) AS z_score,
+       (CASE WHEN sd > 0 THEN abs((value - mn) / sd) ELSE 0.0 END) > 3.0 AS is_anomaly_zscore,
+       value IS NOT NULL AND value >= 0 AS is_valid_record
+FROM roll
+ORDER BY event_id
+"""
+
+
+@query("full_transform_pipeline", oracle=_FULL_TRANSFORM_ORACLE)
+def full_transform_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete reference batch transform chain composed end-to-end
+    (transform_all, spark_transform.py:217-252): time features ->
+    rolling range-frame stats -> lags/diff -> whole-partition z-score
+    -> validity gate. One growing Catalyst plan, no intermediate
+    actions (the reference's eager-count anti-pattern dropped,
+    SURVEY.md §4)."""
+    from iot_etl_spark.pipeline.batch import transform_all
+
+    out = transform_all(load_events(spark, sf_dir))
+    return out.select(
+        "event_id", "user_id", _ts_epoch().alias("ts_epoch"), "value",
+        "hour_of_day", "month", "is_weekend", "is_business_hours",
+        F.round("rolling_avg_5min", 6).alias("rolling_avg_5min"),
+        F.round("rolling_avg_1h", 6).alias("rolling_avg_1h"),
+        F.round("rolling_stddev_1h", 6).alias("rolling_stddev_1h"),
+        "value_lag_1", "value_lag_2", "value_change",
+        F.round("z_score", 6).alias("z_score"),
+        "is_anomaly_zscore", "is_valid_record",
+    ).orderBy("event_id")

@@ -1,1 +1,79 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming queries, driven synchronously for the oracle check.
+
+These run REAL Structured Streaming (readStream file source ->
+transformations -> memory sink, processAllAvailable) and return the
+materialized result, so the correctness driver exercises the streaming
+engine itself — the batch-SQL oracle states the window semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iot_etl_spark.plans.registry import query, duck_bucket_epoch, DUCK_TS_EPOCH
+from iot_etl_spark.streaming.pipeline import (
+    read_stream_source,
+    apply_stream_transforms,
+    windowed_aggregate,
+    run_stream_to_memory,
+)
+
+_TUMBLING_ORACLE = f"""
+SELECT {duck_bucket_epoch('hour')} AS window_start_epoch,
+       event_type,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6)    AS avg_value,
+       ROUND(MIN(value), 6)    AS min_value,
+       ROUND(MAX(value), 6)    AS max_value,
+       ROUND(STDDEV(value), 6) AS stddev_value,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("stream_tumbling_agg", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregate executed by the streaming
+    engine (T1/A2, spark_streaming_consumer.py:176-208) over the events
+    file source; 1-hour windows, complete output mode so every window
+    is emitted deterministically. The oracle is the equivalent batch
+    bucket aggregate — stream/batch unification is the point."""
+    src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = windowed_aggregate(src, window="1 hour", watermark=None)
+    _, out = run_stream_to_memory(agg, output_mode="complete")
+    return (
+        out.select(
+            F.unix_timestamp("window_start").cast("long").alias("window_start_epoch"),
+            "event_type", "reading_count", "avg_value", "min_value", "max_value",
+            "stddev_value", F.col("anomaly_count").cast("long").alias("anomaly_count"),
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+_PASSTHROUGH_ORACLE = f"""
+SELECT event_id, user_id, {DUCK_TS_EPOCH} AS ts_epoch, value,
+       value IS NOT NULL AND value >= 0 AS is_valid_record
+FROM events
+ORDER BY event_id
+"""
+
+
+@query("stream_raw_passthrough", oracle=_PASSTHROUGH_ORACLE)
+def stream_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw append-mode passthrough with validity flagging (the
+    reference's sensor_readings sink path,
+    spark_streaming_consumer.py:306-316 + T6 derivations; the
+    wall-clock columns processed_at/latency are computed in-stream but
+    excluded from the deterministic contract)."""
+    src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
+    tx = apply_stream_transforms(src)
+    out_cols = tx.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "value", "is_valid_record",
+    )
+    _, out = run_stream_to_memory(out_cols, output_mode="append")
+    return out.orderBy("event_id")

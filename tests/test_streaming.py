@@ -1,0 +1,107 @@
+"""Streaming behavior tests (SURVEY.md §5 item 3): watermark late-data
+drop, idempotent upsert sink, derived columns."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from iot_etl_spark.streaming.pipeline import (
+    apply_stream_transforms,
+    read_stream_source,
+    run_stream_to_memory,
+    start_parquet_upsert_sink,
+    windowed_aggregate,
+)
+from tests.conftest import SF_DIR
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark):
+    """With a watermark, append mode only emits windows the watermark
+    has passed; a late row behind the watermark is dropped (the
+    documented correction of the reference's unbounded-state T3)."""
+    tmp = tempfile.mkdtemp(prefix="iot_etl_wm_")
+    try:
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        batch1 = [
+            (1, base, 1, "view", 1.0, None),
+            (2, base + datetime.timedelta(minutes=30), 1, "view", 3.0, None),
+        ]
+        # arrives later but its event time is in the first window,
+        # far behind the 2-minute watermark -> dropped
+        batch2 = [(3, base + datetime.timedelta(seconds=30), 1, "view", 100.0, None)]
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+        ckpt = os.path.join(tmp, "ckpt")
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        # file source: write batch1, process, then batch2, process
+        write_batch(batch1, "b1")
+        stream = read_stream_source(spark, "parquet", path=src_dir + "/*")
+        agg = windowed_aggregate(stream, window="1 minute", watermark="2 minutes")
+        import uuid
+
+        name = f"wm_{uuid.uuid4().hex[:6]}"
+        q = (
+            agg.writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(batch2, "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(name).collect()
+        # first window (00:00) was finalized by the 00:30 row advancing the
+        # watermark; the late 100.0 row must not re-open it
+        w0 = [r for r in out if r.window_start == base]
+        assert len(w0) == 1
+        assert w0[0].reading_count == 1
+        assert w0[0].max_value == 1.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_upsert_sink_idempotent_on_replay(spark):
+    """Replaying the same micro-batch must not duplicate window rows
+    (T8: dynamic partition overwrite in foreachBatch)."""
+    tmp = tempfile.mkdtemp(prefix="iot_etl_upsert_")
+    try:
+        out_path = os.path.join(tmp, "out")
+        src = read_stream_source(spark, "parquet", path=f"{SF_DIR}/events.parquet")
+        agg = windowed_aggregate(src, window="1 hour", watermark=None)
+        for i in range(2):  # fresh checkpoint each run = full replay
+            ckpt = os.path.join(tmp, f"ckpt{i}")
+            q = start_parquet_upsert_sink(agg, out_path, ckpt, trigger_seconds=1)
+            q.processAllAvailable()
+            q.stop()
+        result = spark.read.parquet(out_path)
+        total = result.count()
+        distinct = result.select("window_start", "event_type").distinct().count()
+        assert total == distinct, "replay duplicated window rows"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_transforms_latency_and_validity(spark):
+    src = read_stream_source(spark, "parquet", path=f"{SF_DIR}/events.parquet")
+    tx = apply_stream_transforms(src)
+    _, out = run_stream_to_memory(
+        tx.select("event_id", "is_valid_record", "latency_seconds"), "append"
+    )
+    rows = out.limit(5).collect()
+    assert rows
+    # 2024 event times vs wall clock -> positive latency
+    assert all(r.latency_seconds > 0 for r in rows)
