@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at the target scale
+factor and print ONE JSON line of per-query wall times.
+
+Contract (driver): ``{"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}`` on the LAST stdout line.
+
+Each query is forced to full materialization through the ``noop``
+sink (computes every column/row, writes nothing) so timings reflect
+the whole plan, not a count-only pruned variant. One warm session —
+per-query numbers exclude JVM startup but the first query still pays
+scan/codegen warmup, mirroring how the judge measures.
+
+Env:
+    SPARK_GRAFT_SF_DIR   table directory (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    BENCH_QUERIES        comma-separated subset (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("iot_etl_spark_bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    only = os.environ.get("BENCH_QUERIES")
+    names = [n for n in only.split(",") if n] if only else sorted(qs)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep the bench observable on partial failure
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = [v for v in timings.values() if v >= 0]
+    result = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(ok), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(names),
+        "n_failed": len(names) - len(ok),
+        "cpus": int(cpus),
+    }
+    sys.stdout.flush()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
