@@ -80,6 +80,13 @@ def load_dimension(df: DataFrame, out_path: str) -> None:
     df.write.mode("overwrite").parquet(out_path)
 
 
+def write_csv(df: DataFrame, out_path: str, header: bool = True) -> None:
+    """CSV sink (S16, generate_practice_data.py:145's pandas to_csv) —
+    distributed write, one file per partition; coalesce upstream if a
+    single file is required."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(out_path)
+
+
 def run_batch_pipeline(
     spark: SparkSession,
     sf_dir: str,

@@ -676,3 +676,61 @@ def full_transform_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z_score", 6).alias("z_score"),
         "is_anomaly_zscore", "is_valid_record",
     )
+
+
+# ------------------------------------------- A13: latency profile
+_LATENCY_PROFILE_ORACLE = f"""
+WITH r AS (SELECT MAX({DUCK_TS}) AS ref FROM events),
+lat AS (
+    SELECT event_type,
+           date_trunc('minute', {DUCK_TS}) AS w,
+           epoch_us(ref) // 1000000 - {DUCK_TS_EPOCH} AS lsec,
+           ref
+    FROM events, r
+),
+wagg AS (
+    SELECT event_type, w, AVG(lsec) AS avg_latency_seconds, MAX(ref) AS ref
+    FROM lat GROUP BY 1, 2
+)
+SELECT event_type,
+       COUNT(*) AS n_windows,
+       ROUND(AVG(avg_latency_seconds), 6) AS avg_latency,
+       ROUND(MIN(avg_latency_seconds), 6) AS min_latency,
+       ROUND(MAX(avg_latency_seconds), 6) AS max_latency
+FROM wagg
+WHERE w >= ref - INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
+@query("latency_profile", oracle=_LATENCY_PROFILE_ORACLE)
+def latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-latency profile (A13, analytical_queries.sql:201-210):
+    AVG/MIN/MAX of per-window average latency per device type over the
+    trailing hour of the stream-agg output. The reference measures
+    latency against wall-clock NOW(); for a deterministic contract the
+    processing instant is pinned to MAX(ts) (the moment the last event
+    landed), so latency_seconds = ref - ts is reproducible. The
+    windowed average mirrors the streaming pipeline's
+    avg_latency_seconds column (streaming/pipeline.py
+    apply_stream_transforms)."""
+    ev = load_events(spark, sf_dir)
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    lat = (
+        ev.join(F.broadcast(ref))
+        .withColumn("lsec", F.col("ref_ts").cast("long") - F.col("ts").cast("long"))
+        .withColumn("w", F.date_trunc("minute", "ts"))
+    )
+    wagg = lat.groupBy("event_type", "w").agg(
+        F.avg("lsec").alias("avg_latency_seconds"), F.max("ref_ts").alias("ref_ts")
+    )
+    return (
+        wagg.filter(F.col("w") >= F.col("ref_ts") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.round(F.avg("avg_latency_seconds"), 6).alias("avg_latency"),
+            F.round(F.min("avg_latency_seconds"), 6).alias("min_latency"),
+            F.round(F.max("avg_latency_seconds"), 6).alias("max_latency"),
+        )
+    )

@@ -18,6 +18,8 @@ from iot_etl_spark.streaming.pipeline import (
     run_stream_to_memory,
 )
 
+SENSOR_FIXTURE = "/root/repo/tests/fixtures/sensor_stream.jsonl"
+
 _TUMBLING_ORACLE = f"""
 SELECT {duck_bucket_epoch('hour')} AS window_start_epoch,
        event_type,
@@ -74,6 +76,41 @@ def stream_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
         "value", "is_valid_record",
+    )
+    _, out = run_stream_to_memory(out_cols, output_mode="append")
+    return out
+
+
+_JSON_DECODE_ORACLE = f"""
+SELECT epoch_us("time") AS time_us,
+       device_id, device_type, value, unit,
+       quality_score, is_anomaly, metadata
+FROM read_json('{SENSOR_FIXTURE}',
+               format = 'newline_delimited',
+               columns = {{'time': 'TIMESTAMP', 'device_id': 'VARCHAR',
+                          'device_type': 'VARCHAR', 'value': 'DOUBLE',
+                          'unit': 'VARCHAR', 'quality_score': 'INTEGER',
+                          'is_anomaly': 'BOOLEAN', 'metadata': 'VARCHAR'}})
+"""
+
+
+@query("stream_json_decode", oracle=_JSON_DECODE_ORACLE)
+def stream_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka wire-decode path (S8/F10/F11,
+    spark_streaming_consumer.py:114-126) exercised hermetically: the
+    checked-in JSON-lines fixture stands in for Kafka message values,
+    flowing through the SAME parse stage (from_json over
+    SENSOR_READING_SCHEMA + ISO-8601 -> timestamp cast) the Kafka
+    source uses. Runs the real streaming engine via the json file
+    source; the oracle is DuckDB's independent read_json of the same
+    fixture, so schema projection, null passthrough, and microsecond
+    time parsing are all hash-checked. (sf_dir is unused — the wire
+    contract is scale-independent.)"""
+    src = read_stream_source(spark, "json", path=SENSOR_FIXTURE)
+    out_cols = src.select(
+        F.unix_micros("time").alias("time_us"),
+        "device_id", "device_type", "value", "unit",
+        "quality_score", "is_anomaly", "metadata",
     )
     _, out = run_stream_to_memory(out_cols, output_mode="append")
     return out

@@ -48,6 +48,25 @@ def _singleton_dir(file_path: str) -> str:
     return d
 
 
+def parse_sensor_json(df: DataFrame, json_col: str = "json_value") -> DataFrame:
+    """Decode one JSON sensor reading per row into the canonical frame
+    (reference: ``spark_streaming_consumer.py:114-126`` — ``from_json``
+    over SENSOR_SCHEMA, then ISO-8601 string -> timestamp cast).
+
+    Shared by the Kafka source (S8/F10/F11) and the hermetic JSON-lines
+    file path (the ``stream_json_decode`` oracle query + tests), so the
+    wire-decode semantics are exercised without a broker. Malformed
+    JSON yields an all-null struct (Spark PERMISSIVE mode), surfacing
+    as rows with null device_id/time that the validity gate drops."""
+    return (
+        df.select(F.from_json(F.col(json_col), SENSOR_READING_SCHEMA).alias("data"))
+        .select("data.*")
+        # try_cast: an unparseable time string nulls the field instead
+        # of killing the stream (ANSI cast throws under Spark 4)
+        .withColumn("time", F.col("time").try_cast("timestamp"))
+    )
+
+
 def read_stream_source(
     spark: SparkSession,
     source: str = "parquet",
@@ -55,16 +74,20 @@ def read_stream_source(
     kafka_bootstrap: str | None = None,
     topic: str = "iot-sensor-stream",
     starting_offsets: str = "earliest",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming source returning the canonical event frame.
 
     parquet: file source over the driver testdata (ns ts -> timestamp).
     kafka:   the reference's source (spark_streaming_consumer.py:104-126)
              — JSON value decode via from_json(SENSOR_READING_SCHEMA).
-             Requires the Kafka connector jars; gated, never used in tests.
+             Requires the Kafka connector jars; gated, never used in tests
+             (the parse stage itself IS tested via parse_sensor_json).
     rate:    synthetic benchmark source.
     """
     ensure_runtime_confs(spark)
+    if source in ("parquet", "json") and path is None:
+        raise ValueError(f"source={source!r} requires an explicit path")
     if source == "parquet":
         # The file source requires a *directory*; when given a single
         # file (the testdata layout puts every table in one dir),
@@ -72,8 +95,20 @@ def read_stream_source(
         # stay out of the stream.
         if path.endswith(".parquet"):
             path = _singleton_dir(path)
-        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.parquet(path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if source == "json":
+        # JSON-lines file source through the SAME parse stage as Kafka:
+        # read each line as an opaque string, then parse_sensor_json.
+        import os
+
+        if os.path.isfile(path):  # file source requires a directory
+            path = _singleton_dir(path)
+        raw = spark.readStream.text(path).withColumnRenamed("value", "json_value")
+        return parse_sensor_json(raw)
     if source == "kafka":  # pragma: no cover - needs broker + jars
         raw = (
             spark.readStream.format("kafka")
@@ -83,12 +118,12 @@ def read_stream_source(
             .option("failOnDataLoss", "false")
             .load()
         )
-        parsed = raw.selectExpr(
+        decoded = raw.selectExpr(
             "CAST(value AS STRING) AS json_value",
             "CAST(key AS STRING) AS kafka_key",
             "timestamp AS kafka_timestamp",
-        ).select(F.from_json("json_value", SENSOR_READING_SCHEMA).alias("data"))
-        return parsed.select("data.*").withColumn("time", F.col("time").cast("timestamp"))
+        )
+        return parse_sensor_json(decoded)
     if source == "rate":
         return (
             spark.readStream.format("rate").option("rowsPerSecond", "1000").load()
@@ -157,20 +192,31 @@ def start_parquet_upsert_sink(
     out_path: str,
     checkpoint: str,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
+    key_cols: tuple[str, ...] = ("event_type",),
 ):
-    """foreachBatch parquet sink with window-partition overwrite (T8):
-    each micro-batch rewrites the window_date partitions it touches
-    (dynamic partition overwrite), so at-least-once replays are
-    idempotent — the Spark answer to the reference's PK-upsert intent
-    (create_stream_tables.sql:19-23)."""
+    """foreachBatch parquet sink with group-key partition overwrite
+    (T8): update-mode emits only the (window, key) groups whose
+    aggregate changed in the micro-batch, so the overwrite partition
+    granularity MUST equal the group key — each emitted group rewrites
+    exactly its own (window_key, *key_cols) partition directory and
+    touches nothing else. Partitioning any coarser (e.g. by day)
+    silently deletes that partition's un-emitted sibling groups on
+    every incremental batch. This is the Spark answer to the
+    reference's PK-upsert intent (create_stream_tables.sql:19-23);
+    with a transactional table format the same contract is a MERGE on
+    the group key. One directory per group is the documented cost —
+    at 1-minute windows that is 1,440 * |keys| dirs/day, compacted by
+    the warehouse lifecycle job."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            batch_df.withColumn("window_date", F.to_date("window_start"))
+            batch_df.withColumn(
+                "window_key", F.date_format("window_start", "yyyyMMdd_HHmmss")
+            )
             .write.mode("overwrite")
-            .partitionBy("window_date")
+            # writer-scoped option: do NOT mutate the shared session conf
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_key", *key_cols)
             .parquet(out_path)
         )
 
@@ -181,6 +227,64 @@ def start_parquet_upsert_sink(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def start_console_sink(df: DataFrame, num_rows: int = 10, truncate: bool = True):
+    """Debug console sink (S13, spark_streaming_consumer.py:258-279)."""
+    return (
+        df.writeStream.outputMode("append")
+        .format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .start()
+    )
+
+
+def run_fanout(
+    spark: SparkSession,
+    source_df: DataFrame,
+    raw_path: str,
+    agg_path: str,
+    checkpoint_root: str,
+    window: str = "1 minute",
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    time_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+):
+    """Multi-query fan-out (T7, spark_streaming_consumer.py:296-340):
+    ONE source lineage feeds two independent sinks — valid raw rows
+    append to ``raw_path``; the watermarked tumbling aggregate upserts
+    into ``agg_path``. Returns both StreamingQuery handles; stop via
+    ``stop_all_queries``. Each query runs its own micro-batch thread
+    with its own checkpoint, exactly like the reference's raw +
+    windowed-agg pair."""
+    tx = apply_stream_transforms(source_df, time_col=time_col)
+    raw_q = (
+        tx.filter(F.col("is_valid_record"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", raw_path)
+        .option("checkpointLocation", f"{checkpoint_root}/raw")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+    agg = windowed_aggregate(tx, window=window, time_col=time_col, key_cols=key_cols)
+    agg_q = start_parquet_upsert_sink(
+        agg, agg_path, f"{checkpoint_root}/agg",
+        trigger_seconds=trigger_seconds, key_cols=key_cols,
+    )
+    return raw_q, agg_q
+
+
+def stop_all_queries(spark: SparkSession) -> int:
+    """Graceful stop of every active streaming query (reference
+    ``stop_all_queries``, spark_streaming_consumer.py:352-360)."""
+    qs = list(spark.streams.active)
+    for q in qs:
+        q.stop()
+    for q in qs:
+        q.awaitTermination(30)
+    return len(qs)
 
 
 def run_stream_to_memory(

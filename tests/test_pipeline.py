@@ -33,3 +33,29 @@ def test_run_batch_pipeline_end_to_end(spark):
         assert dim.count() > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    """S16 CSV sink: distributed write, lossless round-trip."""
+    from iot_etl_spark.pipeline.batch import write_csv
+    from iot_etl_spark.sources.tables import load_table
+
+    nation = load_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_console_sink_starts_and_stops(spark):
+    """S13 console debug sink (spark_streaming_consumer.py:258-279)."""
+    from iot_etl_spark.streaming.pipeline import read_stream_source, start_console_sink
+
+    src = read_stream_source(spark, "parquet", path=f"{SF_DIR}/events.parquet")
+    q = start_console_sink(src, num_rows=3)
+    try:
+        q.processAllAvailable()
+        assert q.isActive
+    finally:
+        q.stop()

@@ -105,3 +105,110 @@ def test_stream_transforms_latency_and_validity(spark):
     assert rows
     # 2024 event times vs wall clock -> positive latency
     assert all(r.latency_seconds > 0 for r in rows)
+
+
+def test_upsert_sink_incremental_update_keeps_sibling_groups(spark):
+    """A micro-batch that updates ONE group of a window must not wipe
+    the window's other groups from the sink (update-mode emits only
+    changed groups; overwrite granularity must equal the group key)."""
+    tmp = tempfile.mkdtemp(prefix="iot_etl_incr_")
+    try:
+        base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        # batch1 populates two groups of the same 1-minute window
+        write_batch(
+            [
+                (1, base + datetime.timedelta(seconds=10), 1, "view", 1.0, None),
+                (2, base + datetime.timedelta(seconds=20), 1, "click", 2.0, None),
+            ],
+            "b1",
+        )
+        stream = read_stream_source(spark, "parquet", path=src_dir + "/*")
+        agg = windowed_aggregate(stream, window="1 minute", watermark=None)
+        out_path = os.path.join(tmp, "out")
+        q = start_parquet_upsert_sink(agg, out_path, os.path.join(tmp, "ckpt"), trigger_seconds=1)
+        try:
+            q.processAllAvailable()
+            # batch2 updates ONLY the 'click' group of that window
+            write_batch([(3, base + datetime.timedelta(seconds=30), 1, "click", 4.0, None)], "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = {
+            r.event_type: r
+            for r in spark.read.parquet(out_path)
+            .select("event_type", "reading_count", "max_value")
+            .collect()
+        }
+        assert set(rows) == {"view", "click"}, "sibling group was wiped by incremental update"
+        assert rows["view"].reading_count == 1
+        assert rows["click"].reading_count == 2 and rows["click"].max_value == 4.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_parse_sensor_json_malformed_rows_yield_nulls(spark):
+    """Malformed JSON must not kill the stream: PERMISSIVE from_json
+    yields null fields, which the validity gate then drops (reference
+    wire contract, spark_streaming_consumer.py:114-126)."""
+    from iot_etl_spark.streaming.pipeline import parse_sensor_json
+
+    lines = [
+        ('{"time":"2026-01-01T00:00:01.5","device_id":"TEMP-001","device_type":"temperature",'
+         '"value":21.5,"unit":"C","quality_score":90,"is_anomaly":false,"metadata":"{}"}',),
+        ("this is not json at all",),
+        ('{"truncated": ',),
+        ('{"time":"not-a-timestamp","device_id":"TEMP-002","device_type":"temperature",'
+         '"value":"NaNope","unit":"C","quality_score":1,"is_anomaly":true,"metadata":null}',),
+    ]
+    df = spark.createDataFrame(lines, "json_value STRING")
+    out = parse_sensor_json(df).collect()
+    assert len(out) == 4
+    good = out[0]
+    assert good.device_id == "TEMP-001" and abs(good.value - 21.5) < 1e-9
+    assert good.time == datetime.datetime(2026, 1, 1, 0, 0, 1, 500000)
+    assert out[1].device_id is None and out[1].time is None
+    assert out[2].device_id is None
+    # field-level breakage: unparseable timestamp/double -> null fields,
+    # parseable siblings survive
+    assert out[3].time is None and out[3].value is None
+    assert out[3].device_id == "TEMP-002" and out[3].is_anomaly is True
+
+
+def test_fanout_two_sinks_and_graceful_stop(spark):
+    """T7: one source lineage -> raw append sink + windowed agg upsert
+    sink, both produce output, stop_all_queries stops them cleanly
+    (spark_streaming_consumer.py:296-360)."""
+    from iot_etl_spark.streaming.pipeline import run_fanout, stop_all_queries
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_fanout_")
+    try:
+        src = read_stream_source(spark, "parquet", path=f"{SF_DIR}/events.parquet")
+        raw_q, agg_q = run_fanout(
+            spark, src,
+            raw_path=os.path.join(tmp, "raw"),
+            agg_path=os.path.join(tmp, "agg"),
+            checkpoint_root=os.path.join(tmp, "ckpt"),
+            window="1 hour",
+            trigger_seconds=1,
+        )
+        raw_q.processAllAvailable()
+        agg_q.processAllAvailable()
+        n_stopped = stop_all_queries(spark)
+        assert n_stopped >= 2
+        assert not raw_q.isActive and not agg_q.isActive
+        raw = spark.read.parquet(os.path.join(tmp, "raw"))
+        agg = spark.read.parquet(os.path.join(tmp, "agg"))
+        assert raw.count() > 0 and agg.count() > 0
+        # raw sink carries only valid records (spark_load.py:100 semantics)
+        assert raw.filter(~F.col("is_valid_record")).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
