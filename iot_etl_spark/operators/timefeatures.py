@@ -2,10 +2,19 @@
 
 Reference: ``batch_etl/spark_transform.py:95-110`` adds hour /
 day-of-week / month / is_weekend / is_business_hours with
-``withColumn`` chains. Same semantics here; note Spark's ``dayofweek``
-is 1=Sunday (the reference's weekend test is ``isin([1,7])`` at
+``withColumn`` chains. Spark's ``dayofweek`` is 1=Sunday (the
+reference's weekend test is ``isin([1,7])`` at
 ``spark_transform.py:106``). All expressions are built-in Column ops —
 fully Catalyst-optimizable, no UDFs (SURVEY.md §2.10).
+
+DELIBERATE DIVERGENCE from the reference: its ``is_business_hours`` is
+``hour >= 9 AND hour <= 17`` with no weekday test
+(``spark_transform.py:107``) — 9 hours long (9:00-17:59) and true on
+weekends. This engine uses the half-open ``9 <= hour < 17`` AND a
+weekday requirement: an 8-hour 9-to-5 that excludes Saturday/Sunday.
+Every oracle twin encodes the engine semantics, so the divergence is
+intentional, documented, and parity-checked on both sides (like the
+watermark and DISTINCT-ON tiebreak corrections).
 """
 
 from __future__ import annotations

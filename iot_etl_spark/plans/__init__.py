@@ -18,5 +18,6 @@ from iot_etl_spark.plans import queries_events  # noqa: F401
 from iot_etl_spark.plans import queries_text  # noqa: F401
 from iot_etl_spark.plans import queries_embed  # noqa: F401
 from iot_etl_spark.plans import queries_stream  # noqa: F401
+from iot_etl_spark.plans import queries_warehouse  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,81 @@
+"""Warehouse-surface queries: the generated dim_time calendar.
+
+Reference: ``warehouse/create_dwh_schema.sql:40-53`` declares a
+``dim_time`` dimension at (date, hour) grain with calendar attributes;
+nothing in the reference populates it — the engine generates it
+deterministically (a calendar needs no source table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iot_etl_spark.plans.registry import query
+from iot_etl_spark.operators.timefeatures import BUSINESS_HOUR_START, BUSINESS_HOUR_END
+
+DIM_TIME_START = "2024-01-01"
+DIM_TIME_END = "2024-03-31"
+
+# DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday: the oracle emits
+# dayofweek(d)+1 so both sides share the Spark/Postgres-DOW convention.
+_DIM_TIME_ORACLE = f"""
+SELECT CAST((year(d) * 10000 + month(d) * 100 + day(d)) AS BIGINT) * 100 + h AS time_id,
+       strftime(d, '%Y-%m-%d') AS date_key,
+       h AS hour,
+       dayofweek(d) + 1 AS day_of_week,
+       dayname(d) AS day_name,
+       CAST(weekofyear(d) AS INT) AS week_of_year,
+       month(d) AS month,
+       monthname(d) AS month_name,
+       quarter(d) AS quarter,
+       year(d) AS year,
+       dayofweek(d) IN (0, 6) AS is_weekend,
+       h >= {BUSINESS_HOUR_START} AND h < {BUSINESS_HOUR_END}
+           AND dayofweek(d) NOT IN (0, 6) AS is_business_hours
+FROM generate_series(DATE '{DIM_TIME_START}', DATE '{DIM_TIME_END}', INTERVAL 1 DAY) AS t(d),
+     generate_series(0, 23) AS g(h)
+"""
+
+
+@query("dim_time_calendar", oracle=_DIM_TIME_ORACLE)
+def dim_time_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated dim_time calendar (create_dwh_schema.sql:40-53) at
+    (date, hour) grain: surrogate key yyyymmddHH, day/week/month/
+    quarter attributes (date_key as ISO string per the registry's
+    no-raw-temporal convention), weekend + business-hours flags (engine
+    semantics — see operators/timefeatures.py for the documented
+    business-hours divergence). Generated with sequence+explode: no
+    source scan, fully parallel, deterministic. (sf_dir unused —
+    calendars are scale-independent.)"""
+    days = spark.range(1).select(
+        F.explode(
+            F.expr(
+                f"sequence(to_date('{DIM_TIME_START}'), to_date('{DIM_TIME_END}'),"
+                " interval 1 day)"
+            )
+        ).alias("d")
+    )
+    cal = days.select("d", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour"))
+    dow = F.dayofweek("d")
+    weekend = dow.isin([1, 7])
+    return cal.select(
+        (
+            (F.year("d") * 10000 + F.month("d") * 100 + F.dayofmonth("d")).cast("long") * 100
+            + F.col("hour")
+        ).alias("time_id"),
+        F.date_format("d", "yyyy-MM-dd").alias("date_key"),
+        "hour",
+        dow.alias("day_of_week"),
+        F.date_format("d", "EEEE").alias("day_name"),
+        F.weekofyear("d").alias("week_of_year"),
+        F.month("d").alias("month"),
+        F.date_format("d", "MMMM").alias("month_name"),
+        F.quarter("d").alias("quarter"),
+        F.year("d").alias("year"),
+        weekend.alias("is_weekend"),
+        (
+            (F.col("hour") >= BUSINESS_HOUR_START)
+            & (F.col("hour") < BUSINESS_HOUR_END)
+            & ~weekend
+        ).alias("is_business_hours"),
+    )

@@ -1,0 +1,83 @@
+"""Multimodal plumbing tests: MEDIA_SCHEMA + Arrow-batched
+mapInPandas decode/feature/frame-sample with fabricated binaries
+(the container has no media codecs — the decode step is a documented
+deterministic stub; the Spark plumbing under test is real)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_etl_spark.extensions.multimodal import (
+    DECODED_SCHEMA,
+    FRAME_SCHEMA,
+    decode_and_featurize,
+    make_fake_media_bytes,
+    sample_frames,
+)
+from iot_etl_spark.schemas import MEDIA_SCHEMA
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", make_fake_media_bytes("image", 640, 480, 0, seed=1),
+         "image/fake", 640, 480, None),
+        (2, "audio", make_fake_media_bytes("audio", 0, 0, 30_000, seed=2),
+         "audio/fake", None, None, 30_000),
+        (3, "video", make_fake_media_bytes("video", 1280, 720, 5_500, seed=3),
+         "video/fake", 1280, 720, 5_500),
+        (4, "image", b"\x89PNG\r\n\x1a\n not actually decodable",
+         "image/png", None, None, None),
+        (5, "image", None, "image/fake", None, None, None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_and_featurize_schema_and_values(spark):
+    out = decode_and_featurize(_media_df(spark))
+    assert out.schema == DECODED_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 5  # one row per media row, errors included
+
+    img = rows[1]
+    assert img.ok and img.decoded_kind == "image"
+    assert (img.width, img.height) == (640, 480)
+    assert img.n_bytes and img.n_bytes > 64
+    assert 0.0 < img.entropy_bits <= 8.0
+    assert img.digest and len(img.digest) == 32
+
+    vid = rows[3]
+    assert vid.ok and vid.duration_ms == 5_500
+
+    # real format -> the documented NotImplementedError stub, as a row
+    png = rows[4]
+    assert not png.ok and "NotImplementedError" in png.error
+
+    # null payload -> error row, not a crash
+    assert not rows[5].ok
+
+
+def test_decode_is_deterministic(spark):
+    a = decode_and_featurize(_media_df(spark)).filter("ok").select("media_id", "digest")
+    b = decode_and_featurize(_media_df(spark)).filter("ok").select("media_id", "digest")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sample_frames_fanout(spark):
+    out = sample_frames(_media_df(spark), every_ms=1000)
+    assert out.schema == FRAME_SCHEMA
+    rows = out.collect()
+    # only media 3 is a decodable video: 5.5s at 1 f/s -> 6 frames (0..5000ms)
+    assert {r.media_id for r in rows} == {3}
+    assert [r.offset_ms for r in sorted(rows, key=lambda r: r.frame_index)] == [
+        0, 1000, 2000, 3000, 4000, 5000
+    ]
+    assert len({r.frame_digest for r in rows}) == len(rows)  # per-frame digests differ
+
+
+def test_partitioned_batch_shape(spark):
+    """The plumbing survives multi-partition Arrow batching (the 100 TB
+    layout: media sharded across executors)."""
+    df = _media_df(spark).repartition(4, F.col("media_id"))
+    out = decode_and_featurize(df)
+    assert out.count() == 5
+    assert out.filter("ok").count() == 3
