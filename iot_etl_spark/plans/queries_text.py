@@ -117,39 +117,57 @@ def _minhash_band_sigs(spark: SparkSession, sh: DataFrame) -> DataFrame:
     """(doc_id, band, sig): MinHash(16 perms) grouped into 4 bands x 4
     rows, signature = '|'-joined row minima.
 
-    All 16 permutation minima are higher-order-function columns over
-    the shingle array — one narrow map stage, NO explode / crossJoin /
-    groupBy (the round-1 shape shuffled 16x-exploded shingle rows
-    twice). The only shuffle in any MinHash consumer is the final
-    (band, sig) candidate join. Empty shingle sets are filtered (docs
-    under 3 words have no signature — same as the oracle, where
-    unnest of an empty list yields no rows)."""
-    hashed = sh.filter(F.size("s") > 0).withColumn(
-        "hs",
-        F.expr("transform(s, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT))"),
-    )
-    min_sql = [
-        f"array_min(transform(hs, h -> (h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {MINHASH_P}L))"
-        for i in range(16)
-    ]
+    The whole signature pipeline is ONE ``aggregate()`` expression —
+    a single fold over the shingle array computing all 16 permutation
+    minima at once, with the band structs built in the finish lambda.
+    One narrow map stage, no explode/crossJoin/groupBy (the round-1
+    shape shuffled 16x-exploded shingle rows twice), and — critically —
+    md5 runs ONCE per shingle: lambda-bound values (``acc``, ``h``)
+    are evaluated once at runtime, unlike projected columns, which
+    Catalyst's CollapseProject inlines into every consumer expression
+    (16 textual references to a projected hash array = 16x md5; that
+    cost 4s/5k docs). Empty shingle sets are filtered (docs under 3
+    words have no signature — same as the oracle, where unnest of an
+    empty list yields no rows)."""
     rows_per_band = 16 // MINHASH_BANDS
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.expr(
-                "concat_ws('|', "
-                + ", ".join(
-                    f"cast({min_sql[b * rows_per_band + r]} AS STRING)"
-                    for r in range(rows_per_band)
-                )
-                + ")"
-            ).alias("sig"),
+
+    def _min_sql(i: int) -> str:
+        # one pass over the lambda-bound hash array per permutation;
+        # a, b, P are inlined literals (no per-element object churn)
+        return (
+            f"cast(array_min(transform(hs, h -> "
+            f"(h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {MINHASH_P}L)) AS STRING)"
+        )
+
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws('|', {mins}) AS sig)".format(
+            b=b,
+            mins=", ".join(_min_sql(b * rows_per_band + r) for r in range(rows_per_band)),
         )
         for b in range(MINHASH_BANDS)
-    ]
-    return hashed.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+    # transform over a 1-element array is the expression-level let:
+    # `hs` (md5 per shingle, computed ONCE) is a lambda-bound VALUE,
+    # so its 16 consumers don't re-trigger the hash the way projected
+    # columns do under CollapseProject inlining.
+    sig_expr = f"""
+    transform(
+      array(transform(s, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT))),
+      hs -> array({band_structs})
+    )[0]
+    """
+    # The empty-shingle guard must sit ABOVE the Generate: a pre-explode
+    # filter(size(s) > 0) gets substituted through the projection into
+    # an INTERPRETED parquet-scan DataFilter carrying the entire
+    # shingle expression — measured 10x slower than the codegen'd
+    # projection. Above the explode it's a trivial check on the
+    # computed sig (array_min of an empty array is null; concat_ws
+    # skips nulls, so shingle-less docs yield sig = '').
+    return (
+        sh.select("doc_id", F.explode(F.expr(sig_expr)).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig") != "")
+    )
 
 
 def _band_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -32,6 +32,16 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # InferFiltersFromGenerate turns explode(expensive_expr) into a
+    # pre-Generate filter that INLINES the generator expression (via
+    # project collapse) into size()/isnotnull() checks — the shingle
+    # pipeline was re-evaluated ~3x per row with split(text) expanded
+    # per lambda reference, an O(words^2) blowup measured at 14x wall
+    # time on doc_fingerprint. The inferred filter only skips rows
+    # with empty arrays — worthless for our generators, so exclude the
+    # rule engine-wide.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
