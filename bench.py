@@ -53,6 +53,18 @@ def main() -> None:
     only = os.environ.get("BENCH_QUERIES")
     names = [n for n in only.split(",") if n] if only else sorted(qs)
 
+    # Untimed warmup: touch every table (file-index + footer reads) and
+    # run one cheap end-to-end query so the first timed query doesn't
+    # absorb JVM codegen/scan warmup (~5s of noise on query #1).
+    from iot_etl_spark.sources.tables import load_all
+
+    for df in load_all(spark, sf_dir).values():
+        df.limit(1).count()
+    try:
+        qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()

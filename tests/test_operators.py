@@ -83,3 +83,81 @@ def test_broadcast_join_in_plan(spark):
     dim = spark.createDataFrame([(1, "x")], "user_id LONG, name STRING")
     plan = enrich_left_join(fact, dim, on="user_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_short_doc_shingles_empty_on_both_engines(spark):
+    """Docs under 3 words must yield an EMPTY shingle set. Spark's
+    sequence(1, 0) is descending [1, 0] (not empty like DuckDB's
+    generate_series), so the guard is a CASE — this pins the parity
+    that the testdata (all docs >= 10 words) never exercises."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from iot_etl_spark.plans.queries_text import _shingles_expr, _DUCK_SHINGLES
+
+    texts = ["", "one", "two words", "now three words", "a b c d"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING")
+    spark_sets = {
+        r.doc_id: sorted(r.s)
+        for r in df.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.expr(_shingles_expr()).alias("s"))
+        .collect()
+    }
+    con = duckdb.connect()
+    duck_sets = {
+        row[0]: sorted(row[1])
+        for row in con.execute(
+            "SELECT doc_id, " + _DUCK_SHINGLES + " FROM ("
+            "SELECT doc_id, string_split(text, ' ') AS ws FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+            + ") AS v(doc_id, text))"
+        ).fetchall()
+    }
+    assert spark_sets == duck_sets
+    assert spark_sets[0] == [] and spark_sets[2] == []  # < 3 words -> empty
+    assert spark_sets[3] == ["now three words"]
+    assert spark_sets[4] == ["a b c", "b c d"]
+
+
+def test_salted_aggregate_matches_plain(spark):
+    """Hot-key two-phase aggregation must equal the direct aggregate."""
+    from pyspark.sql import functions as F
+    from iot_etl_spark.operators.skew import salted_aggregate
+    from iot_etl_spark.sources.tables import load_events
+    from tests.conftest import SF_DIR
+
+    ev = load_events(spark, SF_DIR)
+    direct = {
+        (r.event_type,): (r.n, round(r.s, 6), r.mx)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.event_type,): (r.n, round(r.s, 6), r.mx)
+        for r in salted_aggregate(
+            ev,
+            keys=["event_type"],
+            aggs=[F.count(F.lit(1)).alias("pn"), F.sum("value").alias("ps"),
+                  F.max("value").alias("pm")],
+            final_aggs=[F.sum("pn").alias("n"), F.sum("ps").alias("s"),
+                        F.max("pm").alias("mx")],
+            buckets=16,
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted skew join must produce exactly the plain join's rows."""
+    from pyspark.sql import functions as F
+    from iot_etl_spark.operators.skew import salted_join
+    from iot_etl_spark.sources.tables import load_events, load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_events(spark, SF_DIR).select(
+        "event_id", F.col("user_id").alias("c_custkey"), "value"
+    )
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    plain = ev.join(cust, "c_custkey").select("event_id", "c_name")
+    salted = salted_join(ev, cust, on="c_custkey", buckets=8).select("event_id", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
