@@ -734,3 +734,108 @@ def latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("avg_latency_seconds"), 6).alias("max_latency"),
         )
     )
+
+
+# ---------------------------------------- session windows (gap-based)
+SESSION_GAP_MINUTES = 30
+
+# The islands computation runs on MICROSECOND epochs — session_window
+# compares native microsecond timestamps, and a gap within 1 s of the
+# timeout diverges if the oracle truncates to seconds first. Only the
+# final session bounds truncate (matching unix_timestamp's floor).
+_SESSION_ORACLE = f"""
+WITH o AS (
+    SELECT user_id, epoch_us({DUCK_TS}) AS tus, value,
+           LAG(epoch_us({DUCK_TS})) OVER (PARTITION BY user_id ORDER BY epoch_us({DUCK_TS})) AS prev
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN prev IS NULL OR tus - prev >= {SESSION_GAP_MINUTES * 60}::BIGINT * 1000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM o
+),
+sess AS (
+    SELECT user_id, tus, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(tus) // 1000000 AS session_start_epoch,
+       MAX(tus) // 1000000 + {SESSION_GAP_MINUTES * 60} AS session_end_epoch,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value
+FROM sess
+GROUP BY 1, 2
+"""
+
+
+@query("session_stats", oracle=_SESSION_ORACLE)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with the built-in ``session_window``
+    (30-minute inactivity gap): per (user, session) event count and
+    value average. Spark merges events whose windows [ts, ts+gap)
+    overlap, i.e. a new session starts exactly when the inter-event
+    gap is >= the timeout — the oracle states the same semantics as a
+    gaps-and-islands LAG/SUM computation, so the built-in session
+    assignment is hash-checked against first principles. The same
+    groupBy(session_window(...)) runs unchanged under Structured
+    Streaming with a watermark (SURVEY §2.9 notes the reference has no
+    session windows — this is a capability extension). Session ids are
+    per-user ordinals on both sides (window start epochs are emitted
+    too, so the mapping is fully determined)."""
+    ev = load_events(spark, sf_dir)
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").cast("long").alias("session_start_epoch"),
+            F.unix_timestamp("session_window.end").cast("long").alias("session_end_epoch"),
+            "n_events", "avg_value",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start_epoch")
+    return sess.withColumn("session_seq", F.row_number().over(w).cast("long"))
+
+
+# ------------------------------------------------- rollup hierarchy agg
+_ROLLUP_ORACLE = f"""
+SELECT event_type,
+       CASE WHEN GROUPING(hod) = 1 THEN NULL ELSE hod END AS hour_of_day,
+       GROUPING(event_type) + GROUPING(hod) AS grouping_level,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6) AS avg_value
+FROM (SELECT event_type, EXTRACT(hour FROM {DUCK_TS}) AS hod, value FROM events)
+GROUP BY ROLLUP (event_type, hod)
+"""
+
+
+@query("hourly_rollup", oracle=_ROLLUP_ORACLE)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate (event_type -> hour-of-day -> grand
+    total) — subtotals at every level in one pass (partial aggregation
+    + a single shuffle; Spark expands the grouping sets map-side).
+    SURVEY §2.4 notes the reference has no grouping sets — free
+    capability extension via the DataFrame rollup API."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    return (
+        ev.rollup("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            (F.grouping("event_type") + F.grouping("hod")).cast("long").alias("grouping_level"),
+        )
+        .select(
+            "event_type",
+            F.col("hod").alias("hour_of_day"),
+            "grouping_level", "reading_count", "avg_value",
+        )
+    )

@@ -212,3 +212,35 @@ def test_fanout_two_sinks_and_graceful_stop(spark):
         assert raw.filter(~F.col("is_valid_record")).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_session_window_runs_under_streaming(spark):
+    """session_window works in Structured Streaming with a watermark:
+    finalized sessions (behind the watermark) are emitted in append
+    mode and match the batch computation of the same windows."""
+    src = read_stream_source(spark, "parquet", path=f"{SF_DIR}/events.parquet")
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("s"),
+            "user_id", "n_events",
+        )
+    )
+    _, out = run_stream_to_memory(agg, output_mode="append")
+    emitted = {(r.s, r.user_id): r.n_events for r in out.collect()}
+    assert emitted, "no finalized sessions emitted"
+
+    from iot_etl_spark.sources.tables import load_events
+
+    batch = {
+        (r.s, r.user_id): r.n_events
+        for r in load_events(spark, SF_DIR)
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("session_window.start").alias("s"), "user_id", "n_events")
+        .collect()
+    }
+    for k, v in emitted.items():
+        assert batch.get(k) == v, f"stream session {k} diverges from batch"
