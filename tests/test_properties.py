@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis): operator semantics vs an
+independent pandas computation on arbitrary small inputs — catches the
+edge cases fixed fixtures never hit (ties, empty groups, all-equal
+values, negative values)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=3),               # key
+    st.integers(min_value=0, max_value=10_000),          # ts offset seconds
+    st.floats(min_value=-100, max_value=100,
+              allow_nan=False, allow_infinity=False),    # value
+)
+BASE_TS = datetime.datetime(2024, 1, 1)
+
+
+def _df(spark, rows):
+    data = [
+        (i, k, BASE_TS + datetime.timedelta(seconds=s), float(v))
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(ROW, min_size=1, max_size=30))
+def test_latest_per_key_property(spark, rows):
+    """latest_per_key == pandas idxmax on (ts, event_id) per key —
+    including duplicate-timestamp ties, which the event_id tiebreak
+    must resolve identically."""
+    from iot_etl_spark.operators.latest import latest_per_key
+
+    df = _df(spark, rows)
+    got = {
+        r.user_id: r.event_id
+        for r in latest_per_key(
+            df, key_cols=("user_id",), time_col="ts", tiebreak_col="event_id"
+        ).collect()
+    }
+    pdf = df.toPandas()
+    expected = {
+        int(k): int(g.sort_values(["ts", "event_id"], ascending=[False, False])
+                    .iloc[0].event_id)
+        for k, g in pdf.groupby("user_id")
+    }
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(ROW, min_size=1, max_size=30))
+def test_zscore_guard_property(spark, rows):
+    """z-score: (x - mean)/stddev per key with the stddev>0 guard —
+    single-row and all-equal groups must yield z == 0.0, never NaN/null
+    (spark_transform.py:168-170 semantics)."""
+    from iot_etl_spark.operators.anomaly import add_zscore_anomaly
+
+    df = _df(spark, rows)
+    out = add_zscore_anomaly(df, key_cols=("user_id",)).toPandas()
+    assert out.z_score.notna().all()
+    pdf = df.toPandas()
+    stats = pdf.groupby("user_id")["value"].agg(["mean", "std", "count"])
+    for _, r in out.iterrows():
+        mean, std, n = stats.loc[r.user_id]
+        if n < 2 or pd.isna(std) or std == 0:
+            assert r.z_score == 0.0
+        else:
+            assert abs(r.z_score - (r.value - mean) / std) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(ROW, min_size=1, max_size=25))
+def test_rolling_range_frame_property(spark, rows):
+    """5-minute range-frame rolling mean == brute-force per-row average
+    over [ts-300s, ts] within the key (frame inclusivity both ends)."""
+    from iot_etl_spark.operators.rolling import add_rolling_features
+
+    df = _df(spark, rows)
+    out = add_rolling_features(df, key_cols=("user_id",)).toPandas()
+    pdf = df.toPandas()
+    pdf["tse"] = pdf.ts.astype("int64") // 10**9
+    for _, r in out.iterrows():
+        tse = int(pd.Timestamp(r.ts).value // 10**9)
+        window = pdf[(pdf.user_id == r.user_id) & (pdf.tse >= tse - 300) & (pdf.tse <= tse)]
+        assert abs(r.rolling_avg_5min - window.value.mean()) < 1e-9

@@ -244,3 +244,42 @@ def test_session_window_runs_under_streaming(spark):
     }
     for k, v in emitted.items():
         assert batch.get(k) == v, f"stream session {k} diverges from batch"
+
+
+def test_checkpoint_restart_resumes_incrementally(spark):
+    """T5: a new query over the SAME checkpoint resumes from committed
+    offsets — post-restart output reflects all data exactly once."""
+    tmp = tempfile.mkdtemp(prefix="iot_etl_ckpt_")
+    try:
+        base = datetime.datetime(2024, 1, 2, 8, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        out_path, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+
+        def start():
+            stream = read_stream_source(spark, "parquet", path=src_dir + "/*")
+            agg = windowed_aggregate(stream, window="1 minute", watermark=None)
+            return start_parquet_upsert_sink(agg, out_path, ckpt, trigger_seconds=1)
+
+        write_batch([(1, base, 7, "view", 2.0, None)], "b1")
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+
+        write_batch([(2, base + datetime.timedelta(seconds=5), 7, "view", 4.0, None)], "b2")
+        q2 = start()  # same checkpoint -> resumes, must see only b2 as new
+        q2.processAllAvailable()
+        q2.stop()
+
+        rows = spark.read.parquet(out_path).collect()
+        assert len(rows) == 1  # one (window, event_type) group
+        assert rows[0].reading_count == 2 and rows[0].max_value == 4.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
