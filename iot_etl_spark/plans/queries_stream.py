@@ -114,3 +114,55 @@ def stream_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, out = run_stream_to_memory(out_cols, output_mode="append")
     return out
+
+
+EWMA_ALPHA = 0.2
+
+# Closed form of the sequential fold (ewma_1 = v_1; ewma_i = a*v_i +
+# (1-a)*ewma_{i-1}): ewma_N = (1-a)^(N-1) v_1 + sum_{i>=2} a (1-a)^(N-i) v_i,
+# over the deterministic (ts, event_id) order. Accumulation-order noise
+# vs the fold is ~1e-15 relative — far from the ROUND 6 boundary (same
+# convention as the cosine queries). Null values are excluded on both
+# sides (SUM skips NULLs; the operator filters them).
+_EWMA_ORACLE = f"""
+WITH o AS (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+    WHERE value IS NOT NULL
+)
+SELECT user_id, n AS n_events,
+       ROUND(SUM(CASE WHEN rn = 1 THEN power({1 - EWMA_ALPHA}, n - 1) * value
+                      ELSE {EWMA_ALPHA} * power({1 - EWMA_ALPHA}, n - rn) * value END),
+             6) AS ewma
+FROM o GROUP BY user_id, n
+"""
+
+
+@query("stream_ewma_by_device", oracle=_EWMA_ORACLE)
+def stream_ewma_by_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-device
+    EWMA driven by the REAL streaming engine — state (running average,
+    event count) persists in the state store across micro-batches; the
+    update function folds each batch in (ts, event_id) order. The
+    oracle is the closed-form geometric expansion of the same fold, so
+    the stateful path is hash-checked end to end. SURVEY §2.9 lists
+    arbitrary stateful ops as absent from the reference — capability
+    extension per the driver brief. Cross-batch continuity is pinned
+    separately by pytest (multi-batch file source)."""
+    from iot_etl_spark.streaming.stateful import streaming_ewma
+
+    src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
+    ew = streaming_ewma(src.filter(F.col("value").isNotNull()), alpha=EWMA_ALPHA)
+    _, out = run_stream_to_memory(ew, output_mode="update")
+    # update-mode memory sink appends per-batch emissions; keep the
+    # final state per device (max n_events)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
+    )

@@ -10,6 +10,7 @@ overwrite; retention drops whole date partitions.
 """
 
 from iot_etl_spark.warehouse.lifecycle import (
+    compact_partitions,
     hourly_agg,
     daily_agg,
     materialize_agg,
@@ -19,6 +20,7 @@ from iot_etl_spark.warehouse.lifecycle import (
 )
 
 __all__ = [
+    "compact_partitions",
     "hourly_agg",
     "daily_agg",
     "materialize_agg",

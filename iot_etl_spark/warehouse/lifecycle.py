@@ -154,3 +154,34 @@ def read_agg(spark: SparkSession, path: str) -> DataFrame:
     """Scan the materialized aggregate; time predicates on agg_date are
     partition-pruned."""
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "agg_date",
+    target_files_per_partition: int = 1,
+) -> int:
+    """Small-file compaction for incrementally-written tables (the
+    streaming upsert sink leaves one directory per updated group; a
+    periodic compaction keeps file counts bounded — Timescale gets
+    this for free from chunk storage, parquet tables schedule it).
+    Rewrites each partition into ``target_files_per_partition`` files
+    via a full read + dynamic partition overwrite. Returns the number
+    of data files after compaction. Run it on cold partitions (older
+    than the streaming watermark) so it never races an in-flight
+    upsert."""
+    import os
+
+    df = spark.read.parquet(path)
+    (
+        df.repartition(target_files_per_partition, F.col(partition_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

@@ -283,3 +283,71 @@ def test_checkpoint_restart_resumes_incrementally(spark):
         assert rows[0].reading_count == 2 and rows[0].max_value == 4.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_ewma_state_survives_across_batches(spark):
+    """applyInPandasWithState: the EWMA folded incrementally over two
+    micro-batches must equal the single-pass fold over all events —
+    i.e. state genuinely persists in the state store between batches."""
+    from iot_etl_spark.streaming.stateful import streaming_ewma, _fold_ewma
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_ewma_")
+    try:
+        base = datetime.datetime(2024, 1, 3, 9, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        b1 = [(i, base + datetime.timedelta(seconds=i), 1, "view", float(10 + i), None)
+              for i in range(4)]
+        b2 = [(i, base + datetime.timedelta(seconds=i), 1, "view", float(50 + i), None)
+              for i in range(4, 9)]
+        write_batch(b1, "b1")
+
+        stream = read_stream_source(spark, "parquet", path=src_dir + "/*")
+        ew = streaming_ewma(stream, alpha=0.2)
+        import uuid
+        name = f"ewma_{uuid.uuid4().hex[:6]}"
+        q = (ew.writeStream.outputMode("update").format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            write_batch(b2, "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = sorted(spark.table(name).collect(), key=lambda r: r.n_events)
+        assert [r.n_events for r in rows] == [4, 9]  # one emission per batch
+        expected_mid = _fold_ewma([float(10 + i) for i in range(4)], None, 0.2)
+        expected_all = _fold_ewma(
+            [float(50 + i) for i in range(4, 9)], expected_mid, 0.2
+        )
+        assert abs(rows[0].ewma - expected_mid) < 1e-12
+        assert abs(rows[1].ewma - expected_all) < 1e-12, \
+            "batch-2 EWMA ignored batch-1 state"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ewma_batch_twin_matches_streaming(spark):
+    """The batch backfill twin (applyInPandas, no state) computes the
+    same per-device EWMA as the streaming operator's final state."""
+    from iot_etl_spark.streaming.stateful import ewma_batch
+    from iot_etl_spark.plans import QUERIES
+    from iot_etl_spark.sources.tables import load_events
+
+    batch = {
+        r.user_id: (r.n_events, round(r.ewma, 6))
+        for r in ewma_batch(load_events(spark, SF_DIR)).collect()
+    }
+    stream = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in QUERIES["stream_ewma_by_device"](spark, SF_DIR).collect()
+    }
+    assert batch == stream

@@ -121,3 +121,31 @@ def test_daily_agg_business_hours_split(spark):
     row = daily_agg(events).filter(F.col("avg_value_business_hours").isNotNull()).first()
     assert row is not None
     assert row["avg_value_business_hours"] != row["avg_value_non_business_hours"]
+
+
+def test_compact_partitions_preserves_data(spark):
+    """Compaction rewrites partitions into bounded file counts without
+    changing a single row (the small-file follow-up to the streaming
+    upsert sink's per-group directories)."""
+    import os as _os
+    from iot_etl_spark.warehouse import compact_partitions
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_cmp_")
+    try:
+        events = load_events(spark, SF_DIR)
+        path = _os.path.join(tmp, "hourly")
+        # fragment: write the agg 8-way so each partition has many files
+        from iot_etl_spark.warehouse import hourly_agg
+        agg = hourly_agg(events).withColumn("agg_date", F.to_date("bucket"))
+        agg.repartition(8).write.partitionBy("agg_date").parquet(path)
+        before = _canon(spark.read.parquet(path))
+        n_before = sum(
+            1 for _r, _d, fs in _os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        n_after = compact_partitions(spark, path)
+        assert n_after < n_before
+        parts = [p for p in _os.listdir(path) if p.startswith("agg_date=")]
+        assert n_after == len(parts)  # one file per partition
+        assert _canon(spark.read.parquet(path)) == before
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
