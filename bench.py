@@ -53,17 +53,20 @@ def main() -> None:
     only = os.environ.get("BENCH_QUERIES")
     names = [n for n in only.split(",") if n] if only else sorted(qs)
 
-    # Untimed warmup: touch every table (file-index + footer reads) and
-    # run one cheap end-to-end query so the first timed query doesn't
-    # absorb JVM codegen/scan warmup (~5s of noise on query #1).
+    # Untimed warmup: touch every table (file-index + footer reads),
+    # run one cheap batch query (JVM codegen/scan warmup, ~5s of noise
+    # otherwise charged to query #1) and one tiny streaming query (the
+    # first streaming query in a session pays micro-batch-engine +
+    # state-store + Python-worker init, another ~4-6s of noise).
     from iot_etl_spark.sources.tables import load_all
 
     for df in load_all(spark, sf_dir).values():
         df.limit(1).count()
-    try:
-        qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass
+    for warm in ("pricing_summary", "stream_json_decode"):
+        try:
+            qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:
