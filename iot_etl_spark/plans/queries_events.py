@@ -839,3 +839,53 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grouping_level", "reading_count", "avg_value",
         )
     )
+
+
+# ------------------------------------------------ IQR anomaly detection
+ANOMALY_IQR_MULTIPLIER = 1.5  # config.py:128 (declared but never wired up there)
+
+_IQR_ORACLE = f"""
+WITH q AS (
+    SELECT user_id,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value,
+       ROUND(q.q1 - {ANOMALY_IQR_MULTIPLIER} * (q.q3 - q.q1), 6) AS lower_fence,
+       ROUND(q.q3 + {ANOMALY_IQR_MULTIPLIER} * (q.q3 - q.q1), 6) AS upper_fence,
+       e.value < q.q1 - {ANOMALY_IQR_MULTIPLIER} * (q.q3 - q.q1)
+           OR e.value > q.q3 + {ANOMALY_IQR_MULTIPLIER} * (q.q3 - q.q1) AS is_anomaly_iqr
+FROM events e JOIN q USING (user_id)
+"""
+
+
+@query("iqr_anomaly", oracle=_IQR_ORACLE)
+def iqr_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) anomaly detection per device: flag values
+    outside [Q1 - k*IQR, Q3 + k*IQR], k = 1.5. The reference CONFIGURES
+    this detector (ANOMALY_IQR_MULTIPLIER, config.py:128) but never
+    wires it up — SURVEY §4 flags the dangling config; this completes
+    the intended capability alongside the z-score detector (W5-W6).
+    Plan shape: one hash aggregate for exact quartiles per key, then a
+    shuffled equi-join back to the facts (the per-key quartile table is
+    tiny — at scale it broadcasts; same two-pass shape as the z-score
+    window but with a map-side join instead of a window sort)."""
+    ev = load_events(spark, sf_dir)
+    k = ANOMALY_IQR_MULTIPLIER
+    q = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lower = F.col("q1") - k * iqr
+    upper = F.col("q3") + k * iqr
+    return (
+        ev.join(F.broadcast(q), "user_id")
+        .select(
+            "event_id", "user_id", "value",
+            F.round(lower, 6).alias("lower_fence"),
+            F.round(upper, 6).alias("upper_fence"),
+            ((F.col("value") < lower) | (F.col("value") > upper)).alias("is_anomaly_iqr"),
+        )
+    )
