@@ -7,9 +7,11 @@ Conventions that keep the Spark result and the oracle hash-identical
   table is nanosecond parquet: Spark reads it truncated to microseconds
   (sources/tables.py) and the oracle always compares/sorts on
   ``CAST(ts AS TIMESTAMP)`` (same truncation), never raw ns.
-- **Computed doubles are ROUND(x, 2) on both sides** (the reference
-  rounds pervasively too, ``analytical_queries.sql:18-21``). Raw
-  pass-through doubles are bit-identical and stay unrounded.
+- **Computed doubles are ROUND(x, 6) on both sides** (the reference
+  rounds pervasively too, ``analytical_queries.sql:18-21``, at scale 2
+  — scale 6 avoids the decimal ties where Spark's HALF_UP and DuckDB's
+  binary rounding disagree). Raw pass-through doubles are bit-identical
+  and stay unrounded.
 - **Every ORDER BY feeding a LIMIT carries a deterministic tiebreak.**
 - Spark ``dayofweek`` is 1=Sunday; DuckDB is 0=Sunday — weekend tests
   are written per-dialect (``isin(1,7)`` vs ``IN (0,6)``).

@@ -161,3 +161,35 @@ def test_salted_join_matches_plain(spark):
     plain = ev.join(cust, "c_custkey").select("event_id", "c_name")
     salted = salted_join(ev, cust, on="c_custkey", buckets=8).select("event_id", "c_name")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_planted_anomaly_recall(spark):
+    """SURVEY §5 item 4: seeded data with reference-simulator semantics
+    (base value + bounded noise; anomalies at 3-5x the variation,
+    iot_simulator.py:153-160) — the z-score detector must flag every
+    planted row and no normal rows."""
+    import random
+    import datetime
+    from pyspark.sql import functions as F
+    from iot_etl_spark.operators.anomaly import add_zscore_anomaly
+
+    rng = random.Random(42)
+    base, variation = 22.0, 0.5
+    rows, planted = [], set()
+    for dev in (1, 2, 3):
+        for i in range(300):
+            eid = dev * 1000 + i
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=60 * i)
+            if i in (50, 150):  # planted anomalies, 3-5x variation away
+                v = base + rng.uniform(3, 5) * variation * 10
+                planted.add(eid)
+            else:
+                v = base + rng.uniform(-variation, variation)
+            rows.append((eid, dev, ts, v))
+    df = spark.createDataFrame(rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE")
+    flagged = {
+        r.event_id
+        for r in add_zscore_anomaly(df, key_cols=("user_id",))
+        .filter(F.col("is_anomaly_zscore")).collect()
+    }
+    assert flagged == planted, f"recall/precision failure: {flagged ^ planted}"
