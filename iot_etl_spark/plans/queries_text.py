@@ -617,3 +617,87 @@ def multimodal_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
         F.md5(payload).alias("digest"),
     )
+
+
+# ------------------------------------------- near-dup cluster resolution
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+jac AS (
+    SELECT doc_id_a, doc_id_b
+    FROM cand
+    JOIN sh x ON x.doc_id = doc_id_a
+    JOIN sh y ON y.doc_id = doc_id_b
+    WHERE len(list_intersect(x.s, y.s))::DOUBLE
+          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8
+),
+edges AS (
+    SELECT doc_id_a AS a, doc_id_b AS b FROM jac
+    UNION ALL SELECT doc_id_b, doc_id_a FROM jac
+),
+walk(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, walk.r FROM edges e JOIN walk ON e.b = walk.doc_id
+)
+SELECT doc_id, MIN(r) AS cluster_id, doc_id = MIN(r) AS is_canonical
+FROM walk GROUP BY doc_id
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution — the step after pair generation in
+    a corpus-dedup pipeline: connected components over the Jaccard>=0.8
+    edge set, cluster id = min doc_id in the component, one canonical
+    doc per cluster (keep-canonical + drop-rest is then a filter).
+
+    Distributed algorithm: iterative min-label propagation — each
+    round, every node takes the min of its own label and its
+    neighbors' labels (one join + one groupBy per round), converging
+    in O(component diameter) rounds; the driver loop only checks a
+    scalar convergence count, no data is collected. Near-dup
+    components are overwhelmingly tiny (dup clusters), so 2-3 rounds
+    suffice; the same loop IS the standard large-scale CC shape
+    (label propagation a la large-star/small-star) at 100 TB. Oracle:
+    DuckDB recursive-CTE transitive closure of the identical edge set."""
+    sh = _shingle_sets(spark, sf_dir)
+    cand = _band_candidate_pairs(_minhash_band_sigs(spark, sh))
+    jac = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb")), "doc_id_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .filter(F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")) >= 0.8)
+        .select("doc_id_a", "doc_id_b")
+    )
+    edges = jac.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")).unionAll(
+        jac.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b"))
+    )
+    edges = edges.cache()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
+    for _ in range(20):  # >= max component diameter; tiny in practice
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id", F.least("label", "nlabel").alias("label"))
+        ).cache()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+    edges.unpersist()
+    return out
