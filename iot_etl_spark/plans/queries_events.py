@@ -889,3 +889,36 @@ def iqr_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") < lower) | (F.col("value") > upper)).alias("is_anomaly_iqr"),
         )
     )
+
+
+# ------------------------------------- F10 batch: JSON -> typed map
+_PROPS_MAP_ORACLE = """
+WITH kv AS (
+    SELECT event_type, unnest(json_keys(props)) AS key, props
+    FROM events WHERE props IS NOT NULL
+)
+SELECT event_type, key,
+       COUNT(*) AS n_values,
+       CAST(SUM(json_extract(props, '$.' || key)::INT) AS BIGINT) AS sum_value
+FROM kv GROUP BY 1, 2
+"""
+
+
+@query("props_map_extract", oracle=_PROPS_MAP_ORACLE)
+def props_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON payload as a QUERYABLE typed map (SURVEY §1.2): the
+    reference flattens its `metadata` JSON to an opaque string
+    (spark_streaming_consumer.py:41); this engine parses it with
+    from_json(MapType) and explodes to (key, value) rows — per-key
+    statistics over arbitrary payload keys, no schema declaration per
+    key needed. Complements json_props_extract (get_json_object, the
+    single-path variant)."""
+    ev = load_events(spark, sf_dir)
+    kv = (
+        ev.filter(F.col("props").isNotNull())
+        .select("event_type", F.explode(F.from_json("props", "map<string,int>")).alias("key", "val"))
+    )
+    return kv.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("val").cast("long").alias("sum_value"),
+    )
