@@ -922,3 +922,29 @@ def props_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_values"),
         F.sum("val").cast("long").alias("sum_value"),
     )
+
+
+# ------------------------------------------------ DISTINCT aggregates
+_DISTINCT_ORACLE = f"""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS distinct_devices,
+       COUNT(DISTINCT CAST(date_trunc('day', {DUCK_TS}) AS DATE)) AS active_days,
+       COUNT(*) AS reading_count
+FROM events GROUP BY event_type
+"""
+
+
+@query("distinct_devices_per_type", oracle=_DISTINCT_ORACLE)
+def distinct_devices_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (absent from the reference, SURVEY §2.4):
+    exact distinct devices and active days per event type. Spark plans
+    this as expand + two-phase aggregation (partial distinct per
+    partition); the documented 100 TB variant is approx_count_distinct
+    (HyperLogLog++), not oracle-checkable cross-engine since estimates
+    are implementation-specific."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_devices"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.count(F.lit(1)).alias("reading_count"),
+    )
