@@ -11,5 +11,14 @@ from iot_etl_spark.extensions.multimodal import (
     sample_frames,
     make_fake_media_bytes,
 )
+from iot_etl_spark.extensions.ann import kmeans_cells, ivf_topk
+from iot_etl_spark.extensions.corpus import dedupe_corpus
 
-__all__ = ["decode_and_featurize", "sample_frames", "make_fake_media_bytes"]
+__all__ = [
+    "decode_and_featurize",
+    "sample_frames",
+    "make_fake_media_bytes",
+    "kmeans_cells",
+    "ivf_topk",
+    "dedupe_corpus",
+]

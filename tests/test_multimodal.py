@@ -81,3 +81,27 @@ def test_partitioned_batch_shape(spark):
     out = decode_and_featurize(df)
     assert out.count() == 5
     assert out.filter("ok").count() == 3
+
+
+def test_dedupe_corpus_end_to_end(spark):
+    """dedupe_corpus drops exact dups AND near-dups, keeps the min-id
+    canonical of each group, and never drops distinct content."""
+    from iot_etl_spark.extensions.corpus import dedupe_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base + " indeed"  # high-Jaccard near-dup of base
+    distinct1 = "completely different words about spark and catalyst and parquet files"
+    distinct2 = "yet another unrelated document mentioning streams windows and state stores"
+    rows = [
+        (0, base, "en", "web", len(base)),
+        (1, base, "en", "web", len(base)),          # exact dup of 0
+        (2, near, "en", "web", len(near)),          # near dup of 0
+        (3, distinct1, "en", "web", len(distinct1)),
+        (4, distinct2, "en", "web", len(distinct2)),
+        (5, distinct2, "en", "web", len(distinct2)),  # exact dup of 4
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    kept = sorted(r.doc_id for r in dedupe_corpus(spark, docs).collect())
+    assert kept == [0, 3, 4], kept

@@ -322,15 +322,20 @@ def test_stateful_ewma_state_survives_across_batches(spark):
         finally:
             q.stop()
 
+        # the file source may split a directory's part-files across
+        # micro-batches, so the EMISSION COUNT is timing-dependent —
+        # what must hold is that every emission's ewma equals the
+        # sequential fold over the first n_events values (state carried
+        # across whatever batch boundaries occurred), and that the
+        # final state covers all 9 events.
+        all_values = [float(10 + i) for i in range(4)] + [float(50 + i) for i in range(4, 9)]
         rows = sorted(spark.table(name).collect(), key=lambda r: r.n_events)
-        assert [r.n_events for r in rows] == [4, 9]  # one emission per batch
-        expected_mid = _fold_ewma([float(10 + i) for i in range(4)], None, 0.2)
-        expected_all = _fold_ewma(
-            [float(50 + i) for i in range(4, 9)], expected_mid, 0.2
-        )
-        assert abs(rows[0].ewma - expected_mid) < 1e-12
-        assert abs(rows[1].ewma - expected_all) < 1e-12, \
-            "batch-2 EWMA ignored batch-1 state"
+        assert rows[0].n_events == 4  # first trigger saw exactly b1
+        assert rows[-1].n_events == 9  # final state covers everything
+        for r in rows:
+            expected = _fold_ewma(all_values[: r.n_events], None, 0.2)
+            assert abs(r.ewma - expected) < 1e-12, \
+                f"emission at n={r.n_events} diverges from prefix fold (lost state?)"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
