@@ -60,29 +60,13 @@ def dedupe_corpus(
         jac.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b"))
     ).cache()
 
-    # connected components by min-label propagation (see dedup_clusters)
-    labels = exact_canonical.select("doc_id", F.col("doc_id").alias("label")).cache()
-    for _ in range(max_cc_iters):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id", F.least("label", "nlabel").alias("label"))
-        ).cache()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    # connected components over edge-endpoint nodes only (isolated
+    # survivors are trivially canonical); see queries_text.py
+    from iot_etl_spark.plans.queries_text import _min_label_components
 
-    keep = labels.filter(F.col("doc_id") == F.col("label")).select("doc_id")
-    out = exact_canonical.join(keep, "doc_id")
+    labels = _min_label_components(edges, max_iters=max_cc_iters)
+    # non-canonical = edge nodes whose component label is a smaller id
+    drop = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    out = exact_canonical.join(drop, "doc_id", "left_anti")
     edges.unpersist()
     return out

@@ -620,6 +620,45 @@ def multimodal_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- near-dup cluster resolution
+def _min_label_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over an (a, b) SYMMETRIC edge set by
+    iterative min-label propagation, restricted to edge-endpoint
+    nodes. Returns (doc_id, label) for those nodes only — callers
+    treat absent nodes as isolated (label = own id). One join + one
+    groupBy per round, O(component diameter) rounds (near-dup
+    clusters are overwhelmingly tiny); the driver loop checks only a
+    scalar convergence count. The same loop IS the standard
+    large-scale CC shape (label propagation a la large-star/
+    small-star)."""
+    labels = (
+        edges.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("nmin"))
+        .select("doc_id", F.least("doc_id", "nmin").alias("label"))
+        .cache()
+    )
+    # labels only ever DECREASE, so sum(label) is a monotone
+    # convergence witness: one aggregate per round instead of a
+    # join+count diff against the previous labels.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id", F.least("label", "nlabel").alias("label"))
+        ).cache()
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 _CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_CTES},
 jac AS (
@@ -674,30 +713,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.cache()
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
-    for _ in range(20):  # >= max component diameter; tiny in practice
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
+    # Iterate ONLY over edge-endpoint nodes: isolated docs (the vast
+    # majority of any corpus — everything without a near-dup) keep
+    # label == doc_id by construction, so propagating over them each
+    # round is pure wasted shuffle. At 100 TB the edge subgraph is
+    # orders of magnitude smaller than the corpus; the full-corpus
+    # join happens exactly once, after convergence.
+    comp = _min_label_components(edges)
+    out = (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id", F.least("label", "nlabel").alias("label"))
-        ).cache()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    out = labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
     edges.unpersist()
     return out
