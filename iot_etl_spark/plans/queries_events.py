@@ -948,3 +948,44 @@ def distinct_devices_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.to_date("ts")).alias("active_days"),
         F.count(F.lit(1)).alias("reading_count"),
     )
+
+
+# --------------------------------------------------------- as-of join
+_ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(c.ts) AS matched_ts_us,
+       c.value AS click_value,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("asof_click_attribution", oracle=_ASOF_ORACLE)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each purchase matched
+    to the same user's most recent click at-or-before it — last-touch
+    attribution. The reference has no as-of operator (all its joins
+    are equi-joins); capability extension. Implementation is the
+    union + running-last window (one shuffle, linear per key), NOT a
+    range join; the oracle is DuckDB's native ASOF LEFT JOIN, so the
+    inclusive-boundary and no-prior-click (NULL) semantics are
+    hash-checked cross-engine. Timestamps leave as epoch micros per
+    registry convention; (user_id, ts) is unique at us precision in
+    the testdata, so the match is deterministic."""
+    from iot_etl_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, on=["user_id"], ts_col="ts", right_cols=["click_value"])
+    return out.select(
+        "event_id", "user_id", "ts_us", "matched_ts_us", "click_value",
+        (F.col("ts_us") - F.col("matched_ts_us")).alias("gap_us"),
+    )
