@@ -730,3 +730,86 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# ------------------------------------- deterministic stratified sampling
+# Per-source keep rates: the mixture specification of a training-data
+# pipeline ("2 parts src0 : 1 part src1 : ...") expressed as Bernoulli
+# rates. Sampling is by content-independent hash of the doc id, so it
+# is (a) deterministic and replayable across runs AND engines, (b) a
+# pure map-side filter — no shuffle, no state, embarrassingly parallel
+# at 100 TB, (c) composable: re-running with a higher rate yields a
+# superset (hash threshold monotonicity).
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_SAMPLE_DEFAULT_RATE = 0.1
+_SAMPLE_SALT = "sample:"  # distinct hash stream from the minhash/simhash ones
+
+_DUCK_SAMPLE_FRAC = (
+    f"('0x' || substr(md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0"
+)
+_DUCK_SAMPLE_RATE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _SAMPLE_RATES.items())
+    + f" ELSE {_SAMPLE_DEFAULT_RATE} END"
+)
+
+
+def _spark_sample_keep():
+    frac = _H32_SPARK(
+        F.concat(F.lit(_SAMPLE_SALT), F.col("doc_id").cast("string"))
+    ) / F.lit(4294967296.0)
+    rate = F.lit(_SAMPLE_DEFAULT_RATE)
+    for s, r in reversed(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    return frac < rate
+
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE {_DUCK_SAMPLE_FRAC} < {_DUCK_SAMPLE_RATE}
+"""
+
+
+@query("sample_stratified", oracle=_SAMPLE_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling (hash-threshold on
+    md5 of the doc id): the data-mixing primitive of a training
+    pipeline. Unlike TABLESAMPLE / df.sample, the kept SET is a pure
+    function of (id, rate table) — reproducible across engines (the
+    oracle computes the identical predicate), incremental-friendly
+    (supersets under rate increases), and map-side only. The reference
+    has no sampling operator; capability extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(_spark_sample_keep()).select("doc_id", "source", "lang", "n_chars")
+
+
+_MIX_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {_DUCK_SAMPLE_FRAC} < {_DUCK_SAMPLE_RATE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND({_DUCK_SAMPLE_RATE}, 6) AS target_rate,
+       ROUND(SUM(CASE WHEN {_DUCK_SAMPLE_FRAC} < {_DUCK_SAMPLE_RATE}
+                      THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS realized_rate
+FROM documents GROUP BY source
+"""
+
+
+@query("sample_mix_summary", oracle=_MIX_ORACLE)
+def sample_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture audit for sample_stratified: per-source totals, kept
+    counts, target vs realized rate — the report a data-mixing run
+    ships with its output manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_SAMPLE_DEFAULT_RATE)
+    for s, r in reversed(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    keep = _spark_sample_keep().cast("int")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).cast("long").alias("n_kept"),
+        F.round(F.first(rate), 6).alias("target_rate"),
+        F.round(F.sum(keep) / F.count(F.lit(1)), 6).alias("realized_rate"),
+    )
