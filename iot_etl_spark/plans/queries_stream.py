@@ -166,3 +166,61 @@ def stream_ewma_by_device(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
     )
+
+
+# ------------------------------------------ stream-stream interval join
+ATTRIBUTION_WINDOW_S = 7200
+
+_INTERVAL_JOIN_ORACLE = f"""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS click_us,
+       c.value AS click_value
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+"""
+
+
+@query("stream_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join on the REAL streaming engine
+    (streaming/joins.py): clicks and purchases as two watermarked
+    streams, every click within 2 h before a same-user purchase —
+    multi-touch windowed attribution (the as-of query's one-match
+    counterpart). The reference's streaming layer has no two-stream
+    join; capability extension. State is bounded by watermark + window
+    via the two-sided time constraint. Oracle: the equivalent batch
+    inequality join — exact because the file source delivers
+    everything before the watermark first advances, so no row is
+    late-dropped."""
+    from iot_etl_spark.streaming.joins import interval_join
+
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    purchases = (
+        read_stream_source(spark, "parquet", path=events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+    )
+    clicks = (
+        read_stream_source(spark, "parquet", path=events_path)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value"))
+    )
+    joined = interval_join(
+        purchases, clicks, on="user_id",
+        window_seconds=ATTRIBUTION_WINDOW_S,
+        left_ts="purchase_ts", right_ts="click_ts",
+    )
+    out_cols = joined.select(
+        "event_id", "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+        "click_value",
+    )
+    _, out = run_stream_to_memory(out_cols, output_mode="append")
+    return out

@@ -367,3 +367,69 @@ def test_rate_source_schema_and_rows(spark):
     # rate source is unbounded; run_stream_to_memory stops after the
     # available micro-batches — just assert the plumbing produced rows
     assert out.columns == src.columns
+
+
+def test_interval_join_state_survives_across_batches(spark):
+    """Stream-stream interval join: a click seen in micro-batch 1 must
+    still match a purchase arriving in micro-batch 2 (join state held),
+    while clicks outside the window and other users never match."""
+    import uuid
+
+    from iot_etl_spark.streaming.joins import interval_join
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_ssj_")
+    try:
+        base = datetime.datetime(2024, 1, 3, 9, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        sec = datetime.timedelta(seconds=1)
+        # batch 1: two clicks for user 1 (one inside the 60s window, one
+        # far outside) and one click for user 2
+        write_batch(
+            [
+                (10, base - 30 * sec, 1, "click", 1.0, None),
+                (11, base - 300 * sec, 1, "click", 2.0, None),
+                (12, base - 10 * sec, 2, "click", 3.0, None),
+            ],
+            "b1",
+        )
+
+        def side(event_type, ts_alias, val_alias=None):
+            s = read_stream_source(spark, "parquet", path=src_dir + "/*").filter(
+                F.col("event_type") == event_type
+            )
+            cols = ["event_id", "user_id", F.col("ts").alias(ts_alias)]
+            if val_alias:
+                cols = ["user_id", F.col("ts").alias(ts_alias),
+                        F.col("value").alias(val_alias)]
+            return s.select(*cols)
+
+        joined = interval_join(
+            side("purchase", "purchase_ts"),
+            side("click", "click_ts", "click_value"),
+            on="user_id", window_seconds=60,
+            left_ts="purchase_ts", right_ts="click_ts",
+        )
+        name = f"ssj_{uuid.uuid4().hex[:6]}"
+        q = (joined.writeStream.outputMode("append").format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            # batch 2: the purchase arrives later, in its own batch
+            write_batch([(20, base, 1, "purchase", 99.0, None)], "b2")
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+        finally:
+            q.stop()
+
+        assert [(r.event_id, r.user_id, r.click_value) for r in rows] == [(20, 1, 1.0)], \
+            rows  # in-window click of the SAME user only, matched across batches
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
