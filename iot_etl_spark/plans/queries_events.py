@@ -989,3 +989,64 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts_us", "matched_ts_us", "click_value",
         (F.col("ts_us") - F.col("matched_ts_us")).alias("gap_us"),
     )
+
+
+# ------------------------------------------------- bucketed range join
+_RANGE_JOIN_ORACLE = """
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       CAST(COUNT(c.user_id) AS BIGINT) AS n_clicks,
+       ROUND(COALESCE(SUM(c.value), 0), 6) AS sum_click_value
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 7200 SECONDS
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+@query("range_join_click_counts", oracle=_RANGE_JOIN_ORACLE)
+def range_join_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch point-in-interval range join (operators/rangejoin.py):
+    per purchase, how many clicks (and their value sum) the same user
+    made in the 2 h before it. The range predicate is rewritten as an
+    equi-join on (user_id, time bucket) — interval exploded to its 2
+    covered buckets, exact predicate re-filtered after — so Catalyst
+    plans a plain shuffled join instead of the BroadcastNestedLoopJoin
+    a raw inequality join degenerates to. Zero-click purchases are
+    preserved by joining the aggregated matches back onto purchases.
+    The reference has only equi-joins; capability extension."""
+    from iot_etl_spark.operators.rangejoin import point_in_interval_join
+
+    window_us = 7200 * 1_000_000
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        (F.unix_micros("ts") - F.lit(window_us)).alias("start_us"),
+        F.unix_micros("ts").alias("end_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("click_us"), F.col("value").alias("click_value")
+    )
+    matched = point_in_interval_join(
+        clicks, purchases, on="user_id",
+        point_ts_us="click_us", start_us="start_us", end_us="end_us",
+        bucket_us=window_us,
+    )
+    per_purchase = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("click_value").alias("sum_click_value"),
+    )
+    return (
+        purchases.select("event_id", "user_id", "purchase_us")
+        .join(per_purchase, "event_id", "left")
+        .select(
+            "event_id", "user_id", "purchase_us",
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+            F.round(F.coalesce("sum_click_value", F.lit(0.0)), 6).alias("sum_click_value"),
+        )
+    )
