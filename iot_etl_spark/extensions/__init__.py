@@ -13,6 +13,10 @@ from iot_etl_spark.extensions.multimodal import (
 )
 from iot_etl_spark.extensions.ann import kmeans_cells, ivf_topk
 from iot_etl_spark.extensions.corpus import dedupe_corpus
+from iot_etl_spark.extensions.sketches import (
+    approx_distinct_profile,
+    approx_quantile_profile,
+)
 
 __all__ = [
     "decode_and_featurize",
@@ -21,4 +25,6 @@ __all__ = [
     "kmeans_cells",
     "ivf_topk",
     "dedupe_corpus",
+    "approx_distinct_profile",
+    "approx_quantile_profile",
 ]
