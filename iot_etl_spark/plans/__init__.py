@@ -17,6 +17,7 @@ from iot_etl_spark.plans import queries_tpch  # noqa: F401
 from iot_etl_spark.plans import queries_events  # noqa: F401
 from iot_etl_spark.plans import queries_text  # noqa: F401
 from iot_etl_spark.plans import queries_embed  # noqa: F401
+from iot_etl_spark.plans import queries_corpus  # noqa: F401
 from iot_etl_spark.plans import queries_stream  # noqa: F401
 from iot_etl_spark.plans import queries_warehouse  # noqa: F401
 

@@ -1,0 +1,333 @@
+"""Training-corpus preparation operators over ``documents`` /
+``embeddings`` (driver north star, SURVEY.md §7.1 M7) — the ops a
+100 TB pretraining-data pipeline runs between raw crawl and tokenizer:
+vocabulary/heavy-hitter profiling, context-window chunking, train/eval
+decontamination, PII redaction, batched k-NN joins.
+
+Every query has an exact DuckDB oracle twin (registry conventions:
+epoch/BIGINT temporals, ROUND(x, 6) computed doubles, deterministic
+tiebreaks on every ORDER BY .. LIMIT).
+
+Scale notes (100 TB): chunking and redaction are pure map-side
+(narrow, no shuffle); heavy hitters is the canonical skewed
+aggregation and routes through salted two-phase combine; the
+decontamination join broadcasts the (small) eval-side n-gram set; the
+k-NN join broadcasts the query batch and computes per-query top-k with
+a bounded window — no all-pairs materialization, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iot_etl_spark.operators.skew import salted_aggregate
+from iot_etl_spark.plans.queries_text import _DUCK_SHINGLES, _shingles_expr
+from iot_etl_spark.plans.registry import query
+from iot_etl_spark.sources.tables import load_table
+
+# ------------------------------------------------------ heavy hitters
+
+TOP_TOKENS = 25
+
+_HEAVY_HITTERS_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS occurrences
+FROM tok
+GROUP BY token
+ORDER BY occurrences DESC, token
+LIMIT {TOP_TOKENS}
+"""
+
+
+@query("token_heavy_hitters", oracle=_HEAVY_HITTERS_ORACLE)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-k — the vocabulary/stopword
+    profile every tokenizer build starts from, and the textbook skewed
+    aggregation at 100 TB (token frequency is Zipfian: the hottest
+    token appears in nearly every document, so a naive groupBy sends
+    one reducer the whole head of the distribution).
+
+    Runs as salted two-phase combine (``operators/skew.py``): partial
+    counts on (token, salt) spread the head tokens over 16 reducers,
+    final sum on token. Top-k compiles to TakeOrderedAndProject — no
+    global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = salted_aggregate(
+        tokens,
+        keys=["token"],
+        aggs=[F.count(F.lit(1)).alias("c")],
+        final_aggs=[F.sum("c").alias("occurrences")],
+    )
+    return counts.orderBy(F.col("occurrences").desc(), "token").limit(TOP_TOKENS)
+
+
+# ---------------------------------------------------------- chunking
+
+CHUNK_TOKENS = 32  # context-window size in tokens
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+_DOC_CHUNKS_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+)
+SELECT doc_id,
+       k AS chunk_id,
+       least({CHUNK_TOKENS}, len(ws) - k * {CHUNK_STRIDE}) AS chunk_tokens,
+       array_to_string(ws[k * {CHUNK_STRIDE} + 1 : k * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+           AS chunk_text
+FROM w, UNNEST(generate_series(0, (len(ws) - 1) // {CHUNK_STRIDE})) AS t(k)
+"""
+
+
+@query("doc_chunks", oracle=_DOC_CHUNKS_ORACLE)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping context-window chunking: split each
+    document into {CHUNK_TOKENS}-token windows advancing by
+    {CHUNK_STRIDE} tokens (8-token overlap), the standard prep step
+    between cleaned text and a sequence-packing/tokenizer stage.
+
+    Pure map-side: split -> posexplode of the chunk-start sequence ->
+    slice. No shuffle, no UDF — at 100 TB this runs at scan speed and
+    the output partitioning inherits the input's, ready for a
+    partitioned write. A doc with n tokens emits ceil(n/stride) chunks
+    (k while k*stride < n); the final chunk is short, not padded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            "ws",
+            F.posexplode(
+                F.expr(f"sequence(0, CAST((size(ws) - 1) / {CHUNK_STRIDE} AS INT))")
+            ).alias("chunk_id", "k"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("ws") - F.col("k") * CHUNK_STRIDE
+            ).cast("long").alias("chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("k") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# --------------------------------------------------- decontamination
+
+# Eval split: every 10th doc_id. Deterministic, replayable, and the
+# realistic shape — eval/benchmark sets are orders of magnitude smaller
+# than the training corpus, which is what makes the broadcast valid.
+_EVAL_PRED_SPARK = "doc_id % 10 = 0"
+_EVAL_PRED_DUCK = "doc_id % 10 = 0"
+CONTAMINATION_PCT = 50.0
+
+_DECONTAMINATE_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {_DUCK_SHINGLES} AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+eval_grams AS (
+    SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_EVAL_PRED_DUCK}
+),
+train AS (
+    SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
+    FROM sh WHERE NOT ({_EVAL_PRED_DUCK})
+)
+SELECT t.doc_id,
+       CAST(MAX(t.n_shingles) AS BIGINT) AS n_shingles,
+       CAST(COUNT(e.g) AS BIGINT) AS overlap_shingles,
+       ROUND(100.0 * COUNT(e.g) / MAX(t.n_shingles), 6) AS contamination_pct,
+       100.0 * COUNT(e.g) / MAX(t.n_shingles) > {CONTAMINATION_PCT} AS is_contaminated
+FROM train t LEFT JOIN eval_grams e ON t.g = e.g
+GROUP BY t.doc_id
+"""
+
+
+@query("decontaminate_overlap", oracle=_DECONTAMINATE_ORACLE)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination by 3-gram overlap: for every training
+    document, the fraction of its distinct word 3-grams that appear
+    anywhere in the eval split (doc_id % 10 = 0 here; in production the
+    benchmark suites). Docs above {CONTAMINATION_PCT}% overlap are
+    flagged for removal — the standard guard against benchmark leakage
+    into pretraining data.
+
+    Scale design: the eval n-gram set is DISTINCT-ed and broadcast
+    (eval corpora are MBs against 100 TB of train), so the whole op is
+    one broadcast hash join + one aggregation on doc_id — the train
+    side never shuffles its shingles. Shingling reuses the guarded
+    3-gram expression from queries_text (empty for <3-word docs on
+    both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", F.expr(_shingles_expr()).alias("s")
+    )
+    is_eval = F.expr(_EVAL_PRED_SPARK)
+    eval_grams = (
+        sh.filter(is_eval).select(F.explode("s").alias("g")).distinct()
+        .withColumnRenamed("g", "eg")
+    )
+    train = sh.filter(~is_eval).select(
+        "doc_id", F.size("s").alias("n_shingles"), F.explode_outer("s").alias("g")
+    )
+    joined = train.join(F.broadcast(eval_grams), train.g == eval_grams.eg, "left")
+    pct = 100.0 * F.count("eg") / F.max("n_shingles")
+    return joined.groupBy("doc_id").agg(
+        F.max("n_shingles").cast("long").alias("n_shingles"),
+        F.count("eg").alias("overlap_shingles"),
+        F.round(pct, 6).alias("contamination_pct"),
+        (pct > CONTAMINATION_PCT).alias("is_contaminated"),
+    )
+
+
+# ------------------------------------------------------ PII redaction
+
+# The synthetic corpus is PII-free word soup, so the op is exercised on
+# a deterministically augmented payload: docs with doc_id % 3 = 0 carry
+# an email, % 5 = 0 a phone number (both derived from doc_id). The
+# regexes are written in the RE2-compatible subset so the Java and
+# DuckDB engines agree.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+_PII_PAYLOAD_DUCK = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+"""
+
+_PII_ORACLE = f"""
+WITH p AS (SELECT doc_id, {_PII_PAYLOAD_DUCK} AS payload FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(payload, '{_EMAIL_RE}')) AS BIGINT) AS email_count,
+       CAST(len(regexp_extract_all(payload, '{_PHONE_RE}')) AS BIGINT) AS phone_count,
+       CAST(length(regexp_replace(regexp_replace(payload, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                  '{_PHONE_RE}', '[PHONE]', 'g')) AS BIGINT) AS redacted_len,
+       len(regexp_extract_all(payload, '{_EMAIL_RE}')) +
+       len(regexp_extract_all(payload, '{_PHONE_RE}')) > 0 AS has_pii
+FROM p
+"""
+
+
+@query("pii_redaction_stats", oracle=_PII_ORACLE)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit: count email/phone matches per
+    document, replace them with [EMAIL]/[PHONE] placeholders, report
+    redacted length — the scrubbing pass every distributable training
+    corpus runs. Regexes stay in the RE2-compatible subset (character
+    classes, bounded repetition; no backrefs/lookaround) so the same
+    pattern runs identically in Spark's Java regex, DuckDB, and RE2-
+    based scanners.
+
+    Pure map-side (regexp_count/regexp_replace are codegen'd JVM
+    expressions — no Python): at 100 TB this runs at scan speed with
+    zero shuffle. The redacted text itself would be the written output;
+    the query returns the audit columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call +1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+    p = docs.select("doc_id", payload.alias("payload"))
+    emails = F.regexp_count("payload", F.lit(_EMAIL_RE))
+    phones = F.regexp_count("payload", F.lit(_PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace("payload", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return p.select(
+        "doc_id",
+        emails.cast("long").alias("email_count"),
+        phones.cast("long").alias("phone_count"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        (emails + phones > 0).alias("has_pii"),
+    )
+
+
+# ------------------------------------------------------- k-NN join
+
+KNN_BATCH = 10  # query vectors: vec_id 0..9
+KNN_K = 5
+
+_KNN_JOIN_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS qemb FROM v WHERE vec_id < {KNN_BATCH}),
+scored AS (
+    SELECT q.q_id, v.vec_id,
+           ROUND(list_inner_product(v.emb, q.qemb)
+                 / (sqrt(list_inner_product(v.emb, v.emb))
+                    * sqrt(list_inner_product(q.qemb, q.qemb))), 6) AS cosine
+    FROM v, q
+    WHERE v.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= {KNN_K}
+"""
+
+
+@query("knn_join", oracle=_KNN_JOIN_ORACLE)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN join: top-{KNN_K} cosine neighbors for each of a
+    {KNN_BATCH}-vector query batch in ONE pass over the corpus —
+    retrieval-style similarity search (RAG candidate generation,
+    near-dup mining against a seed set), generalizing the single-query
+    ``embedding_cosine_topk``.
+
+    Scale design: the query batch broadcasts (batches are thousands of
+    rows against billions of corpus vectors), every corpus partition
+    scores its rows against all queries locally, and per-query top-k is
+    one window bounded by q_id — a single shuffle on the (small)
+    q_id key, never materializing all pairs downstream. For corpora
+    where even one scan is too slow, the IVF cell route
+    (``extensions/ann.py``) prunes the scan per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("emb")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    qv = emb.filter(F.col("vec_id") < KNN_BATCH).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qemb"))
+                / (norm(F.col("emb")) * norm(F.col("qemb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+    )
