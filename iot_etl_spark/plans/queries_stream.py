@@ -168,6 +168,36 @@ def stream_ewma_by_device(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- streaming dedup
+_STREAM_DEDUP_ORACLE = f"""
+SELECT DISTINCT user_id, event_type,
+       {duck_bucket_epoch('hour')} AS hour_epoch
+FROM events
+"""
+
+
+@query("stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication on the REAL streaming
+    engine (streaming/pipeline.py:dedup_stream): at most one event per
+    (user, event_type, hour) passes; the 1-hour watermark bounds the
+    seen-keys state store so the operator survives an unbounded
+    stream. Only key columns are projected, so which physical row
+    survives is irrelevant and the result is deterministic — the
+    oracle is the batch DISTINCT. The reference has no streaming dedup
+    (SURVEY §2.9); capability extension."""
+    from iot_etl_spark.streaming.pipeline import dedup_stream
+
+    src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
+    deduped = dedup_stream(src, keys=("user_id", "event_type"))
+    out_cols = deduped.select(
+        "user_id", "event_type",
+        F.unix_timestamp(F.col("window.start")).cast("long").alias("hour_epoch"),
+    )
+    _, out = run_stream_to_memory(out_cols, output_mode="append")
+    return out
+
+
 # ------------------------------------------ stream-stream interval join
 ATTRIBUTION_WINDOW_S = 7200
 

@@ -79,3 +79,61 @@ def dim_time_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~weekend
         ).alias("is_business_hours"),
     )
+
+
+# ------------------------------------------- bucketed co-located join
+# revenue is summed in integer cents: SUM over ~12k doubles of ~6e8
+# magnitude carries accumulation-order noise right at the ROUND-6
+# boundary, so the exact-integer sum is the only order-independent,
+# engine-identical formulation at this group size.
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS line_count,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("bucketed_join_revenue", oracle=_BUCKETED_JOIN_ORACLE)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through BUCKETED tables
+    (warehouse/bucketing.py): orders and lineitem are persisted
+    hash-bucketed by order key with the same bucket count, so the join
+    runs as a zero-shuffle co-located sort-merge join — the 100 TB
+    answer to repeated fact-fact joins (shuffle paid once at write,
+    amortized over every query). The zero-Exchange plan property is
+    pinned by tests/test_warehouse.py; this query proves the bucketed
+    round-trip + join result is byte-identical to the logical join."""
+    import hashlib
+    import os
+
+    from iot_etl_spark.sources.tables import load_table
+    from iot_etl_spark.warehouse.bucketing import colocated_join, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/iot_etl_bucketed_{tag}"
+    n_buckets = 8
+    write_bucketed(
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority"),
+        f"bkt_orders_{tag}", os.path.join(root, "orders"),
+        ("o_orderkey",), n_buckets, sort_cols=("o_orderkey",),
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        f"bkt_lineitem_{tag}", os.path.join(root, "lineitem"),
+        ("l_orderkey",), n_buckets, sort_cols=("l_orderkey",),
+    )
+    joined = colocated_join(
+        spark, f"bkt_orders_{tag}", f"bkt_lineitem_{tag}",
+        on=[F.col("o_orderkey") == F.col("l_orderkey")],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+        ).cast("long").alias("revenue_cents"),
+    )

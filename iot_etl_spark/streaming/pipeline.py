@@ -229,6 +229,27 @@ def start_parquet_upsert_sink(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked streaming deduplication: at most one row per
+    (``*keys``, event-time window) survives. The window column carries
+    event-time metadata, so the state store drops a window's seen-keys
+    set once the watermark passes its end — state is bounded by
+    |keys| x (watermark / window) regardless of stream length. This is
+    the streaming twin of DISTINCT (SURVEY §2.5); rows flow through
+    append-mode immediately (dedup is not an aggregation), the
+    watermark only governs state expiry."""
+    out = df.withWatermark(time_col, watermark)
+    if "window" not in out.columns:
+        out = out.withColumn("window", F.window(time_col, window))
+    return out.dropDuplicates([*keys, "window"])
+
+
 def start_console_sink(df: DataFrame, num_rows: int = 10, truncate: bool = True):
     """Debug console sink (S13, spark_streaming_consumer.py:258-279)."""
     return (

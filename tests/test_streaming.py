@@ -433,3 +433,56 @@ def test_interval_join_state_survives_across_batches(spark):
             rows  # in-window click of the SAME user only, matched across batches
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_stream_collapses_within_hour_and_across_batches(spark):
+    """dedup_stream: duplicates of (user, event_type) within one hour
+    collapse to a single row — including a duplicate arriving in a
+    LATER micro-batch (cross-batch seen-keys state) — while the same
+    key in a different hour survives independently."""
+    import uuid
+
+    from iot_etl_spark.streaming.pipeline import dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_dedup_")
+    try:
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        minute = datetime.timedelta(minutes=1)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        write_batch(
+            [
+                (1, base, 1, "view", 1.0, None),
+                (2, base + 5 * minute, 1, "view", 2.0, None),   # dup, same hour
+                (3, base + 70 * minute, 1, "view", 3.0, None),  # next hour
+            ],
+            "b1",
+        )
+        stream = read_stream_source(spark, "parquet", path=src_dir + "/*")
+        deduped = dedup_stream(stream, keys=("user_id", "event_type"))
+        out = deduped.select(
+            "user_id", "event_type", F.col("window.start").alias("hour_start")
+        )
+        name = f"dd_{uuid.uuid4().hex[:6]}"
+        q = (out.writeStream.outputMode("append").format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            # later micro-batch, same hour-12 key -> dropped by state
+            write_batch([(4, base + 10 * minute, 1, "view", 4.0, None)], "b2")
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+        finally:
+            q.stop()
+
+        got = sorted((r.user_id, r.event_type, r.hour_start.hour) for r in rows)
+        assert got == [(1, "view", 12), (1, "view", 13)], rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -149,3 +149,53 @@ def test_compact_partitions_preserves_data(spark):
         assert _canon(spark.read.parquet(path)) == before
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_join_has_zero_shuffle_exchanges(spark):
+    """Two tables bucketed by the join key with the same bucket count
+    sort-merge-join with NO Exchange on either side (the write-time
+    shuffle is the only shuffle, ever), and the result matches the
+    plain join. Broadcast is disabled so the assertion can't be
+    satisfied trivially."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iot_etl_spark.sources.tables import load_table
+    from iot_etl_spark.warehouse.bucketing import (
+        colocated_join,
+        count_shuffle_exchanges,
+        write_bucketed,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_bkt_")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    try:
+        write_bucketed(orders, "t_bkt_o", f"{tmp}/o", ("o_orderkey",), 4,
+                       sort_cols=("o_orderkey",))
+        write_bucketed(lineitem, "t_bkt_l", f"{tmp}/l", ("l_orderkey",), 4,
+                       sort_cols=("l_orderkey",))
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = colocated_join(
+                spark, "t_bkt_o", "t_bkt_l",
+                on=[F.col("o_orderkey") == F.col("l_orderkey")],
+            )
+            assert count_shuffle_exchanges(joined) == 0, joined._jdf.queryExecution().executedPlan().toString()
+            got = joined.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        expected = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert got == expected
+    finally:
+        for t in ("t_bkt_o", "t_bkt_l"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
