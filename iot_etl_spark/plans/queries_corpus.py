@@ -331,3 +331,142 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_K)
     )
+
+
+# ------------------------------------------------- repetition quality
+
+# Gopher-rule style thresholds (Rae et al. 2021, table A1 uses 0.2 for
+# top-2-gram char fraction; we apply the count fraction analogue).
+TOP_BIGRAM_MAX_FRACTION = 0.20
+DUP_BIGRAM_MAX_FRACTION = 0.30
+
+_REPETITION_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           len(ws) AS n_words,
+           len(list_distinct(ws)) AS n_distinct_words,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS bigram
+    FROM base WHERE len(ws) >= 2
+),
+cnt AS (
+    SELECT doc_id, ANY_VALUE(n_words) AS n_words,
+           ANY_VALUE(n_distinct_words) AS n_distinct_words,
+           bigram, COUNT(*) AS c
+    FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       ANY_VALUE(n_words) AS n_words,
+       ROUND(CAST(ANY_VALUE(n_distinct_words) AS DOUBLE) / ANY_VALUE(n_words), 6)
+           AS distinct_word_ratio,
+       CAST(SUM(c) AS BIGINT) AS total_bigrams,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_bigram_fraction,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_fraction,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) > {TOP_BIGRAM_MAX_FRACTION}
+           OR 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) > {DUP_BIGRAM_MAX_FRACTION}
+           AS is_repetitive
+FROM cnt GROUP BY doc_id
+"""
+
+
+@query("repetition_stats", oracle=_REPETITION_ORACLE)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile (Gopher-style quality rules,
+    Rae et al. 2021 §A1.1): distinct-word ratio, duplicate-bigram
+    fraction, top-bigram fraction, and the resulting repetitive-doc
+    flag — the filter that strips boilerplate/spam before pretraining.
+
+    Implemented as explode -> two-level hash aggregate keyed by
+    (doc_id, bigram) then doc_id: per-doc state never exceeds the
+    document's own bigram count, so the plan is safe for arbitrarily
+    long documents (the pure higher-order-function alternative —
+    ``max over transform(array_distinct(bg), ...)`` — is shuffle-free
+    but O(distinct x total) per row, quadratic on 100k-word docs).
+    doc_id is near-unique -> no skew; both aggregates are map-side
+    partial. Docs with <2 words have no bigrams and are excluded by
+    contract on both sides."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    bg = (
+        docs.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            F.size(F.array_distinct("ws")).alias("n_distinct_words"),
+            F.explode(
+                F.expr("transform(sequence(1, size(ws) - 1), "
+                       "i -> concat_ws(' ', ws[i-1], ws[i]))")
+            ).alias("bigram"),
+        )
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("n_distinct_words").alias("n_distinct_words"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    total = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        F.max("n_words").alias("n_words"),
+        F.round(F.max("n_distinct_words").cast("double") / F.max("n_words"), 6)
+            .alias("distinct_word_ratio"),
+        total.alias("total_bigrams"),
+        F.round(1.0 - F.count(F.lit(1)).cast("double") / total, 6)
+            .alias("dup_bigram_fraction"),
+        F.round(F.max("c").cast("double") / total, 6).alias("top_bigram_fraction"),
+        (
+            (F.max("c").cast("double") / total > TOP_BIGRAM_MAX_FRACTION)
+            | (1.0 - F.count(F.lit(1)).cast("double") / total > DUP_BIGRAM_MAX_FRACTION)
+        ).alias("is_repetitive"),
+    )
+
+
+# -------------------------------------------- unigram LM quality score
+
+_LOGPROB_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+    SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(c / t)), 6) AS mean_logprob,
+       ROUND(MIN(ln(c / t)), 6) AS min_logprob
+FROM tok JOIN vocab USING (token), tot
+GROUP BY doc_id
+"""
+
+
+@query("unigram_logprob_score", oracle=_LOGPROB_ORACLE)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own unigram LM — the cheap perplexity proxy used as a CCNet-style
+    quality filter (docs full of rare/garbage tokens score low,
+    boilerplate scores high). Two passes: (1) token histogram
+    (map-side-combining hash aggregate), (2) tokens joined back to
+    the histogram. The vocabulary is the SMALL side (sublinear in
+    corpus size; ~millions of entries at 100 TB), so pass 2 is a
+    broadcast join — no shuffle of the token stream, and Zipf-head
+    token skew is irrelevant because nothing repartitions by token.
+    The corpus-total normalizer is a window over the already-tiny
+    vocab, not a driver collect."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = vocab.withColumn(
+        "logprob", F.log(F.col("c") / F.sum("c").over(Window.partitionBy()))
+    )
+    scored = tok.join(F.broadcast(vocab.select("token", "logprob")), "token")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("logprob"), 6).alias("mean_logprob"),
+        F.round(F.min("logprob"), 6).alias("min_logprob"),
+    )
