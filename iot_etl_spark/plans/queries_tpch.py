@@ -193,3 +193,50 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 10)
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------- SQL-surface Q3 (shipping)
+Q3_CUTOFF = "1998-06-01"
+
+_SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       {{orderdate_epoch}} AS orderdate_epoch,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, orderdate_epoch, l_orderkey
+LIMIT 10
+"""
+
+_SHIPPING_PRIORITY_ORACLE = _SHIPPING_PRIORITY_SQL.format(
+    orderdate_epoch="epoch_us(o_orderdate) // 1000000"
+)
+
+
+@query("sql_shipping_priority", oracle=_SHIPPING_PRIORITY_ORACLE)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape shipping-priority query executed through the
+    **SQL surface**: tables registered as views (sources/tables.py:
+    register_views) and the statement run via spark.sql — the Spark
+    and DuckDB texts are the SAME template, differing only in the
+    epoch-extraction idiom. Proves a reference user can paste their
+    warehouse SQL (analytical_queries.sql style) at the engine
+    unchanged. Plan: Catalyst reorders the 3-way join, pushes both
+    date predicates into the parquet scans, broadcasts the filtered
+    customer side; top-10 compiles to TakeOrderedAndProject. Revenue
+    in exact integer cents (order-independent across group sizes)."""
+    from iot_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _SHIPPING_PRIORITY_SQL.format(
+            orderdate_epoch="CAST(unix_timestamp(o_orderdate) AS BIGINT)"
+        )
+    )
