@@ -1050,3 +1050,81 @@ def range_join_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("sum_click_value", F.lit(0.0)), 6).alias("sum_click_value"),
         )
     )
+
+
+# ------------------------------------------- semi/anti join activity
+_ACTIVITY_ORACLE = """
+SELECT 'active' AS status, c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'inactive' AS status, c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@query("customer_activity_split", oracle=_ACTIVITY_ORACLE)
+def customer_activity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment counts of customers WITH event activity (LEFT SEMI
+    join) and WITHOUT (LEFT ANTI join), unioned — the EXISTS / NOT
+    EXISTS surface (SURVEY §2 join family has only equi-joins; semi and
+    anti are the two join types the reference's SQL warehouse gets from
+    EXISTS subqueries). Scale: the distinct-user set is aggregated
+    first (sublinear in events) and broadcast, so the 100-TB fact side
+    is touched once, map-side, per branch; semi/anti never multiply
+    rows, so no dedup pass is needed afterwards."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    users = load_events(spark, sf_dir).select("user_id").distinct()
+    cond = F.col("c_custkey") == F.col("user_id")
+
+    def branch(how: str, label: str) -> DataFrame:
+        return (
+            customer.join(F.broadcast(users), cond, how)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .select(F.lit(label).alias("status"), "c_mktsegment", "n_customers")
+        )
+
+    return branch("left_semi", "active").unionAll(branch("left_anti", "inactive"))
+
+
+# ------------------------------------------------- event-type pivot
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = f"""
+SELECT {duck_bucket_epoch('hour')} AS hour_epoch,
+       {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+                  for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+@query("hourly_event_type_pivot", oracle=_PIVOT_ORACLE)
+def hourly_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour x event_type contingency table via the DataFrame ``pivot``
+    relational operator — long-to-wide reshaping, the layout BI tools
+    and feature-store exports expect. The pivot value list is passed
+    EXPLICITLY: without it Spark runs an extra distinct-scan job to
+    discover values and the output schema becomes data-dependent —
+    both wrong at 100 TB. One hash aggregate on (hour, type) wide
+    enough to hold the fixed columns; nulls backfilled to 0 so the
+    contract is stable when an hour lacks a type."""
+    ev = load_events(spark, sf_dir)
+    pivoted = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).cast("long").alias("hour_epoch")
+        )
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "hour_epoch",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
