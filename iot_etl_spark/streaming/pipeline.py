@@ -22,6 +22,7 @@ Spark-first deltas (SURVEY.md §2.9):
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -313,11 +314,27 @@ def run_stream_to_memory(
 ) -> tuple[str, DataFrame]:
     """Drive a streaming frame to completion synchronously against an
     in-memory sink (hermetic test/oracle path): processAllAvailable,
-    stop, return the materialized table."""
+    stop, return the materialized table.
+
+    Stateful streaming fixes its state-store partition count to
+    ``spark.sql.shuffle.partitions`` AT QUERY START and AQE never
+    re-coalesces it — in an untuned session (Spark's default 200) every
+    micro-batch pays 200 state tasks (measured 4x wall time on the
+    stream-stream interval join). The conf is scoped to query start:
+    set to the local core budget, restored right after, so the caller's
+    batch configuration is untouched."""
+    spark = df.sparkSession
     name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    try:
+        q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return name, df.sparkSession.table(name)
+    return name, spark.table(name)
