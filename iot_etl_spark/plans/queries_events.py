@@ -449,20 +449,29 @@ ORDER BY bucket_epoch
 
 @query("device_correlation", oracle=_CORRELATION_ORACLE)
 def device_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-join of two per-device hourly aggregates on the time bucket
-    (analytical_queries.sql:236-259 Query 15; SURVEY J4)."""
+    """Two-device hourly-average correlation frame
+    (analytical_queries.sql:236-259 Query 15; SURVEY J4). The
+    reference formulates this as an aggregate self-join — two scans,
+    two shuffles, one join. Re-expressed as a single-pass conditional
+    aggregate: one scan of the device pair, one shuffle on the hour
+    bucket, no join at all (the oracle KEEPS the self-join SQL, so the
+    rewrite is proven equivalent every round). Presence counts — not
+    avg-NULL checks — reproduce inner-join semantics for buckets where
+    a device has only NULL-valued readings."""
     ev = load_events(spark, sf_dir)
-
-    def hourly(uid: int, alias: str) -> DataFrame:
-        return (
-            ev.filter(F.col("user_id") == uid)
-            .groupBy(_bucket_epoch("hour").alias("bucket_epoch"))
-            .agg(F.round(F.avg("value"), 6).alias(alias))
+    uid = F.col("user_id")
+    return (
+        ev.filter(uid.isin(1, 2))
+        .groupBy(_bucket_epoch("hour").alias("bucket_epoch"))
+        .agg(
+            F.round(F.avg(F.when(uid == 1, F.col("value"))), 6).alias("avg_value_a"),
+            F.round(F.avg(F.when(uid == 2, F.col("value"))), 6).alias("avg_value_b"),
+            F.count(F.when(uid == 1, 1)).alias("_n_a"),
+            F.count(F.when(uid == 2, 1)).alias("_n_b"),
         )
-
-    a = hourly(1, "avg_value_a")
-    b = hourly(2, "avg_value_b")
-    return a.join(b, "bucket_epoch", "inner").orderBy("bucket_epoch")
+        .filter((F.col("_n_a") > 0) & (F.col("_n_b") > 0))
+        .drop("_n_a", "_n_b")
+    )
 
 
 # ------------------------------------------------------ O2: recent top-k
