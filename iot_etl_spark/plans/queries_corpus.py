@@ -470,3 +470,133 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("logprob"), 6).alias("mean_logprob"),
         F.round(F.min("logprob"), 6).alias("min_logprob"),
     )
+
+
+# ---------------------------------------------------- sequence packing
+
+SEQ_LEN = 128       # training sequence length in tokens
+PACK_BUCKETS = 32   # independent packing streams (parallelism unit)
+
+_PACKING_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           k AS chunk_id,
+           least({CHUNK_TOKENS}, len(ws) - k * {CHUNK_STRIDE}) AS chunk_tokens
+    FROM w, UNNEST(generate_series(0, (len(ws) - 1) // {CHUNK_STRIDE})) AS t(k)
+),
+placed AS (
+    SELECT doc_id % {PACK_BUCKETS} AS bucket,
+           doc_id, chunk_id, chunk_tokens,
+           SUM(chunk_tokens) OVER (
+               PARTITION BY doc_id % {PACK_BUCKETS}
+               ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - chunk_tokens AS start_offset
+    FROM chunks
+)
+SELECT bucket,
+       start_offset // {SEQ_LEN} AS pack_id,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS total_tokens
+FROM placed
+GROUP BY bucket, start_offset // {SEQ_LEN}
+"""
+
+
+@query("sequence_packing", oracle=_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign context-window chunks to fixed-length
+    ({SEQ_LEN}-token) training sequences — the step between chunking
+    and the data loader. Contiguous-fill discipline: within a packing
+    stream, chunks are laid end-to-end in (doc_id, chunk_id) order and
+    a chunk belongs to the pack where it STARTS (cumulative-offset div
+    {SEQ_LEN}); emitted per pack: chunk/doc counts and fill tokens.
+
+    Packing is inherently sequential, which is why it's usually a
+    driver-side bottleneck; here the corpus is split into
+    {PACK_BUCKETS} independent packing streams (doc_id mod bucket), so
+    the running-offset window parallelizes per stream — at 100 TB,
+    raise PACK_BUCKETS to O(cores) and each stream stays a local sort
+    + running sum. Deterministic and replayable: same corpus, same
+    packs. All-integer arithmetic, engine-identical."""
+    chunks = doc_chunks(spark, sf_dir).select("doc_id", "chunk_id", "chunk_tokens")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        chunks.withColumn("bucket", (F.col("doc_id") % PACK_BUCKETS))
+        .withColumn(
+            "start_offset",
+            F.sum("chunk_tokens").over(w) - F.col("chunk_tokens"),
+        )
+    )
+    return (
+        placed.groupBy(
+            "bucket",
+            (F.col("start_offset") / SEQ_LEN).cast("long").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------ boilerplate shingles
+
+BOILERPLATE_MIN_DOCS = 2  # shingle appearing in >= N distinct docs
+
+_BOILERPLATE_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+hot AS (
+    SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(COUNT(h.g) AS BIGINT) AS boilerplate_shingles,
+       ROUND(CAST(COUNT(h.g) AS DOUBLE) / COUNT(*), 6) AS boilerplate_fraction
+FROM sh s LEFT JOIN hot h ON s.g = h.g
+GROUP BY s.doc_id
+"""
+
+
+@query("boilerplate_stats", oracle=_BOILERPLATE_ORACLE)
+def boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (RefinedWeb/CCNet-style): shingles whose
+    document frequency reaches {BOILERPLATE_MIN_DOCS} docs are
+    cross-document boilerplate (headers, navigation, license text);
+    each document reports what fraction of its shingles are
+    boilerplate — high-fraction docs are template spam.
+
+    Scale: document frequency is an aggregate on the shingle hash
+    (wide key space, no skew concern at 3-gram granularity), and the
+    resulting hot-shingle set is tiny by construction (df >= N prunes
+    the long tail), so the per-doc pass is a broadcast join against
+    the hot set — the shingle stream is never shuffled twice."""
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(F.expr(_shingles_expr())).alias("g"))
+    )
+    hot = (
+        sh.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
+        .select(F.col("g").alias("hg"))
+    )
+    return sh.join(F.broadcast(hot), sh.g == hot.hg, "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("hg").alias("boilerplate_shingles"),
+        F.round(F.count("hg").cast("double") / F.count(F.lit(1)), 6)
+            .alias("boilerplate_fraction"),
+    )
