@@ -85,3 +85,18 @@ def test_date_partition_pruning_in_plan(spark, tmp_path):
     import re
     scanned = q.select(F.input_file_name()).distinct().collect()
     assert all(f"event_date={target}" in r[0] for r in scanned)
+
+
+def test_cli_list_and_unknown_query(capsys):
+    """CLI surface: `list` prints the registry; unknown query name is a
+    clean error exit, not a traceback. (Spark-touching subcommands are
+    exercised by the module smoke paths; here we pin the argv
+    contract without paying a JVM.)"""
+    from iot_etl_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    from iot_etl_spark.plans import registry
+
+    assert sorted(registry.QUERIES) == out
+    assert main(["query", "no_such_query"]) == 2
