@@ -600,3 +600,88 @@ def boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("hg").cast("double") / F.count(F.lit(1)), 6)
             .alias("boilerplate_fraction"),
     )
+
+
+# ------------------------------------------------ corpus keep verdict
+
+BOILERPLATE_MAX_FRACTION = 0.5
+
+_VERDICT_ORACLE = f"""
+WITH dup AS ({{dedup_oracle}}),
+rep AS ({_REPETITION_ORACLE}),
+bp AS ({_BOILERPLATE_ORACLE})
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dup.is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
+       CAST(SUM(CASE WHEN COALESCE(rep.is_repetitive, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repetitive,
+       CAST(SUM(CASE WHEN COALESCE(bp.boilerplate_fraction, 0) > {BOILERPLATE_MAX_FRACTION}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       CAST(SUM(CASE WHEN NOT dup.is_duplicate
+                      AND NOT COALESCE(rep.is_repetitive, FALSE)
+                      AND COALESCE(bp.boilerplate_fraction, 0) <= {BOILERPLATE_MAX_FRACTION}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN NOT dup.is_duplicate
+                            AND NOT COALESCE(rep.is_repetitive, FALSE)
+                            AND COALESCE(bp.boilerplate_fraction, 0) <= {BOILERPLATE_MAX_FRACTION}
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+FROM documents d
+JOIN dup ON dup.doc_id = d.doc_id
+LEFT JOIN rep ON rep.doc_id = d.doc_id
+LEFT JOIN bp ON bp.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+def _verdict_oracle() -> str:
+    from iot_etl_spark.plans.queries_text import _DEDUP_EXACT_ORACLE
+
+    return _VERDICT_ORACLE.format(dedup_oracle=_DEDUP_EXACT_ORACLE)
+
+
+@query("corpus_keep_verdict", oracle=_verdict_oracle())
+def corpus_keep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone filter pass a corpus pipeline runs before
+    tokenization: per-source survival accounting after composing the
+    independent quality signals — exact-dup canonical election,
+    Gopher repetition rules, boilerplate fraction. Each signal is the
+    SAME registry builder users run standalone (composability is the
+    point: signals are per-doc frames joined on doc_id), and the
+    oracle composes the same three oracle SQL texts as CTEs, so the
+    composition itself is hash-verified. Scale: all three signal
+    frames and the join are keyed on doc_id — after the first
+    shuffle the joins are co-partitioned (exchange reuse), and the
+    final per-source rollup is a tiny aggregate. LEFT joins + COALESCE
+    keep short docs (no bigrams/shingles) in the denominator."""
+    from iot_etl_spark.plans.queries_text import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    dup = dedup_exact(spark, sf_dir).select("doc_id", "is_duplicate")
+    rep = repetition_stats(spark, sf_dir).select("doc_id", "is_repetitive")
+    bp = boilerplate_stats(spark, sf_dir).select("doc_id", "boilerplate_fraction")
+    joined = (
+        docs.join(dup, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(bp, "doc_id", "left")
+        .select(
+            "source",
+            F.col("is_duplicate"),
+            F.coalesce("is_repetitive", F.lit(False)).alias("is_repetitive"),
+            F.coalesce("boilerplate_fraction", F.lit(0.0)).alias("bp_frac"),
+        )
+    )
+    keep = (
+        ~F.col("is_duplicate")
+        & ~F.col("is_repetitive")
+        & (F.col("bp_frac") <= BOILERPLATE_MAX_FRACTION)
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_duplicate").cast("int")).cast("long").alias("n_duplicate"),
+        F.sum(F.col("is_repetitive").cast("int")).cast("long").alias("n_repetitive"),
+        F.sum((F.col("bp_frac") > BOILERPLATE_MAX_FRACTION).cast("int")).cast("long")
+            .alias("n_boilerplate"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        F.round(F.sum(keep.cast("int")).cast("double") / F.count(F.lit(1)), 6)
+            .alias("keep_rate"),
+    )
