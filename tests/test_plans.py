@@ -74,3 +74,22 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         plan, _ = _plans(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_column_pruning_reaches_scans(spark):
+    """Projections prune at the parquet scan (ReadSchema): queries
+    that don't touch wide columns must not read them — at 100 TB the
+    unread column is the cheapest column."""
+    cases = [
+        # (query, column that must NOT be scanned)
+        ("token_heavy_hitters", "lang"),       # only text is needed
+        ("dedup_exact", "props"),              # never touches events
+        ("hourly_event_type_pivot", "props"),  # events: ts+type only
+        ("sequence_packing", "source"),
+        ("order_priority_counts", "o_custkey"),
+    ]
+    for name, banned in cases:
+        _, full = _plans(spark, name)
+        schemas = [ln for ln in full.splitlines() if "ReadSchema" in ln]
+        assert schemas, name
+        assert not any(banned in ln for ln in schemas), (name, banned, schemas)
