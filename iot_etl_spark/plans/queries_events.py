@@ -1137,3 +1137,42 @@ def hourly_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _EVENT_TYPES
         ],
     )
+
+
+# ---------------------------------------------- LOCF gap interpolation
+_LOCF_ORACLE = f"""
+SELECT event_id, user_id, {DUCK_TS_EPOCH} AS ts_epoch, value,
+       LAST_VALUE(value IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY {DUCK_TS}, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       value IS NULL AS was_gap
+FROM events
+"""
+
+
+@query("locf_gap_fill", oracle=_LOCF_ORACLE)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill: NULL sensor readings
+    take the device's most recent non-NULL value (classic IoT repair
+    for dropped samples; leading NULLs stay NULL — there is nothing to
+    carry). One per-device ordered window pass — ``F.last(ignorenulls)``
+    over rows-unbounded-preceding — with the (ts, event_id) tiebreak
+    making the fill deterministic under duplicate timestamps. Scale:
+    single shuffle on user_id; the running frame is O(1) state per
+    row, and at 100 TB the same pass runs per date partition with the
+    previous day's closing value as seed."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("value").isNull().alias("was_gap"),
+    )
