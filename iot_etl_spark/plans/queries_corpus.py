@@ -578,27 +578,35 @@ def boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document reports what fraction of its shingles are
     boilerplate — high-fraction docs are template spam.
 
-    Scale: document frequency is an aggregate on the shingle hash
-    (wide key space, no skew concern at 3-gram granularity), and the
-    resulting hot-shingle set is tiny by construction (df >= N prunes
-    the long tail), so the per-doc pass is a broadcast join against
-    the hot set — the shingle stream is never shuffled twice."""
+    Scale: the shingle stream is exploded ONCE and reduced to distinct
+    (doc_id, shingle) pairs with occurrence counts; document frequency
+    is then a count-over-window on the shingle key (wide key space, no
+    skew at 3-gram granularity), and the per-doc rollup is one more
+    hash aggregate. No broadcast anywhere — with the df threshold as low as 2
+    the "hot" set is NOT small at corpus scale (most cross-site
+    shingles repeat), so a broadcast-the-hot-set design would collapse
+    at 100 TB; the window form keeps every stage a bounded shuffle."""
     sh = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("ws"))
         .select("doc_id", F.explode(F.expr(_shingles_expr())).alias("g"))
     )
-    hot = (
-        sh.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
-        .select(F.col("g").alias("hg"))
+    occ = sh.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    # rows of `occ` are distinct per (doc, shingle) => count over the
+    # shingle partition IS the document frequency.
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    hot_cnt = F.when(F.col("df") >= BOILERPLATE_MIN_DOCS, F.col("cnt")).otherwise(
+        F.lit(0)
     )
-    return sh.join(F.broadcast(hot), sh.g == hot.hg, "left").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.count("hg").alias("boilerplate_shingles"),
-        F.round(F.count("hg").cast("double") / F.count(F.lit(1)), 6)
-            .alias("boilerplate_fraction"),
+    return (
+        occ.withColumn("df", doc_freq)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_shingles"),
+            F.sum(hot_cnt).alias("boilerplate_shingles"),
+            F.round(F.sum(hot_cnt).cast("double") / F.sum("cnt"), 6)
+                .alias("boilerplate_fraction"),
+        )
     )
 
 
