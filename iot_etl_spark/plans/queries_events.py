@@ -1176,3 +1176,139 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w).alias("value_filled"),
         F.col("value").isNull().alias("was_gap"),
     )
+
+
+# ------------------------------------- dense time-grid gapfill (resample)
+GAPFILL_STEP_S = 3600  # hourly grid
+
+_GAPFILL_ORACLE = f"""
+WITH b AS (
+    SELECT user_id, {duck_bucket_epoch('hour')} AS bucket_epoch,
+           COUNT(value) AS reading_count,
+           AVG(value) AS avg_value
+    FROM events GROUP BY 1, 2
+),
+ext AS (SELECT user_id, MIN(bucket_epoch) AS mn, MAX(bucket_epoch) AS mx FROM b GROUP BY 1),
+grid AS (
+    SELECT e.user_id, t.bucket_epoch
+    FROM ext e CROSS JOIN unnest(generate_series(e.mn, e.mx, {GAPFILL_STEP_S})) AS t(bucket_epoch)
+),
+j AS (
+    SELECT g.user_id, g.bucket_epoch, b.reading_count, b.avg_value
+    FROM grid g LEFT JOIN b USING (user_id, bucket_epoch)
+),
+q AS (
+    -- quantize to exact integer micro-units: interpolation arithmetic on
+    -- BIGINTs is engine-deterministic; raw double averages carry 1-ulp
+    -- accumulation-order noise that the gap-ratio multiply amplifies
+    -- past the ROUND(.., 6) boundary.
+    SELECT *, CAST(ROUND(avg_value * 1000000, 0) AS BIGINT) AS au FROM j
+),
+f AS (
+    SELECT user_id, bucket_epoch, reading_count, avg_value,
+        LAST_VALUE(avg_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_epoch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_raw,
+        LAST_VALUE(au IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_epoch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        LAST_VALUE(CASE WHEN au IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY bucket_epoch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+        FIRST_VALUE(au IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_epoch
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN au IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY bucket_epoch
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+    FROM q
+)
+SELECT user_id, bucket_epoch,
+       CAST(COALESCE(reading_count, 0) AS BIGINT) AS reading_count,
+       ROUND(avg_value, 6) AS avg_value,
+       ROUND(locf_raw, 6) AS value_locf,
+       -- gap branch is emitted UNROUNDED: the micro-unit arithmetic is
+       -- integer-exact until one IEEE division, so both engines produce
+       -- bit-identical doubles; ROUND would *introduce* divergence when
+       -- the midpoint lands on an exact decimal tie (Spark BigDecimal
+       -- HALF_UP vs DuckDB binary-double rounding).
+       CASE WHEN avg_value IS NOT NULL THEN ROUND(avg_value, 6)
+            ELSE (pv + (nv - pv) * (bucket_epoch - pb) / (nb - pb)) / 1000000.0
+       END AS value_interp,
+       avg_value IS NULL AS is_gap
+FROM f
+"""
+
+
+@query("time_grid_gapfill", oracle=_GAPFILL_ORACLE)
+def time_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-grid resampling with gap fill — the TimescaleDB
+    ``time_bucket_gapfill(...) + locf() + interpolate()`` idiom the
+    reference's hypertable layer implies (hourly continuous aggregates
+    leave holes where a device was silent; dashboards want a dense
+    series). Per device: bucket the readings hourly, synthesize the
+    missing buckets from an explicit per-device [min, max] grid
+    (``sequence`` + ``explode`` — map-side, no driver loop), LEFT join
+    the real aggregates back, then repair gaps two ways: LOCF (last
+    observation carried forward; leading gaps stay NULL) and linear
+    interpolation between the nearest non-gap neighbors (edge gaps
+    stay NULL — nothing to interpolate toward).
+
+    Scale: the grid is |devices| x (range/step) rows generated by a
+    per-device explode (no shuffle), the join and every window frame
+    are keyed/partitioned on user_id, so the whole repair is one
+    shuffle; at 100 TB, run per date partition with the neighboring
+    partitions' closing/opening values as seeds, exactly like the LOCF
+    operator. Unlike the broadcast-free boilerplate pass, both window
+    directions reuse one sort."""
+    step = F.lit(GAPFILL_STEP_S).cast("long")
+    b = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id", _bucket_epoch("hour").alias("bucket_epoch"))
+        .agg(
+            F.count("value").alias("reading_count"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket_epoch").alias("mn"), F.max("bucket_epoch").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", step)).alias("bucket_epoch"),
+        )
+    )
+    # Quantize averages to exact integer micro-units before
+    # interpolating: BIGINT arithmetic is engine-deterministic, while
+    # raw double averages carry accumulation-order ulp noise that the
+    # gap-ratio multiply amplifies past the ROUND(.., 6) boundary.
+    j = grid.join(b, ["user_id", "bucket_epoch"], "left").withColumn(
+        "au", F.round(F.col("avg_value") * 1000000, 0).cast("long")
+    )
+    order = Window.partitionBy("user_id").orderBy("bucket_epoch")
+    w_locf = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    # "nearest non-null AFTER current" via a REVERSED sort with an
+    # unbounded-PRECEDING frame: Spark evaluates unbounded-following
+    # frames by rescanning current..end per row (O(n^2) per partition
+    # — measured 19 s vs 2 s here), while unbounded-preceding frames
+    # grow incrementally in O(n). Same semantics, second sort pass.
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("bucket_epoch").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonnull_bucket = F.when(F.col("au").isNotNull(), F.col("bucket_epoch"))
+    pv = F.last("au", ignorenulls=True).over(w_prev)
+    pb = F.last(nonnull_bucket, ignorenulls=True).over(w_prev)
+    nv = F.last("au", ignorenulls=True).over(w_next)
+    nb = F.last(nonnull_bucket, ignorenulls=True).over(w_next)
+    interp = (pv + (nv - pv) * (F.col("bucket_epoch") - pb) / (nb - pb)) / 1000000.0
+    return j.select(
+        "user_id",
+        "bucket_epoch",
+        F.coalesce("reading_count", F.lit(0)).cast("long").alias("reading_count"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round(F.last("avg_value", ignorenulls=True).over(w_locf), 6)
+            .alias("value_locf"),
+        F.when(F.col("avg_value").isNotNull(), F.round("avg_value", 6))
+            .otherwise(interp).alias("value_interp"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )

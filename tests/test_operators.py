@@ -193,3 +193,54 @@ def test_planted_anomaly_recall(spark):
         .filter(F.col("is_anomaly_zscore")).collect()
     }
     assert flagged == planted, f"recall/precision failure: {flagged ^ planted}"
+
+
+def test_time_grid_gapfill_edges(spark, tmp_path):
+    """Gapfill edge semantics on a fabricated events table: a leading
+    all-NULL bucket stays NULL in both LOCF and interpolation (nothing
+    to carry / no left neighbor), missing buckets are synthesized with
+    reading_count 0, LOCF carries the previous bucket average, and
+    interpolation hits the exact midpoint between neighbors."""
+    import datetime
+
+    from iot_etl_spark.plans import QUERIES
+
+    def t(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, t(0, 10), 1, "r", None, None),   # H0: rows but all-NULL -> gap
+        (2, t(1, 5), 1, "r", 10.0, None),    # H1
+        # H2 missing entirely -> synthesized gap row
+        (3, t(3, 5), 1, "r", 28.0, None),    # H3 avg = 30
+        (4, t(3, 30), 1, "r", 32.0, None),
+        (5, t(4, 15), 1, "r", None, None),   # H4: all-NULL -> gap
+        (6, t(5, 0), 1, "r", 50.0, None),    # H5
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.bucket_epoch: r
+        for r in QUERIES["time_grid_gapfill"](spark, str(tmp_path)).collect()
+    }
+    h0 = datetime.datetime(2024, 1, 1).replace(tzinfo=datetime.timezone.utc)
+    b = [int(h0.timestamp()) + 3600 * h for h in range(6)]
+    assert sorted(out) == b, "dense hourly grid H0..H5"
+    # leading all-NULL bucket: gap, nothing to carry, no left neighbor
+    assert out[b[0]].is_gap and out[b[0]].value_locf is None
+    assert out[b[0]].value_interp is None and out[b[0]].reading_count == 0
+    # synthesized missing bucket H2: locf carries H1, interp = midpoint
+    assert out[b[2]].is_gap and out[b[2]].reading_count == 0
+    assert out[b[2]].value_locf == 10.0
+    assert out[b[2]].value_interp == 20.0  # (10 + 30) / 2
+    # all-NULL bucket H4 between H3(avg 30) and H5(50)
+    assert out[b[4]].is_gap and out[b[4]].value_locf == 30.0
+    assert out[b[4]].value_interp == 40.0
+    # non-gap buckets echo their own average
+    assert not out[b[3]].is_gap and out[b[3]].avg_value == 30.0
+    assert out[b[3]].value_interp == 30.0 and out[b[3]].reading_count == 2
