@@ -254,3 +254,47 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, out = run_stream_to_memory(out_cols, output_mode="append")
     return out
+
+
+# -------------------------------------------- stream-static dim join
+_STATIC_ENRICH_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(AVG(e.value), 6) AS avg_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("stream_static_enrich", oracle=_STATIC_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join on the real streaming engine: the event
+    stream enriched against the static customer dimension (broadcast
+    left join — the production pattern for dim lookups the reference's
+    streaming layer lacks; its enrichment joins are batch-only,
+    spark_transform.py:46-57), then a per-(segment, type) aggregate in
+    complete mode. Completes the streaming join surface next to the
+    stream-stream interval join.
+
+    Scale: Spark re-plans the static side per micro-batch, so the dim
+    is broadcast once per trigger — fine for dimension-sized tables;
+    a huge static side would instead be pre-bucketed to co-locate with
+    the stream's shuffle. No watermark needed: stream-static joins are
+    stateless (nothing buffers on the stream side)."""
+    from iot_etl_spark.sources.tables import load_table
+
+    src = read_stream_source(
+        spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet"
+    )
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = src.join(dim, src.user_id == dim.c_custkey, "left")
+    agg = enriched.groupBy(
+        F.col("c_mktsegment").alias("mktsegment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    _, out = run_stream_to_memory(agg, output_mode="complete")
+    return out
