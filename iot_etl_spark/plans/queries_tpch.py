@@ -240,3 +240,80 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             orderdate_epoch="CAST(unix_timestamp(o_orderdate) AS BIGINT)"
         )
     )
+
+
+# ------------------------------------------- TPC-H Q5 (local supplier)
+_Q5_ORACLE = """
+SELECT n.n_name,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+           AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the deepest join chain in the suite (6 tables)
+    with the distinctive *local supplier* constraint: the customer and
+    the supplier of each lineitem must share a nation
+    (c_nationkey = s_nationkey), so the join graph is cyclic, the
+    classic stress test for join ordering. Revenue accumulates in
+    exact integer cents (order-independent across engines — see
+    pricing conventions).
+
+    Scale: region -> nation -> supplier collapse into one broadcast
+    dim (the ASIA prune cuts suppliers ~5x before the fact join);
+    the orders date filter is pushed into the parquet scan; lineitem,
+    the 100 TB table, shuffles once on l_orderkey. Customer carries no
+    explicit hint — dimension-sized here, AQE picks broadcast; at
+    full scale it exceeds the threshold and degrades to a shuffle
+    join on o_custkey, which is the right plan there."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return j.groupBy("n_name").agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -24,6 +24,7 @@ def test_pushdown_reaches_parquet_scans(spark):
         ("device_stats", "PushedFilters: [IsNotNull"),
         ("sql_shipping_priority", "LessThan(o_orderdate"),
         ("pricing_summary", "PushedFilters"),
+        ("q5_local_supplier_volume", "GreaterThanOrEqual(o_orderdate"),
     ]:
         _, full = _plans(spark, name)
         assert frag in full, (name, frag)
@@ -38,6 +39,7 @@ def test_dim_joins_broadcast(spark):
         "decontaminate_overlap",
         "unigram_logprob_score",
         "customer_activity_split",
+        "q5_local_supplier_volume",
     ]:
         plan, _ = _plans(spark, name)
         assert "BroadcastHashJoin" in plan, name
