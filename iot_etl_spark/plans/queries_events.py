@@ -1312,3 +1312,67 @@ def time_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(interp).alias("value_interp"),
         F.col("avg_value").isNull().alias("is_gap"),
     )
+
+
+# ------------------------------------------------ value histogram
+HIST_BINS = 20
+
+_HISTOGRAM_ORACLE = f"""
+WITH s AS (
+    SELECT event_type, value,
+           MIN(value) OVER (PARTITION BY event_type) AS lo,
+           MAX(value) OVER (PARTITION BY event_type) AS hi
+    FROM events WHERE value IS NOT NULL
+),
+b AS (
+    SELECT event_type, lo, hi,
+           CAST(CASE WHEN hi = lo THEN 0
+                ELSE LEAST({HIST_BINS - 1},
+                           FLOOR((value - lo) / (hi - lo) * {HIST_BINS}))
+           END AS INTEGER) AS bin
+    FROM s
+)
+SELECT event_type, bin,
+       COUNT(*) AS n_values,
+       MIN(lo + bin * (hi - lo) / {HIST_BINS}) AS bin_lo
+FROM b GROUP BY 1, 2
+"""
+
+
+@query("value_histogram", oracle=_HISTOGRAM_ORACLE)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type (the ``width_bucket``
+    idiom): min/max per type via a whole-partition window (W5
+    pattern), each value floored into one of {HIST_BINS} bins with the
+    max value clamped into the last bin, then a (type, bin) count.
+    Cross-engine note: FLOOR of identical IEEE doubles is
+    tie-free (unlike ROUND), and min/max are exact, so bin edges are
+    emitted unrounded.
+
+    Scale: two passes over the fact — the window pass shuffles on
+    event_type (tiny key space: pre-aggregate min/max per type +
+    broadcast if the type cardinality stays this low), the histogram
+    itself is a map-side-combinable count on (type, bin); output is
+    |types| x {HIST_BINS} rows regardless of input size."""
+    w = Window.partitionBy("event_type")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    binf = F.floor((F.col("value") - lo) / (hi - lo) * HIST_BINS)
+    b = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            lo.alias("lo"),
+            hi.alias("hi"),
+            F.when(hi == lo, F.lit(0))
+            .otherwise(F.least(F.lit(HIST_BINS - 1).cast("long"), binf))
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    return b.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.min(
+            F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / F.lit(HIST_BINS)
+        ).alias("bin_lo"),
+    )
