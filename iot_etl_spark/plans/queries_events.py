@@ -1376,3 +1376,58 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / F.lit(HIST_BINS)
         ).alias("bin_lo"),
     )
+
+
+# ------------------------------------------------ winsorized stats
+_WINSOR_ORACLE = """
+WITH pct AS (
+    SELECT event_type,
+           percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+           percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_type,
+       COUNT(*) AS n_values,
+       CAST(SUM(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_low,
+       CAST(SUM(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_high,
+       ROUND(AVG(e.value), 6) AS avg_raw,
+       ROUND(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)), 6) AS avg_winsorized,
+       ROUND(MIN(p.p05), 6) AS p05,
+       ROUND(MIN(p.p95), 6) AS p95
+FROM events e JOIN pct p USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query("winsorized_stats", oracle=_WINSOR_ORACLE)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile capping) per event type — the
+    outlier-robust mean a cleaning pipeline reports before and after
+    clamping values into the exact [p05, p95] band (A6 percentiles,
+    `F.percentile` = PERCENTILE_CONT interpolation).
+
+    Scale: the percentile table is one small aggregate (|types| rows)
+    broadcast back onto the fact — the fact scan itself never
+    shuffles; capping is LEAST/GREATEST column math and the final
+    rollup is map-side combinable. At 100 TB swap the exact
+    percentiles for `approx_percentile` partials (sketches module) —
+    the clamp stays identical."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    j = ev.join(F.broadcast(pct), "event_type")
+    capped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum((F.col("value") < F.col("p05")).cast("int")).cast("long")
+            .alias("n_capped_low"),
+        F.sum((F.col("value") > F.col("p95")).cast("int")).cast("long")
+            .alias("n_capped_high"),
+        F.round(F.avg("value"), 6).alias("avg_raw"),
+        F.round(F.avg(capped), 6).alias("avg_winsorized"),
+        F.round(F.min("p05"), 6).alias("p05"),
+        F.round(F.min("p95"), 6).alias("p95"),
+    )
