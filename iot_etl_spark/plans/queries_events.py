@@ -1431,3 +1431,119 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("p05"), 6).alias("p05"),
         F.round(F.min("p95"), 6).alias("p95"),
     )
+
+
+# ------------------------------------------------ cube aggregate
+_CUBE_ORACLE = f"""
+SELECT event_type,
+       CASE WHEN GROUPING(dow) = 1 THEN NULL ELSE dow END AS day_of_week,
+       GROUPING(event_type) * 2 + GROUPING(dow) AS grouping_id,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6) AS avg_value
+FROM (SELECT event_type, EXTRACT(dow FROM {DUCK_TS}) AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+"""
+
+
+@query("cube_type_dow", oracle=_CUBE_ORACLE)
+def cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over (event_type, day-of-week): all four
+    grouping sets — full detail, per-type, per-day, grand total — in
+    one pass (completes the grouping-sets family next to
+    ``hourly_rollup``; SURVEY §2.4 notes the reference has neither).
+    DuckDB ``EXTRACT(dow)`` is 0=Sunday vs Spark ``dayofweek``
+    1=Sunday, so the Spark side shifts by one (SURVEY §7.3 risk 6).
+
+    Scale: Spark expands grouping sets map-side (Expand node) before
+    one shuffle on the compound key — 4x the map rows, not 4 passes."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow"), "value"
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            (F.grouping("event_type") * 2 + F.grouping("dow"))
+                .cast("long").alias("grouping_id"),
+        )
+        .select(
+            "event_type", F.col("dow").alias("day_of_week"),
+            "grouping_id", "reading_count", "avg_value",
+        )
+    )
+
+
+# ------------------------------------------------ set operations
+_SET_OPS_ORACLE = """
+SELECT user_id, 'purchase_only' AS segment FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'both' AS segment FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
+@query("user_set_ops", oracle=_SET_OPS_ORACLE)
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (SURVEY §2.7: the reference has none —
+    free Spark capability): purchasing users partitioned into those
+    who never hit an error (EXCEPT) and those who did (INTERSECT),
+    tagged and UNION ALL-ed into one segment table.
+
+    Scale: both set ops hash-shuffle on user_id after a DISTINCT that
+    is itself partial-aggregated map-side; the union is free (no
+    shuffle, just plan concatenation)."""
+    ev = load_events(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        purch.exceptAll(err).withColumn("segment", F.lit("purchase_only"))
+        .unionAll(purch.intersect(err).withColumn("segment", F.lit("both")))
+    )
+
+
+# ------------------------------------------------ decile distribution
+_DECILES_ORACLE = """
+WITH d AS (
+    SELECT event_type, value,
+           NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, decile,
+       COUNT(*) AS n_values,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM d GROUP BY 1, 2
+"""
+
+
+@query("value_deciles", oracle=_DECILES_ORACLE)
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile distribution of values per event type (rank-family
+    window — SURVEY §2.5 notes the reference uses none). The
+    (value, event_id) tiebreak makes tile assignment deterministic
+    under duplicate values; NULLs are filtered because engines default
+    to opposite NULL ordering.
+
+    Scale: one window shuffle on event_type (low cardinality — for a
+    hot single-type table, pre-aggregate per salted subpartition or
+    use approx quantile cuts instead of exact NTILE), then a
+    map-side-combinable rollup to 10 rows per type."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
