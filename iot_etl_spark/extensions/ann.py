@@ -111,3 +111,127 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), id_col)
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------- PQ
+
+def _subvectors(df: DataFrame, m: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, sub, subvec): each vector split into m contiguous
+    subvectors (dim must be divisible by m) — pure map-side."""
+    slices = (
+        f"transform(sequence(0, {m - 1}), "
+        f"j -> slice({vec_col}, j * (size({vec_col}) div {m}) + 1, "
+        f"size({vec_col}) div {m}))"
+    )
+    return df.select(
+        id_col, F.posexplode(F.expr(slices)).alias("sub", "subvec")
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Product-quantization codebooks (Jegou, Douze, Schmid 2011:
+    "Product Quantization for Nearest Neighbor Search"): an
+    independent k-means codebook per subspace, trained with the same
+    DataFrame-native Lloyd's iteration as `kmeans_cells`. Returns
+    (sub, cell, centroid) — m*k rows total.
+
+    Scale: PQ is the memory path of ANN at 100 TB — a d-dim float
+    vector (4d bytes) compresses to m bytes of codes; training runs
+    on a sample, and the m loops are over a constant (each iteration
+    is the broadcast-join/argmin/mean pattern of `kmeans_cells`)."""
+    subs = _subvectors(emb, m, id_col, vec_col)
+    books = []
+    for s in range(m):
+        sub_emb = subs.filter(F.col("sub") == s).select(id_col, F.col("subvec").alias("emb"))
+        _, cents = kmeans_cells(sub_emb, k=k, iters=iters, id_col=id_col, vec_col="emb")
+        books.append(cents.withColumn("sub", F.lit(s)))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out.select("sub", "cell", "centroid")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    m: int = 4,
+) -> DataFrame:
+    """Assign each subvector to its nearest codebook centroid:
+    (id, codes array<int>, one code per subspace). One broadcast join
+    of the m*k codebook against the exploded subvectors, argmin via
+    min-struct, then a per-id re-pack — the only shuffle is the
+    groupBy on id, proportional to m * corpus, never to k."""
+    subs = _subvectors(emb, m, id_col, vec_col)
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        id_col, "sub",
+        F.struct(
+            _sqdist(F.col("subvec"), F.col("centroid")).alias("d"),
+            F.col("cell").alias("cell"),
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min("dc").alias("best"))
+        .select(id_col, "sub", F.col("best.cell").alias("code"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    top_k: int = 10,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact, every
+    corpus vector is its m codes. The per-(sub, cell) distance table
+    (m*k floats) collapses into a ONE-ROW broadcast map, and scoring
+    is a pure expression over the codes array — zero shuffles on the
+    corpus side; the final top-k is TakeOrderedAndProject.
+
+    At 100 TB this is the design point: the scan reads m bytes per
+    vector instead of 4d, no join, no exchange."""
+    d = len(query_vec)
+    dsub = d // m
+    parts = []
+    for s in range(m):
+        q_s = F.array(*[F.lit(float(x)) for x in query_vec[s * dsub:(s + 1) * dsub]])
+        parts.append(
+            codebooks.filter(F.col("sub") == s)
+            .withColumn("qd", _sqdist(F.col("centroid"), q_s))
+        )
+    dist = parts[0]
+    for p in parts[1:]:
+        dist = dist.unionByName(p)
+    lut = (
+        dist.select((F.col("sub") * k + F.col("cell") + 1).alias("key"), "qd")
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("key", "qd"))).alias("lut"))
+    )
+    scored = codes.crossJoin(F.broadcast(lut)).select(
+        id_col,
+        F.aggregate(
+            F.expr(f"transform(codes, (c, j) -> element_at(lut, j * {k} + c + 1))"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+    )
+    return scored.orderBy("adc_dist", id_col).limit(top_k)

@@ -83,3 +83,51 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     recall = len(set(approx) & set(exact)) / 10
     assert recall >= 0.5, f"IVF recall {recall} too low; approx={approx} exact={exact}"
     assert len(approx) == 10
+
+
+def test_pq_exact_on_prototype_corpus(spark):
+    """Product quantization on a corpus CONSTRUCTED from per-subspace
+    prototypes: the first k vectors seed every prototype in every
+    subspace, so training recovers the prototypes exactly, every
+    vector's quantization error is zero, and ADC retrieval of any
+    corpus vector returns itself at distance ~0."""
+    from iot_etl_spark.extensions.ann import pq_train, pq_encode, pq_adc_topk
+
+    m, k, dsub = 4, 4, 2
+    protos = [[[10.0 * c + s, 5.0 * c - 2.0 * s] for c in range(k)] for s in range(m)]
+
+    def vec(combo):
+        out = []
+        for s, c in enumerate(combo):
+            out.extend(protos[s][c])
+        return out
+
+    combos = [(c, c, c, c) for c in range(k)]  # seeds: all prototypes
+    seen = set(combos)
+    i = 0
+    while len(combos) < 30:  # unique mixed-radix combos
+        combo = (i % k, (i // k) % k, (i // k**2) % k, (i // k**3) % k)
+        if combo not in seen:
+            combos.append(combo)
+            seen.add(combo)
+        i += 1
+    rows = [(vid, vec(c)) for vid, c in enumerate(combos)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, emb ARRAY<DOUBLE>")
+
+    books = pq_train(emb, m=m, k=k, iters=2)
+    assert books.count() == m * k
+    codes = pq_encode(emb, books, m=m)
+    got = {r.vec_id: r.codes for r in codes.collect()}
+    assert len(got) == len(combos)
+    assert all(len(c) == m and all(0 <= x < k for x in c) for c in got.values())
+    # codes are a permutation-relabelled copy of the combos: equal
+    # combos <=> equal codes
+    for vid, combo in enumerate(combos):
+        for vid2, combo2 in enumerate(combos):
+            if combo == combo2:
+                assert got[vid] == got[vid2]
+
+    target = 17
+    top = pq_adc_topk(codes, books, rows[target][1], top_k=1, m=m, k=k).collect()
+    assert top[0].vec_id == target
+    assert abs(top[0].adc_dist) < 1e-9

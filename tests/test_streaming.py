@@ -330,7 +330,11 @@ def test_stateful_ewma_state_survives_across_batches(spark):
         # final state covers all 9 events.
         all_values = [float(10 + i) for i in range(4)] + [float(50 + i) for i in range(4, 9)]
         rows = sorted(spark.table(name).collect(), key=lambda r: r.n_events)
-        assert rows[0].n_events == 4  # first trigger saw exactly b1
+        # at least two emissions (b2 was a separate trigger), and the
+        # first one predates b2 — but b1's part-files may themselves
+        # split across micro-batches under load, so only bound it.
+        assert len(rows) >= 2
+        assert rows[0].n_events <= 4
         assert rows[-1].n_events == 9  # final state covers everything
         for r in rows:
             expected = _fold_ewma(all_values[: r.n_events], None, 0.2)
