@@ -1547,3 +1547,61 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value"),
         )
     )
+
+
+# ------------------------------------------------ time-weighted average
+_TWA_ORACLE = f"""
+WITH t AS (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value, event_id
+    FROM events WHERE value IS NOT NULL
+),
+d AS (
+    SELECT user_id, value,
+           LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us
+               AS dt_us
+    FROM t
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       SUM(dt_us) AS total_dt_us,
+       SUM(CAST(ROUND(value * dt_us / 10000.0, 0) AS BIGINT)) AS weighted_units,
+       SUM(CAST(ROUND(value * dt_us / 10000.0, 0) AS BIGINT)) * 10000.0 / SUM(dt_us)
+           AS time_weighted_avg
+FROM d WHERE dt_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("time_weighted_avg", oracle=_TWA_ORACLE)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per device (the TimescaleDB toolkit
+    ``time_weight('LOCF', ...)`` capability): each reading is weighted
+    by how long it stayed current — the honest mean for irregularly
+    sampled sensors, where the plain AVG over-counts burst periods.
+    ``lead`` supplies each interval's duration (an O(n) offset frame,
+    NOT an unbounded-following frame); the last reading of a device
+    has no duration and is excluded, standard LOCF-integral semantics.
+
+    Cross-engine determinism: per-interval weights quantize to integer
+    units (exact BIGINT sums, order-independent) and the final ratio
+    of exact integers is one deterministic IEEE division, emitted
+    unrounded. Scale: one shuffle on user_id shared by the window and
+    the aggregate (exchange reuse); sums stay < 2^63 up to ~1e5
+    device-years at 1e6-unit values."""
+    t = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = t.select(
+        "user_id", "value",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    units = F.round(F.col("value") * F.col("dt_us") / 10000.0, 0).cast("long")
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("total_dt_us"),
+        F.sum(units).alias("weighted_units"),
+        (F.sum(units) * 10000.0 / F.sum("dt_us")).alias("time_weighted_avg"),
+    )
