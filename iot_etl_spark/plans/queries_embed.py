@@ -289,3 +289,65 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
+
+
+# ------------------------------------------------ int8 scalar quantization
+_INT8_ORACLE = """
+WITH s AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+    FROM embeddings
+),
+e AS (
+    SELECT label, maxabs,
+           list_sum(list_transform(v, x ->
+               abs(x - LEAST(127.0, GREATEST(-127.0,
+                       FLOOR(x * 127.0 / maxabs + 0.5))) * maxabs / 127.0)))
+               / len(v) AS mae
+    FROM s WHERE maxabs > 0
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(maxabs), 6) AS avg_scale,
+       ROUND(AVG(mae), 6) AS avg_mae
+FROM e GROUP BY label
+"""
+
+
+@query("embedding_int8_quant", oracle=_INT8_ORACLE)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization audit — the storage-scale
+    path for embedding columns (4 bytes/dim -> 1, the standard
+    vector-DB compression next to PQ's m-bytes-per-vector): each
+    vector's scale is its max |component|, codes are
+    floor(x * 127 / scale + 0.5) clamped to [-127, 127], and the
+    report is per-label reconstruction MAE.
+
+    The per-vector scale is referenced by every element's quantize
+    AND dequantize, so it is bound once via the expression-level let
+    (transform over a singleton array) — inlined, Catalyst would
+    recompute the array_max per element, O(d^2) per vector. All math
+    is identical-expression IEEE on both engines; only the per-label
+    AVG carries accumulation noise, absorbed by ROUND 6.
+
+    Scale: pure map-side column math (no shuffle until the |labels|-row
+    rollup); at 100 TB this runs at scan speed and writes 1 byte/dim."""
+    body = (
+        "transform(array(array_max(transform(embedding, x -> abs(cast(x as double))))), m -> "
+        "struct(m AS maxabs, "
+        "aggregate(transform(embedding, x -> "
+        "abs(cast(x as double) - least(127.0d, greatest(-127.0d, "
+        "floor(cast(x as double) * 127.0d / m + 0.5d))) * m / 127.0d)), "
+        "cast(0.0 as double), (a, e) -> a + e) / size(embedding) AS mae))[0]"
+    )
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.expr(body).alias("s"))
+        .filter(F.col("s.maxabs") > 0)
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("s.maxabs"), 6).alias("avg_scale"),
+        F.round(F.avg("s.mae"), 6).alias("avg_mae"),
+    )
