@@ -338,3 +338,61 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return name, spark.table(name)
+
+
+def parse_with_dlq(df: DataFrame, json_col: str = "json_value") -> DataFrame:
+    """Wire decode that PRESERVES the raw message next to the parsed
+    fields and flags undecodable rows — the input stage of the
+    dead-letter-queue pattern. A malformed payload (broken JSON or an
+    unparseable time) must never kill the stream OR vanish silently:
+    it routes to a quarantine sink for replay after a decoder fix."""
+    return (
+        df.select(
+            F.col(json_col).alias("raw_json"),
+            F.from_json(F.col(json_col), SENSOR_READING_SCHEMA).alias("data"),
+        )
+        .select("raw_json", "data.*")
+        .withColumn("time", F.col("time").try_cast("timestamp"))
+        .withColumn(
+            "is_malformed",
+            F.col("device_id").isNull() | F.col("time").isNull(),
+        )
+    )
+
+
+def run_dlq_split(
+    parsed: DataFrame,
+    valid_path: str,
+    dlq_path: str,
+    checkpoint_root: str,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+):
+    """Fan the parse stage into a valid sink and a dead-letter sink
+    (two independent checkpointed queries off one lineage, the T7
+    shape applied to data quality): decoded rows append to
+    ``valid_path``; undecodable rows keep their ORIGINAL bytes in
+    ``dlq_path`` for later replay. Returns both query handles.
+
+    Scale: the split is a stateless filter per sink — no extra
+    shuffle; the DLQ sink sees only the malformed trickle."""
+    valid_q = (
+        parsed.filter(~F.col("is_malformed"))
+        .drop("raw_json", "is_malformed")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", valid_path)
+        .option("checkpointLocation", f"{checkpoint_root}/valid")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+    dlq_q = (
+        parsed.filter(F.col("is_malformed"))
+        .select("raw_json")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dlq_path)
+        .option("checkpointLocation", f"{checkpoint_root}/dlq")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+    return valid_q, dlq_q

@@ -490,3 +490,45 @@ def test_dedup_stream_collapses_within_hour_and_across_batches(spark):
         assert got == [(1, "view", 12), (1, "view", 13)], rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dlq_split_quarantines_malformed_rows(spark):
+    """DLQ pattern: decodable rows land in the valid sink without the
+    plumbing columns; undecodable rows (broken JSON, bad time) land in
+    the dead-letter sink with their ORIGINAL bytes intact."""
+    from iot_etl_spark.streaming.pipeline import parse_with_dlq, run_dlq_split
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_dlq_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        good = ('{"device_id":"TEMP-001","device_type":"temperature",'
+                '"time":"2024-01-03T09:00:00","value":21.5,"unit":"C",'
+                '"quality_score":90,"is_anomaly":false,"metadata":"{}"}')
+        bad_json = '{"device_id": broken'
+        bad_time = good.replace("2024-01-03T09:00:00", "not-a-time")
+        with open(os.path.join(src, "batch.jsonl"), "w") as f:
+            f.write("\n".join([good, bad_json, bad_time]) + "\n")
+
+        raw = (
+            spark.readStream.text(src).withColumnRenamed("value", "json_value")
+        )
+        parsed = parse_with_dlq(raw)
+        vq, dq = run_dlq_split(
+            parsed, f"{tmp}/valid", f"{tmp}/dlq", f"{tmp}/ckpt", trigger_seconds=1
+        )
+        try:
+            vq.processAllAvailable()
+            dq.processAllAvailable()
+        finally:
+            vq.stop()
+            dq.stop()
+
+        valid = spark.read.parquet(f"{tmp}/valid")
+        assert valid.count() == 1
+        assert "raw_json" not in valid.columns and "is_malformed" not in valid.columns
+        assert valid.collect()[0].device_id == "TEMP-001"
+        dlq = {r.raw_json for r in spark.read.parquet(f"{tmp}/dlq").collect()}
+        assert dlq == {bad_json, bad_time}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
