@@ -185,3 +185,26 @@ def compact_partitions(
     for root, _dirs, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+def append_evolved(df: DataFrame, path: str) -> None:
+    """Append a batch whose schema may have GAINED columns since the
+    table was created (the long-lived-table reality: firmware adds a
+    sensor field, the wire contract grows). Parquet appends are
+    per-file self-describing, so widening is always safe; readers opt
+    into the union view via ``read_evolved``."""
+    df.write.mode("append").parquet(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Union-schema read over a table written by batches with
+    different (widening) schemas: ``mergeSchema`` unions the footers;
+    files written before a column existed yield NULLs for it —
+    exactly the ALTER TABLE ADD COLUMN semantics of the reference's
+    warehouse, with no rewrite of old data.
+
+    Scale note: schema merging reads every file footer at planning
+    time — at 100 TB pin the merged schema in a catalog/metastore
+    after each widening instead of re-deriving it per query; column
+    pruning and filter pushdown work unchanged either way."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -319,3 +319,35 @@ def test_zorder_layout_bounds_both_dimensions(spark):
         assert avg_norm_span(f"{tmp}/t", "ts_epoch") < 0.3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_schema_evolution_widening_append(spark):
+    """A batch with a new column appends without rewriting old files;
+    the merged read NULLs the column for pre-widening rows, and
+    projection/pushdown still prune at the scan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iot_etl_spark.warehouse.lifecycle import append_evolved, read_evolved
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_evolve_")
+    try:
+        v1 = spark.createDataFrame(
+            [(1, 21.5), (2, 22.0)], "event_id LONG, value DOUBLE"
+        )
+        v2 = spark.createDataFrame(
+            [(3, 23.0, 85)], "event_id LONG, value DOUBLE, quality_score INT"
+        )
+        append_evolved(v1, f"{tmp}/t")
+        append_evolved(v2, f"{tmp}/t")
+        out = read_evolved(spark, f"{tmp}/t")
+        assert set(out.columns) == {"event_id", "value", "quality_score"}
+        rows = {r.event_id: r for r in out.collect()}
+        assert rows[1].quality_score is None and rows[3].quality_score == 85
+        # old column predicates still push down on the merged view
+        plan = out.filter(F.col("event_id") == 3)._jdf.queryExecution().toString()
+        assert "PushedFilters: [IsNotNull(event_id), EqualTo(event_id,3)" in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
