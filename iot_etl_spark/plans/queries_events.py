@@ -1605,3 +1605,42 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(units).alias("weighted_units"),
         (F.sum(units) * 10000.0 / F.sum("dt_us")).alias("time_weighted_avg"),
     )
+
+
+# ------------------------------------------------ correlation aggregates
+_CORR_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_values,
+       ROUND(CORR(value, hod), 6) AS corr_value_hour,
+       ROUND(COVAR_SAMP(value, hod), 6) AS covar_value_hour
+FROM (
+    SELECT event_type, value,
+           CAST(EXTRACT(hour FROM {DUCK_TS}) AS DOUBLE) AS hod
+    FROM events WHERE value IS NOT NULL
+)
+GROUP BY event_type
+"""
+
+
+@query("value_time_correlation", oracle=_CORR_ORACLE)
+def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates — Pearson correlation and
+    sample covariance of reading value vs hour-of-day per event type
+    (does this sensor breathe with the day cycle?). Extends the
+    reference's aggregate family, which stops at STDDEV. Hour-of-day
+    (not raw epoch) keeps the co-moment arithmetic well-conditioned.
+
+    Scale: corr/covar are single-pass mergeable co-moment aggregates
+    (partial maps combine like sums) — same shuffle shape as AVG."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", "value", F.hour("ts").cast("double").alias("hod")
+        )
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.corr("value", "hod"), 6).alias("corr_value_hour"),
+        F.round(F.covar_samp("value", "hod"), 6).alias("covar_value_hour"),
+    )
