@@ -1644,3 +1644,48 @@ def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("value", "hod"), 6).alias("corr_value_hour"),
         F.round(F.covar_samp("value", "hod"), 6).alias("covar_value_hour"),
     )
+
+
+# ------------------------------------------------ sensor drift (OLS slope)
+_DRIFT_ORACLE = f"""
+WITH t AS (
+    SELECT user_id, value,
+           ({DUCK_TS_EPOCH} - MIN({DUCK_TS_EPOCH}) OVER (PARTITION BY user_id))
+               / 3600.0 AS hours_since_first
+    FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       COUNT(*) AS n_values,
+       ROUND(REGR_SLOPE(value, hours_since_first), 6) AS drift_per_hour,
+       ROUND(REGR_INTERCEPT(value, hours_since_first), 6) AS baseline_value
+FROM t GROUP BY user_id
+"""
+
+
+@query("sensor_drift", oracle=_DRIFT_ORACLE)
+def sensor_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device sensor drift: the OLS slope of value over hours
+    since the device's first reading — the calibration-decay signal a
+    fleet-maintenance pipeline alerts on. Time is centered per device
+    (hours since first reading, a window MIN) BEFORE the regression:
+    raw epoch abscissas (~1.7e9 s) would lose ~6 digits of the
+    variance to cancellation and flake the 6-decimal oracle round.
+
+    Scale: one shuffle on user_id shared by the centering window and
+    the regression aggregate (exchange reuse); REGR_* are single-pass
+    mergeable co-moments like AVG."""
+    w = Window.partitionBy("user_id")
+    t = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id", "value",
+            ((_ts_epoch() - F.min(_ts_epoch()).over(w)) / 3600.0)
+                .alias("hours_since_first"),
+        )
+    )
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.regr_slope("value", "hours_since_first"), 6).alias("drift_per_hour"),
+        F.round(F.regr_intercept("value", "hours_since_first"), 6).alias("baseline_value"),
+    )
