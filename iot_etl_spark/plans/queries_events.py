@@ -1689,3 +1689,55 @@ def sensor_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("value", "hours_since_first"), 6).alias("drift_per_hour"),
         F.round(F.regr_intercept("value", "hours_since_first"), 6).alias("baseline_value"),
     )
+
+
+# ------------------------------------------------ top-N per group
+TOP_N_PER_GROUP = 3
+
+_TOPN_ORACLE = f"""
+WITH s AS (
+    SELECT event_type, user_id,
+           COUNT(*) AS n_readings,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type
+        ORDER BY avg_value DESC, user_id
+    ) AS rank_in_type
+    FROM s
+)
+SELECT event_type, user_id, n_readings, avg_value, rank_in_type
+FROM r WHERE rank_in_type <= {TOP_N_PER_GROUP}
+"""
+
+
+@query("top_devices_per_type", oracle=_TOPN_ORACLE)
+def top_devices_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — the highest-average devices within each event
+    type (the per-category leaderboard ORDER BY+LIMIT cannot express):
+    row_number over a per-type window, filtered to the first
+    {TOP_N_PER_GROUP}, (avg_value, user_id) tiebreak for determinism.
+
+    Scale: the aggregate collapses the fact to |types|x|devices| rows
+    BEFORE the rank window touches anything, and the window sort is
+    per-partition (global=false in the plan) — no global sort, no
+    TakeOrdered over raw data."""
+    s = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("avg_value").desc(), F.col("user_id")
+    )
+    return (
+        s.withColumn("rank_in_type", F.row_number().over(w))
+        .filter(F.col("rank_in_type") <= TOP_N_PER_GROUP)
+    )
