@@ -208,3 +208,35 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     after each widening instead of re-deriving it per query; column
     pruning and filter pushdown work unchanged either way."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """Reconcile two snapshots of a table: full outer join on the key,
+    classify every row as added / removed / changed / unchanged by
+    comparing a hash of the non-key columns. The audit step of any
+    backfill or migration ("what exactly did the rerun change?") and
+    the input to an incremental publish (ship only added+changed).
+
+    Scale: one shuffle per side on the key; the non-key comparison is
+    a single xxhash64 over a struct (no per-column join conditions),
+    and unchanged rows can be filtered before any downstream write."""
+    val_cols = [c for c in new.columns if c not in key_cols]
+    kl = list(key_cols)
+
+    def hashed(df, tag):
+        return df.select(
+            *kl, F.xxhash64(F.struct(*[F.col(c) for c in val_cols])).alias(f"_h_{tag}")
+        )
+
+    j = hashed(old, "old").join(hashed(new, "new"), kl, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*kl, status.alias("diff_status"))

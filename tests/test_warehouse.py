@@ -351,3 +351,23 @@ def test_schema_evolution_widening_append(spark):
         assert "PushedFilters: [IsNotNull(event_id), EqualTo(event_id,3)" in plan
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_snapshot_diff_classifies_rows(spark):
+    """snapshot_diff: added/removed/changed/unchanged per key, NULL
+    value columns compared safely through the struct hash."""
+    from iot_etl_spark.warehouse.lifecycle import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id LONG, name STRING, score DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b", 20.0),        # changed (NULL -> value)
+         (4, "D", 40.0),        # changed (name case)
+         (5, "e", 50.0)],       # added; id 3 removed
+        "id LONG, name STRING, score DOUBLE",
+    )
+    out = {r.id: r.diff_status for r in snapshot_diff(old, new, ("id",)).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "changed", 5: "added"}
