@@ -100,3 +100,25 @@ def test_cli_list_and_unknown_query(capsys):
 
     assert sorted(registry.QUERIES) == out
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_write_with_audit_collects_metrics_in_one_action(spark, tmp_path):
+    """Observation-based audit: the write itself yields row counts and
+    custom metrics — no second scan (the reference re-executed the
+    lineage per count() audit; SURVEY §4 anti-pattern)."""
+    from pyspark.sql import functions as F
+
+    from iot_etl_spark.pipeline.batch import write_with_audit
+    from iot_etl_spark.sources.tables import load_events
+    from tests.conftest import SF_DIR
+
+    ev = load_events(spark, SF_DIR).select("event_id", "user_id", "value")
+    got = write_with_audit(
+        ev,
+        f"{tmp_path}/out",
+        metrics={"null_values": F.sum(F.col("value").isNull().cast("long"))},
+        mode="overwrite",
+    )
+    written = spark.read.parquet(f"{tmp_path}/out")
+    assert got["rows_written"] == written.count()
+    assert got["null_values"] == written.filter(F.col("value").isNull()).count()
