@@ -317,3 +317,60 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+# ------------------------------------------- TPC-H Q10 (returned items)
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+           AS lost_revenue_cents,
+       COUNT(*) AS n_returned_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — which customers returned the most revenue:
+    the returned-lineitem fact filtered at the scan (l_returnflag
+    pushdown), joined up the customer->nation dimension chain, grouped
+    per customer, top-20 by lost revenue (TakeOrderedAndProject, no
+    global sort). Revenue in exact integer cents.
+
+    Scale: the returnflag filter prunes ~75% of lineitem before any
+    join; orders->lineitem is the one fact-fact shuffle; customer and
+    nation broadcast at dimension scale (AQE decides customer)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(cents).alias("lost_revenue_cents"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.col("lost_revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
