@@ -396,3 +396,31 @@ def run_dlq_split(
         .start()
     )
     return valid_q, dlq_q
+
+
+def query_progress_summary(query) -> list[dict]:
+    """Monitoring surface for a running StreamingQuery — the
+    Spark-native analog of the reference's monitoring consumer
+    (``stream_etl/kafka_consumer.py``, SURVEY S15): per-micro-batch
+    input rows, processing rates, and the event-time watermark, read
+    from the engine's own progress telemetry instead of a second
+    subscriber re-reading the topic. One dict per retained progress
+    event (most recent last)."""
+    out = []
+    for p in query.recentProgress:
+        if p is None:
+            continue
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "num_input_rows": p.get("numInputRows", 0),
+                "input_rows_per_second": p.get("inputRowsPerSecond"),
+                "processed_rows_per_second": p.get("processedRowsPerSecond"),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+                "state_rows": sum(
+                    (s or {}).get("numRowsTotal", 0)
+                    for s in (p.get("stateOperators") or [])
+                ),
+            }
+        )
+    return out

@@ -532,3 +532,44 @@ def test_dlq_split_quarantines_malformed_rows(spark):
         assert dlq == {bad_json, bad_time}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_query_progress_summary_reports_engine_telemetry(spark):
+    """The monitoring surface (S15 analog) reads per-batch rows, rates
+    and watermark from the engine's own progress events — total input
+    rows across batches must equal what actually flowed through."""
+    from iot_etl_spark.streaming.pipeline import (
+        query_progress_summary,
+        windowed_aggregate,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_progress_")
+    try:
+        base = datetime.datetime(2024, 1, 5, 8, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        rows = [(i, base + datetime.timedelta(seconds=i), 1, "view", float(i), None)
+                for i in range(7)]
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+        ).write.parquet(os.path.join(src, "b1"))
+
+        stream = read_stream_source(spark, "parquet", path=src + "/*")
+        agg = windowed_aggregate(stream, window="1 minute", watermark="2 minutes")
+        import uuid
+        q = (agg.writeStream.outputMode("append").format("memory")
+             .queryName(f"prog_{uuid.uuid4().hex[:6]}")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            prog = query_progress_summary(q)
+        finally:
+            q.stop()
+        assert prog, "no progress events retained"
+        assert sum(p["num_input_rows"] for p in prog) == len(rows)
+        # the watermarked agg holds state; a progress event reports it
+        assert any(p["state_rows"] > 0 for p in prog)
+        assert any(p["watermark"] for p in prog)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
