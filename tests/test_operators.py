@@ -244,3 +244,18 @@ def test_time_grid_gapfill_edges(spark, tmp_path):
     # non-gap buckets echo their own average
     assert not out[b[3]].is_gap and out[b[3]].avg_value == 30.0
     assert out[b[3]].value_interp == 30.0 and out[b[3]].reading_count == 2
+
+
+def test_join_medium_dim_plans_shuffled_hash_join(spark):
+    """SHUFFLE_HASH hint: no sort of the fact side, no broadcast —
+    a ShuffledHashJoin node with exchanges on the key."""
+    from iot_etl_spark.operators.enrich import join_medium_dim
+    from iot_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    j = join_medium_dim(li, orders, li.l_orderkey == orders.o_orderkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
