@@ -1741,3 +1741,54 @@ def top_devices_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rank_in_type", F.row_number().over(w))
         .filter(F.col("rank_in_type") <= TOP_N_PER_GROUP)
     )
+
+
+# ------------------------------------------------ referential integrity
+_RI_ORACLE = """
+SELECT 'events.user_id->customer' AS fk, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+UNION ALL
+SELECT 'orders.o_custkey->customer' AS fk, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@query("referential_integrity_audit", oracle=_RI_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the
+    constraint checking the reference delegated to PostgreSQL FKs
+    (`create_dwh_schema.sql`), which a data-lake warehouse must run as
+    a batch assertion instead: per FK edge, total rows and rows whose
+    parent is missing.
+
+    Scale: each edge is one LEFT join counting parent misses — the
+    dimension side broadcasts; for fact-fact edges the join rides the
+    orderkey shuffle (or the bucketed layout). Emitting counts (not
+    orphan rows) keeps output O(edges)."""
+
+    def edge(fk, child, ckey, parent, pkey):
+        p = F.broadcast(parent.select(F.col(pkey).alias("__pk")))
+        j = child.select(F.col(ckey).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left"
+        )
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__pk").isNull().cast("int")).cast("long").alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    ev = load_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        edge("events.user_id->customer", ev, "user_id", cust, "c_custkey")
+        .unionAll(edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionAll(edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"))
+    )
