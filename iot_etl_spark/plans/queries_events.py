@@ -1792,3 +1792,68 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"))
         .unionAll(edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"))
     )
+
+
+# ------------------------------------------------ seasonal residuals
+_SEASONAL_ORACLE = f"""
+WITH s AS (
+    SELECT event_type, value,
+           AVG(value) OVER w AS cell_avg,
+           STDDEV(value) OVER w AS cell_std
+    FROM (
+        SELECT event_type, value,
+               EXTRACT(dow FROM {DUCK_TS}) AS dow,
+               EXTRACT(hour FROM {DUCK_TS}) AS hod
+        FROM events WHERE value IS NOT NULL
+    )
+    WINDOW w AS (PARTITION BY event_type, dow, hod)
+)
+SELECT event_type,
+       COUNT(*) AS n_values,
+       CAST(SUM(CASE WHEN cell_std > 0
+                      AND ABS(value - cell_avg) > 3 * cell_std
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_seasonal_anomalies,
+       ROUND(AVG(ABS(value - cell_avg)), 6) AS mean_abs_residual
+FROM s GROUP BY event_type
+"""
+
+
+@query("seasonal_residual_anomaly", oracle=_SEASONAL_ORACLE)
+def seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: the expectation is the
+    (event_type, day-of-week, hour-of-day) cell mean — a reading is
+    anomalous only if it deviates >3 sigma from what THAT hour of THAT
+    weekday normally looks like. The plain z-score (W5/W6) flags every
+    rush-hour peak; this is the residual after the daily/weekly
+    seasonality the reference's hour-of-day and weekend profiles
+    (A10/A11) describe but never fold back into detection.
+
+    Scale: one shuffle on the seasonal cell key for the window pass
+    (168 x |types| cells — fine grain for parallelism, coarse enough
+    that every cell has mass), then a tiny per-type rollup. Same
+    whole-partition frame as W5; dow convention shifted to match
+    engines."""
+    w = Window.partitionBy("event_type", "dow", "hod")
+    s = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", "value",
+            (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod"),
+        )
+        .select(
+            "event_type", "value",
+            F.avg("value").over(w).alias("cell_avg"),
+            F.stddev("value").over(w).alias("cell_std"),
+        )
+    )
+    flagged = (
+        (F.col("cell_std") > 0)
+        & (F.abs(F.col("value") - F.col("cell_avg")) > 3 * F.col("cell_std"))
+    )
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(flagged.cast("int")).cast("long").alias("n_seasonal_anomalies"),
+        F.round(F.avg(F.abs(F.col("value") - F.col("cell_avg"))), 6)
+            .alias("mean_abs_residual"),
+    )
