@@ -1857,3 +1857,51 @@ def seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs(F.col("value") - F.col("cell_avg"))), 6)
             .alias("mean_abs_residual"),
     )
+
+
+# ------------------------------------------------ device availability
+_AVAILABILITY_ORACLE = f"""
+WITH b AS (
+    SELECT user_id, {duck_bucket_epoch('hour')} AS bucket
+    FROM events GROUP BY 1, 2
+),
+e AS (
+    SELECT user_id,
+           COUNT(*) AS present_hours,
+           (MAX(bucket) - MIN(bucket)) / 3600 + 1 AS expected_hours
+    FROM b GROUP BY user_id
+)
+SELECT user_id, present_hours, CAST(expected_hours AS BIGINT) AS expected_hours,
+       CAST(present_hours AS DOUBLE) / expected_hours AS availability
+FROM e
+"""
+
+
+@query("device_availability", oracle=_AVAILABILITY_ORACLE)
+def device_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device availability — the fleet-health KPI: of the hourly
+    heartbeat slots between a device's first and last reading, what
+    fraction have at least one reading (the aggregate twin of
+    `time_grid_gapfill`, which materializes the missing slots).
+
+    All-integer arithmetic until one deterministic division (emitted
+    unrounded — exact-int inputs give identical doubles on both
+    engines). Scale: two stacked aggregates on user_id, one shuffle
+    total; output is one row per device."""
+    b = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id", _bucket_epoch("hour").alias("bucket"))
+        .agg(F.lit(1))
+    )
+    e = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("present_hours"),
+        ((F.max("bucket") - F.min("bucket")) / F.lit(3600)).cast("long")
+            .alias("expected_gap"),
+    )
+    return e.select(
+        "user_id",
+        "present_hours",
+        (F.col("expected_gap") + 1).alias("expected_hours"),
+        (F.col("present_hours").cast("double") / (F.col("expected_gap") + 1))
+            .alias("availability"),
+    )
