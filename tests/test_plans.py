@@ -48,7 +48,8 @@ def test_dim_joins_broadcast(spark):
 def test_topk_compiles_to_take_ordered(spark):
     """ORDER BY + LIMIT never runs a global sort."""
     for name in ["enriched_lineitem_topk", "recent_anomalies_topk",
-                 "sql_shipping_priority", "token_heavy_hitters"]:
+                 "sql_shipping_priority", "token_heavy_hitters",
+                 "q10_returned_items"]:
         plan, _ = _plans(spark, name)
         assert "TakeOrderedAndProject" in plan, name
         assert "], true, 0" not in plan, name  # no global Sort node
@@ -61,7 +62,8 @@ def test_row_level_outputs_have_no_global_sort(spark):
     per-partition (global=false) and allowed."""
     for name in ["zscore_anomaly", "lag_features", "rolling_window_stats",
                  "text_quality_stats", "simhash_fingerprint", "doc_chunks",
-                 "repetition_stats"]:
+                 "repetition_stats", "time_grid_gapfill", "value_histogram",
+                 "top_devices_per_type", "sensor_drift"]:
         plan, _ = _plans(spark, name)
         assert "], true, 0" not in plan, name
 
