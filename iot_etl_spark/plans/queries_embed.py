@@ -351,3 +351,50 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("s.maxabs"), 6).alias("avg_scale"),
         F.round(F.avg("s.mae"), 6).alias("avg_mae"),
     )
+
+
+# ------------------------------------------- per-dimension statistics
+_DIM_STATS_ORACLE = """
+WITH x AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+)
+SELECT dim,
+       COUNT(*) AS n,
+       ROUND(AVG(v), 6) AS mean_v,
+       ROUND(STDDEV(v), 6) AS stddev_v,
+       ROUND(MIN(v), 6) AS min_v,
+       ROUND(MAX(v), 6) AS max_v
+FROM x GROUP BY dim ORDER BY dim
+"""
+
+
+@query("embedding_dim_stats", oracle=_DIM_STATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (mean/std/min/max over each of
+    the 64 coordinates) — the profiling pass before feature scaling,
+    PCA whitening, or quantizer training (the int8 path in
+    embedding_int8_quant assumes symmetric ranges; this query is how
+    you check that).
+
+    Scale: posexplode fans each vector into 64 (dim, value) rows
+    map-side, then ONE hash aggregate on a 64-value key — partial
+    aggregation collapses the fan-out before the shuffle, so network
+    traffic is O(partitions x 64), independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+        .alias("dim", "v")
+    ).select(F.col("dim").cast("long").alias("dim"), "v")
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev("v"), 6).alias("stddev_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .orderBy("dim")
+    )

@@ -813,3 +813,142 @@ def sample_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first(rate), 6).alias("target_rate"),
         F.round(F.sum(keep) / F.count(F.lit(1)), 6).alias("realized_rate"),
     )
+
+
+# ------------------------------------------- percentile quality gating
+# Keep the top quartile of each source by a quality score — the
+# distribution-relative filter step of a curation pipeline (absolute
+# thresholds drift across sources; percentile gates don't). The score
+# here is the doc's word count; any numeric signal slots in.
+QUALITY_GATE_CDF = 0.75
+
+_GATE_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+    FROM documents
+)
+SELECT doc_id, source, n_words,
+       ROUND(cume_dist() OVER (PARTITION BY source ORDER BY n_words), 6) AS cdf,
+       cume_dist() OVER (PARTITION BY source ORDER BY n_words) >= {QUALITY_GATE_CDF}
+           AS kept
+FROM s
+"""
+
+
+@query("quality_percentile_gate", oracle=_GATE_ORACLE)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile gate: CUME_DIST of the quality score
+    within each source stratum, keep docs at or above the 75th
+    percentile. CUME_DIST is tie-stable (equal scores share a value),
+    so the gate is deterministic without a tiebreak — unlike a
+    row_number cut, identical-quality docs are kept or dropped
+    together.
+
+    Scale: one shuffle on source (the stratum key); each partition
+    sorts locally. Sources are few and large at 100 TB, so skew is the
+    hazard — the documented swap is approx_percentile per source
+    (broadcast the cut points back) which drops the per-row window
+    entirely and goes map-side."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.size(_words()).cast("long").alias("n_words")
+    )
+    w = Window.partitionBy("source").orderBy("n_words")
+    cdf = F.cume_dist().over(w)
+    return scored.select(
+        "doc_id", "source", "n_words",
+        F.round(cdf, 6).alias("cdf"),
+        (cdf >= QUALITY_GATE_CDF).alias("kept"),
+    )
+
+
+# ---------------------------------------------- BPE-style token counting
+# A GPT-2-ish pre-tokenizer regex (letter runs | digit runs | punct
+# runs), ASCII classes only so Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte. Word-split counting (token_count_by_lang)
+# undercounts punctuation-heavy text; this is the budget number a
+# tokenizer actually sees (~1 BPE token per regex piece, pre-merges).
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n]+"
+
+_BPE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           regexp_extract_all(text, '{_BPE_PATTERN}') AS toks
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(toks)), 6) AS avg_tokens_per_doc,
+       ROUND(SUM(list_sum(list_transform(toks, x -> len(x)))::DOUBLE)
+             / SUM(len(toks)), 6) AS avg_token_len
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@query("bpe_token_stats", oracle=_BPE_ORACLE)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-facing budget stats: pre-tokenize with the BPE-style
+    regex, count tokens + mean token length per language. One
+    regexp_extract_all per doc, then a hash aggregate — map-side
+    partials, no shuffle beyond the 5-row lang key; runs at scan speed
+    at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)").alias("toks")
+    ).select(
+        "lang",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("tok_chars"),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 6).alias("avg_tokens_per_doc"),
+            F.round(F.sum("tok_chars") / F.sum("n_toks"), 6).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------------------------- text normalization
+_NORM_ORACLE = """
+WITH n AS (
+    SELECT doc_id, n_chars,
+           trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g')) AS norm
+    FROM documents
+)
+SELECT doc_id, n_chars,
+       len(norm) AS norm_chars,
+       len(norm) <> n_chars AS changed,
+       md5(norm) AS norm_digest
+FROM n
+"""
+
+
+@query("text_normalize_stats", oracle=_NORM_ORACLE)
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace canonicalization (collapse runs -> single space,
+    trim) with a content digest of the normalized form — the cleanup
+    pass that runs BEFORE exact dedup so cosmetic whitespace diffs
+    don't defeat the digest key. Pure per-row column ops, zero
+    shuffle; the explicit [ \\t\\r\\n] class sidesteps the one place
+    Java regex and RE2 disagree on \\s (vertical tab)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), "[ \\t\\r\\n]+", " "))
+    # expression-let: digest + length both consume norm; bind once
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.length(norm).cast("long").alias("norm_chars"),
+        (F.length(norm) != F.col("n_chars")).alias("changed"),
+        F.md5(norm).alias("norm_digest"),
+    )
