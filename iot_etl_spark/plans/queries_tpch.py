@@ -374,3 +374,74 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue_cents").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ----------------------------------------------------------- TPC-H Q17
+Q17_BRAND = "Brand#23"
+Q17_MAX_SIZE = 25
+
+_Q17_ORACLE = f"""
+WITH pf AS (
+    SELECT p_partkey FROM part
+    WHERE p_brand = '{Q17_BRAND}' AND p_size <= {Q17_MAX_SIZE}
+),
+li AS (
+    SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+    FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+),
+a AS (
+    SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+    FROM li GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(li.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(SUM(CAST(ROUND(li.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           / 700.0 AS avg_yearly
+FROM li JOIN a ON li.l_partkey = a.l_partkey
+WHERE li.l_quantity < a.qty_limit
+"""
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of a
+    brand/size part slice whose quantity is below 20% of that part's
+    average quantity — the correlated-aggregate-subquery pattern,
+    decorrelated the way Catalyst plans it: semi-reduce lineitem by
+    the broadcast part slice, ONE shuffle on l_partkey computing the
+    per-part average as a window, filter, aggregate to a single row.
+
+    Scale: the part slice is ~1/250 of the dim -> always broadcast;
+    lineitem is reduced by that factor BEFORE its only shuffle. On a
+    real cluster the same join also arms a runtime Bloom filter on
+    l_partkey that prunes lineitem row groups at the scan (pinned by
+    the plan suite with lowered injection thresholds — the optimizer
+    injects it automatically past 10 GB scans, no code change).
+    avg_yearly is emitted UNROUNDED: it derives from an exact integer
+    cents sum via one IEEE division, bit-identical on both engines.
+    The 0.2*avg threshold compare is exact too (integer quantities,
+    group sums < 2^53)."""
+    from pyspark.sql import Window
+
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == Q17_BRAND) & (F.col("p_size") <= Q17_MAX_SIZE))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.withColumn("qty_limit", 0.2 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents).alias("revenue_cents"),
+            (F.sum(cents) / 700.0).alias("avg_yearly"),
+        )
+    )

@@ -97,3 +97,57 @@ def test_column_pruning_reaches_scans(spark):
         schemas = [ln for ln in full.splitlines() if "ReadSchema" in ln]
         assert schemas, name
         assert not any(banned in ln for ln in schemas), (name, banned, schemas)
+
+
+def test_q17_broadcasts_part_slice_and_single_shuffle(spark):
+    """Q17's decorrelated shape: the part slice joins broadcast; the
+    only Exchange is the l_partkey window shuffle."""
+    plan, _ = _plans(spark, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """With injection thresholds lowered to local-test scale, Catalyst
+    arms a runtime Bloom filter from the selective part slice onto the
+    lineitem scan (might_contain over bloom_filter_agg) — the
+    mechanism that prunes fact row groups on a 100 TB scan without any
+    code change. Pinned here so a refactor of Q17's join shape doesn't
+    silently lose eligibility (the filter only injects when the
+    application side is a plain scan under a shuffle-producing join)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # injection requires a probable SHUFFLE join (broadcast joins
+        # filter at the join already); model the at-scale shape where
+        # the fact side shuffles
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from iot_etl_spark.plans.queries_tpch import Q17_BRAND, Q17_MAX_SIZE
+        from iot_etl_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        part_f = (
+            load_table(spark, SF_DIR, "part")
+            .filter((F.col("p_brand") == Q17_BRAND) & (F.col("p_size") <= Q17_MAX_SIZE))
+            .select("p_partkey")
+        )
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_partkey", "l_quantity", "l_extendedprice"
+        )
+        # plain (non-broadcast-hinted) join: the optimizer decides both
+        # the join strategy and the runtime-filter injection
+        j = li.join(part_f, li.l_partkey == part_f.p_partkey)
+        full = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in full or "might_contain" in full, full
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
