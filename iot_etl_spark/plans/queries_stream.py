@@ -298,3 +298,46 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, out = run_stream_to_memory(agg, output_mode="complete")
     return out
+
+
+# ------------------------------------------------ sliding-window agg
+# 1-hour windows every 15 minutes: each event lands in exactly 4
+# overlapping windows. The oracle replicates the fan-out with a
+# 0..3 step cross join against 15-minute buckets (both engines align
+# buckets to epoch-origin multiples, so starts agree exactly).
+_SLIDING_ORACLE = f"""
+WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events)
+SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, e.t) - k.k * INTERVAL 15 MINUTE)
+           // 1000000 AS window_start_epoch,
+       event_type,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6) AS avg_value
+FROM e CROSS JOIN k
+GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding_agg", oracle=_SLIDING_ORACLE)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window aggregate on the REAL streaming
+    engine: 1-hour windows hopping every 15 minutes, so each event is
+    counted in 4 overlapping windows — the smoothed-trend companion to
+    stream_tumbling_agg (the reference only tumbles; SURVEY §2.9).
+
+    Scale: state is 4x the tumbling equivalent (one row per open
+    window per key) and still watermark-evictable; the overlap factor
+    is window/slide, a config knob, not a data-dependent blowup."""
+    src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    _, out = run_stream_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.unix_timestamp("window.start").cast("long").alias("window_start_epoch"),
+        "event_type", "reading_count", "avg_value",
+    )

@@ -445,3 +445,61 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / 700.0).alias("avg_yearly"),
         )
     )
+
+
+# ----------------------------------------------------------- TPC-H Q18
+Q18_QTY_THRESHOLD = 280
+Q18_TOP_N = 100
+
+_Q18_ORACLE = f"""
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > {Q18_QTY_THRESHOLD}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate) // 1000000 AS orderdate_epoch,
+       o.o_totalprice, big.total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, orderdate_epoch, o.o_orderkey
+LIMIT {Q18_TOP_N}
+"""
+
+
+@query("q18_large_volume_customers", oracle=_Q18_ORACLE)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds a threshold, enriched with the customer — the
+    aggregate-HAVING-then-join-back pattern. The classic formulation
+    re-joins lineitem and re-aggregates; here the aggregate IS the
+    driving table (computed once, already order-grained), so lineitem
+    is scanned and shuffled exactly once.
+
+    Scale: the HAVING filter makes `big` tiny (large-volume orders are
+    rare tail events) -> broadcast it into orders, then one shuffle
+    join to customer; top-k compiles to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("long").alias("orderdate_epoch"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "orderdate_epoch", "o_orderkey")
+        .limit(Q18_TOP_N)
+    )
