@@ -398,3 +398,41 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------- semantic dedup verdict
+_SEMDEDUP_ORACLE = f"""
+WITH pr AS ({_SIMILAR_PAIRS_ORACLE})
+SELECT e.vec_id, e.label,
+       CAST(COALESCE(d.cnt, 0) AS BIGINT) AS n_smaller_dups,
+       d.cnt IS NULL AS kept
+FROM embeddings e
+LEFT JOIN (SELECT vec_id_b, COUNT(*) AS cnt FROM pr GROUP BY vec_id_b) d
+       ON e.vec_id = d.vec_id_b
+"""
+
+
+@query("semantic_dedup_verdict", oracle=_SEMDEDUP_ORACLE)
+def semantic_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup FILTER: per vector, keep it iff no
+    lower-id vector sits within the cosine threshold — the verdict
+    surface of embedding_similar_pairs (pairs are a report; training-
+    data pipelines consume a keep/drop column). Min-id dominance is
+    deterministic and needs no iteration: within any near-dup clique
+    exactly the smallest id survives, and chains degrade gracefully
+    (each drop names a smaller kept-or-dropped witness).
+
+    Scale: inherits the sign-bit LSH blocking (no all-pairs scan); the
+    verdict adds one aggregate on the pair set plus a left join back
+    to the corpus — both keyed shuffles, no new quadratic term."""
+    pairs = embedding_similar_pairs(spark, sf_dir)
+    drops = pairs.groupBy("vec_id_b").agg(F.count(F.lit(1)).alias("cnt"))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        emb.join(drops, emb.vec_id == drops.vec_id_b, "left")
+        .select(
+            "vec_id", "label",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_smaller_dups"),
+            F.col("cnt").isNull().alias("kept"),
+        )
+    )

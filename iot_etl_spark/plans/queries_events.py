@@ -1905,3 +1905,59 @@ def device_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("present_hours").cast("double") / (F.col("expected_gap") + 1))
             .alias("availability"),
     )
+
+
+# ------------------------------------- grouped-map Pandas UDF (MAD)
+_MAD_ORACLE = """
+WITH m AS (
+    SELECT user_id, MEDIAN(value) AS med
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+)
+SELECT e.user_id,
+       COUNT(*) AS n,
+       ROUND(ANY_VALUE(m.med), 6) AS median_value,
+       ROUND(MEDIAN(ABS(e.value - m.med)), 6) AS mad
+FROM events e JOIN m ON e.user_id = m.user_id
+WHERE e.value IS NOT NULL
+GROUP BY e.user_id
+"""
+
+
+@query("device_mad_pandas", oracle=_MAD_ORACLE)
+def device_mad_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per device via applyInPandas — the
+    grouped-map escape hatch for semantics that genuinely need two
+    dependent passes over a group's values in one function (median,
+    then median of deviations FROM that median). This is the
+    deliberate demonstration of the Arrow-batched custom-operator
+    path; everything else in the engine stays on JVM built-ins.
+
+    Scale: one shuffle on the grouping key; per-group state is the
+    group's values in one Arrow batch — bounded by the largest device
+    (~days x rate), NOT the table. Rounding happens back in Spark so
+    the cross-engine ROUND convention stays single-engine. numpy's
+    interpolated median matches DuckDB's quantile_cont(0.5) at the
+    ROUND(6) scale."""
+    import pandas as pd
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        med = v.median()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(v)],
+                "median_value": [med],
+                "mad": [(v - med).abs().median()],
+            }
+        )
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    out = ev.select("user_id", "value").groupBy("user_id").applyInPandas(
+        mad, schema="user_id long, n long, median_value double, mad double"
+    )
+    return out.select(
+        "user_id", "n",
+        F.round("median_value", 6).alias("median_value"),
+        F.round("mad", 6).alias("mad"),
+    )
