@@ -765,8 +765,8 @@ flagged AS (
 ),
 sess AS (
     SELECT user_id, tus, value,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM flagged
 )
 SELECT user_id, session_seq,
@@ -1563,8 +1563,9 @@ d AS (
 )
 SELECT user_id,
        COUNT(*) AS n_intervals,
-       SUM(dt_us) AS total_dt_us,
-       SUM(CAST(ROUND(value * dt_us / 10000.0, 0) AS BIGINT)) AS weighted_units,
+       CAST(SUM(dt_us) AS BIGINT) AS total_dt_us,
+       CAST(SUM(CAST(ROUND(value * dt_us / 10000.0, 0) AS BIGINT)) AS BIGINT)
+           AS weighted_units,
        SUM(CAST(ROUND(value * dt_us / 10000.0, 0) AS BIGINT)) * 10000.0 / SUM(dt_us)
            AS time_weighted_avg
 FROM d WHERE dt_us IS NOT NULL

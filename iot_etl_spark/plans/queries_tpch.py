@@ -245,8 +245,8 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- TPC-H Q5 (local supplier)
 _Q5_ORACLE = """
 SELECT n.n_name,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-           AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -322,8 +322,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- TPC-H Q10 (returned items)
 _Q10_ORACLE = """
 SELECT c.c_custkey, c.c_name, n.n_name,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-           AS lost_revenue_cents,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+            AS BIGINT) AS lost_revenue_cents,
        COUNT(*) AS n_returned_items
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
