@@ -1931,7 +1931,11 @@ def device_mad_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent passes over a group's values in one function (median,
     then median of deviations FROM that median). This is the
     deliberate demonstration of the Arrow-batched custom-operator
-    path; everything else in the engine stays on JVM built-ins.
+    path; everything else in the engine stays on JVM built-ins. The
+    production swap is ``device_mad_builtin`` below: two-pass
+    ``F.median`` with no Python exchange and no per-group value-set
+    materialization — prefer it whenever a single device's history
+    can outgrow one Arrow batch (hot-device skew at 100 TB).
 
     Scale: one shuffle on the grouping key; per-group state is the
     group's values in one Arrow batch — bounded by the largest device
@@ -1961,4 +1965,83 @@ def device_mad_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n",
         F.round("median_value", 6).alias("median_value"),
         F.round("mad", 6).alias("mad"),
+    )
+
+
+# ------------------------------------- built-in two-pass MAD twin
+@query("device_mad_builtin", oracle=_MAD_ORACLE)
+def device_mad_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD per device on pure JVM built-ins (Spark >= 3.4 ``F.median``):
+    pass 1 computes each device's median, pass 2 re-aggregates the
+    absolute deviations from it. Same semantics and oracle as
+    ``device_mad_pandas``, zero Python exchange.
+
+    Scale: this is the variant to run at 100 TB — the pandas twin
+    holds each device's full value set in one Arrow batch (a hot
+    device skews its executor), while this plan is two shuffled
+    aggregations whose per-group state is O(1) beyond the percentile
+    sketch buffer. The medians side is device-cardinality, broadcast
+    here; past the broadcast threshold AQE degrades it to a shuffle
+    join on the same key the final groupBy reuses."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value")
+    )
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    return (
+        ev.join(F.broadcast(med), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad"),
+        )
+    )
+
+
+# ------------------------------------- v_anomaly_trends_7d exact twin
+_TRENDS_ORACLE = f"""
+SELECT {duck_bucket_epoch('hour')} AS bucket_epoch,
+       user_id,
+       COUNT(*) AS total_readings,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS anomaly_count,
+       ROUND(100.0 * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS anomaly_rate_pct
+FROM events
+WHERE {DUCK_TS} >= TIMESTAMP '{REF_INSTANT}' - INTERVAL 7 DAYS
+  AND {DUCK_TS} <  TIMESTAMP '{REF_INSTANT}'
+GROUP BY 1, 2
+ORDER BY 1 DESC, 2
+"""
+
+
+@query("anomaly_trends_7d", oracle=_TRENDS_ORACLE)
+def anomaly_trends_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly anomaly trend over the trailing 7 days — the exact twin
+    of the reference's v_anomaly_trends_7d (create_dwh_schema.sql:
+    308-336): hour bucket x device, reading count, anomaly count and
+    rate. NOW() is replaced by the fixed REF_INSTANT for determinism
+    (same convention as device_health_24h); 'error' events stand in
+    for is_anomaly_combined per FIXTURES.md §B.
+
+    Scale: the 7-day predicate is pushed into the parquet scan (and
+    prunes partitions on a time-partitioned layout); one shuffle on
+    (hour, device); the rate is computed from the two counts inside
+    the same aggregate, no second pass. The trailing sort is
+    presentation-order from the view, dropped by downstream consumers
+    that re-aggregate."""
+    ev = load_events(spark, sf_dir)
+    ref = F.lit(REF_INSTANT).cast("timestamp")
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.filter((F.col("ts") >= ref - F.expr("INTERVAL 7 DAYS")) & (F.col("ts") < ref))
+        .groupBy(_bucket_epoch("hour").alias("bucket_epoch"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("total_readings"),
+            err.alias("anomaly_count"),
+            F.round(F.lit(100.0) * err / F.count(F.lit(1)), 6).alias("anomaly_rate_pct"),
+        )
+        .orderBy(F.col("bucket_epoch").desc(), "user_id")
     )
