@@ -9,10 +9,12 @@ calibration before a reading, last click before a purchase).
 Spark-first design — the UNION + running-last trick, not a range join:
 
     tag left rows side=1, right rows side=0
-    union on (keys, ts_us, side, payload...)
+    union on (keys, ts_us, side, struct(matched_ts, payload...))
     window PARTITION BY keys ORDER BY (ts_us, side) ROWS UNBOUNDED
-        PRECEDING: last(payload, ignorenulls)
-    keep side=1 rows
+        PRECEDING: last(struct, ignorenulls) — one struct per right
+        row, so all matched fields come from the SAME right row even
+        when its payload contains NULLs
+    keep side=1 rows, unpack the struct
 
 One shuffle on the key columns, linear scan per key — no candidate
 explosion, no per-row range probe. A range-join formulation
@@ -28,6 +30,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 _TS_US = "_asof_ts_us"
 _SIDE = "_asof_side"
+_PACK = "_asof_right"
 
 
 def asof_join(
@@ -58,22 +61,32 @@ def asof_join(
     if overlap:
         raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
 
+    # The matched timestamp and ALL right payload columns travel as ONE
+    # struct, and the running F.last picks the whole struct or nothing:
+    # every output field is guaranteed to come from the same right row.
+    # (Per-column last(ignorenulls) would stitch a 'frankenrow' when the
+    # newest right row carries a NULL in one payload column — DuckDB
+    # ASOF JOIN returns that row's NULL, and so do we.)
+    pack = F.struct(
+        F.unix_micros(F.col(ts_col)).alias(matched_ts_alias),
+        *[F.col(c) for c in right_cols],
+    )
+    pack_type = right.select(pack.alias(_PACK)).schema[0].dataType
+
     left_payload = [c for c in left.columns if c not in on]
     l2 = left.select(
         *on,
         F.unix_micros(F.col(ts_col)).alias(_TS_US),
         F.lit(1).alias(_SIDE),
         *left_payload,
-        F.lit(None).cast("long").alias(matched_ts_alias),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols],
+        F.lit(None).cast(pack_type).alias(_PACK),
     )
     r2 = right.select(
         *on,
         F.unix_micros(F.col(ts_col)).alias(_TS_US),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_payload],
-        F.unix_micros(F.col(ts_col)).alias(matched_ts_alias),
-        *right_cols,
+        pack.alias(_PACK),
     )
     w = (
         Window.partitionBy(*on)
@@ -85,18 +98,19 @@ def asof_join(
         F.col(_TS_US),
         F.col(_SIDE),
         *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [matched_ts_alias, *right_cols]],
+        F.last(_PACK, ignorenulls=True).over(w).alias(_PACK),
     )
     out = matched.filter(F.col(_SIDE) == 1)
-    if tolerance_us is not None:
-        stale = F.col(matched_ts_alias) < F.col(_TS_US) - F.lit(int(tolerance_us))
-        out = out.select(
-            *on,
-            F.col(_TS_US),
-            *left_payload,
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
-                for c in [matched_ts_alias, *right_cols]
-            ],
-        )
-    return out.withColumnRenamed(_TS_US, "ts_us").drop(_SIDE)
+    if tolerance_us is None:
+        stale = F.lit(False)
+    else:
+        stale = F.col(_PACK)[matched_ts_alias] < F.col(_TS_US) - F.lit(int(tolerance_us))
+    return out.select(
+        *on,
+        F.col(_TS_US).alias("ts_us"),
+        *left_payload,
+        *[
+            F.when(stale, F.lit(None)).otherwise(F.col(_PACK)[c]).alias(c)
+            for c in [matched_ts_alias, *right_cols]
+        ],
+    )

@@ -19,9 +19,16 @@ from pyspark.sql import DataFrame, Column, functions as F
 
 
 def add_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Uniform random-ish salt derived from a stable row expression:
-    deterministic (no rand() — replayable lineage, streaming-safe),
-    spread by hashing the whole row's partition id + a monotonic id."""
+    """Uniform salt from ``monotonically_increasing_id``: stable only
+    WITHIN one materialization — the id encodes partition layout, so a
+    stage retry or recomputation can assign rows different salts.
+    Downstream results are still correct (the salt cancels out in the
+    final combine / drop), but do NOT persist the salt column or key
+    anything durable on it. For a salt that is stable across replays,
+    hash stable payload columns instead:
+    ``F.pmod(F.xxhash64(*key_cols), F.lit(buckets))`` — with the
+    caveat that identical rows then share a bucket, which defeats
+    salting exactly when one key value dominates."""
     return df.withColumn(
         col_name, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
     )
@@ -60,7 +67,19 @@ def salted_join(
     right side across all bucket values, so one hot join key fans out
     over ``buckets`` tasks instead of one straggler. Right side grows
     x buckets — use when it is too big to broadcast but small enough
-    to replicate; otherwise prefer AQE skew-join on sort-merge."""
+    to replicate; otherwise prefer AQE skew-join on sort-merge.
+
+    Only ``inner`` and ``left`` are supported: under right/full outer
+    joins the replicated right rows that find no left partner would
+    surface once PER BUCKET — silent duplication, so those modes
+    raise. (A right-outer salted join needs an anti-join fix-up pass;
+    express it as ``left`` from the other side instead.)"""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer-right modes would duplicate unmatched right rows "
+            "once per salt bucket"
+        )
     salted_left = add_salt(left, buckets, "_salt")
     replicated_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

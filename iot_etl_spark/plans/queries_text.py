@@ -624,12 +624,16 @@ def _min_label_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over an (a, b) SYMMETRIC edge set by
     iterative min-label propagation, restricted to edge-endpoint
     nodes. Returns (doc_id, label) for those nodes only — callers
-    treat absent nodes as isolated (label = own id). One join + one
-    groupBy per round, O(component diameter) rounds (near-dup
-    clusters are overwhelmingly tiny); the driver loop checks only a
-    scalar convergence count. The same loop IS the standard
-    large-scale CC shape (label propagation a la large-star/
-    small-star)."""
+    treat absent nodes as isolated (label = own id). Each round is a
+    neighbor-min join + a pointer-jumping hop (label := label of
+    label), so convergence is O(log diameter) rounds — a path graph
+    of a million near-identical docs converges in ~20 rounds where
+    plain propagation needs a million. The driver loop checks only a
+    scalar convergence witness. Raises if ``max_iters`` rounds were
+    not enough (ADVICE r2: silently-unconverged labels would keep
+    multiple 'canonical' docs per duplicate cluster with no signal).
+    The same loop IS the standard large-scale CC shape (label
+    propagation a la large-star/small-star)."""
     labels = (
         edges.groupBy(F.col("a").alias("doc_id"))
         .agg(F.min("b").alias("nmin"))
@@ -640,22 +644,39 @@ def _min_label_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     # convergence witness: one aggregate per round instead of a
     # join+count diff against the previous labels.
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id", F.least("label", "nlabel").alias("label")
+        )
+        # pointer jumping: follow the label one more hop through the
+        # label table itself (labels are doc_ids of endpoint nodes),
+        # halving the remaining path each round.
+        parent = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("_plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id", F.least("label", "nlabel").alias("label"))
+            stepped.join(parent, "label", "left")
+            .select("doc_id", F.least("label", "_plabel").alias("label"))
         ).cache()
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected-components did not converge in {max_iters} rounds "
+            "(component diameter > 2^rounds is implausible for near-dup "
+            "clusters — inspect the edge set, or raise max_iters)"
+        )
     return labels
 
 

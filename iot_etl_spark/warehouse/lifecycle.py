@@ -161,28 +161,62 @@ def compact_partitions(
     path: str,
     partition_col: str = "agg_date",
     target_files_per_partition: int = 1,
+    partitions: list | None = None,
 ) -> int:
     """Small-file compaction for incrementally-written tables (the
     streaming upsert sink leaves one directory per updated group; a
     periodic compaction keeps file counts bounded — Timescale gets
     this for free from chunk storage, parquet tables schedule it).
-    Rewrites each partition into ``target_files_per_partition`` files
-    via a full read + dynamic partition overwrite. Returns the number
-    of data files after compaction. Run it on cold partitions (older
-    than the streaming watermark) so it never races an in-flight
-    upsert."""
-    import os
 
-    df = spark.read.parquet(path)
-    (
-        df.repartition(target_files_per_partition, F.col(partition_col))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
+    Each partition is compacted independently: read its directory,
+    rewrite exactly ``target_files_per_partition`` files into a
+    staging directory, then swap staged-for-live with two renames.
+    The table is never read-and-overwritten in one job, so a mid-job
+    failure leaves every partition either fully old or fully new —
+    at worst an orphaned ``._compact_*`` staging dir or a ``._old``
+    retirement dir to sweep, never missing data. Per-partition file
+    count is exact (one ``repartition(n)`` per partition value, not
+    one hash-bucketed job whose colliding values share tasks).
+
+    ``partitions`` restricts compaction to those partition values —
+    run it on cold partitions (older than the streaming watermark) so
+    it never races an in-flight upsert. Returns the number of data
+    files under ``path`` after compaction.
+
+    Scale note: the per-partition loop is an ops-plane iteration over
+    O(days) directory names, not a data collect; each iteration is a
+    distributed job. The rename swap assumes a filesystem with atomic
+    rename (local/HDFS); on object stores compaction belongs to a
+    transactional table format (Iceberg/Delta rewrite-data-files).
+    """
+    import os
+    import shutil
+    import uuid
+
+    prefix = f"{partition_col}="
+    part_dirs = sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(path, d))
     )
+    if partitions is not None:
+        wanted = {f"{prefix}{v}" for v in partitions}
+        part_dirs = [d for d in part_dirs if d in wanted]
+    for d in part_dirs:
+        live = os.path.join(path, d)
+        stage = os.path.join(path, f"._compact_{uuid.uuid4().hex}")
+        (
+            spark.read.parquet(live)
+            .repartition(target_files_per_partition)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        retired = live + "._old"
+        os.rename(live, retired)
+        os.rename(stage, live)
+        shutil.rmtree(retired)
     n = 0
-    for root, _dirs, files in os.walk(path):
+    for _root, _dirs, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
 

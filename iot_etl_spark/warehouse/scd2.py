@@ -42,6 +42,12 @@ def scd2_merge(
     A key's history is the run-length-compressed sequence of attribute
     tuples ordered by effective time: updates that do not change any
     attribute extend the current version instead of opening a new one.
+
+    Same-instant conflicts (one key, two updates at the same
+    ``effective_us`` with different attrs) resolve deterministically:
+    the greatest attribute tuple (struct ordering, field order = the
+    ``attrs`` list) wins and the others are discarded — no zero-length
+    versions, no run-order-dependent ``is_current``.
     """
     inc = updates.select(
         key, *attrs, F.col(effective_us_col).cast("long").alias("valid_from_us")
@@ -50,10 +56,23 @@ def scd2_merge(
         inc = inc.unionByName(
             current.select(key, *attrs, "valid_from_us")
         )
+    # Tie-break pass: within a key, order by (valid_from_us, attrs DESC)
+    # and keep only the first row of each instant — the greatest
+    # attribute tuple. Subsumes exact-duplicate removal. Shares the
+    # partitionBy(key) shuffle with the history window below (Catalyst
+    # reuses the exchange; the second window only re-sorts).
+    w_tie = Window.partitionBy(key).orderBy("valid_from_us", F.struct(*attrs).desc())
+    inc = (
+        inc.withColumn("_prev_from", F.lag("valid_from_us").over(w_tie))
+        .filter(
+            F.col("_prev_from").isNull()
+            | (F.col("_prev_from") != F.col("valid_from_us"))
+        )
+        .drop("_prev_from")
+    )
     w = Window.partitionBy(key).orderBy("valid_from_us")
     changed = (
-        inc.dropDuplicates([key, "valid_from_us", *attrs])
-        .withColumn(
+        inc.withColumn(
             "_prev",
             F.lag(F.struct(*attrs)).over(w),
         )

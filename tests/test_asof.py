@@ -57,3 +57,20 @@ def test_collision_is_an_error(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("rv", "tag"), on=["k"])
+
+
+def test_null_payload_comes_from_matched_row_not_older(spark):
+    """The newest right row's NULL payload column must NOT be stitched
+    from an older right row (ADVICE r2: frankenrow). DuckDB ASOF JOIN
+    returns the latest row with its NULL intact."""
+    left = spark.createDataFrame([(1, 20, "L20")], "k LONG, sec LONG, tag STRING").select(
+        "k", F.timestamp_micros(F.col("sec") * US).alias("ts"), "tag"
+    )
+    rrows = [(1, 10, 1.0, "a"), (1, 15, None, "b")]
+    right = spark.createDataFrame(rrows, "k LONG, sec LONG, rv DOUBLE, rl STRING").select(
+        "k", F.timestamp_micros(F.col("sec") * US).alias("ts"), "rv", "rl"
+    )
+    row = asof_join(left, right, on=["k"]).collect()[0]
+    assert row.matched_ts_us == 15 * US
+    assert row.rl == "b"
+    assert row.rv is None  # from the sec=15 row, not sec=10's 1.0

@@ -229,3 +229,22 @@ def test_dedupe_increment_against_corpus(spark):
     assert not out[13].keep and out[13].reason == "near_dup_increment" and out[13].dup_of == 12
     assert out[14].keep
     assert not out[15].keep and out[15].reason == "exact_dup_increment" and out[15].dup_of == 12
+
+
+def test_min_label_components_pointer_jumping_and_raise(spark):
+    """A 33-node path graph: plain min-label propagation needs ~32
+    rounds; pointer jumping converges within 8. And when max_iters is
+    genuinely too small, the loop raises instead of silently returning
+    unconverged labels (ADVICE r2)."""
+    import pytest as _pytest
+    from iot_etl_spark.plans.queries_text import _min_label_components
+
+    n = 33
+    undirected = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "a LONG, b LONG"
+    )
+    labels = {r.doc_id: r.label for r in _min_label_components(edges, max_iters=8).collect()}
+    assert labels == {i: 0 for i in range(n)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _min_label_components(edges, max_iters=2)

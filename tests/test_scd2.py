@@ -87,3 +87,34 @@ def test_null_attributes_compress_and_transition(spark):
         (1, None, "v1", 100, 300, False),  # NULL==NULL compressed
         (1, "lab", "v1", 300, None, True),  # NULL->value opens a version
     ]
+
+
+def test_same_instant_conflict_is_deterministic(spark):
+    """Two updates for one key at the same effective_us with different
+    attrs (ADVICE r2): the greatest attribute tuple wins, no
+    zero-length version, stable across replays."""
+    b = spark.createDataFrame(
+        [(1, "lab", "v1", 100), (1, "roof", "v1", 100), (1, "cellar", "v2", 200)],
+        SCHEMA,
+    )
+    expected = [
+        (1, "roof", "v1", 100, 200, False),  # 'roof' > 'lab' in struct order
+        (1, "cellar", "v2", 200, None, True),
+    ]
+    for _ in range(3):
+        dim = scd2_merge(None, b, key="device_id", attrs=["location", "firmware"])
+        assert _hist(dim) == expected
+    # conflict split across current and a later batch resolves the same
+    d1 = scd2_merge(
+        None,
+        spark.createDataFrame([(1, "lab", "v1", 100)], SCHEMA),
+        key="device_id",
+        attrs=["location", "firmware"],
+    )
+    d2 = scd2_merge(
+        d1,
+        spark.createDataFrame([(1, "roof", "v1", 100), (1, "cellar", "v2", 200)], SCHEMA),
+        key="device_id",
+        attrs=["location", "firmware"],
+    )
+    assert _hist(d2) == expected
