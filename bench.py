@@ -100,6 +100,12 @@ def main() -> None:
         "n_failed": len(names) - len(ok),
         "cpus": int(cpus),
     }
+    # Full result also lands on disk so rounds can be diffed without a
+    # re-run even when the driver truncates the stdout tail.
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(local_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     sys.stdout.flush()
     print(json.dumps(result))
 

@@ -1499,7 +1499,11 @@ def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both set ops hash-shuffle on user_id after a DISTINCT that
     is itself partial-aggregated map-side; the union is free (no
-    shuffle, just plan concatenation)."""
+    shuffle, just plan concatenation). Skew escape hatch: DISTINCT
+    collapses each user to one row map-side, so even a hot user cannot
+    overload a reducer; if a sentinel key dominates (e.g. NULL/'anon'
+    user_id), filter it out pre-DISTINCT and union it back as its own
+    segment — same pattern operators/skew.py ships for aggregations."""
     ev = load_events(spark, sf_dir)
     purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()

@@ -1,0 +1,997 @@
+"""TPC-H suite completion — the decision-support shapes the first
+module (queries_tpch.py) doesn't cover: semi-joins (EXISTS), anti-joins
+(NOT EXISTS / NOT IN), scalar subqueries (aggregate thresholds), outer
+join histograms, disjunctive scan predicates, and double-correlated
+self-joins, each decorrelated into the plan Catalyst would produce.
+
+The driver's star schema is TPC-H-ish but trimmed (no partsupp table,
+no commit/receipt dates, no phone/comment columns — FIXTURES.md §B), so
+queries whose textbook formulation needs a missing column are ADAPTED:
+the filter constants change, the operator shape — which is what this
+engine is demonstrating — does not. Each docstring names the TPC-H
+query whose shape it preserves and the substitution made.
+
+Scale conventions shared with queries_tpch.py: money aggregates in
+exact integer cents (order-independent across engines), dimension sides
+broadcast explicitly, top-k via orderBy+limit (TakeOrderedAndProject),
+fact tables shuffled at most once per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iot_etl_spark.plans.registry import query
+from iot_etl_spark.sources.tables import load_table
+
+
+def _cents(expr):
+    return F.round(expr * 100, 0).cast("long")
+
+
+_REV_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+
+
+# ----------------------------------------------------------- TPC-H Q4
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q4_priority_with_returns", oracle=_Q4_ORACLE)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS semi-join: orders in a quarter having at
+    least one returned lineitem, counted per priority. (The textbook
+    predicate l_commitdate < l_receiptdate uses columns the fixture
+    lacks; l_returnflag = 'R' keeps the same shape.) The Spark plan is
+    an explicit LEFT SEMI join — each order emitted at most once no
+    matter how many lineitems match, no DISTINCT needed.
+
+    Scale: the date filter prunes orders at the scan; lineitem is
+    reduced by the returnflag pushdown before its only shuffle on
+    l_orderkey. Semi-join output never exceeds the orders side, so the
+    following aggregation is dimension-cheap."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q6
+_Q6_ORACLE = """
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+            AS BIGINT) AS forecast_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the purest scan query in the suite: no join, a
+    conjunctive filter, one global aggregate. Exists to pin the
+    fastest possible plan: every predicate (date range, discount band,
+    quantity cap) reaches the parquet scan as a pushed filter, the
+    projection is 4 columns of 11, and the aggregate is a single
+    partial/final hash agg — at 100 TB this is bounded by scan
+    bandwidth alone, which is the point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .alias("forecast_cents"),
+        )
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q7
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+    OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 — bilateral trade volume between two nations by ship
+    year. The distinctive feature is the disjunctive cross-nation
+    predicate (A ships to B, or B ships to A) that can't be pushed to
+    either dimension alone.
+
+    Scale: both nation joins broadcast; the supplier and customer hops
+    broadcast at dimension scale. The two fact shuffles (lineitem by
+    l_orderkey against orders) are unavoidable; the ship-date range is
+    pushed to the lineitem scan, and the nation-pair filter runs right
+    after the dimension hops, before the aggregate."""
+    n1, n2 = _Q7_NATIONS
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                      F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"),
+                                      F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q8
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "STANDARD"
+
+_Q8_ORACLE = f"""
+WITH all_lines AS (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {_REV_CENTS} AS cents,
+           n2.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = '{_Q8_REGION}'
+      AND p.p_type = '{_Q8_TYPE}'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN cents ELSE 0 END)
+            AS BIGINT) AS target_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN cents ELSE 0 END)
+            AS DOUBLE) / SUM(cents) AS mkt_share
+FROM all_lines
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 — national market share: the target nation's slice of
+    regional demand for one part type, per order year. The deepest
+    join tree in the suite (8 relations, nation joined twice under
+    different roles).
+
+    Scale: every dimension hop broadcasts (part is filtered to one
+    type first — 1/6 of the dim); lineitem and orders are the only
+    shuffled sides. The share is computed from two exact integer-cent
+    sums and ONE IEEE division, so the double is bit-identical across
+    engines and partition counts."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q8_TYPE)
+        .select("p_partkey")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    cust_nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cnk"))
+        .select("c_custkey")
+    )
+    supp_nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    target = F.when(F.col("supp_nation") == _Q8_NATION, cents).otherwise(F.lit(0))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(target).alias("target_cents"),
+            F.sum(cents).alias("total_cents"),
+            (F.sum(target).cast("double") / F.sum(cents)).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q9
+_Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                            - p.p_retailprice * l.l_quantity) * 100, 0) AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q9_product_type_profit", oracle=_Q9_ORACLE)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit on a product line by supplier nation and
+    year. (The textbook cost term ps_supplycost * l_quantity needs the
+    partsupp table the fixture lacks; p_retailprice * l_quantity is the
+    stand-in cost, keeping the same substring part filter and the
+    profit-can-be-negative arithmetic.)
+
+    Scale: the LIKE '%bolt%' filter can't use min/max pruning but DOES
+    prune the broadcast part dim before the fact join (~1/8 of parts);
+    profit is computed per row then summed as exact integer cents —
+    subtraction first, one round, so both engines round the identical
+    double."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_cents"))
+        .orderBy("nation", "o_year")
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q11
+_Q11_NATION = "NATION_5"
+_Q11_FRACTION = 0.001
+
+_Q11_ORACLE = f"""
+WITH v AS (
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = '{_Q11_NATION}'
+    GROUP BY 1
+)
+SELECT l_partkey, value_cents
+FROM v
+WHERE value_cents > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM v) * {_Q11_FRACTION}
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+@query("q11_important_parts", oracle=_Q11_ORACLE)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose traded value through one nation's
+    suppliers exceeds a FRACTION OF THE GLOBAL TOTAL: the scalar
+    aggregate subquery pattern. (partsupp value ps_supplycost *
+    ps_availqty is replaced by lineitem extended price through the
+    nation's suppliers — same two-level value-vs-scalar-threshold
+    shape.)
+
+    Scale: the per-part value aggregates once (one shuffle on
+    l_partkey after the broadcast supplier/nation reduction); the
+    scalar total is a 1-row aggregate of THAT result, broadcast back
+    as a literal-like join — no second pass over the fact table. The
+    threshold compare (exact BIGINT > exact-BIGINT * fraction) is one
+    deterministic double multiply on both engines."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    v = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = v.agg(F.sum("value_cents").cast("long").alias("_total"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("_total") * F.lit(_Q11_FRACTION))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q12
+_Q12_ORACLE = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q12_priority_by_status", oracle=_Q12_ORACLE)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — urgent-vs-other order counts bucketed by a
+    lineitem attribute (l_linestatus standing in for the fixture's
+    missing l_shipmode). The signature is the paired complementary
+    conditional aggregates over a fact-fact join.
+
+    Scale: the ship-date filter prunes lineitem at the scan to ~1/6;
+    one shuffle joins it to orders on the key both sides already
+    aggregate by nothing else — the CASE sums are map-side
+    combinable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q13
+_Q13_ORACLE = """
+WITH c_orders AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q13_customer_distribution", oracle=_Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — the customer order-count histogram: a LEFT OUTER
+    join whose unmatched rows MUST survive (zero-order customers form
+    the c_count=0 bucket), with the filter in the JOIN CONDITION, not
+    WHERE (a WHERE filter would silently turn the outer join inner —
+    the classic outer-join bug this query exists to catch). The
+    fixture lacks o_comment, so the 'not special requests' predicate
+    becomes o_orderpriority <> '1-URGENT'.
+
+    Scale: COUNT(o_orderkey) counts only matched rows (NULL-skipping),
+    exactly the outer-join semantics. First agg shuffles on c_custkey;
+    the histogram re-agg is tiny (distinct counts, not customers)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q14
+_Q14_ORACLE = f"""
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_CENTS} ELSE 0 END)
+            AS BIGINT) AS promo_cents,
+       CAST(SUM({_REV_CENTS}) AS BIGINT) AS total_cents,
+       100.0 * SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_CENTS} ELSE 0 END)
+             / SUM({_REV_CENTS}) AS promo_share_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+@query("q14_promo_revenue", oracle=_Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion revenue share in one month: conditional
+    share-of-total in a single aggregate pass (no subquery, no second
+    scan).
+
+    Scale: one month of lineitem (scan-pruned) joined to the broadcast
+    part dim; both sums are exact integer cents so the percentage is
+    one deterministic division. Single-row output."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+            (F.lit(100.0) * F.sum(promo) / F.sum(cents)).alias("promo_share_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q15
+_Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — the top revenue supplier for a quarter: a derived
+    aggregate reused TWICE (once as the join input, once inside the
+    scalar MAX subquery). The textbook answer creates a view; here the
+    DataFrame is the view, and Spark materializes it once per branch
+    off the same shuffle (exchange reuse).
+
+    Scale: revenue is supplier-grained (tiny after the agg); the MAX
+    scalar is a 1-row broadcast joined back — NOT a window over a
+    single partition, which would serialize the whole aggregate
+    through one task. Ties (multiple suppliers at the max) are all
+    returned, matching the subquery semantics."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("total_cents"))
+    )
+    best = revenue.agg(F.max("total_cents").alias("_best"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_cents") == F.col("_best"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q16
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (5, 10, 15, 20)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+"""
+
+
+@query("q16_supplier_part_counts", oracle=_Q16_ORACLE)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many distinct suppliers can deliver each
+    (brand, size) slice, EXCLUDING a complaint list via NOT IN. (The
+    part-supplier relation comes from lineitem since the fixture has
+    no partsupp; the 'customer complaints' comment filter becomes
+    s_acctbal < 0.) The NOT IN compiles to LEFT ANTI join — correct
+    here because s_suppkey is never NULL; with nullable keys NOT IN
+    needs the null-aware variant, which is why the engine writes the
+    anti-join explicitly instead of trusting SQL NOT IN translation.
+
+    Scale: both the part slice and the exclusion list broadcast;
+    lineitem shuffles once for the distinct-count on (brand, size,
+    suppkey) — Spark plans COUNT DISTINCT as a two-level expand+agg,
+    all map-side combinable."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("bad_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q19
+_Q19_ORACLE = f"""
+SELECT COUNT(*) AS n_items,
+       CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("q19_disjunctive_revenue", oracle=_Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — revenue under an OR of three brand/size/quantity
+    conjunct blocks: the disjunctive-predicate stress test. (The
+    fixture lacks l_shipmode/l_shipinstruct; the brand, size and
+    quantity bands carry the shape.) Catalyst extracts the common
+    implied filters (quantity <= 30, size >= 1, the 3-brand IN list)
+    from the disjunction and pushes THOSE to both scans, then applies
+    the exact OR after the join — pinned in tests/test_plans.py.
+
+    Scale: part prunes to 3 brands broadcast-side; lineitem's pushed
+    quantity band cuts the scan before the one broadcast join;
+    single-row output, no shuffle at all beyond the final 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    block = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(block).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q20
+_Q20_SHARE_MULT = 10  # dominant = supplied more than 1/10 of the part's volume
+
+_Q20_ORACLE = f"""
+WITH pq AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+    FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+    SELECT l_partkey, CAST(SUM(supp_qty) AS BIGINT) AS part_qty
+    FROM pq GROUP BY 1
+)
+SELECT s.s_name, n.n_name, COUNT(*) AS n_dominant_parts
+FROM pq
+JOIN tot ON pq.l_partkey = tot.l_partkey
+JOIN part p ON p.p_partkey = pq.l_partkey AND p.p_name LIKE 'small%'
+JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE pq.supp_qty * {_Q20_SHARE_MULT} > tot.part_qty
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+@query("q20_dominant_suppliers", oracle=_Q20_ORACLE)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers holding 'excess stock': here, the
+    suppliers who shipped MORE THAN A TENTH of a small-part's total
+    volume — 10x a fair share at 100 suppliers (the fixture lacks
+    partsupp/ps_availqty; the correlated share-of-a-total condition
+    against an aggregate of the same relation is the preserved shape).
+
+    Scale: the (part, supplier) rollup and the per-part total reuse
+    ONE shuffle on l_partkey (the second agg groups a subset of the
+    first's key — exchange reuse); the part-name filter broadcast-
+    prunes before the compare. Integer quantities make the
+    share-of-total compare exact (integer multiply, no doubles)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("supp_qty"))
+    tot = pq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        pq.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") * _Q20_SHARE_MULT > F.col("part_qty"))
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q21
+_Q21_ORACLE = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@query("q21_sole_blame_supplier", oracle=_Q21_ORACLE)
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the sole-blame supplier: in finished
+    multi-supplier orders, the ONLY supplier whose items were returned
+    (return flag replacing the fixture-absent receipt-after-commit
+    lateness). The textbook form is the hardest correlation in TPC-H:
+    EXISTS plus NOT EXISTS, both against the same fact table.
+
+    Decorrelation (what the oracle's subqueries become here): ONE
+    per-order aggregate — n_suppliers = COUNT(DISTINCT l_suppkey),
+    n_return_suppliers = COUNT(DISTINCT l_suppkey WHERE flag='R') —
+    then EXISTS(other supplier) ⇔ n_suppliers >= 2 and NOT EXISTS
+    (other returning supplier) ⇔ n_return_suppliers = 1 for a row
+    that is itself returned. Three scans of lineitem collapse to two
+    (one for the agg, one for the driving rows) sharing one shuffle
+    key. At 100 TB this is the difference between 1 shuffle and a
+    double self-join of the largest table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_return_suppliers"),
+    )
+    finished = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    driving = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            order_stats.filter(
+                (F.col("n_suppliers") >= 2) & (F.col("n_return_suppliers") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        driving.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------- TPC-H Q22
+_Q22_SEGMENTS = ("AUTOMOBILE", "MACHINERY", "FURNITURE")
+_Q22_CUTOFF = "2000-01-01"
+
+_Q22_ORACLE = f"""
+WITH pos AS (
+    SELECT AVG(c_acctbal) AS avg_bal
+    FROM customer
+    WHERE c_acctbal > 0
+      AND c_mktsegment IN {_Q22_SEGMENTS!r}
+)
+SELECT c.c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_bal_cents
+FROM customer c, pos
+WHERE c.c_mktsegment IN {_Q22_SEGMENTS!r}
+  AND c.c_acctbal > pos.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q22_dormant_high_balance", oracle=_Q22_ORACLE)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — dormant high-value accounts: customers in
+    target segments whose balance beats the positive-balance average
+    but who placed NO recent order. (c_phone country codes don't exist
+    in the fixture; mktsegment plays the code list, and 'no orders at
+    all' becomes 'no orders since {_Q22_CUTOFF}' so the anti-join is
+    non-trivial — every fixture customer has SOME order.) Combines the
+    suite's two remaining correlations: a scalar AVG subquery
+    threshold and a NOT EXISTS anti-join.
+
+    Scale: the scalar average is a 1-row broadcast; the anti-join
+    right side is orders date-pruned at the scan then reduced to
+    distinct custkeys — which Spark's LEFT ANTI executes without
+    materializing matches. Customer never shuffles (broadcast-sized
+    threshold + anti-join on its own key)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(*_Q22_SEGMENTS))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("total_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q2
+_Q2_REGION = "EUROPE"
+_Q2_SIZE = 15
+_Q2_TYPE = "LARGE"
+
+_Q2_ORACLE = f"""
+WITH offers AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           MIN(l.l_extendedprice / l.l_quantity) AS unit_price
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE r.r_name = '{_Q2_REGION}'
+      AND p.p_size = {_Q2_SIZE} AND p.p_type = '{_Q2_TYPE}'
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT l_partkey, MIN(unit_price) AS best_price
+    FROM offers GROUP BY 1
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, o.l_partkey,
+       ROUND(o.unit_price, 6) AS unit_price
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, o.l_partkey
+LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the cheapest regional supplier per part: a
+    correlated MIN subquery (which supplier matches the part's minimum
+    price?) decorrelated into aggregate + join-back. (partsupp's
+    ps_supplycost is absent; the observed unit price
+    l_extendedprice / l_quantity from lineitem is the offer relation,
+    same correlation shape.)
+
+    Scale: the region+part filters broadcast-prune before the offer
+    aggregate's single shuffle on (partkey, suppkey); `best` re-aggs
+    that result on its prefix key (exchange reuse, no second fact
+    scan). The equality join back on the double unit_price is safe
+    cross-engine because both sides computed the IDENTICAL division —
+    the value is compared against itself, never re-derived. Ties (two
+    suppliers at the same best price) all survive, as in the textbook
+    query."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == _Q2_SIZE) & (F.col("p_type") == _Q2_TYPE))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    offers = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit").alias("unit_price"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "l_partkey",
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "l_partkey")
+        .limit(100)
+    )

@@ -31,16 +31,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one star-schema table.
 
-    ``events`` gets its nanosecond `ts` column normalized to
-    microsecond TimestampType (truncating ns -> us, matching DuckDB's
-    TIMESTAMP_NS -> TIMESTAMP cast so oracle comparisons agree).
+    Timestamp columns are normalized to (UTC-zoned) TimestampType
+    regardless of how the generator wrote them:
+
+    - nanosecond int64 (``events.ts`` in some generations, surfaced as
+      bigint under ``nanosAsLong``): integer-divided to microseconds —
+      float division would round half-up and diverge from DuckDB's
+      TIMESTAMP_NS -> TIMESTAMP truncation for ~50% of rows;
+    - microsecond parquet timestamps with isAdjustedToUTC=false (what
+      pandas/pyarrow write by default), which Spark 4 reads as
+      TIMESTAMP_NTZ: cast to TimestampType. The session timezone is
+      pinned to UTC (session.py), so the cast is value-preserving and
+      time functions (``unix_micros``, windows, intervals) — which
+      reject NTZ inputs — all work downstream.
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: float division would round half-up and
-        # diverge from DuckDB's truncation for ~50% of rows.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

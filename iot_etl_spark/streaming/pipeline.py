@@ -27,7 +27,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from iot_etl_spark.schemas import EVENTS_RAW_SCHEMA, SENSOR_READING_SCHEMA
+from iot_etl_spark.schemas import SENSOR_READING_SCHEMA
 from iot_etl_spark.session import ensure_runtime_confs
 
 DEFAULT_TRIGGER_S = 5  # reference STREAM_WINDOW_SECONDS=5 (config.py:121)
@@ -96,11 +96,22 @@ def read_stream_source(
         # stay out of the stream.
         if path.endswith(".parquet"):
             path = _singleton_dir(path)
-        reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        # The file source needs an explicit schema; take it from a
+        # batch footer read (driver-side, no data scan) so the stream
+        # tracks whatever precision the generator wrote, then apply
+        # the same ts normalization the batch loader performs
+        # (ns-int64 -> truncate to us; NTZ us -> UTC TimestampType).
+        file_schema = spark.read.parquet(path).schema
+        reader = spark.readStream.schema(file_schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         raw = reader.parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict((f.name, f.dataType.simpleString()) for f in file_schema)
+        if ts_type.get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.get("ts") == "timestamp_ntz":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     if source == "json":
         # JSON-lines file source through the SAME parse stage as Kafka:
         # read each line as an opaque string, then parse_sensor_json.
