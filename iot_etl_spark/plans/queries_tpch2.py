@@ -731,21 +731,28 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp/ps_availqty; the correlated share-of-a-total condition
     against an aggregate of the same relation is the preserved shape).
 
-    Scale: the (part, supplier) rollup and the per-part total reuse
-    ONE shuffle on l_partkey (the second agg groups a subset of the
-    first's key — exchange reuse); the part-name filter broadcast-
-    prunes before the compare. Integer quantities make the
-    share-of-total compare exact (integer multiply, no doubles)."""
+    Scale: lineitem is scanned ONCE — the per-part total is a window
+    sum over the (part, supplier) rollup, not a second aggregate
+    branch (a naive two-CTE plan scans and shuffles the fact table
+    twice; the window runs on supplier-grained rows, ~5 orders of
+    magnitude smaller). The part-name filter broadcast-prunes before
+    the compare. Integer quantities make the share-of-total compare
+    exact (integer multiply, no doubles); pinned single-fact-scan in
+    tests/test_plans.py."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
     )
-    pq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("supp_qty"))
-    tot = pq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
     part_f = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
+    pq = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"))
+    )
+    w_part = Window.partitionBy("l_partkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     sup = (
         load_table(spark, sf_dir, "supplier")
@@ -753,9 +760,8 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     return (
-        pq.join(tot, "l_partkey")
+        pq.withColumn("part_qty", F.sum("supp_qty").over(w_part))
         .filter(F.col("supp_qty") * _Q20_SHARE_MULT > F.col("part_qty"))
-        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
@@ -792,23 +798,30 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lateness). The textbook form is the hardest correlation in TPC-H:
     EXISTS plus NOT EXISTS, both against the same fact table.
 
-    Decorrelation (what the oracle's subqueries become here): ONE
-    per-order aggregate — n_suppliers = COUNT(DISTINCT l_suppkey),
-    n_return_suppliers = COUNT(DISTINCT l_suppkey WHERE flag='R') —
-    then EXISTS(other supplier) ⇔ n_suppliers >= 2 and NOT EXISTS
-    (other returning supplier) ⇔ n_return_suppliers = 1 for a row
-    that is itself returned. Three scans of lineitem collapse to two
-    (one for the agg, one for the driving rows) sharing one shuffle
-    key. At 100 TB this is the difference between 1 shuffle and a
-    double self-join of the largest table."""
+    Decorrelation (what the oracle's subqueries become here): per-order
+    supplier sets computed as WINDOW collect_sets over l_orderkey —
+    n_suppliers = |set(l_suppkey)|, n_return_suppliers =
+    |set(l_suppkey WHERE flag='R')| — then EXISTS(other supplier) ⇔
+    n_suppliers >= 2 and NOT EXISTS(other returning supplier) ⇔
+    n_return_suppliers = 1 for a row that is itself returned. The
+    textbook form's THREE scans of lineitem collapse to ONE (pinned in
+    tests/test_plans.py) with a single shuffle on l_orderkey; the
+    per-order set is bounded by suppliers-per-order (single digits),
+    so the window state never skews. At 100 TB this is the difference
+    between one shuffle and a double self-join of the largest table."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    order_stats = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_suppliers"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_return_suppliers"),
+    w_ord = Window.partitionBy("l_orderkey")
+    enriched = li.withColumn(
+        "n_suppliers", F.size(F.collect_set("l_suppkey").over(w_ord))
+    ).withColumn(
+        "n_return_suppliers",
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).over(w_ord)
+        ),
     )
     finished = (
         load_table(spark, sf_dir, "orders")
@@ -817,14 +830,12 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     driving = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            order_stats.filter(
-                (F.col("n_suppliers") >= 2) & (F.col("n_return_suppliers") == 1)
-            ),
-            "l_orderkey",
+        enriched.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_return_suppliers") == 1)
         )
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return (

@@ -151,3 +151,51 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semi_anti_join_shapes(spark):
+    """The EXISTS/NOT EXISTS/NOT IN family compiles to semi/anti hash
+    joins — each probe row emitted at most once, no DISTINCT fix-up,
+    no materialized match list."""
+    plan, _ = _plans(spark, "q4_priority_with_returns")
+    assert "LeftSemi" in plan, plan
+    for name in ["q16_supplier_part_counts", "q22_dormant_high_balance"]:
+        plan, _ = _plans(spark, name)
+        assert "LeftAnti" in plan, name
+
+
+def test_q19_disjunction_pushed_to_fact_scan(spark):
+    """Q19's OR-of-conjunct quantity bands reach the lineitem scan as
+    a pushed disjunctive data filter (each band references only
+    lineitem columns, so Catalyst extracts the per-side disjunction
+    from the mixed predicate), and the whole query runs with zero
+    shuffles — broadcast join + single-row aggregate."""
+    plan, full = _plans(spark, "q19_disjunctive_revenue")
+    scans = [ln for ln in full.splitlines()
+             if "FileScan" in ln and "lineitem" in ln and "l_quantity" in ln]
+    assert any("OR" in ln.upper() for ln in scans), scans
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_single_fact_scan_decorrelations(spark):
+    """Q20/Q21's correlated-aggregate shapes run off ONE scan of the
+    fact table (window-over-rollup / window collect_set decorrelation)
+    — the textbook multi-CTE forms scan lineitem 2-3 times."""
+    for name, max_exch in [("q20_dominant_suppliers", 3),
+                           ("q21_sole_blame_supplier", 2)]:
+        plan, _ = _plans(spark, name)
+        li_scans = sum(1 for ln in plan.splitlines()
+                       if "FileScan parquet" in ln and "lineitem" in ln)
+        assert li_scans == 1, (name, li_scans)
+        assert plan.count("Exchange hashpartitioning") <= max_exch, name
+
+
+def test_new_tpch_dim_joins_broadcast(spark):
+    """The deep-tree queries broadcast every dimension hop; only fact
+    tables shuffle."""
+    for name in ["q7_volume_shipping", "q8_market_share",
+                 "q9_product_type_profit", "q14_promo_revenue",
+                 "q2_min_cost_supplier"]:
+        plan, _ = _plans(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
