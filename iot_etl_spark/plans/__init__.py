@@ -85,6 +85,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "stream_interval_join",
     "stream_static_enrich",
     "stream_sliding_agg",
+    "stream_session_window",
     # warehouse family
     "dim_time_calendar",
     "bucketed_join_revenue",

@@ -341,3 +341,70 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("window.start").cast("long").alias("window_start_epoch"),
         "event_type", "reading_count", "avg_value",
     )
+
+
+# ------------------------------------------------ session windows
+# Dynamic-gap session windows on the real streaming engine: a session
+# is a burst of a user's events where consecutive gaps stay under 30
+# minutes; it closes 30 minutes after its last event. The oracle is
+# the classic gaps-and-islands SQL (LAG -> new-session flag ->
+# cumulative session id), the batch-equivalent definition.
+_SESSION_WINDOW_ORACLE = """
+WITH t AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+m AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts, value,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq
+    FROM m
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s
+GROUP BY user_id, sess_seq
+"""
+
+
+@query("stream_session_window", oracle=_SESSION_WINDOW_ORACLE)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation executed BY THE STREAMING ENGINE
+    (F.session_window, 30-minute gap): the windowing mode the tumbling/
+    sliding pair can't express — window extent is data-driven, state
+    merges adjacent windows as events arrive. Complements the batch
+    gaps-and-islands twin (session_stats) the same way
+    stream_tumbling_agg complements hourly_device_agg; the oracle IS
+    the gaps-and-islands definition, so the engine's merge semantics
+    (same session iff gap < 30 min, window end = last event + gap) are
+    hash-checked cross-engine.
+
+    Scale: state per open session per user, evicted on watermark in
+    production (complete mode here for determinism); a hot user widens
+    one session rather than accumulating windows, so state is bounded
+    by active users, not event volume."""
+    src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = (
+        src.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    _, out = run_stream_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("session_end_us"),
+        "n_events", "sum_value",
+    )
