@@ -693,3 +693,74 @@ def corpus_keep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(keep.cast("int")).cast("double") / F.count(F.lit(1)), 6)
             .alias("keep_rate"),
     )
+
+
+# --------------------------------------------------- TF-IDF keywords
+
+TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+           ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rk
+    FROM scored
+)
+WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} TF-IDF keywords per document (smoothed
+    sklearn-style idf: ln((N+1)/(df+1)) + 1): the classic
+    keyword-extraction / topic-drift signal a corpus pipeline derives
+    alongside quality scores. Scores are rounded to 6 places BEFORE
+    ranking on both engines so the tie-break (term ascending) fires on
+    identical values — the same log-determinism convention as
+    unigram_logprob_score.
+
+    Scale: document frequency is vocabulary-grained (sublinear in
+    corpus size) and broadcast; the token stream aggregates once on
+    (doc_id, term) and the per-doc top-k window runs on that already-
+    aggregated frame, partitioned by doc_id — nothing quadratic, no
+    global sort. A Zipf-head hot TERM never skews: the window key is
+    doc_id, and the tf aggregate's map-side combine absorbs the head."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "tfidf", "rk")
+    )
