@@ -7,13 +7,24 @@ batches (not row-at-a-time pickling), and per-media work is
 embarrassingly parallel — partition by media_id ranges upstream and
 every stage below scales linearly.
 
-CODECS ARE STUBBED. This container ships no PIL/torchaudio/ffmpeg, so
-the *decode* step recognizes a deterministic fake header (see
-``make_fake_media_bytes``) and raises ``NotImplementedError`` for real
-formats — swap ``_decode_payload`` for a real codec in production.
-Everything around the stub — schemas, Arrow batch iteration, feature
-math (vectorized numpy over the raw bytes), frame-sampling fan-out —
-is real and tested.
+Codec status (this container ships no PIL/torchaudio/ffmpeg):
+
+- **RIFF/WAVE audio decodes FOR REAL** via the stdlib ``wave`` module:
+  sample rate, channels, frame-count duration, and RMS amplitude
+  computed from the actual PCM samples.
+- **Uncompressed 24-bit BMP decodes FOR REAL** via ``struct`` header
+  parsing: dimensions plus mean pixel value from the actual pixel
+  array (stride-aware).
+- Compressed formats (JPEG/PNG/MP4/...) still raise
+  ``NotImplementedError`` — entropy coding needs a real codec library;
+  swap ``_decode_payload``'s fallthrough for PIL/pyav in production.
+- The deterministic ``FAKE`` header (``make_fake_media_bytes``) remains
+  for exercising the video frame-sampling fan-out, which has no
+  stdlib-decodable container format.
+
+Everything around the codecs — schemas, Arrow batch iteration, feature
+math (vectorized numpy), error-as-row handling, frame fan-out — is the
+same code path real formats take.
 """
 
 from __future__ import annotations
@@ -46,26 +57,124 @@ def make_fake_media_bytes(
     return header + body.tobytes()
 
 
-def _decode_payload(payload: bytes) -> dict:
-    """STUB decode: parse the fake header. A real deployment replaces
-    this with PIL.Image.open / soundfile / pyav and returns the same
-    dict shape; anything without the fake magic lands here."""
-    if payload is None or len(payload) < _HEADER.size:
-        return {"ok": False, "error": "payload too short"}
-    magic, kind_b, width, height, duration_ms = _HEADER.unpack_from(payload)
-    if magic != _MAGIC:
-        raise NotImplementedError(
-            "real media codecs are not available in this environment; "
-            "payload is not FAKE-encoded"
-        )
-    return {
+def make_wav_bytes(
+    duration_ms: int = 1000, rate: int = 8000, freq_hz: float = 440.0
+) -> bytes:
+    """A REAL (stdlib-written) mono 16-bit PCM RIFF/WAVE payload: a
+    sine tone at ``freq_hz``. Round-trips through ``_decode_wav``."""
+    import io
+    import wave
+
+    n = int(rate * duration_ms / 1000)
+    t = np.arange(n, dtype=np.float64)
+    samples = (0.5 * np.sin(2 * np.pi * freq_hz * t / rate) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def make_bmp_bytes(width: int = 8, height: int = 6, seed: int = 0) -> bytes:
+    """A REAL uncompressed 24-bit BMP payload (BITMAPINFOHEADER,
+    4-byte-padded rows) with seed-deterministic pixels."""
+    rng = np.random.default_rng(seed)
+    row_len = width * 3
+    pad = (4 - row_len % 4) % 4
+    body = b"".join(
+        rng.integers(0, 256, row_len, dtype=np.uint8).tobytes() + b"\x00" * pad
+        for _ in range(height)
+    )
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + dib + body
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Real RIFF/WAVE decode (stdlib ``wave``): container metadata plus
+    RMS amplitude computed from the decoded PCM samples."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n_channels = w.getnchannels()
+        sample_width = w.getsampwidth()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    out = {
         "ok": True,
         "error": None,
-        "decoded_kind": _KIND_NAMES.get(kind_b),
-        "width": width,
-        "height": height,
-        "duration_ms": duration_ms,
+        "decoded_kind": "audio",
+        "duration_ms": int(n_frames * 1000 // rate) if rate else 0,
+        "sample_rate_hz": int(rate),
+        "n_channels": int(n_channels),
     }
+    if sample_width == 2 and frames:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+        out["rms"] = float(np.sqrt(np.mean(arr * arr)))
+    return out
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Real uncompressed-BMP decode (``struct`` header parse):
+    dimensions plus mean pixel value over the stride-aware pixel
+    array."""
+    if len(payload) < 54:
+        return {"ok": False, "error": "truncated BMP header"}
+    _, _, _, _, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    _, width, height_raw = struct.unpack_from("<Iii", payload, 14)
+    bits_per_pixel = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    height = abs(height_raw)
+    out = {
+        "ok": True,
+        "error": None,
+        "decoded_kind": "image",
+        "width": int(width),
+        "height": int(height),
+    }
+    if bits_per_pixel == 24 and compression == 0:
+        row_len = width * 3
+        stride = (row_len + 3) // 4 * 4
+        need = data_offset + stride * height
+        if len(payload) >= need and height > 0:
+            px = np.frombuffer(payload, dtype=np.uint8, count=stride * height,
+                               offset=data_offset).reshape(height, stride)
+            out["mean_pixel"] = float(px[:, :row_len].mean())
+    return out
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """Dispatch decode: real WAV (RIFF/WAVE) and uncompressed BMP parse
+    natively; the deterministic FAKE header drives the video plumbing;
+    compressed formats raise (a real deployment adds PIL.Image.open /
+    soundfile / pyav branches returning the same dict shape)."""
+    if payload is None or len(payload) < 14:
+        return {"ok": False, "error": "payload too short"}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if len(payload) >= _HEADER.size:
+        magic, kind_b, width, height, duration_ms = _HEADER.unpack_from(payload)
+        if magic == _MAGIC:
+            return {
+                "ok": True,
+                "error": None,
+                "decoded_kind": _KIND_NAMES.get(kind_b),
+                "width": width,
+                "height": height,
+                "duration_ms": duration_ms,
+            }
+    raise NotImplementedError(
+        "compressed media codecs (JPEG/PNG/MP4/...) are not available in "
+        "this environment; RIFF/WAVE and uncompressed BMP decode natively"
+    )
 
 
 def _body_features(payload: bytes) -> dict:
@@ -93,6 +202,10 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate_hz", T.LongType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("mean_pixel", T.DoubleType(), True),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("entropy_bits", T.DoubleType(), True),
         T.StructField("mean_byte", T.DoubleType(), True),
@@ -116,6 +229,8 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
                 row = {"media_id": media_id, "kind": kind, "mime": mime,
                        "ok": False, "error": None, "decoded_kind": None,
                        "width": None, "height": None, "duration_ms": None,
+                       "sample_rate_hz": None, "n_channels": None,
+                       "rms": None, "mean_pixel": None,
                        "n_bytes": None, "entropy_bits": None,
                        "mean_byte": None, "digest": None}
                 try:

@@ -105,3 +105,54 @@ def test_dedupe_corpus_end_to_end(spark):
     )
     kept = sorted(r.doc_id for r in dedupe_corpus(spark, docs).collect())
     assert kept == [0, 3, 4], kept
+
+
+def test_real_wav_decode_through_spark(spark):
+    """RIFF/WAVE payloads decode FOR REAL (stdlib wave): container
+    metadata and an RMS computed from the actual PCM sine samples
+    (0.5 amplitude sine -> RMS ~ 0.3536)."""
+    from iot_etl_spark.extensions.multimodal import make_wav_bytes
+
+    wav = make_wav_bytes(duration_ms=500, rate=8000, freq_hz=440.0)
+    df = spark.createDataFrame(
+        [(10, "audio", wav, "audio/wav", None, None, None)], MEDIA_SCHEMA
+    )
+    row = decode_and_featurize(df).collect()[0]
+    assert row.ok and row.decoded_kind == "audio"
+    assert row.sample_rate_hz == 8000 and row.n_channels == 1
+    assert row.duration_ms == 500
+    assert abs(row.rms - 0.5 / 2 ** 0.5) < 0.01
+    assert row.digest and row.n_bytes == len(wav)
+
+
+def test_real_bmp_decode_through_spark(spark):
+    """Uncompressed 24-bit BMP payloads decode FOR REAL (struct header
+    parse + stride-aware pixel array): dimensions and mean pixel match
+    a direct numpy computation on the same seeded pixels."""
+    from iot_etl_spark.extensions.multimodal import make_bmp_bytes
+    import numpy as np
+
+    bmp = make_bmp_bytes(width=5, height=4, seed=7)  # width forces row padding
+    df = spark.createDataFrame(
+        [(11, "image", bmp, "image/bmp", 5, 4, None)], MEDIA_SCHEMA
+    )
+    row = decode_and_featurize(df).collect()[0]
+    assert row.ok and row.decoded_kind == "image"
+    assert (row.width, row.height) == (5, 4)
+    rng = np.random.default_rng(7)
+    expected = np.concatenate(
+        [rng.integers(0, 256, 15, dtype=np.uint8) for _ in range(4)]
+    ).mean()
+    assert abs(row.mean_pixel - float(expected)) < 1e-9
+
+
+def test_compressed_formats_still_error_as_rows(spark):
+    """JPEG-magic payloads still land in the documented
+    NotImplementedError path — as rows, never task failures."""
+    df = spark.createDataFrame(
+        [(12, "image", b"\xff\xd8\xff\xe0 not a decodable jpeg body",
+          "image/jpeg", None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    row = decode_and_featurize(df).collect()[0]
+    assert not row.ok and "NotImplementedError" in row.error
