@@ -764,3 +764,99 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "tfidf", "rk")
     )
+
+
+# ------------------------------------------- PMI word co-occurrence
+
+PMI_WINDOW = 2      # pair words up to this many positions apart
+PMI_MIN_COUNT = 5   # drop pairs rarer than this
+PMI_TOP_K = 20
+
+_PMI_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(ws) AS term, generate_subscripts(ws, 1) AS pos
+    FROM tok
+),
+pairs AS (
+    SELECT LEAST(a.term, b.term) AS w1, GREATEST(a.term, b.term) AS w2
+    FROM pos a
+    JOIN pos b ON a.doc_id = b.doc_id
+              AND b.pos > a.pos AND b.pos <= a.pos + {PMI_WINDOW}
+),
+pc AS (
+    SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2
+),
+uc AS (
+    SELECT term, COUNT(*) AS c FROM pos GROUP BY 1
+),
+tot AS (
+    SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM pos) AS t_tokens,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM pairs) AS t_pairs
+)
+SELECT pc.w1, pc.w2, CAST(pc.c_ab AS BIGINT) AS pair_count,
+       ROUND(LN((CAST(pc.c_ab AS DOUBLE) * t.t_tokens * t.t_tokens)
+                / (t.t_pairs * u1.c * u2.c)), 6) AS pmi
+FROM pc
+JOIN uc u1 ON pc.w1 = u1.term
+JOIN uc u2 ON pc.w2 = u2.term
+CROSS JOIN tot t
+WHERE pc.c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP_K}
+"""
+
+
+@query("pmi_cooccurrence", oracle=_PMI_ORACLE)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} word pairs by pointwise mutual information
+    within a +-{PMI_WINDOW}-token window — the collocation statistic
+    behind phrase mining and word-association features. Pairs are
+    canonicalized (lexicographic least/greatest) so (a,b) and (b,a)
+    accumulate together; the PMI expression multiplies and divides in
+    ONE fixed order on both engines, so the doubles agree bit-for-bit
+    before the shared ROUND.
+
+    Scale: the oracle's positional SELF-JOIN is the textbook
+    formulation; the Spark side instead generates each position's
+    <= {PMI_WINDOW} forward pairs MAP-SIDE inside one higher-order
+    expression (no join, no shuffle of the token stream) — pair counts
+    then aggregate with map-side combine, and the vocabulary-grained
+    unigram counts and 1-row totals broadcast back. Nothing scales
+    with corpus size except the two hash aggs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    pair_expr = f"""
+        flatten(transform(ws, (w, i) ->
+            filter(transform(sequence(1, {PMI_WINDOW}), d ->
+                CASE WHEN i + d < size(ws)
+                     THEN struct(least(w, ws[i + d]) AS w1,
+                                 greatest(w, ws[i + d]) AS w2)
+                END), p -> p IS NOT NULL)))
+    """
+    pairs = docs.select(F.explode(F.expr(pair_expr)).alias("p")).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    tok = docs.select(F.explode("ws").alias("term"))
+    uc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.agg(F.count(F.lit(1)).cast("double").alias("t_tokens")).join(
+        pairs.agg(F.count(F.lit(1)).cast("double").alias("t_pairs"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("t_tokens") * F.col("t_tokens"))
+            / (F.col("t_pairs") * F.col("u1c") * F.col("u2c"))
+        ),
+        6,
+    )
+    return (
+        pc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uc.select(F.col("term").alias("w1"), F.col("c").alias("u1c"))), "w1")
+        .join(F.broadcast(uc.select(F.col("term").alias("w2"), F.col("c").alias("u2c"))), "w2")
+        .join(F.broadcast(totals))
+        .select("w1", "w2", F.col("c_ab").alias("pair_count"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
