@@ -2049,3 +2049,48 @@ def anomaly_trends_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bucket_epoch").desc(), "user_id")
     )
+
+
+# ------------------------------- F10 variant: semi-structured VARIANT
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_with_props,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k
+FROM (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events WHERE props IS NOT NULL
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("props_variant_extract", oracle=_VARIANT_ORACLE)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT path for semi-structured payloads:
+    ``try_parse_json`` ingests the props JSON into VariantType once,
+    ``variant_get`` does typed extraction — the open-schema alternative
+    to ``from_json`` with a declared StructType (json_props_extract /
+    props_map_extract cover that closed-schema path). Variant keeps a
+    binary-encoded tree, so repeated extractions skip re-parsing and
+    unknown future keys survive ingestion — the semantics warehouses
+    (and the reference's opaque metadata string,
+    spark_transform.py:129) actually need.
+
+    Scale: parse happens map-side in the scan stage; the aggregate is
+    an ordinary hash agg. try_ variant: malformed payloads become
+    NULLs, never task failures."""
+    ev = load_events(spark, sf_dir).filter(F.col("props").isNotNull())
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_props"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
