@@ -34,7 +34,12 @@ from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _BASE_INSTANT = datetime(2024, 1, 1, tzinfo=timezone.utc)
 _EVENT_TYPES = ("view", "click", "purchase", "error", "refund")
@@ -51,11 +56,48 @@ SYNTH_SCHEMA = T.StructType(
 )
 
 
+def _gen_rows(seed: int, start: int, end: int):
+    """The ONE generator both batch partitions and stream batches call:
+    rows depend only on (seed, row-id range), so a batch read, a
+    streaming read, and a retried/replayed task of either all produce
+    identical rows for the same ids — the property exactly-once sinks
+    rely on."""
+    import numpy as np
+
+    n = end - start
+    if n <= 0:
+        return
+    # Per-row-id generation (not per-call): the stream may cut the id
+    # space into different chunk boundaries than the batch splits, so
+    # randomness must key on the row id alone.
+    for row_id in range(start, end):
+        rng = np.random.default_rng(seed * 1_000_003 + row_id)
+        user, etype, value, offset, with_props = (
+            int(rng.integers(0, 500)),
+            int(rng.integers(0, len(_EVENT_TYPES))),
+            float(np.round(rng.uniform(0, 100), 4)),
+            int(rng.integers(0, 86_400)),
+            int(rng.integers(0, 2)),
+        )
+        yield (
+            row_id,
+            _BASE_INSTANT + timedelta(seconds=offset),
+            user,
+            _EVENT_TYPES[etype],
+            value,
+            '{"k": %d}' % (row_id % 100) if with_props else None,
+        )
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events")`` after registration.
+    """``spark.read.format("synthetic_events")`` (batch) and
+    ``spark.readStream.format("synthetic_events")`` (streaming) after
+    registration — one connector, both execution modes, identical rows
+    for identical row ids.
 
     Options: ``n_rows`` total rows (default 1000), ``n_partitions``
-    parallel splits (default 4), ``seed`` (default 42).
+    batch splits (default 4), ``rows_per_batch`` stream micro-batch
+    size (default 100), ``seed`` (default 42).
     """
 
     @classmethod
@@ -67,6 +109,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class _Split(InputPartition):
@@ -94,27 +139,45 @@ class SyntheticEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _Split):
-        # Executor-side, one call per task. Rows depend ONLY on
-        # (seed, row range) — identical under task retry.
-        import numpy as np
+        # Executor-side, one call per task; retry-identical because
+        # _gen_rows keys on (seed, row id) alone.
+        yield from _gen_rows(partition.seed, partition.start, partition.end)
 
-        n = partition.end - partition.start
-        rng = np.random.default_rng(partition.seed * 1_000_003 + partition.index)
-        users = rng.integers(0, 500, size=n)
-        types = rng.integers(0, len(_EVENT_TYPES), size=n)
-        values = np.round(rng.uniform(0, 100, size=n), 4)
-        offsets = rng.integers(0, 86_400, size=n)
-        with_props = rng.integers(0, 2, size=n)
-        for j in range(n):
-            row_id = partition.start + j
-            yield (
-                row_id,
-                _BASE_INSTANT + timedelta(seconds=int(offsets[j])),
-                int(users[j]),
-                _EVENT_TYPES[types[j]],
-                float(values[j]),
-                '{"k": %d}' % (row_id % 100) if with_props[j] else None,
-            )
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: the offset is just the next
+    unread row id, each micro-batch advances it by ``rows_per_batch``
+    until ``n_rows`` is exhausted (a finite feed — lets tests drain
+    with processAllAvailable; production feeds simply never stop
+    advancing).
+
+    ``readBetweenOffsets`` regenerates any committed range verbatim —
+    this is the replay path the engine uses on recovery, and it is
+    exact here because generation keys on row ids, not on call
+    history."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"next_row": 0}
+
+    def read(self, start: dict):
+        # iter(list), not a generator: the engine's prefetch cache
+        # needs an ITERATOR (it calls next() to probe emptiness) that
+        # is also PICKLABLE (batches ship driver->executor pickled);
+        # generators fail the second, bare lists the first. Bounded by
+        # rows_per_batch, so materializing is safe.
+        first = int(start["next_row"])
+        last = min(first + self.rows_per_batch, self.n_rows)
+        return iter(list(_gen_rows(self.seed, first, last))), {"next_row": last}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            list(_gen_rows(self.seed, int(start["next_row"]), int(end["next_row"])))
+        )
 
 
 def register_synthetic_source(spark: SparkSession) -> None:

@@ -61,3 +61,49 @@ def test_composes_with_engine_operators(spark):
     # typed timestamp column supports time functions
     hours = df.select(F.hour("ts").alias("h")).agg(F.min("h"), F.max("h")).first()
     assert 0 <= hours[0] <= hours[1] <= 23
+
+
+def test_stream_reader_drains_and_matches_batch(spark):
+    """The STREAMING read of the connector yields exactly the same
+    rows as the BATCH read for the same seed — one generator, two
+    execution modes — and the finite feed drains cleanly through
+    processAllAvailable."""
+    import uuid
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 300).option("rows_per_batch", 75).option("seed", 9)
+        .load()
+    )
+    assert stream.isStreaming
+    name = f"synth_stream_{uuid.uuid4().hex[:6]}"
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    batch = _load(spark, n_rows=300, n_partitions=4, seed=9)
+    assert got.count() == 300
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_reader_replay_is_exact(spark):
+    """readBetweenOffsets (the recovery/replay path) regenerates a
+    committed range verbatim."""
+    from iot_etl_spark.sources.pydatasource import SyntheticEventsStreamReader
+
+    r = SyntheticEventsStreamReader({"n_rows": "50", "rows_per_batch": "20", "seed": "3"})
+    rows1, off1 = r.read(r.initialOffset())
+    first_batch = list(rows1)
+    assert off1 == {"next_row": 20} and len(first_batch) == 20
+    replay = list(r.readBetweenOffsets({"next_row": 0}, {"next_row": 20}))
+    assert replay == first_batch
+    # the tail batch is ragged and the feed then stays drained
+    rows2, off2 = r.read({"next_row": 40})
+    assert off2 == {"next_row": 50} and len(list(rows2)) == 10
+    rows3, off3 = r.read(off2)
+    assert off3 == {"next_row": 50} and list(rows3) == []
