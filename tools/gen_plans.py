@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: captured executed-plan snapshots for the
+headline queries, the human-readable companion to the assertions in
+tests/test_plans.py. Run from the repo root."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PICKS = [
+    ("pricing_summary",
+     "TPC-H Q1: scan -> pushed filter -> hash agg; the whole-stage-codegen floor"),
+    ("q5_local_supplier_volume",
+     "deepest join chain: one fact shuffle, every dim broadcast, pushed dates"),
+    ("q17_small_quantity_revenue",
+     "decorrelated aggregate subquery: broadcast slice + single window shuffle"),
+    ("q19_disjunctive_revenue",
+     "disjunctive pushdown: OR bands reach the scan, zero shuffles"),
+    ("q21_sole_blame_supplier",
+     "EXISTS+NOT EXISTS decorrelation: ONE lineitem scan via window collect_set"),
+    ("minhash_lsh_candidates",
+     "banded LSH: no self-join, no cartesian, bucket-grouped candidates"),
+    ("embedding_cosine_topk",
+     "brute-force ANN baseline: 1-row broadcast + TakeOrderedAndProject"),
+    ("decontaminate_overlap",
+     "train/eval decontamination: eval grams DISTINCT + broadcast, "
+     "train never shuffles shingles"),
+    ("latest_per_device",
+     "DISTINCT ON / last-per-key: single window shuffle, no global sort"),
+]
+
+HEADER = """# PLANS — captured physical plans for the headline queries
+
+Generated from `df.explain(formatted := queryExecution)` at sf0.001 (plan SHAPE is
+scale-invariant; AQE may re-plan sizes at runtime). Regenerate with
+`python tools/gen_plans.py`. The properties called out per query are
+the ones `tests/test_plans.py` pins — this file is the human-readable
+companion to those assertions.
+"""
+
+
+def main() -> None:
+    from iot_etl_spark.session import get_spark
+    from iot_etl_spark.plans import QUERIES
+
+    spark = get_spark(app_name="plansdoc", master="local[8]", shuffle_partitions=8)
+    sf = "/root/testdata/sf0.001"
+    out = [HEADER]
+    for name, why in PICKS:
+        plan = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        lines = [ln.rstrip()[:200] for ln in plan.splitlines()]
+        out.append(f"\n## {name}\n\n{why}\n\n```\n" + "\n".join(lines) + "\n```\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
