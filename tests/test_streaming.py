@@ -661,3 +661,53 @@ def test_transform_with_state_profile_across_batches(spark):
             assert r.max_value < 100, "b2 values leaked into the b1 trigger"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_query_runs_on_rocksdb_state_store(spark):
+    """The RocksDB state store provider (the production backend for
+    large state: spillable, incremental checkpoints) runs the same
+    stateful aggregation the default HDFS-backed store runs, with
+    identical results. Scoped to this query via the session conf at
+    query start."""
+    import uuid
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        from iot_etl_spark.streaming.pipeline import windowed_aggregate
+
+        src = read_stream_source(
+            spark, "parquet", path="/root/testdata/sf0.001/events.parquet"
+        )
+        agg = windowed_aggregate(src, window="1 hour", watermark=None)
+        name = f"rocks_{uuid.uuid4().hex[:6]}"
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).start())
+        try:
+            q.processAllAvailable()
+            # the state store actually in use is reported in progress
+            state_ops = [
+                op for p in [q.lastProgress] if p
+                for op in p.get("stateOperators", [])
+            ]
+        finally:
+            q.stop()
+        got = {(r.window_start, r.event_type): r.reading_count
+               for r in spark.table(name)
+               .select("window_start", "event_type", "reading_count").collect()}
+        # batch twin over the same data
+        from iot_etl_spark.sources.tables import load_events
+        exp = {(r.ws, r.event_type): r.n for r in
+               load_events(spark, "/root/testdata/sf0.001")
+               .groupBy(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got == exp
+        assert state_ops, "stateful operator progress missing"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
