@@ -15,6 +15,7 @@ from iot_etl_spark.plans.registry import QUERIES, ORACLES, query
 # registration side-effects
 from iot_etl_spark.plans import queries_tpch  # noqa: F401
 from iot_etl_spark.plans import queries_tpch2  # noqa: F401
+from iot_etl_spark.plans import queries_sqlsurface  # noqa: F401
 from iot_etl_spark.plans import queries_events  # noqa: F401
 from iot_etl_spark.plans import queries_text  # noqa: F401
 from iot_etl_spark.plans import queries_embed  # noqa: F401
