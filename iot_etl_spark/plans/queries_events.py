@@ -2094,3 +2094,70 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------- declarative constraint audit
+_CONSTRAINT_ORACLE = """
+SELECT 'not_null_value' AS constraint, 'not_null' AS kind,
+       (SELECT COUNT(*) FROM events) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM events
+UNION ALL
+SELECT 'in_range_value', 'in_range',
+       (SELECT COUNT(*) FROM events),
+       CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 10000)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 10000)
+           THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'accepted_values_event_type', 'accepted_values',
+       (SELECT COUNT(*) FROM events),
+       CAST(SUM(CASE WHEN event_type NOT IN
+                ('view', 'click', 'purchase', 'error', 'refund')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN event_type NOT IN
+           ('view', 'click', 'purchase', 'error', 'refund')
+           THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'unique_event_id', 'unique',
+       (SELECT COUNT(*) FROM events),
+       CAST((SELECT COUNT(*) FROM events)
+            - (SELECT COUNT(DISTINCT event_id) FROM events) AS BIGINT),
+       (SELECT COUNT(*) FROM events)
+         = (SELECT COUNT(DISTINCT event_id) FROM events)
+"""
+
+
+@query("constraint_audit", oracle=_CONSTRAINT_ORACLE)
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/quality.py
+    constraint_report — the Deequ/dbt-tests capability the reference
+    hand-rolls as eager per-check counts): not-null, range,
+    accepted-values and uniqueness over events, every row-level rule
+    compiled into ONE aggregation pass sharing one scan.
+
+    Scale: adding a rule adds a conditional sum to the existing agg,
+    not a scan; uniqueness rides the same pass as
+    count - count_distinct. The oracle recomputes each rule as
+    independent SQL and must agree row-for-row."""
+    from iot_etl_spark.operators.quality import (
+        accepted_values,
+        constraint_report,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    ev = load_events(spark, sf_dir)
+    return constraint_report(
+        ev,
+        [
+            not_null("value"),
+            in_range("value", 0, 10_000),
+            accepted_values("event_type", ["view", "click", "purchase", "error", "refund"]),
+            unique("event_id"),
+        ],
+    )

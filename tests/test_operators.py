@@ -259,3 +259,45 @@ def test_join_medium_dim_plans_shuffled_hash_join(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_constraint_report_foreign_key_and_rules(spark):
+    """constraint_report: row-level rules share one aggregation pass;
+    FK rules count orphans via broadcast anti-join; violation counts
+    match hand computation."""
+    from iot_etl_spark.operators.quality import (
+        constraint_report,
+        expression,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (3, None, "a"),
+         (4, 250.0, "z"), (4, 7.0, "a")],
+        "id LONG, value DOUBLE, dim_key STRING",
+    )
+    dim = spark.createDataFrame([("a",), ("b",)], "dim_key STRING")
+    rep = {
+        r.constraint: r
+        for r in constraint_report(
+            df,
+            [
+                not_null("value"),
+                in_range("value", 0, 100),
+                unique("id"),
+                expression("positive_id", "id > 0"),
+                foreign_key("dim_key", dim, "dim_key"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null_value"].n_violations == 1
+    assert rep["in_range_value"].n_violations == 2          # -5 and 250
+    assert rep["unique_id"].n_violations == 1               # id=4 twice
+    assert rep["positive_id"].n_violations == 0 and rep["positive_id"].passed
+    assert rep["fk_dim_key"].n_violations == 1              # 'z' orphan
+    assert all(r.n_rows == 5 for r in rep.values())
+    assert not rep["fk_dim_key"].passed
