@@ -838,11 +838,16 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END), p -> p IS NOT NULL)))
     """
     pairs = docs.select(F.explode(F.expr(pair_expr)).alias("p")).select("p.w1", "p.w2")
-    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    # Each aggregated frame feeds TWO consumers (the PMI join and its
+    # own total); without materialization Spark replays the full
+    # explode+agg lineage per consumer — 5 corpus scans instead of 2.
+    # Both frames are vocabulary-grained (sublinear in corpus size),
+    # so caching them is the correct 100 TB trade.
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")).cache()
     tok = docs.select(F.explode("ws").alias("term"))
-    uc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    totals = tok.agg(F.count(F.lit(1)).cast("double").alias("t_tokens")).join(
-        pairs.agg(F.count(F.lit(1)).cast("double").alias("t_pairs"))
+    uc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")).cache()
+    totals = uc.agg(F.sum("c").cast("double").alias("t_tokens")).join(
+        pc.agg(F.sum("c_ab").cast("double").alias("t_pairs"))
     )
     pmi = F.round(
         F.log(

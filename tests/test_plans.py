@@ -199,3 +199,24 @@ def test_new_tpch_dim_joins_broadcast(spark):
         plan, _ = _plans(spark, name)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_constraint_audit_single_scan_single_exchange(spark):
+    """The whole declarative constraint suite rides ONE scan and ONE
+    aggregate exchange — adding a rule must add a column, not a
+    scan."""
+    plan, _ = _plans(spark, "constraint_audit")
+    scans = sum(1 for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert scans == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_corpus_analytics_avoid_shuffle_joins(spark):
+    """tfidf/pmi: document-frequency/unigram sides are broadcast
+    (vocabulary-grained); no sort-merge join of token streams, no
+    cartesian except the 1-row totals broadcast."""
+    for name in ["tfidf_top_terms", "pmi_cooccurrence"]:
+        plan, _ = _plans(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
