@@ -2161,3 +2161,139 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             unique("event_id"),
         ],
     )
+
+
+# --------------------------------------------------- funnel conversion
+_FUNNEL_ORACLE = """
+WITH seq AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM seq WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT s.user_id, MIN(s.ts) AS t2
+    FROM seq s JOIN v ON s.user_id = v.user_id AND s.ts > v.t1
+    WHERE s.event_type = 'click' GROUP BY 1
+),
+p AS (
+    SELECT s.user_id, MIN(s.ts) AS t3
+    FROM seq s JOIN c ON s.user_id = c.user_id AND s.ts > c.t2
+    WHERE s.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel,
+       CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+           / (SELECT COUNT(*) FROM v) AS click_rate,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+           / (SELECT COUNT(*) FROM c) AS purchase_rate
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> later click -> later purchase) per user,
+    rolled up to stage counts and conversion rates — the sequential
+    pattern-matching capability (MATCH_RECOGNIZE territory) expressed
+    as a ONE-PASS per-user fold: events sort into a per-user array and
+    an `aggregate` lambda walks them once, advancing each stage only
+    on a strictly-later matching event. The oracle is the textbook
+    staged-MIN formulation (three dependent scans + joins) — identical
+    semantics, including the strict-inequality chain on ties.
+
+    Scale: one shuffle on user_id, JVM-side fold, no self-joins. A
+    pathological user with millions of events would bloat its array —
+    the escape hatch is the oracle's staged-join shape, whose stage
+    frames stay user-grained; the fold is the right default because
+    funnels are per-human sequences (bounded)."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    packed = (
+        ev.select("user_id", F.unix_micros("ts").alias("us"), "event_type")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("us", "event_type"))).alias("evs"))
+    )
+    fold = F.aggregate(
+        "evs",
+        F.struct(
+            F.lit(None).cast("long").alias("t1"),
+            F.lit(None).cast("long").alias("t2"),
+            F.lit(None).cast("long").alias("t3"),
+        ),
+        lambda acc, e: F.struct(
+            F.when(
+                acc.t1.isNull() & (e.event_type == "view"), e.us
+            ).otherwise(acc.t1).alias("t1"),
+            F.when(
+                acc.t2.isNull() & acc.t1.isNotNull()
+                & (e.event_type == "click") & (e.us > acc.t1),
+                e.us,
+            ).otherwise(acc.t2).alias("t2"),
+            F.when(
+                acc.t3.isNull() & acc.t2.isNotNull()
+                & (e.event_type == "purchase") & (e.us > acc.t2),
+                e.us,
+            ).otherwise(acc.t3).alias("t3"),
+        ),
+    )
+    stages = packed.select(fold.alias("s"))
+    n_view = F.sum(F.col("s.t1").isNotNull().cast("long"))
+    n_click = F.sum(F.col("s.t2").isNotNull().cast("long"))
+    n_purch = F.sum(F.col("s.t3").isNotNull().cast("long"))
+    return stages.agg(
+        n_view.alias("n_view"),
+        n_click.alias("n_view_click"),
+        n_purch.alias("n_full_funnel"),
+        (n_click.cast("double") / n_view).alias("click_rate"),
+        (n_purch.cast("double") / n_click).alias("purchase_rate"),
+    )
+
+
+# --------------------------------------------------- cohort retention
+_COHORT_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+    FROM events GROUP BY 1
+)
+SELECT epoch_us(date_trunc('week', f.first_ts)) // 1000000 AS cohort_week_epoch,
+       CAST((epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(f.first_ts))
+            // 604800000000 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen
+    week, activity counted per whole-week offset from each user's own
+    first event — the standard growth-analytics triangle.
+
+    Scale: the first-seen aggregate and the activity join share the
+    user_id shuffle key (co-partitioned join, exchange reuse); the
+    week math is integer microsecond division (exact, no calendar
+    functions beyond the cohort label's date_trunc). Distinct-count
+    per (cohort, offset) cell is the only second shuffle; cells are
+    bounded by weeks², not users."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.min("us").alias("first_us")
+    )
+    j = ev.join(firsts, "user_id")
+    return (
+        j.groupBy(
+            F.unix_timestamp(F.date_trunc("week", "first_ts"))
+            .cast("long").alias("cohort_week_epoch"),
+            # integer `div`, same as the oracle's `//`: zero floating
+            # point anywhere near the week-boundary decision
+            F.expr("(us - first_us) div 604800000000")
+            .cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
