@@ -3,6 +3,7 @@
 warehouse SQL — SURVEY.md §3).
 
     python -m iot_etl_spark query <name> [--sf-dir DIR] [-n ROWS]
+    python -m iot_etl_spark explain <name> [--sf-dir DIR]
     python -m iot_etl_spark list
     python -m iot_etl_spark batch --out DIR [--sf-dir DIR]
     python -m iot_etl_spark sql "SELECT ..." [--sf-dir DIR]
@@ -31,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     q.add_argument("-n", type=int, default=20, help="rows to show")
 
+    e = sub.add_parser(
+        "explain", help="print a query's formatted physical plan"
+    )
+    e.add_argument("name")
+    e.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     sub.add_parser("list", help="list registry queries")
 
     b = sub.add_parser("batch", help="run the batch ETL pipeline")
@@ -51,13 +58,15 @@ def main(argv: list[str] | None = None) -> int:
             print(name)
         return 0
 
-    if a.cmd == "query" and a.name not in registry.QUERIES:
+    if a.cmd in ("query", "explain") and a.name not in registry.QUERIES:
         print(f"unknown query {a.name!r}; see `list`", file=sys.stderr)
         return 2
 
     spark = _spark()
     if a.cmd == "query":
         registry.QUERIES[a.name](spark, a.sf_dir).show(a.n, truncate=False)
+    elif a.cmd == "explain":
+        registry.QUERIES[a.name](spark, a.sf_dir).explain("formatted")
     elif a.cmd == "batch":
         from iot_etl_spark.pipeline.batch import run_batch_pipeline
 
