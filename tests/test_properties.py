@@ -89,3 +89,56 @@ def test_rolling_range_frame_property(spark, rows):
         tse = int(pd.Timestamp(r.ts).value // 10**9)
         window = pdf[(pdf.user_id == r.user_id) & (pdf.tse >= tse - 300) & (pdf.tse <= tse)]
         assert abs(r.rolling_avg_5min - window.value.mean()) < 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),                    # id (dups likely)
+            st.one_of(st.none(), st.floats(min_value=-50, max_value=200,
+                                           allow_nan=False)),         # value
+            st.sampled_from(["a", "b", "z"]),                         # category
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_constraint_report_property(spark, rows):
+    """constraint_report == independent pandas recomputation for every
+    rule kind, on arbitrary frames with nulls, duplicates, and
+    out-of-range/-vocabulary values."""
+    from iot_etl_spark.operators.quality import (
+        accepted_values,
+        constraint_report,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(int(i), v if v is None else float(v), c) for i, v, c in rows],
+        "id LONG, value DOUBLE, cat STRING",
+    )
+    rep = {
+        r.constraint: r
+        for r in constraint_report(
+            df,
+            [
+                not_null("value"),
+                in_range("value", 0, 100),
+                accepted_values("cat", ["a", "b"]),
+                unique("id"),
+            ],
+        ).collect()
+    }
+    pdf = df.toPandas()
+    n = len(pdf)
+    assert all(r.n_rows == n for r in rep.values())
+    assert rep["not_null_value"].n_violations == int(pdf["value"].isna().sum())
+    inr = pdf["value"].dropna()
+    assert rep["in_range_value"].n_violations == int(((inr < 0) | (inr > 100)).sum())
+    assert rep["accepted_values_cat"].n_violations == int((~pdf["cat"].isin(["a", "b"])).sum())
+    assert rep["unique_id"].n_violations == n - pdf["id"].nunique()
+    for r in rep.values():
+        assert r.passed == (r.n_violations == 0)
