@@ -2297,3 +2297,88 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+# ------------------------------------------- regression aggregates
+_REGR_ORACLE = """
+SELECT event_type,
+       CAST(regr_count(value, x) AS BIGINT) AS n_points,
+       ROUND(regr_slope(value, x), 6) AS slope_per_day,
+       ROUND(regr_intercept(value, x), 6) AS intercept,
+       ROUND(regr_r2(value, x), 6) AS r2
+FROM (
+    SELECT event_type, value,
+           (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+               / 86400000000.0 AS x
+    FROM events WHERE value IS NOT NULL
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("regr_value_trend", oracle=_REGR_ORACLE)
+def regr_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of value over time via the ANSI
+    regression aggregates (regr_slope/intercept/r2/count) — the
+    built-in single-pass path for what sensor_drift derives manually.
+    The regressor is days since a fixed epoch (one shared double
+    expression on both engines); outputs round to 6 places, the same
+    convention the CORR/COVAR query uses for co-moment aggregates.
+
+    Scale: one hash aggregate with map-side partial co-moments —
+    the cheapest possible trend computation over 100 TB (no window,
+    no sort, no second pass)."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    x = (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(86400000000.0)
+    return (
+        ev.select("event_type", "value", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.regr_count("value", "x").cast("long").alias("n_points"),
+            F.round(F.regr_slope("value", "x"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("value", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("value", "x"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------- UNPIVOT (melt)
+_UNPIVOT_ORACLE = """
+WITH w AS (
+    SELECT event_type,
+           ROUND(AVG(value), 6) AS avg_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT event_type, metric, value
+FROM (UNPIVOT w ON avg_value, min_value, max_value
+      INTO NAME metric VALUE value)
+"""
+
+
+@query("unpivot_type_metrics", oracle=_UNPIVOT_ORACLE)
+def unpivot_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long melt via the native UNPIVOT operator
+    (DataFrame.unpivot / SQL UNPIVOT, the inverse of the pivot the
+    registry already covers): per-type stats melted to one
+    (event_type, metric, value) row each — the shape metric stores
+    and plotting layers consume.
+
+    Scale: unpivot compiles to an Expand node — 3x the (tiny,
+    pre-aggregated) rows map-side, zero additional shuffles beyond
+    the stats aggregate itself."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    wide = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["avg_value", "min_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
