@@ -2382,3 +2382,38 @@ def unpivot_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# -------------------------------------------- ordered string aggregation
+_LISTAGG_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                  event_id) AS event_signature
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("user_event_signature", oracle=_LISTAGG_ORACLE)
+def user_event_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type journey string via the ANSI
+    LISTAGG ... WITHIN GROUP aggregate (DuckDB spells it string_agg
+    with ORDER BY) — the sequence-signature feature clickstream models
+    and journey clustering consume. The (ts, event_id) ordering
+    tiebreak makes the concatenation deterministic under equal
+    timestamps, so the strings hash-match cross-engine.
+
+    Scale: one hash aggregate; per-user state is the user's own
+    events (human-bounded). A bot user with millions of events would
+    bloat its string — production caps with a windowed LIMIT per user
+    before aggregating (the doc_chunks slice pattern)."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "listagg(event_type, '>') WITHIN GROUP (ORDER BY ts_us, event_id)"
+        ).alias("event_signature"),
+    )

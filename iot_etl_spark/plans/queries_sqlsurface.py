@@ -109,3 +109,46 @@ def sql_recursive_dedup_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     hierarchies."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+# --------------------------------------------- explicit GROUPING SETS
+# The custom-combination member of the grouping-sets family the
+# registry's CUBE (all subsets) and ROLLUP (hierarchy prefixes) can't
+# express: exactly the named combinations, nothing else. Identical
+# statement text on both engines.
+_GROUPING_SETS_SQL = """
+SELECT event_type,
+       {dow} AS day_of_week,
+       GROUPING(event_type) * 2 + GROUPING({dow_raw}) AS grouping_id,
+       COUNT(*) AS reading_count,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, {dow_raw}), (event_type), ({dow_raw}))
+"""
+
+
+@query(
+    "grouping_sets_matrix",
+    oracle=_GROUPING_SETS_SQL.format(
+        dow="CAST(EXTRACT(dow FROM CAST(ts AS TIMESTAMP)) AS BIGINT)",
+        dow_raw="CAST(EXTRACT(dow FROM CAST(ts AS TIMESTAMP)) AS BIGINT)",
+    ),
+)
+def grouping_sets_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS on the SQL surface: the (type, dow),
+    (type), (dow) margins — a strict subset of CUBE's 4 combinations,
+    declared rather than filtered, with GROUPING() markers
+    disambiguating real NULLs from subtotal rows.
+
+    Scale: one map-side Expand (3x rows) + one shuffle on the compound
+    key — declaring only the needed sets cuts Expand fan-out vs CUBE,
+    which is the point at 100 TB. DuckDB EXTRACT(dow) is 0=Sunday vs
+    Spark dayofweek 1=Sunday, so the Spark text shifts by one (the
+    cube_type_dow convention)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _GROUPING_SETS_SQL.format(
+            dow="CAST(dayofweek(ts) - 1 AS BIGINT)",
+            dow_raw="CAST(dayofweek(ts) - 1 AS BIGINT)",
+        )
+    )
