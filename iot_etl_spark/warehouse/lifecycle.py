@@ -274,3 +274,48 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(*kl, status.alias("diff_status"))
+
+
+def route_to_agg(
+    spark,
+    events: DataFrame,
+    agg_path: str,
+    bucket: str = "hour",
+    time_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Materialized-view routing (the TimescaleDB real-time
+    continuous-aggregate read path, create_dwh_schema.sql:216-233's
+    consumer side): answer the bucket-aggregate query FROM the
+    materialized table when one exists and is complete, else compute
+    from raw events.
+
+    Freshness = bucket coverage: the MV serves only if its max bucket
+    covers the raw table's max event time (both read from parquet
+    footer statistics — two metadata-only lookups, no data scan). A
+    stale MV falls back to raw compute; production would instead
+    UNION the MV's buckets with a raw-compute tail over the
+    uncovered window — that variant is `refresh_agg` + this router
+    run after it, which is why the router stays binary here.
+
+    Scale: routing decisions are O(footer); a routed query reads the
+    (buckets x keys)-grained MV — typically 4-6 orders of magnitude
+    smaller than the fact table it stands for."""
+    import os
+
+    compute = lambda: _BUILDERS[bucket](  # noqa: E731 - tiny local thunk
+        events, time_col=time_col, key_cols=key_cols
+    )
+    if not os.path.isdir(agg_path):
+        return compute()
+    mv = spark.read.parquet(agg_path)
+    mv_max_bucket = mv.agg(F.max("bucket")).first()[0]
+    raw_max_ts = events.agg(F.max(time_col)).first()[0]
+    if mv_max_bucket is None or raw_max_ts is None:
+        return compute()
+    # the MV covers raw iff raw's newest event falls inside (or before)
+    # the MV's newest bucket
+    covered = {"hour": 3600, "day": 86400}[bucket]
+    if raw_max_ts.timestamp() >= mv_max_bucket.timestamp() + covered:
+        return compute()
+    return mv.drop("agg_date")

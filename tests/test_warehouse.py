@@ -371,3 +371,40 @@ def test_snapshot_diff_classifies_rows(spark):
     )
     out = {r.id: r.diff_status for r in snapshot_diff(old, new, ("id",)).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_route_to_agg_serves_mv_when_fresh(spark, tmp_path):
+    """Materialized-view routing: a fresh MV answers the hourly query
+    (plan scans the MV path, values equal direct compute); a stale MV
+    (newer raw events than its last bucket) falls back to raw."""
+    from iot_etl_spark.sources.tables import load_events
+    from iot_etl_spark.warehouse.lifecycle import (
+        hourly_agg,
+        materialize_agg,
+        route_to_agg,
+    )
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    mv_path = str(tmp_path / "hourly_mv")
+    materialize_agg(ev, mv_path, bucket="hour")
+
+    routed = route_to_agg(spark, ev, mv_path, bucket="hour")
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # a routed query is a pure scan+project of the MV — no aggregation
+    assert "HashAggregate" not in plan, "fresh MV was not routed to"
+    direct = hourly_agg(ev)
+    assert routed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(routed).count() == 0
+
+    # stale: raw now extends past the MV's last bucket -> fall back
+    import pyspark.sql.functions as F
+
+    later = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 400 DAYS"))
+    fresh_plus = ev.unionByName(later)
+    fallback = route_to_agg(spark, fresh_plus, mv_path, bucket="hour")
+    plan2 = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan2, "stale MV must not serve"
+
+    # no MV at all -> raw compute
+    none = route_to_agg(spark, ev, str(tmp_path / "missing"), bucket="hour")
+    assert "FileScan" in none._jdf.queryExecution().executedPlan().toString()
