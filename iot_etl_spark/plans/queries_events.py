@@ -40,7 +40,8 @@ _HOURLY_ORACLE = f"""
 SELECT {duck_bucket_epoch('hour')} AS bucket_epoch,
        event_type,
        COUNT(*) AS reading_count,
-       ROUND(AVG(value), 6)    AS avg_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(value) AS avg_value,
        ROUND(MIN(value), 6)    AS min_value,
        ROUND(MAX(value), 6)    AS max_value,
        ROUND(STDDEV(value), 6) AS stddev_value,
@@ -59,13 +60,20 @@ def hourly_device_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's continuous aggregate ``fact_hourly_agg``
     (create_dwh_schema.sql:142-170, SURVEY A4/A6/A7). Exact
     ``F.percentile`` matches PERCENTILE_CONT interpolation;
-    ``approx_percentile`` is the documented 100 TB variant."""
+    ``approx_percentile`` is the documented 100 TB variant.
+
+    avg_value accumulates as EXACT DECIMAL(18,2) (the readings are
+    2-decimal data) and divides once — a double SUM is order-dependent
+    in its last ulp, which flips ROUND(,6) on boundary cells at large
+    group sizes (observed at sf0.1); the decimal sum is bit-identical
+    at any scale and parallelism."""
     ev = load_events(spark, sf_dir)
     return (
         ev.groupBy(_bucket_epoch("hour").alias("bucket_epoch"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("reading_count"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             / F.count("value")).alias("avg_value"),
             F.round(F.min("value"), 6).alias("min_value"),
             F.round(F.max("value"), 6).alias("max_value"),
             F.round(F.stddev("value"), 6).alias("stddev_value"),

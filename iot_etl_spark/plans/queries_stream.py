@@ -24,7 +24,8 @@ _TUMBLING_ORACLE = f"""
 SELECT {duck_bucket_epoch('hour')} AS window_start_epoch,
        event_type,
        COUNT(*) AS reading_count,
-       ROUND(AVG(value), 6)    AS avg_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(value) AS avg_value,
        ROUND(MIN(value), 6)    AS min_value,
        ROUND(MAX(value), 6)    AS max_value,
        ROUND(STDDEV(value), 6) AS stddev_value,
@@ -312,7 +313,8 @@ SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, e.t) - k.k * INTERVAL 15 MINUTE)
            // 1000000 AS window_start_epoch,
        event_type,
        COUNT(*) AS reading_count,
-       ROUND(AVG(value), 6) AS avg_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(value) AS avg_value
 FROM e CROSS JOIN k
 GROUP BY 1, 2
 """
@@ -333,7 +335,12 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("reading_count"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # exact decimal accumulation (see windowed_aggregate);
+            # the quotient is emitted UNROUNDED — one deterministic
+            # IEEE division of exact numbers (rounding a quotient can
+            # hit decimal ties where engines' ROUND disagrees)
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             / F.count("value")).alias("avg_value"),
         )
     )
     _, out = run_stream_to_memory(agg, output_mode="complete")

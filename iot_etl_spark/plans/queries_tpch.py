@@ -19,12 +19,17 @@ from iot_etl_spark.operators.enrich import enrich_left_join
 
 _PRICING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 6)                             AS sum_qty,
-       ROUND(SUM(l_extendedprice), 6)                        AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)     AS sum_disc_price,
-       ROUND(AVG(l_quantity), 6)                             AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6)                        AS avg_price,
-       ROUND(AVG(l_discount), 6)                             AS avg_disc,
+       ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 6) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / COUNT(*) AS avg_disc,
        COUNT(*)                                              AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -36,21 +41,36 @@ ORDER BY l_returnflag, l_linestatus
 @query("pricing_summary", oracle=_PRICING_ORACLE)
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship-grade scan->filter->agg->sort (TPC-H Q1 shape; covers
-    reference A1/A3-style grouped aggregates, spark_transform.py:282)."""
+    reference A1/A3-style grouped aggregates, spark_transform.py:282).
+
+    Money/quantity aggregates accumulate EXACTLY (BIGINT quantities,
+    DECIMAL(18,2)/(4,2) prices and discounts — the fixture data is
+    2-decimal, so the casts are lossless) and every displayed double
+    derives from an exact sum via one division: a plain double SUM is
+    order-dependent in its last ulp, which flips ROUND(,6) on boundary
+    cells at sf0.1+ group sizes. Exact accumulation is bit-identical
+    at any scale and partition count — TPC-H itself specifies decimal
+    arithmetic for exactly this reason."""
     li = load_table(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("long"))
+    base = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    disc_price = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    disc = F.sum(F.col("l_discount").cast("decimal(4,2)"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(qty.cast("double"), 6).alias("sum_qty"),
+            F.round(base.cast("double"), 6).alias("sum_base_price"),
+            F.round(disc_price.cast("double"), 6).alias("sum_disc_price"),
+            (qty.cast("double") / n).alias("avg_qty"),
+            (base.cast("double") / n).alias("avg_price"),
+            (disc.cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -99,7 +119,9 @@ def enriched_lineitem_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REVENUE_NATION_ORACLE = """
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+           AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem l
 JOIN orders   o ON l.l_orderkey = o.o_orderkey
@@ -114,7 +136,8 @@ ORDER BY revenue DESC, n_name
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop inner-join + grouped revenue (A3/J1-J3 at joinable
     scale). Fact side shuffles once for the orderkey join; all
-    dimension hops broadcast."""
+    dimension hops broadcast. Revenue accumulates as exact DECIMAL
+    (order-independent; see pricing_summary for the convention)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -126,10 +149,14 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
     )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    )
     return (
         df.groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+            F.round(revenue.cast("double"), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.col("revenue").desc(), "n_name")

@@ -183,7 +183,12 @@ def windowed_aggregate(
         df.groupBy(F.window(F.col(time_col), window), *key_cols)
         .agg(
             F.count(F.lit(1)).alias("reading_count"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # exact decimal accumulation: a double SUM is order-
+            # dependent in its last ulp, flipping ROUND(,6) on boundary
+            # cells at sf0.1 window sizes (readings are 2-decimal data,
+            # so the cast is lossless)
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             / F.count("value")).alias("avg_value"),
             F.round(F.min("value"), 6).alias("min_value"),
             F.round(F.max("value"), 6).alias("max_value"),
             F.round(F.stddev("value"), 6).alias("stddev_value"),
