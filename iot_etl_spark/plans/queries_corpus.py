@@ -865,3 +865,65 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+# -------------------------------------------- mixture sampling weights
+
+MIX_ALPHA = 0.3  # temperature: 1.0 = proportional, 0 = uniform
+
+_MIXTURE_ORACLE = f"""
+WITH src AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM src),
+p AS (
+    SELECT source, n_tokens,
+           POWER(n_tokens / t.t, {MIX_ALPHA}) AS p_alpha
+    FROM src CROSS JOIN tot t
+),
+z AS (SELECT SUM(p_alpha) AS z FROM p)
+SELECT p.source, p.n_tokens,
+       ROUND(p.p_alpha / z.z, 6) AS sample_weight,
+       ROUND((p.p_alpha / z.z) / (p.n_tokens / t.t), 6) AS upsample_factor
+FROM p CROSS JOIN z CROSS JOIN tot t
+ORDER BY p.source
+"""
+
+
+@query("mixture_sampling_weights", oracle=_MIXTURE_ORACLE)
+def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixing weights (the multilingual-
+    pretraining recipe: sample source i with probability proportional
+    to p_i^alpha, alpha={MIX_ALPHA}) plus each source's implied
+    up/down-sampling factor — the numbers a data-loading curriculum
+    consumes, derived from the corpus itself. Pairs with
+    `sample_stratified` (which APPLIES per-source rates) by computing
+    WHAT the rates should be.
+
+    Scale: per-source token counts are one hash aggregate (sources are
+    few); everything after is arithmetic over a source-cardinality
+    frame with two 1-row broadcast totals. POWER stays within 1 ulp
+    across libm implementations — ROUND(,6) over source-cardinality
+    cells absorbs it (the unigram_logprob_score convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = src.agg(F.sum("n_tokens").cast("double").alias("t"))
+    p = src.join(F.broadcast(tot)).withColumn(
+        "p_alpha", F.pow(F.col("n_tokens") / F.col("t"), F.lit(MIX_ALPHA))
+    )
+    z = p.agg(F.sum("p_alpha").alias("z"))
+    return (
+        p.join(F.broadcast(z))
+        .select(
+            "source", "n_tokens",
+            F.round(F.col("p_alpha") / F.col("z"), 6).alias("sample_weight"),
+            F.round(
+                (F.col("p_alpha") / F.col("z")) / (F.col("n_tokens") / F.col("t")), 6
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
