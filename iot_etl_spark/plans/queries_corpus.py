@@ -498,12 +498,12 @@ placed AS (
     FROM chunks
 )
 SELECT bucket,
-       start_offset // {SEQ_LEN} AS pack_id,
+       CAST(start_offset // {SEQ_LEN} AS BIGINT) AS pack_id,
        COUNT(*) AS n_chunks,
        COUNT(DISTINCT doc_id) AS n_docs,
        CAST(SUM(chunk_tokens) AS BIGINT) AS total_tokens
 FROM placed
-GROUP BY bucket, start_offset // {SEQ_LEN}
+GROUP BY bucket, CAST(start_offset // {SEQ_LEN} AS BIGINT)
 """
 
 
