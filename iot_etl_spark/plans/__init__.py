@@ -25,75 +25,70 @@ from iot_etl_spark.plans import queries_warehouse  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
-# window is curated: queries whose driver evidence is newest-needed come
-# first (fresh fixes and new registrations this round, then the whole
-# LLM-pipeline stack — text/embed/corpus/stream — and the warehouse
-# pair), followed by the families already driver-verified green in
-# CORRECTNESS_r02.json. Names listed here but not (yet) registered are
-# ignored; registered names absent from the list keep their original
-# relative order after the prioritized block.
+# window is curated per round for maximum fresh evidence. Round-4
+# rotation: the 32 queries the driver has never oracle-checked (union
+# coverage rounds 1-3 was 96/128 — the TPC-H shape suite, SQL-surface
+# family, and round-3 analytics; all judge-verified green r3), then
+# sequence_packing (oracle HUGEINT cast fixed this round — needs a
+# fresh driver row), then round-4 registrations. Names listed here but
+# not (yet) registered are ignored; registered names absent from the
+# list keep their original relative order after the prioritized block.
 _DRIVER_WINDOW_FIRST: list[str] = [
-    # round-2 driver reds, fixed this round (HUGEINT oracle casts)
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "session_stats",
-    "time_weighted_avg",
-    # new round-3 registrations (no driver evidence yet)
-    "anomaly_trends_7d",
-    "device_mad_builtin",
-    # text / dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "minhash_lsh_candidates",
-    "simhash_fingerprint",
-    "simhash_near_pairs",
-    "dedup_clusters",
-    "text_quality_stats",
-    "token_count_by_lang",
-    "langid_confusion",
-    "doc_fingerprint",
-    "multimodal_bytes_stats",
-    "sample_stratified",
-    "sample_mix_summary",
-    "quality_percentile_gate",
-    "bpe_token_stats",
-    "text_normalize_stats",
-    # embedding / ANN family
-    "embedding_cosine_topk",
-    "embedding_similar_pairs",
-    "embedding_label_centroids",
-    "embedding_ivf_topk",
-    "embedding_int8_quant",
-    "embedding_dim_stats",
-    "semantic_dedup_verdict",
-    # corpus-prep family
-    "token_heavy_hitters",
-    "doc_chunks",
-    "decontaminate_overlap",
-    "pii_redaction_stats",
-    "knn_join",
-    "repetition_stats",
-    "unigram_logprob_score",
-    "sequence_packing",
-    "boilerplate_stats",
-    "corpus_keep_verdict",
-    # structured-streaming family (real engine runs)
-    "stream_tumbling_agg",
-    "stream_raw_passthrough",
-    "stream_json_decode",
-    "stream_ewma_by_device",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "stream_sliding_agg",
-    "stream_session_window",
-    # warehouse family
-    "dim_time_calendar",
-    "bucketed_join_revenue",
-    # events stragglers never driver-checked in r2
+    # TPC-H shape suite — never driver-checked (judge-green r3)
+    "q2_min_cost_supplier",
+    "q4_priority_with_returns",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_blame_supplier",
+    "q22_dormant_high_balance",
+    # SQL-surface family — never driver-checked
+    "sql_lateral_recent_orders",
+    "sql_recursive_dedup_roots",
+    "grouping_sets_matrix",
+    # round-3 analytics — never driver-checked
+    "cohort_retention",
+    "funnel_conversion",
+    "constraint_audit",
+    "regr_value_trend",
+    "unpivot_type_metrics",
+    "user_event_signature",
+    "pmi_cooccurrence",
+    "tfidf_top_terms",
     "seasonal_residual_anomaly",
     "device_availability",
+    "props_variant_extract",
+    "mixture_sampling_weights",
     "device_mad_pandas",
+    # oracle fixed round 4 (HUGEINT pack_id cast) — re-evidence
+    "sequence_packing",
+    # round-4 registrations (ignored until registered)
+    "markov_event_transitions",
+    "changepoint_cusum",
+    "reservoir_sample_per_type",
+    "ngram_novelty",
+    "inter_arrival_stats",
+    "burst_detection",
+    "embedding_centroid_drift",
+    "length_bucket_histogram",
+    "device_cooccurrence",
+    "token_entropy_stats",
+    "dedup_family_signatures",
+    "quantile_sketch_audit",
+    "session_path_topk",
+    "value_autocorr",
+    "schema_drift_audit",
+    "text_lang_mix",
+    "pack_efficiency_stats",
 ]
 
 

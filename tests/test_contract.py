@@ -29,11 +29,26 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation: the first 50 registration-order names
-    # include the LLM-pipeline and streaming families (VERDICT r2 §2)
+    # driver-window curation (round 4): the first 50 registration-order
+    # names front-load the 32 never-driver-checked queries (TPC-H shape
+    # suite, SQL-surface family, round-3 analytics — VERDICT r3 item 3)
+    # plus sequence_packing, whose oracle was fixed this round.
     first50 = list(qs)[:50]
-    assert "dedup_exact" in first50 and "embedding_cosine_topk" in first50
-    assert "stream_tumbling_agg" in first50 and "stream_session_window" in first50
+    for must in (
+        "q2_min_cost_supplier",
+        "q22_dormant_high_balance",
+        "sql_lateral_recent_orders",
+        "sql_recursive_dedup_roots",
+        "grouping_sets_matrix",
+        "cohort_retention",
+        "funnel_conversion",
+        "pmi_cooccurrence",
+        "tfidf_top_terms",
+        "mixture_sampling_weights",
+        "device_mad_pandas",
+        "sequence_packing",
+    ):
+        assert must in first50, must
 
 
 def test_bench_emits_contract_json_line(tmp_path):
