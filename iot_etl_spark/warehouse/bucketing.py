@@ -46,6 +46,34 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def register_bucketed_external(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema_ddl: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """(Re-)register an external bucketed table over files previously
+    produced by :func:`write_bucketed` — bucket ids live in the data
+    file names, so a new session can claim the layout with a CREATE
+    TABLE carrying the same bucket spec instead of re-shuffling and
+    rewriting. This is how bucketed layouts behave on a real warehouse:
+    written once at ingest, registered cheaply everywhere else."""
+    if spark.catalog.tableExists(table):
+        return
+    clustered = ", ".join(bucket_cols)
+    sorted_clause = (
+        f"SORTED BY ({', '.join(f'{c} ASC' for c in sort_cols)}) " if sort_cols else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({clustered}) {sorted_clause}INTO {num_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def physical_plan(df: DataFrame) -> str:
     """The executed physical plan as text (for plan assertions)."""
     return df._jdf.queryExecution().executedPlan().toString()
