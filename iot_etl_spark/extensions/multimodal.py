@@ -15,8 +15,12 @@ Codec status (this container ships no PIL/torchaudio/ffmpeg):
 - **Uncompressed 24-bit BMP decodes FOR REAL** via ``struct`` header
   parsing: dimensions plus mean pixel value from the actual pixel
   array (stride-aware).
-- Compressed formats (JPEG/PNG/MP4/...) still raise
-  ``NotImplementedError`` — entropy coding needs a real codec library;
+- **PNG decodes FOR REAL** via stdlib ``zlib``: chunk walk, IDAT
+  inflate, per-row unfiltering (all five filter types incl. Paeth),
+  mean pixel over the reconstructed samples (8-bit non-interlaced
+  greyscale/RGB/GA/RGBA; other shapes fall back to dims-only).
+- Entropy-coded formats (JPEG/MP3/MP4/...) still raise
+  ``NotImplementedError`` — DCT/Huffman needs a real codec library;
   swap ``_decode_payload``'s fallthrough for PIL/pyav in production.
 - The deterministic ``FAKE`` header (``make_fake_media_bytes``) remains
   for exercising the video frame-sampling fan-out, which has no
@@ -31,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -94,6 +99,132 @@ def make_bmp_bytes(width: int = 8, height: int = 6, seed: int = 0) -> bytes:
     return file_header + dib + body
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick left/up/up-left
+    closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png_bytes(width: int = 8, height: int = 6, seed: int = 0) -> bytes:
+    """A REAL stdlib-written 8-bit RGB PNG with seed-deterministic
+    pixels. Rows cycle filter types 0-4 (None/Sub/Up/Average/Paeth) so
+    a decode round-trip exercises every unfilter branch."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (height, width * 3), dtype=np.uint8)
+    bpp = 3
+    lines = []
+    for y in range(height):
+        raw = px[y]
+        up = px[y - 1] if y else np.zeros(width * 3, dtype=np.uint8)
+        ftype = y % 5
+        if ftype == 0:
+            filt = raw.copy()
+        elif ftype == 2:
+            filt = raw - up  # uint8 wraparound == mod-256 arithmetic
+        else:
+            filt = np.empty_like(raw)
+            for x in range(width * 3):
+                left = int(raw[x - bpp]) if x >= bpp else 0
+                upleft = int(up[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + int(up[x])) // 2
+                else:
+                    pred = _paeth(left, int(up[x]), upleft)
+                filt[x] = (int(raw[x]) - pred) % 256
+        lines.append(bytes([ftype]) + filt.tobytes())
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG decode, pure stdlib: chunk walk -> IHDR dims -> zlib
+    inflate of the IDAT stream -> per-row unfiltering (all five filter
+    types) -> mean pixel over the reconstructed samples. Supports 8-bit
+    greyscale/RGB/greyscale-alpha/RGBA, non-interlaced; other shapes
+    (16-bit, palette, Adam7) fall back to dims-only metadata."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return {"ok": False, "error": "bad PNG signature"}
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # data + length/type/CRC words
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        return {"ok": False, "error": "missing IHDR"}
+    width, height, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    out = {
+        "ok": True,
+        "error": None,
+        "decoded_kind": "image",
+        "width": int(width),
+        "height": int(height),
+    }
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0 or width == 0 or height == 0:
+        return out  # dims-only for shapes outside the stdlib decoder
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        return {"ok": False, "error": f"IDAT inflate failed: {exc}"}
+    bpp = channels  # bytes per pixel at depth 8
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        return out  # truncated pixel data; keep header metadata
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    rpos = 0
+    for y in range(height):
+        ftype = raw[rpos]
+        line = np.frombuffer(raw, np.uint8, stride, rpos + 1).copy()
+        rpos += stride + 1
+        up = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            recon[y] = line
+        elif ftype == 2:
+            recon[y] = line + up  # uint8 wraparound == mod-256
+        elif ftype in (1, 3, 4):
+            row = recon[y]
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + int(up[x])) // 2
+                else:
+                    upleft = int(up[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(left, int(up[x]), upleft)
+                row[x] = (int(line[x]) + pred) % 256
+        else:
+            return {"ok": False, "error": f"unknown PNG filter type {ftype}"}
+    out["mean_pixel"] = float(recon.mean())
+    return out
+
+
 def _decode_wav(payload: bytes) -> dict:
     """Real RIFF/WAVE decode (stdlib ``wave``): container metadata plus
     RMS amplitude computed from the decoded PCM samples."""
@@ -142,7 +273,9 @@ def _decode_bmp(payload: bytes) -> dict:
         row_len = width * 3
         stride = (row_len + 3) // 4 * 4
         need = data_offset + stride * height
-        if len(payload) >= need and height > 0:
+        # width > 0 matters too: a crafted width=0 header would compute
+        # a mean over an empty slice (NaN + numpy warning) otherwise
+        if len(payload) >= need and height > 0 and width > 0:
             px = np.frombuffer(payload, dtype=np.uint8, count=stride * height,
                                offset=data_offset).reshape(height, stride)
             out["mean_pixel"] = float(px[:, :row_len].mean())
@@ -160,6 +293,8 @@ def _decode_payload(payload: bytes) -> dict:
         return _decode_wav(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     if len(payload) >= _HEADER.size:
         magic, kind_b, width, height, duration_ms = _HEADER.unpack_from(payload)
         if magic == _MAGIC:
@@ -172,8 +307,8 @@ def _decode_payload(payload: bytes) -> dict:
                 "duration_ms": duration_ms,
             }
     raise NotImplementedError(
-        "compressed media codecs (JPEG/PNG/MP4/...) are not available in "
-        "this environment; RIFF/WAVE and uncompressed BMP decode natively"
+        "entropy-coded media codecs (JPEG/MP3/MP4/...) are not available in "
+        "this environment; RIFF/WAVE, uncompressed BMP, and PNG decode natively"
     )
 
 
