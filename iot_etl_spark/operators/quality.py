@@ -97,7 +97,12 @@ def constraint_report(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     Row-level + uniqueness rules share a single aggregation (one scan);
     each foreign-key rule adds one anti-join probe with the dimension
     side broadcast. Nothing collects driver-side."""
+    from collections import Counter
+
     spark = df.sparkSession
+    dup = sorted(n for n, k in Counter(c.name for c in constraints).items() if k > 1)
+    if dup:
+        raise ValueError(f"duplicate constraint names: {dup}")
     aggs: list = [F.count(F.lit(1)).alias("__n_rows")]
     row_rules: list[Constraint] = []
     fk_rules: list[Constraint] = []
@@ -117,11 +122,13 @@ def constraint_report(df: DataFrame, constraints: list[Constraint]) -> DataFrame
         elif c.kind == "expression":
             viol = ~F.coalesce(F.expr(c.params["pred"]), F.lit(False))
         elif c.kind == "unique":
+            # index-based agg alias: constraint names never reach
+            # column-reference or SQL-string territory
             aggs.append(
                 (
                     F.count(F.lit(1))
                     - F.count_distinct(F.struct(*[F.col(x) for x in c.params["cols"]]))
-                ).alias(f"__v_{c.name}")
+                ).alias(f"__v_{len(row_rules)}")
             )
             row_rules.append(c)
             continue
@@ -130,23 +137,32 @@ def constraint_report(df: DataFrame, constraints: list[Constraint]) -> DataFrame
             continue
         else:
             raise ValueError(f"unknown constraint kind: {c.kind}")
-        aggs.append(F.sum(viol.cast("long")).alias(f"__v_{c.name}"))
+        aggs.append(F.sum(viol.cast("long")).alias(f"__v_{len(row_rules)}"))
         row_rules.append(c)
 
-    one = df.agg(*aggs)
-    # melt the single agg row into (constraint, ...) rows JVM-side
-    pairs = ", ".join(
-        f"'{c.name}', '{c.kind}', __v_{c.name}" for c in row_rules
-    )
-    report = one.selectExpr(
-        "__n_rows",
-        f"stack({len(row_rules)}, {pairs}) AS (constraint, kind, n_violations)",
-    ).select(
-        "constraint", "kind",
-        F.col("__n_rows").alias("n_rows"),
-        F.col("n_violations").cast("long").alias("n_violations"),
-        (F.col("n_violations") == 0).alias("passed"),
-    )
+    if row_rules:
+        one = df.agg(*aggs)
+        # melt the single agg row into (constraint, ...) rows JVM-side;
+        # typed F.lit expressions, so names need no escaping
+        stack_args: list = [F.lit(len(row_rules))]
+        for i, c in enumerate(row_rules):
+            stack_args += [F.lit(c.name), F.lit(c.kind), F.col(f"__v_{i}")]
+        report = one.select(
+            F.col("__n_rows"),
+            F.stack(*stack_args).alias("constraint", "kind", "n_violations"),
+        ).select(
+            "constraint", "kind",
+            F.col("__n_rows").alias("n_rows"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    else:
+        # fk-only (or empty) suite: no aggregation pass to melt
+        report = spark.createDataFrame(
+            [],
+            "constraint STRING, kind STRING, n_rows BIGINT, "
+            "n_violations BIGINT, passed BOOLEAN",
+        )
     for c in fk_rules:
         col, dim, dim_col = c.params["col"], c.params["dim"], c.params["dim_col"]
         orphans = (

@@ -298,6 +298,13 @@ def route_to_agg(
     uncovered window — that variant is `refresh_agg` + this router
     run after it, which is why the router stays binary here.
 
+    CALLER CONTRACT: max-bucket coverage cannot see backfilled or
+    late rows landing INSIDE buckets the MV already covers, nor an MV
+    materialized from a different events frame than the one passed
+    here — after any backfill (or when routing against a new frame),
+    run `refresh_agg` first or the router will serve stale buckets
+    with no signal.
+
     Scale: routing decisions are O(footer); a routed query reads the
     (buckets x keys)-grained MV — typically 4-6 orders of magnitude
     smaller than the fact table it stands for."""

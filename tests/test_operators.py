@@ -301,3 +301,50 @@ def test_constraint_report_foreign_key_and_rules(spark):
     assert rep["fk_dim_key"].n_violations == 1              # 'z' orphan
     assert all(r.n_rows == 5 for r in rep.values())
     assert not rep["fk_dim_key"].passed
+
+
+def test_constraint_report_fk_only_and_empty_suites(spark):
+    """A suite with only foreign_key rules (or none at all) must not
+    emit a malformed stack(0,) select — fk-only reports come back with
+    the same schema, an empty suite yields an empty frame."""
+    from iot_etl_spark.operators.quality import constraint_report, foreign_key
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "z")], "id LONG, dim_key STRING"
+    )
+    dim = spark.createDataFrame([("a",), ("b",)], "dim_key STRING")
+
+    fk_only = constraint_report(df, [foreign_key("dim_key", dim, "dim_key")])
+    rows = fk_only.collect()
+    assert len(rows) == 1
+    assert rows[0].constraint == "fk_dim_key"
+    assert rows[0].n_rows == 2 and rows[0].n_violations == 1
+    assert not rows[0].passed
+
+    empty = constraint_report(df, [])
+    assert empty.columns == ["constraint", "kind", "n_rows", "n_violations", "passed"]
+    assert empty.count() == 0
+
+
+def test_constraint_report_rejects_duplicate_names(spark):
+    """Two rules with the same name would produce one ambiguous report
+    row; the suite is rejected up front."""
+    import pytest
+    from iot_etl_spark.operators.quality import constraint_report, not_null
+
+    df = spark.createDataFrame([(1,)], "id LONG")
+    with pytest.raises(ValueError, match="duplicate constraint names"):
+        constraint_report(df, [not_null("id"), not_null("id")])
+
+
+def test_constraint_report_quoted_names_survive(spark):
+    """Names containing quotes are data, not SQL — the typed-expression
+    melt keeps them intact."""
+    from iot_etl_spark.operators.quality import constraint_report, expression
+
+    df = spark.createDataFrame([(1,), (-2,)], "id LONG")
+    name = "id's \"positive\" check"
+    rep = constraint_report(df, [expression(name, "id > 0")]).collect()
+    assert len(rep) == 1
+    assert rep[0].constraint == name
+    assert rep[0].n_violations == 1
