@@ -170,6 +170,21 @@ def _minhash_band_sigs(spark: SparkSession, sh: DataFrame) -> DataFrame:
     )
 
 
+def _band_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band signatures, materialized once per (documents
+    parquet, stage code) and shared by the three consumers
+    (minhash_lsh_candidates, dedup_ngram_jaccard, dedup_clusters) —
+    the signature fold is the family's dominant cost, and its output
+    (4 short rows per doc) is tiny on disk."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    return cached_stage(
+        spark, "minhash_band_sigs", sf_dir, ("documents",),
+        lambda: _minhash_band_sigs(spark, _shingle_sets(spark, sf_dir)),
+        code_deps=(_minhash_band_sigs, _shingle_sets, _shingles_expr, _words),
+    )
+
+
 def _band_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct (a, b) id pairs sharing any (band, sig) bucket.
 
@@ -253,7 +268,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 rows is 1-(1-0.8^4)^4 ~ 0.88; raise bands for higher recall).
     Oracle replicates the identical candidate+rescore pipeline."""
     sh = _shingle_sets(spark, sf_dir)
-    cand = _band_candidate_pairs(_minhash_band_sigs(spark, sh))
+    cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
     j = (
         cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")), "doc_id_a")
         .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb")), "doc_id_b")
@@ -277,8 +292,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs join on (band, signature) instead of raw shingles —
     the scale path for fuzzy dedup (candidate count is bounded by true
     collisions, not posting-list squares)."""
-    sh = _shingle_sets(spark, sf_dir)
-    return _band_candidate_pairs(_minhash_band_sigs(spark, sh))
+    return _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
 
 
 # --------------------------------------------------------------- SimHash
@@ -355,11 +369,24 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints, materialized once per (documents parquet,
+    stage code): one BIGINT per doc shared by simhash_fingerprint and
+    simhash_near_pairs."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    return cached_stage(
+        spark, "simhash_fp", sf_dir, ("documents",),
+        lambda: _simhash_df(spark, sf_dir),
+        code_deps=(_simhash_df, _words),
+    )
+
+
 @query("simhash_fingerprint", oracle=_SIMHASH_ORACLE)
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document from md5-derived word hashes weighted
     by term frequency — one BIGINT per doc; near-dups differ in few bits."""
-    return _simhash_df(spark, sf_dir).select("doc_id", "simhash")
+    return _simhash_cached(spark, sf_dir).select("doc_id", "simhash")
 
 
 _SIMHASH_PAIRS_ORACLE = f"""
@@ -383,7 +410,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block bucket holds ~N/2^12 docs per block key (and truly hot
     buckets are themselves near-dup clusters), vs the round-1 plan's
     O(5)-cardinality language blocking."""
-    fp = _simhash_df(spark, sf_dir)
+    fp = _simhash_cached(spark, sf_dir)
     chunks = fp.select(
         "doc_id", "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BLOCKS - 1))).alias("j"),
@@ -721,7 +748,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label propagation a la large-star/small-star) at 100 TB. Oracle:
     DuckDB recursive-CTE transitive closure of the identical edge set."""
     sh = _shingle_sets(spark, sf_dir)
-    cand = _band_candidate_pairs(_minhash_band_sigs(spark, sh))
+    cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
     jac = (
         cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")), "doc_id_a")
         .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb")), "doc_id_b")

@@ -1,0 +1,73 @@
+"""Materialized shared stages: cache a deterministic intermediate
+DataFrame as parquet, keyed by its inputs AND its builder code.
+
+The dedup family's expensive stages (MinHash band signatures, SimHash
+fingerprints) are consumed by several registered queries; recomputing
+them per query triples the family's cost. This is the classic
+warehouse answer — materialize once, read everywhere — applied at
+query-stage granularity.
+
+Invalidation is the whole game:
+
+- the tag fingerprints each source parquet's path + mtime + size, so
+  the driver regenerating the same testdata paths with new data (it
+  does, between rounds) invalidates correctly;
+- the tag also hashes the builder function's SOURCE CODE, so editing
+  the stage logic invalidates without remembering to bump a version;
+- a ``_READY`` marker is written only after the parquet write
+  completes, so a crashed half-write is never read.
+
+At 100 TB the same pattern holds with a real table location and
+catalog registration instead of /tmp — see warehouse/lifecycle.py's
+materialize/refresh for the governed version.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE_ROOT = "/tmp/iot_etl_stages"
+
+
+def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
+    parts = [sf_dir]
+    for t in tables:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
+def cached_stage(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    source_tables: tuple[str, ...],
+    build: Callable[[], DataFrame],
+    code_deps: tuple[Callable, ...] = (),
+) -> DataFrame:
+    """Return ``build()``'s result, materialized as parquet under a
+    tag derived from (sf_dir, source parquet fingerprints, build
+    source code). Hit -> one parquet scan; miss -> compute + write +
+    read back (so every consumer sees the identical physical rows).
+
+    ``code_deps``: helper functions the builder delegates to — their
+    source is hashed into the tag too, so editing a shared stage
+    helper invalidates every cache built on it."""
+    code = inspect.getsource(build) + "".join(
+        inspect.getsource(f) for f in code_deps
+    )
+    tag = hashlib.md5(
+        f"{name}|{_source_fingerprint(sf_dir, source_tables)}|{code}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, f"{name}_{tag}")
+    marker = os.path.join(path, "_READY")
+    if not os.path.exists(marker):
+        build().write.mode("overwrite").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(tag)
+    return spark.read.parquet(path)
