@@ -1,0 +1,804 @@
+"""Round-4 analytics: sequence/behavioral operators over ``events``
+plus corpus/embedding additions over ``documents``/``embeddings``.
+
+Everything here follows the registry conventions (registry.py):
+epoch-second timestamps, ROUND(x, 6) on computed doubles on BOTH
+sides, explicit BIGINT casts wherever DuckDB would widen to HUGEINT
+(windowed sums, sums of counts — the dtype class guarded by
+tests/test_oracle_dtypes.py), and a deterministic tiebreak on every
+ORDER BY feeding a LIMIT.
+
+Reference parity: these extend the reference's analytics surface
+(warehouse/analytical_queries.sql) with the sequence-mining /
+training-corpus operators a large-scale pipeline needs; each
+docstring states the 100 TB shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iot_etl_spark.plans.registry import query, DUCK_TS, DUCK_TS_EPOCH, duck_bucket_epoch
+from iot_etl_spark.sources.tables import load_table
+
+_EVT_ORDER = f"ORDER BY {DUCK_TS}, event_id"
+
+
+def _evt_window() -> Window:
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+# ------------------------------------------------- Markov transitions
+_MARKOV_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id {_EVT_ORDER}) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6)
+           AS transition_prob
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("markov_event_transitions", oracle=_MARKOV_ORACLE)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next | prev) with counts. Sequence-mining building
+    block (what follows an error? what precedes churn?).
+
+    100 TB shape: one window shuffle on user_id (sequences are
+    per-user local), then a 25-key aggregate — the transition matrix
+    is tiny regardless of corpus size, and the probability
+    normalization is a window over that tiny matrix, not the data."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.lag("event_type").over(_evt_window()).alias("prev_type"),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "next_type", "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w), 6
+        ).alias("transition_prob"),
+    )
+
+
+# --------------------------------------------------- CUSUM changepoint
+CUSUM_SIGMA = 3.0
+
+
+_CUSUM_ORACLE = f"""
+WITH d AS (
+    SELECT user_id, value, {DUCK_TS} AS t, event_id,
+           value - AVG(value) OVER (PARTITION BY user_id) AS dev,
+           STDDEV(value) OVER (PARTITION BY user_id) AS sd
+    FROM events
+),
+c AS (
+    SELECT user_id, sd,
+           SUM(dev) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cusum
+    FROM d
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(ABS(cusum)), 6) AS max_abs_cusum,
+       CAST(SUM(CASE WHEN ABS(cusum) > {CUSUM_SIGMA} * sd THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exceedances
+FROM c
+GROUP BY 1
+"""
+
+
+@query("changepoint_cusum", oracle=_CUSUM_ORACLE)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen per device: cumulative sum of
+    mean-deviations in event order; a drifting mean makes the cusum
+    walk away from zero, so max |cusum| and the count of
+    |cusum| > 3*sigma excursions flag level shifts (Page's CUSUM, the
+    standard sequential changepoint statistic).
+
+    100 TB shape: the whole-partition mean/stddev and the running sum
+    ride the SAME single shuffle on user_id (no-orderBy window +
+    ordered window over one partitioning); output is one row per
+    device."""
+    events = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    wo = _evt_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = events.select(
+        "user_id",
+        F.stddev("value").over(wp).alias("sd"),
+        (
+            F.sum(F.col("value") - F.avg("value").over(wp)).over(wo)
+        ).alias("cusum"),
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max(F.abs("cusum")), 6).alias("max_abs_cusum"),
+        F.sum(
+            (F.abs("cusum") > CUSUM_SIGMA * F.col("sd")).cast("long")
+        ).alias("n_exceedances"),
+    )
+
+
+# -------------------------------------------- deterministic reservoir
+RESERVOIR_K = 10
+
+_RESERVOIR_ORACLE = f"""
+SELECT event_type, event_id, CAST(rk AS BIGINT) AS sample_rank
+FROM (
+    SELECT event_type, event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+           ) AS rk
+    FROM events
+)
+WHERE rk <= {RESERVOIR_K}
+"""
+
+
+@query("reservoir_sample_per_type", oracle=_RESERVOIR_ORACLE)
+def reservoir_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample (k={RESERVOIR_K}) per event
+    type: rank rows by a content hash and keep the k smallest — the
+    replayable equivalent of reservoir sampling (same corpus, same
+    sample; no RNG state to coordinate across executors).
+
+    100 TB shape: hash-rank is map-side; the per-type top-k is a
+    TakeOrdered per group (partial top-k map-side, then one k-row
+    merge per key) — never a full sort."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary")), "event_id"
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select("event_type", "event_id", F.col("sample_rank").cast("long"))
+    )
+
+
+# ------------------------------------------------- inter-arrival stats
+_INTERARRIVAL_ORACLE = f"""
+WITH g AS (
+    SELECT user_id,
+           {DUCK_TS_EPOCH} - LAG({DUCK_TS_EPOCH}) OVER (
+               PARTITION BY user_id {_EVT_ORDER}
+           ) AS gap
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+       ROUND(AVG(gap), 6) AS avg_gap_s,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap), 6) AS p50_gap_s,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY gap), 6) AS p95_gap_s
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query("inter_arrival_stats", oracle=_INTERARRIVAL_ORACLE)
+def inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per device (seconds between
+    consecutive events): min/max/avg plus exact p50/p95 — the
+    heartbeat-health profile that feeds availability SLOs and
+    sampling-rate audits.
+
+    100 TB shape: one window shuffle on user_id computes the lag;
+    the aggregate rides the same partitioning (no second shuffle)."""
+    ep = F.unix_timestamp(F.col("ts")).cast("long")
+    g = load_table(spark, sf_dir, "events").select(
+        "user_id", (ep - F.lag(ep).over(_evt_window())).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.min("gap").alias("min_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+        F.round(F.avg("gap"), 6).alias("avg_gap_s"),
+        F.round(F.percentile("gap", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap", F.lit(0.95)), 6).alias("p95_gap_s"),
+    )
+
+
+# ------------------------------------------------------ burst detection
+BURST_Z = 2.0
+
+_BURST_ORACLE = f"""
+WITH m AS (
+    SELECT user_id, {duck_bucket_epoch('minute')} AS bucket_epoch,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT user_id, AVG(c) AS mu, STDDEV(c) AS sd FROM m GROUP BY 1
+)
+SELECT m.user_id, m.bucket_epoch,
+       CAST(m.c AS BIGINT) AS n_events,
+       ROUND((m.c - s.mu) / s.sd, 6) AS burst_z
+FROM m JOIN s USING (user_id)
+WHERE s.sd > 0 AND (m.c - s.mu) / s.sd > {BURST_Z}
+"""
+
+
+@query("burst_detection", oracle=_BURST_ORACLE)
+def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity bursts: minute buckets whose event count sits more
+    than {BURST_Z} sigma above the device's own active-minute
+    baseline — the rate-anomaly complement to the value-anomaly
+    z-score (operators/anomaly.py).
+
+    100 TB shape: the minute pre-aggregate shrinks the data ~events/
+    minutes-fold BEFORE the per-device stats; baseline + join ride
+    one shuffle on user_id (the baseline side is the tiny
+    aggregate)."""
+    events = load_table(spark, sf_dir, "events")
+    m = (
+        events.groupBy(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).cast("long").alias(
+                "bucket_epoch"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wp = Window.partitionBy("user_id")
+    z = m.select(
+        "user_id", "bucket_epoch", "n_events",
+        (
+            (F.col("n_events") - F.avg("n_events").over(wp))
+            / F.stddev("n_events").over(wp)
+        ).alias("z"),
+        F.stddev("n_events").over(wp).alias("sd"),
+    )
+    return (
+        z.filter((F.col("sd") > 0) & (F.col("z") > BURST_Z))
+        .select("user_id", "bucket_epoch", "n_events", F.round("z", 6).alias("burst_z"))
+    )
+
+
+# -------------------------------------------------- device co-occurrence
+COOCCUR_MIN = 3
+
+_COOCCUR_ORACLE = f"""
+WITH a AS (
+    SELECT DISTINCT {duck_bucket_epoch('minute')} AS b, user_id FROM events
+),
+p AS (
+    SELECT x.user_id AS user_a, y.user_id AS user_b, COUNT(*) AS c
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id < y.user_id
+    GROUP BY 1, 2
+)
+SELECT user_a, user_b, CAST(c AS BIGINT) AS n_cominutes
+FROM p WHERE c >= {COOCCUR_MIN}
+"""
+
+
+@query("device_cooccurrence", oracle=_COOCCUR_ORACLE)
+def device_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device co-activity graph: pairs of devices active in the same
+    minute bucket at least {COOCCUR_MIN} times — correlated-device
+    discovery (shared gateway, duplicated stream, physical
+    coupling).
+
+    100 TB shape: NOT a self-join on the bucket key (a hot minute
+    would square) — distinct (minute, device) rows group per minute
+    into a sorted id array and pairs expand WITHIN the bucket, so
+    cost is sum of per-minute-activity^2, bounded by concurrent
+    activity, not corpus size; the pair aggregate is the only other
+    shuffle. Same shape as the LSH band-bucket pair expansion
+    (queries_text._band_candidate_pairs)."""
+    a = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).cast("long").alias("b"),
+            "user_id",
+        )
+        .distinct()
+    )
+    buckets = (
+        a.groupBy("b")
+        .agg(F.array_sort(F.collect_list("user_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ids) - 2), i -> "
+                "transform(sequence(i + 1, size(ids) - 1), j -> "
+                "struct(ids[i] AS a, ids[j] AS b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("user_a"), F.col("p.b").alias("user_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cominutes"))
+        .filter(F.col("n_cominutes") >= COOCCUR_MIN)
+    )
+
+
+# --------------------------------------------------- session path top-k
+SESSION_GAP_S = 30 * 60
+PATH_LEN = 3
+PATH_TOPK = 10
+
+_SESSION_PATH_ORACLE = f"""
+WITH o AS (
+    SELECT user_id, event_id, event_type, {DUCK_TS} AS t,
+           CASE WHEN LAG({DUCK_TS_EPOCH}) OVER w IS NULL
+                     OR {DUCK_TS_EPOCH} - LAG({DUCK_TS_EPOCH}) OVER w >= {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id {_EVT_ORDER})
+),
+s AS (
+    SELECT user_id, event_type, t, event_id,
+           SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM o
+),
+r AS (
+    SELECT user_id, session_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY t, event_id) AS rn
+    FROM s
+),
+paths AS (
+    SELECT user_id, session_id,
+           STRING_AGG(event_type, '>' ORDER BY rn) AS path
+    FROM r WHERE rn <= {PATH_LEN}
+    GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOPK}
+"""
+
+
+@query("session_path_topk", oracle=_SESSION_PATH_ORACLE)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session-opening paths: sessionize at a 30-minute
+    inactivity gap (same convention as session_stats), take each
+    session's first {PATH_LEN} event types as a '>'-joined path,
+    count paths, top {PATH_TOPK} with a path tiebreak — the
+    behavioral-funnel complement to funnel_conversion.
+
+    100 TB shape: session_window is the native streaming-ready
+    sessionizer (one shuffle on user_id); path assembly sorts only
+    WITHIN a session's collected head (bounded by session length);
+    the path count is a tiny-key aggregate + global top-k
+    (TakeOrderedAndProject)."""
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        events.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+            ).alias("evs")
+        )
+    )
+    paths = sess.select(
+        F.concat_ws(
+            ">",
+            F.expr(f"transform(slice(evs, 1, {PATH_LEN}), e -> e.event_type)"),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+# --------------------------------------------------- lag-1 autocorrelation
+_AUTOCORR_ORACLE = f"""
+WITH l AS (
+    SELECT user_id, value,
+           LAG(value) OVER (PARTITION BY user_id {_EVT_ORDER}) AS pv
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CORR(value, pv), 6) AS lag1_autocorr
+FROM l WHERE pv IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query("value_autocorr", oracle=_AUTOCORR_ORACLE)
+def value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the reading series per device
+    (Pearson corr of value with its predecessor): near 1 = smooth
+    drift, near 0 = noise, negative = oscillation — the cheapest
+    signal-vs-noise triage there is.
+
+    100 TB shape: lag + corr ride one shuffle on user_id; corr is a
+    streaming moment aggregate (no second pass)."""
+    l = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "value",
+            F.lag("value").over(_evt_window()).alias("pv"),
+        )
+        .filter(F.col("pv").isNotNull())
+    )
+    return l.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("value", "pv"), 6).alias("lag1_autocorr"),
+    )
+
+
+# ===================================================================
+# documents / embeddings additions
+# ===================================================================
+
+from iot_etl_spark.plans.queries_text import (  # noqa: E402 - grouped section import
+    _DUCK_SHINGLES,
+    _MINHASH_CTES,
+    _band_candidate_pairs,
+    _band_sigs_cached,
+    _shingle_sets,
+)
+
+
+# ------------------------------------------------------ n-gram novelty
+_NOVELTY_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS g FROM w),
+f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_shingles,
+       ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS novelty_fraction
+FROM sh s JOIN f USING (g)
+GROUP BY 1
+"""
+
+
+@query("ngram_novelty", oracle=_NOVELTY_ORACLE)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in doc_id (ingestion) order: the
+    fraction of a doc's distinct 3-gram shingles that no earlier doc
+    contains — the streaming-dedup view of corpus growth (novelty ~ 0
+    means the doc adds nothing; the curve over doc_id is the corpus
+    saturation curve).
+
+    100 TB shape: one shuffle groups the shingle stream by gram to
+    find each gram's first doc (min doc_id, map-side combinable); the
+    join back to the stream reuses the same gram partitioning. No
+    per-doc state, no iteration."""
+    sh = _shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("s").alias("g")
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first, "g")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+            "novel_shingles"
+        ),
+        F.round(
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_fraction"),
+    )
+
+
+# --------------------------------------------- length-bucket histogram
+LENGTH_BUCKET = 100
+
+_LENGTH_HIST_ORACLE = f"""
+SELECT CAST(n_chars // {LENGTH_BUCKET} * {LENGTH_BUCKET} AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM documents), 6) AS share
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("length_bucket_histogram", oracle=_LENGTH_HIST_ORACLE)
+def length_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in {LENGTH_BUCKET}-char buckets with
+    corpus share — the first chart of any corpus audit (truncation
+    spikes, boilerplate walls, length-filter sizing).
+
+    100 TB shape: one tiny-key aggregate; the total for the share is
+    a 1-row broadcast join-back (the TPC-H scalar-subquery
+    convention), never a single-partition window."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy(
+        (F.floor(F.col("n_chars") / LENGTH_BUCKET) * LENGTH_BUCKET)
+        .cast("long")
+        .alias("bucket_lo")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = docs.agg(F.count(F.lit(1)).alias("__total"))
+    return hist.join(F.broadcast(total)).select(
+        "bucket_lo", "n_docs",
+        F.round(F.col("n_docs") / F.col("__total"), 6).alias("share"),
+    )
+
+
+# ----------------------------------------------- token entropy per doc
+_TOKEN_ENTROPY_ORACLE = """
+WITH wc AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+c AS (SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       ROUND(ln(SUM(c)) - SUM(c::DOUBLE * ln(c::DOUBLE)) / SUM(c), 6)
+           AS token_entropy,
+       ROUND(COUNT(*)::DOUBLE / SUM(c), 6) AS distinct_ratio
+FROM c
+GROUP BY 1
+"""
+
+
+@query("token_entropy_stats", oracle=_TOKEN_ENTROPY_ORACLE)
+def token_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution plus
+    type-token ratio — the standard repetition/diversity quality
+    signals (low entropy = keyword stuffing / boilerplate loops;
+    they complement repetition_stats' surface-level counters).
+
+    100 TB shape: two-level aggregate — (doc, word) counts with
+    map-side combine, then a per-doc fold; both shuffles are on
+    doc-scoped keys, state bounded by per-doc vocabulary. Entropy
+    uses the one-pass identity H = ln(n) - sum(c*ln c)/n, so no
+    window / second pass is needed on either engine."""
+    wc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    c = wc.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(F.col("c") * F.log("c")).alias("_clnc"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_distinct_tokens",
+            F.round(
+                F.log("n_tokens") - F.col("_clnc") / F.col("n_tokens"), 6
+            ).alias("token_entropy"),
+            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------- language mix per source
+_LANG_MIX_ORACLE = """
+WITH lc AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+r AS (
+    SELECT source, lang, c,
+           SUM(c) OVER (PARTITION BY source) AS n,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rk
+    FROM lc
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       MIN(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+       ROUND(ln(SUM(c)) - SUM(c::DOUBLE * ln(c::DOUBLE)) / SUM(c), 6)
+           AS lang_entropy
+FROM r
+GROUP BY 1
+"""
+
+
+@query("text_lang_mix", oracle=_LANG_MIX_ORACLE)
+def text_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mix per source: doc count, language count, dominant
+    language (count-desc, lang-asc tiebreak), and the Shannon entropy
+    of the language distribution — the corpus-composition dashboard
+    row that mixture_sampling_weights consumes upstream.
+
+    100 TB shape: everything happens on the (source, lang) aggregate
+    (tens of rows); the only data-sized shuffle is the first
+    map-side-combined count."""
+    lc = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    r = lc.select("source", "lang", "c", F.row_number().over(rk).alias("rk"))
+    return r.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.min(F.when(F.col("rk") == 1, F.col("lang"))).alias("top_lang"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("lang_entropy"),
+    )
+
+
+# ------------------------------------------- embedding centroid drift
+_CENTROID_DRIFT_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+long AS (
+    SELECT vec_id, label, generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+    FROM v
+),
+cent AS (
+    SELECT label, i,
+           AVG(CASE WHEN vec_id % 2 = 0 THEN x END) AS ca,
+           AVG(CASE WHEN vec_id % 2 = 1 THEN x END) AS cb,
+           COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS na,
+           COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS nb
+    FROM long GROUP BY 1, 2
+)
+SELECT label,
+       CAST(MAX(na) AS BIGINT) AS n_even,
+       CAST(MAX(nb) AS BIGINT) AS n_odd,
+       ROUND(SUM(ca * cb) / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))), 6)
+           AS centroid_cosine
+FROM cent
+GROUP BY 1
+"""
+
+
+@query("embedding_centroid_drift", oracle=_CENTROID_DRIFT_ORACLE)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift check: split each label's vectors into two
+    halves (vec_id parity standing in for time/shard), compute both
+    half-centroids, and report their cosine — the monitoring query
+    that catches encoder version skew or distribution shift between
+    corpus slices (cosine ~ 1.0 means stable).
+
+    100 TB shape: posexplode + ONE (label, dim) aggregate computes
+    both half-centroids via conditional AVG in the same pass (no
+    self-join of halves); the final per-label cosine folds 64-dim
+    centroid rows. Shuffle volume is vectors x dims once, then
+    centroids only."""
+    from iot_etl_spark.plans.queries_embed import _as_double
+
+    long = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode(_as_double()).alias("i", "x")
+    )
+    even = F.when(F.col("vec_id") % 2 == 0, F.col("x"))
+    odd = F.when(F.col("vec_id") % 2 == 1, F.col("x"))
+    cent = long.groupBy("label", "i").agg(
+        F.avg(even).alias("ca"),
+        F.avg(odd).alias("cb"),
+        F.count(even).alias("na"),
+        F.count(odd).alias("nb"),
+    )
+    return cent.groupBy("label").agg(
+        F.max("na").alias("n_even"),
+        F.max("nb").alias("n_odd"),
+        F.round(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )
+
+
+# --------------------------------------- per-doc dedup signature index
+_DEDUP_SIGNATURES_ORACLE = f"""
+WITH {_MINHASH_CTES},
+partners AS (
+    SELECT doc_id, COUNT(*) AS n FROM (
+        SELECT doc_id_a AS doc_id FROM cand
+        UNION ALL
+        SELECT doc_id_b AS doc_id FROM cand
+    ) GROUP BY 1
+),
+exact_flags AS (
+    SELECT doc_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+    FROM documents
+)
+SELECT exact_flags.doc_id, exact_flags.is_exact_dup,
+       CAST(COALESCE(partners.n, 0) AS BIGINT) AS n_lsh_partners
+FROM exact_flags LEFT JOIN partners USING (doc_id)
+"""
+
+
+@query("dedup_family_signatures", oracle=_DEDUP_SIGNATURES_ORACLE)
+def dedup_family_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup signature index: exact-duplicate flag
+    (content-digest grouping) plus the document's LSH candidate
+    degree (how many near-dup partners the MinHash bands propose) —
+    the per-doc triage view a dedup pipeline consults before deciding
+    drop/keep/review.
+
+    100 TB shape: the exact flag is one digest-keyed window; the LSH
+    degree REUSES the materialized band-signature stage
+    (plans/stagecache.py) shared with the rest of the dedup family,
+    so this query adds only the pair expansion + a left join back to
+    docs."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    wd = W.partitionBy(F.md5(F.col("text")))
+    ex = docs.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(wd)).alias("is_exact_dup"),
+    )
+    cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
+    partners = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ex.join(partners, "doc_id", "left").select(
+        "doc_id", "is_exact_dup",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_lsh_partners"),
+    )
+
+
+# ------------------------------------------------ packing efficiency
+from iot_etl_spark.plans.queries_corpus import (  # noqa: E402 - grouped section import
+    _PACKING_ORACLE,
+    SEQ_LEN,
+    sequence_packing,
+)
+
+_PACK_EFFICIENCY_ORACLE = f"""
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+       CAST(SUM(total_tokens) AS BIGINT) AS total_tokens,
+       ROUND(SUM(total_tokens)::DOUBLE / (COUNT(*) * {SEQ_LEN}), 6)
+           AS fill_efficiency
+FROM ({_PACKING_ORACLE})
+GROUP BY 1
+"""
+
+
+@query("pack_efficiency_stats", oracle=_PACK_EFFICIENCY_ORACLE)
+def pack_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency per packing stream: how full the
+    {SEQ_LEN}-token training sequences produced by sequence_packing
+    actually are (fill = tokens / (packs x SEQ_LEN)) — THE metric a
+    data-loader team watches, since every point of slack is paid GPU
+    time.
+
+    Composes directly over the registered sequence_packing query (one
+    extra tiny-key aggregate), so the two stay consistent by
+    construction."""
+    return (
+        sequence_packing(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_chunks").alias("total_chunks"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("total_tokens") / (F.count(F.lit(1)) * SEQ_LEN), 6
+            ).alias("fill_efficiency"),
+        )
+    )
