@@ -1,0 +1,124 @@
+"""plans/stagecache.py: materialized shared stages — hit/miss,
+invalidation on source change and on builder-code change, and
+half-write safety. These semantics guard correctness (a stale cache
+would silently serve wrong rows to five registry queries), so they
+get their own pins."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from iot_etl_spark.plans import stagecache
+from iot_etl_spark.plans.stagecache import cached_stage
+
+
+@pytest.fixture()
+def cache_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "stages")
+    monkeypatch.setattr(stagecache, "_CACHE_ROOT", root)
+    return root
+
+
+def _source_dir(tmp_path, spark, marker: int) -> str:
+    sf = str(tmp_path / f"sf_{marker}")
+    os.makedirs(sf, exist_ok=True)
+    spark.range(5).selectExpr("id AS doc_id", f"id * {marker} AS v").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+def test_hit_returns_identical_rows_without_rebuild(spark, tmp_path, cache_root):
+    sf = _source_dir(tmp_path, spark, 1)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    a = cached_stage(spark, "s", sf, ("documents",), build).collect()
+    b = cached_stage(spark, "s", sf, ("documents",), build).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(calls) == 1  # second call was a pure cache read
+
+
+def test_source_regeneration_invalidates(spark, tmp_path, cache_root):
+    """The driver rewrites the same paths with new data between
+    rounds — mtime/size fingerprinting must produce a NEW cache
+    entry, not serve the old rows."""
+    sf = _source_dir(tmp_path, spark, 1)
+
+    def build():
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    first = cached_stage(spark, "s", sf, ("documents",), build).collect()
+    # regenerate in place with different content
+    spark.range(5).selectExpr("id AS doc_id", "id * 100 AS v").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    second = cached_stage(spark, "s", sf, ("documents",), build).collect()
+    assert sorted(map(tuple, first)) != sorted(map(tuple, second))
+    assert {r.v for r in second} == {0, 100, 200, 300, 400}
+
+
+def test_builder_code_change_invalidates(spark, tmp_path, cache_root):
+    sf = _source_dir(tmp_path, spark, 1)
+
+    def build_v1():
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    def build_v2():
+        return (
+            spark.read.parquet(os.path.join(sf, "documents.parquet"))
+            .selectExpr("doc_id", "v + 1 AS v")
+        )
+
+    v1 = cached_stage(spark, "s", sf, ("documents",), build_v1).collect()
+    v2 = cached_stage(spark, "s", sf, ("documents",), build_v2).collect()
+    assert {r.v for r in v2} == {r.v + 1 for r in v1}
+
+
+def test_code_dep_change_invalidates(spark, tmp_path, cache_root):
+    """Editing a helper listed in code_deps must invalidate even when
+    the builder's own source is unchanged."""
+    sf = _source_dir(tmp_path, spark, 1)
+
+    def helper_a():
+        return "a"
+
+    def helper_b():
+        return "b"
+
+    def build():
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    cached_stage(spark, "s", sf, ("documents",), build, code_deps=(helper_a,))
+    entries_after_a = set(os.listdir(cache_root))
+    cached_stage(spark, "s", sf, ("documents",), build, code_deps=(helper_b,))
+    entries_after_b = set(os.listdir(cache_root))
+    assert entries_after_b > entries_after_a  # a second, distinct entry
+
+
+def test_half_write_is_not_served(spark, tmp_path, cache_root):
+    """A cache dir without the _READY marker (crashed write) must be
+    rebuilt, not read."""
+    sf = _source_dir(tmp_path, spark, 1)
+
+    def build():
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    df = cached_stage(spark, "s", sf, ("documents",), build)
+    assert df.count() == 5
+    entry = os.path.join(cache_root, os.listdir(cache_root)[0])
+    marker = os.path.join(entry, "_READY")
+    os.remove(marker)
+    # simulate the torn write: drop the data files too
+    for f in os.listdir(entry):
+        p = os.path.join(entry, f)
+        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    again = cached_stage(spark, "s", sf, ("documents",), build)
+    assert again.count() == 5
+    assert os.path.exists(marker)
