@@ -30,6 +30,12 @@ PICKS = [
      "train never shuffles shingles"),
     ("latest_per_device",
      "DISTINCT ON / last-per-key: single window shuffle, no global sort"),
+    ("device_cooccurrence",
+     "co-activity graph: within-bucket pair expansion (LSH-bucket shape), "
+     "never a self-join on the time bucket"),
+    ("session_path_topk",
+     "native session_window sessionization -> tiny-key path counts -> "
+     "TakeOrderedAndProject"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
