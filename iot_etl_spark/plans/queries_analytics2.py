@@ -802,3 +802,164 @@ def pack_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_efficiency"),
         )
     )
+
+
+# --------------------------------------------- quantile sketch audit
+SKETCH_ACCURACY = 10_000
+
+_SKETCH_AUDIT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound
+FROM events
+GROUP BY 1
+"""
+
+
+@query("quantile_sketch_audit", oracle=_SKETCH_AUDIT_ORACLE)
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the Greenwald-Khanna sketch path against the exact
+    percentiles: per event type, exact p50/p95 plus a verified claim
+    that `percentile_approx` (accuracy = SKETCH_ACCURACY) returned a
+    value whose rank is within the algorithm's published bound
+    (rank error <= n/accuracy, Greenwald & Khanna 2001).
+
+    This puts extensions/sketches.py (the documented 100 TB swap for
+    exact percentile buffering) under the same DuckDB oracle gate as
+    the exact operators: the oracle re-derives the exact quantiles and
+    asserts the bound booleans — if the sketch ever drifts outside its
+    guarantee the hash breaks.
+
+    100 TB shape: the exact side is the test harness, not the scale
+    path; the sketch side is a one-pass mergeable partial aggregate
+    (fixed memory per group), and the rank probe joins the events scan
+    against the broadcast 5-row sketch output — no extra shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    prof = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(SKETCH_ACCURACY)).alias("_a50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(SKETCH_ACCURACY)).alias("_a95"),
+    )
+    # Possible ranks of the returned value v span
+    # [count(< v) + 1, count(<= v)]; GK guarantees that interval
+    # intersects [q*n - eps*n, q*n + eps*n] with eps = 1/accuracy
+    # (+1 slack for the floor/ceil conventions at interval edges).
+    ranks = (
+        ev.join(F.broadcast(prof.select("event_type", "_a50", "_a95")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") <= F.col("_a50")).cast("long")).alias("le50"),
+            F.sum((F.col("value") < F.col("_a50")).cast("long")).alias("lt50"),
+            F.sum((F.col("value") <= F.col("_a95")).cast("long")).alias("le95"),
+            F.sum((F.col("value") < F.col("_a95")).cast("long")).alias("lt95"),
+        )
+    )
+    eps_n = F.col("n_values") / SKETCH_ACCURACY + 1.0
+
+    def within(q: float, le: str, lt: str):
+        target = F.col("n_values") * q
+        return (F.col(le) >= target - eps_n) & (F.col(lt) + 1 <= target + eps_n)
+
+    return prof.join(ranks, "event_type").select(
+        "event_type", "n_values", "p50_exact", "p95_exact",
+        within(0.5, "le50", "lt50").alias("p50_within_bound"),
+        within(0.95, "le95", "lt95").alias("p95_within_bound"),
+    )
+
+
+# ----------------------------------------------- schema drift audit
+_DRIFT_NULL_JUMP = 0.01
+
+_SCHEMA_DRIFT_ORACLE = f"""
+WITH prof AS (
+    SELECT {duck_bucket_epoch("week")} AS week_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           ROUND(1.0 - COUNT(value)::DOUBLE / COUNT(*), 6) AS null_value_rate,
+           ROUND(1.0 - COUNT(props)::DOUBLE / COUNT(*), 6) AS null_props_rate,
+           ROUND(MIN(value), 6) AS value_min,
+           ROUND(MAX(value), 6) AS value_max
+    FROM events
+    GROUP BY 1
+),
+keysets AS (
+    SELECT week_epoch, md5(string_agg(DISTINCT k, ',' ORDER BY k)) AS keyset_fingerprint
+    FROM (
+        SELECT {duck_bucket_epoch("week")} AS week_epoch,
+               unnest(json_keys(props)) AS k
+        FROM events WHERE props IS NOT NULL
+    )
+    GROUP BY 1
+)
+SELECT p.week_epoch, p.n_events, p.n_types, p.null_value_rate,
+       p.null_props_rate, p.value_min, p.value_max,
+       ks.keyset_fingerprint,
+       COALESCE(ks.keyset_fingerprint <>
+           LAG(ks.keyset_fingerprint) OVER (ORDER BY p.week_epoch), FALSE)
+           AS keyset_changed,
+       COALESCE(ABS(p.null_value_rate -
+           LAG(p.null_value_rate) OVER (ORDER BY p.week_epoch)) > {_DRIFT_NULL_JUMP},
+           FALSE) AS null_rate_jump
+FROM prof p LEFT JOIN keysets ks ON p.week_epoch = ks.week_epoch
+"""
+
+
+@query("schema_drift_audit", oracle=_SCHEMA_DRIFT_ORACLE)
+def schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly observed-schema / profile drift audit over the raw event
+    feed: per ISO week, the event volume, the distinct-type count, the
+    null rates of the payload columns, the value range, and a
+    fingerprint of the set of JSON keys observed in `props` — plus
+    week-over-week drift flags (key-set changed; null-rate jumped by
+    more than 1 point). This is the ingestion-guard a pipeline runs
+    BEFORE schema evolution (warehouse/lifecycle.py append_evolved):
+    upstream producers change payloads without notice, and the
+    earliest signal is the observed key-set / null-profile moving.
+
+    100 TB shape: everything reduces in ONE pass over the scan into a
+    handful of weekly rows (the key explode is map-side; both
+    aggregates share the week key), and the LAG comparisons run on the
+    tiny weekly frame — a single-partition window over ~52 rows/year,
+    not over the data."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("week_epoch")
+    prof = ev.groupBy(week).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.round(1.0 - F.count("value") / F.count(F.lit(1)), 6).alias("null_value_rate"),
+        F.round(1.0 - F.count("props") / F.count(F.lit(1)), 6).alias("null_props_rate"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+    )
+    keysets = (
+        ev.filter(F.col("props").isNotNull())
+        .select(week, F.explode(F.json_object_keys("props")).alias("k"))
+        .groupBy("week_epoch")
+        .agg(
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_set("k"))))
+            .alias("keyset_fingerprint")
+        )
+    )
+    w = Window.orderBy("week_epoch")
+    joined = prof.join(keysets, "week_epoch", "left")
+    return joined.select(
+        "week_epoch", "n_events", "n_types", "null_value_rate",
+        "null_props_rate", "value_min", "value_max", "keyset_fingerprint",
+        F.coalesce(
+            F.col("keyset_fingerprint")
+            != F.lag("keyset_fingerprint").over(w),
+            F.lit(False),
+        ).alias("keyset_changed"),
+        F.coalesce(
+            F.abs(
+                F.col("null_value_rate") - F.lag("null_value_rate").over(w)
+            )
+            > _DRIFT_NULL_JUMP,
+            F.lit(False),
+        ).alias("null_rate_jump"),
+    )
