@@ -455,7 +455,7 @@ from iot_etl_spark.plans.queries_text import (  # noqa: E402 - grouped section i
     _MINHASH_CTES,
     _band_candidate_pairs,
     _band_sigs_cached,
-    _shingle_sets,
+    _shingle_sets_cached,
 )
 
 
@@ -487,7 +487,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     find each gram's first doc (min doc_id, map-side combinable); the
     join back to the stream reuses the same gram partitioning. No
     per-doc state, no iteration."""
-    sh = _shingle_sets(spark, sf_dir).select(
+    sh = _shingle_sets_cached(spark, sf_dir).select(
         "doc_id", F.explode("s").alias("g")
     )
     first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))

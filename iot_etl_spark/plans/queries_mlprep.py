@@ -1,0 +1,572 @@
+"""Training-data preparation operators, round 4: graph centrality,
+model-based quality filtering, span-level duplication screening, and
+exact set-similarity joins.
+
+Registry conventions apply (registry.py): ROUND(x, 6) on computed
+doubles BOTH sides, explicit BIGINT casts wherever DuckDB would widen
+to HUGEINT, md5-derived integer hashing for cross-engine determinism
+(queries_text.py's ``conv(substr(md5(x),1,8),16,10)`` ==
+``('0x'||substr(md5(x),1,8))::BIGINT`` identity).
+
+Determinism convention for the iterative operator (pagerank): ALL
+per-iteration arithmetic is BIGINT — ranks live in integer units of
+1e-9, contributions are integer divisions — so five engines would
+produce bit-identical trajectories; no float accumulation order can
+diverge (the SCALE.md exact-accumulation convention applied to an
+iterative algorithm).
+
+Reference parity: the reference has no graph / classifier / span-dedup
+operators (its analytics stop at warehouse/analytical_queries.sql);
+these extend the engine along the LLM-corpus-pipeline axis the brief
+names as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iot_etl_spark.plans.registry import query
+from iot_etl_spark.sources.tables import load_table
+
+# ------------------------------------------------------------ pagerank
+PR_SCALE = 1_000_000_000  # rank unit = 1e-9
+PR_ITERS = 3
+# damping 0.85 expressed as an integer ratio so every engine computes
+# the identical BIGINT trajectory
+_PR_NUM, _PR_DEN = 85, 100
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One integer PageRank sweep in DuckDB SQL: rank' = base +
+    sum over in-edges of (85 * rank_src) // (100 * deg_src)."""
+    return f"""
+{out} AS (
+    SELECT nd.user_id, nd.base,
+           nd.base + COALESCE(CAST(SUM(
+               ({_PR_NUM} * p.r) // ({_PR_DEN} * dg.deg)
+           ) AS BIGINT), 0) AS r
+    FROM nodes nd
+    LEFT JOIN edges e ON e.dst = nd.user_id
+    LEFT JOIN {prev} p ON p.user_id = e.src
+    LEFT JOIN deg dg ON dg.user_id = e.src
+    GROUP BY 1, 2
+)"""
+
+
+_PAGERANK_ORACLE = (
+    """
+WITH a AS (
+    SELECT DISTINCT epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) // 1000000 AS b,
+           user_id
+    FROM events
+),
+pairs AS (
+    SELECT x.user_id AS src, y.user_id AS dst
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id <> y.user_id
+    GROUP BY 1, 2
+),
+edges AS (SELECT src, dst FROM pairs),
+deg AS (SELECT src AS user_id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+nodes AS (
+    SELECT u.user_id,
+           (15 * CAST("""
+    + str(PR_SCALE)
+    + """ AS BIGINT)) // (100 * nn.n) AS base,
+           CAST("""
+    + str(PR_SCALE)
+    + """ AS BIGINT) // nn.n AS r0
+    FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN nn
+),
+r0 AS (SELECT user_id, base, r0 AS r FROM nodes),"""
+    + ",".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))
+    + f"""
+SELECT n.user_id,
+       COALESCE(d.deg, 0) AS degree,
+       rf.r AS rank_units,
+       ROUND(rf.r / {PR_SCALE}.0, 6) AS pagerank
+FROM nodes n
+LEFT JOIN deg d ON d.user_id = n.user_id
+JOIN r{PR_ITERS} rf ON rf.user_id = n.user_id
+"""
+)
+
+
+@query("pagerank_device_graph", oracle=_PAGERANK_ORACLE)
+def pagerank_device_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the device co-activity graph (edge =
+    the two devices were active in the same minute at least once),
+    3 damped iterations — which devices sit at the center of the
+    co-activity structure (gateways, shared uplinks, hubs).
+
+    Exactness: ranks are BIGINT units of 1e-9 and every contribution
+    is the integer division (85 * rank) div (100 * deg), so the whole
+    trajectory is engine-independent — no float accumulation order to
+    diverge, the same convention that makes the money aggregates
+    bit-exact (SCALE.md). Dangling-node mass is deliberately not
+    redistributed (documented simplification; the oracle matches).
+
+    100 TB shape: the canonical iterative-join pattern — the edge list
+    is built once (within-bucket pair expansion, never a bucket
+    self-join) and persisted across iterations; each sweep is one
+    shuffle join of the rank vector (|V| rows, partitioned by id)
+    against edges (partitioned by src) plus a dst-keyed aggregate.
+    Driver only orchestrates; no data is collected. Iteration count is
+    fixed (3) rather than convergence-tested, so the plan depth is
+    static — the practical choice when a scheduler needs a bounded
+    DAG."""
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).cast("long").alias("b"),
+            "user_id",
+        )
+        .distinct()
+    )
+    buckets = (
+        act.groupBy("b")
+        .agg(F.array_sort(F.collect_list("user_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    und = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ids) - 2), i -> "
+                "transform(sequence(i + 1, size(ids) - 1), j -> "
+                "struct(ids[i] AS a, ids[j] AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .cache()
+    )
+    deg = edges.groupBy(F.col("src").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    n_row = ev.select(F.count_distinct("user_id").alias("n"))
+    nodes = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "user_id",
+            F.expr(f"(15 * {PR_SCALE}L) div (100 * n)").alias("base"),
+            F.expr(f"{PR_SCALE}L div n").alias("r0"),
+        )
+        .cache()
+    )
+    edge_deg = edges.join(deg, edges.src == deg.user_id).select(
+        "src", "dst", "deg"
+    )
+    ranks = nodes.select("user_id", F.col("r0").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(edge_deg, ranks.user_id == edge_deg.src)
+            .select(
+                F.col("dst"),
+                F.expr(f"({_PR_NUM} * r) div ({_PR_DEN} * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.user_id == contrib.dst, "left")
+            .select(
+                nodes.user_id,
+                (F.col("base") + F.coalesce(F.col("in_mass"), F.lit(0))).alias("r"),
+            )
+        )
+    return (
+        nodes.select("user_id")
+        .join(deg, "user_id", "left")
+        .join(ranks, "user_id")
+        .select(
+            "user_id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("degree"),
+            F.col("r").alias("rank_units"),
+            F.round(F.col("r") / PR_SCALE, 6).alias("pagerank"),
+        )
+    )
+
+
+# ------------------------------------------- hashed linear classifier
+CLS_MOD = 2001  # weights in [-1000, 1000] milli-units
+
+
+_CLS_W_SPARK = (
+    f"cast(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % {CLS_MOD} - 1000"
+)
+_CLS_W_DUCK = f"('0x' || substr(md5(t), 1, 8))::BIGINT % {CLS_MOD} - 1000"
+
+_CLASSIFIER_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+f AS (
+    SELECT doc_id, lang,
+           CAST(len(ws) AS BIGINT) AS n_unigrams,
+           CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(list_sum(list_transform(ws, t -> {_CLS_W_DUCK})), 0) AS uni_sum,
+           COALESCE(list_sum(list_transform(
+               generate_series(1, greatest(len(ws) - 1, 0)),
+               i -> CASE WHEN TRUE THEN
+                   ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))::BIGINT
+                   % {CLS_MOD} - 1000 END)), 0) AS bi_sum
+    FROM w
+)
+SELECT doc_id, lang, n_unigrams, n_bigrams,
+       CAST(uni_sum + bi_sum AS BIGINT) AS weight_sum,
+       ROUND((uni_sum + bi_sum) / ((n_unigrams + n_bigrams) * 1000.0), 6)
+           AS quality_logit,
+       (uni_sum + bi_sum) > 0 AS keep
+FROM f WHERE n_unigrams + n_bigrams > 0
+"""
+
+
+@query("quality_classifier_score", oracle=_CLASSIFIER_ORACLE)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, fastText-shaped: a linear
+    classifier over hashed unigram+bigram features. Each feature's
+    weight is derived deterministically from its md5 (stand-in for a
+    trained weight table — the container has no model artifacts; the
+    Spark-side plumbing, feature hashing, and scoring algebra are the
+    real thing and swapping in trained weights is a broadcast join on
+    the same feature hash).
+
+    Score = mean feature weight (milli-units -> logit); keep = logit
+    positive — the CCNet/fastText keep/drop gate shape.
+
+    100 TB shape: ZERO shuffles — feature extraction, hashing, weight
+    lookup, and the per-doc sum all happen inside higher-order
+    functions on the scan (whole-stage codegen), so the classifier
+    runs at scan speed. With a trained vocabulary the weight table
+    joins in as a broadcast; the document stream still never
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    uni_sum = F.expr(
+        f"aggregate(ws, 0L, (acc, t) -> acc + ({_CLS_W_SPARK}))"
+    )
+    bi_sum = F.expr(
+        "aggregate(transform(CASE WHEN size(ws) >= 2 THEN sequence(1, size(ws) - 1) "
+        "ELSE CAST(array() AS ARRAY<INT>) END, "
+        "i -> concat_ws(' ', ws[i-1], ws[i])), 0L, "
+        f"(acc, t) -> acc + ({_CLS_W_SPARK}))"
+    )
+    return (
+        docs.select("doc_id", "lang", ws.alias("ws"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("ws").cast("long").alias("n_unigrams"),
+            F.greatest(F.size("ws") - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+            uni_sum.alias("_u"),
+            bi_sum.alias("_b"),
+        )
+        .filter(F.col("n_unigrams") + F.col("n_bigrams") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_unigrams",
+            "n_bigrams",
+            (F.col("_u") + F.col("_b")).cast("long").alias("weight_sum"),
+            F.round(
+                (F.col("_u") + F.col("_b"))
+                / ((F.col("n_unigrams") + F.col("n_bigrams")) * 1000.0),
+                6,
+            ).alias("quality_logit"),
+            ((F.col("_u") + F.col("_b")) > 0).alias("keep"),
+        )
+    )
+
+
+# ------------------------------------------ span-level duplication
+_SPAN_ORACLE = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+    SELECT doc_id, pos, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS gram
+    FROM (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos
+        FROM w
+    )
+),
+df AS (
+    SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+m AS (
+    SELECT g.doc_id, g.pos, df.gram IS NOT NULL AS is_dup
+    FROM g LEFT JOIN df ON g.gram = df.gram
+),
+runs AS (
+    SELECT doc_id,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM m WHERE is_dup
+),
+run_len AS (
+    SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_dup_run
+    FROM (SELECT doc_id, grp, COUNT(*) AS cnt FROM runs GROUP BY 1, 2)
+    GROUP BY 1
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+    FROM m GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+       ROUND(p.n_dup_grams::DOUBLE / p.n_grams, 6) AS dup_fraction,
+       COALESCE(r.max_dup_run, 0) AS max_dup_run
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+LEFT JOIN run_len r ON r.doc_id = d.doc_id
+"""
+
+
+@query("duplicated_span_stats", oracle=_SPAN_ORACLE)
+def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication screen (the gram-resolution version of
+    exact substring dedup, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): per document, the fraction of
+    positional 3-gram shingles that also occur in ANOTHER document,
+    and the longest consecutive run of such shared grams — long runs
+    are verbatim borrowed passages (licenses, templates, quotes) that
+    survive document-level dedup because the containing docs differ.
+
+    100 TB shape: one shuffle keyed by gram for document frequency
+    (HAVING >= 2 docs keeps only the shared tail), one join of the
+    positional gram stream back against that set on the same key, and
+    one per-doc window for run-length encoding — the decontaminate /
+    boilerplate family's shape, never a doc-pair expansion."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 2), i -> "
+                "struct(i AS pos, concat_ws(' ', split(text, ' ')[i-1], "
+                "split(text, ' ')[i], split(text, ' ')[i+1]) AS gram)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, gram: STRING>>) END"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    shared = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram", F.lit(True).alias("_shared"))
+    )
+    m = g.join(shared, "gram", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("_shared"), F.lit(False)).alias("is_dup")
+    )
+    per_doc = m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_grams"),
+    )
+    wrn = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        m.filter("is_dup")
+        .select("doc_id", (F.col("pos") - F.row_number().over(wrn)).alias("grp"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("long").alias("max_dup_run"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
+            F.coalesce(F.col("max_dup_run"), F.lit(0)).alias("max_dup_run"),
+        )
+    )
+
+
+# --------------------------------------- exact set-similarity join
+SETSIM_TAU = 0.8
+
+_SETSIM_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+s AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 0)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+               g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS toks
+    FROM w
+)
+SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+       ROUND(len(list_intersect(x.toks, y.toks))::DOUBLE
+             / (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))),
+             6) AS jaccard
+FROM s x JOIN s y ON x.doc_id < y.doc_id
+WHERE len(x.toks) > 0 AND len(y.toks) > 0
+  AND len(list_intersect(x.toks, y.toks))::DOUBLE
+      / (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks)))
+      >= {SETSIM_TAU}
+"""
+
+
+@query("setsim_prefix_join", oracle=_SETSIM_ORACLE)
+def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set Jaccard similarity join (J >= {SETSIM_TAU})
+    via prefix filtering (AllPairs/PPJoin, Bayardo et al. 2007) — the
+    exact-recall complement to dedup_ngram_jaccard's MinHash-LSH
+    candidates: LSH can miss true pairs (probabilistic recall);
+    prefix filtering provably cannot. Shingles are globally ordered
+    by ascending document frequency (rarest first); a pair can reach
+    J >= tau only if their prefixes — the first
+    |set| - ceil(tau * |set|) + 1 rarest shingles — share an element,
+    so candidates come from bucketing on prefix shingles only, and
+    each candidate is verified exactly.
+
+    Same similarity space as dedup_ngram_jaccard (3-gram word
+    shingles, Jaccard 0.8), so any pair this query emits that the LSH
+    path missed is a measured LSH false-negative — the
+    recall-auditing use case.
+
+    100 TB shape: the frequency order makes prefix buckets small by
+    construction (the rarest shingles are the least shared — and
+    shingles are discriminative where raw tokens are not); candidate
+    pairs expand WITHIN prefix-shingle buckets (the LSH band-bucket
+    shape, no self-join), dedup once, and the exact verify joins the
+    two shingle arrays back by doc id. The oracle is the brute-force
+    all-pairs scan — feasible only at test scale, which is exactly
+    the point of the prefix filter.
+
+    Sets are compared in 32-bit md5-hash space (the registry's
+    cross-engine hash identity), not raw strings: every shuffle key,
+    sort, and intersection runs on BIGINTs — and because BOTH engines
+    apply the identical hash, the comparison stays deterministic and
+    oracle-exact even if two shingles ever collided."""
+    from iot_etl_spark.plans.queries_text import _shingle_sets_cached
+
+    toks = _shingle_sets_cached(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(s, x -> "
+            "cast(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)))"
+        ).alias("toks"),
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("t"))
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # global order: (df asc, token asc); per-doc rank; prefix length
+    # n - ceil(tau * n) + 1
+    wd = Window.partitionBy("doc_id").orderBy("df", "t")
+    ranked = (
+        tok.join(dfreq, "t")
+        .withColumn("rk", F.row_number().over(wd))
+        .join(toks.select("doc_id", F.size("toks").alias("n")), "doc_id")
+        .filter(F.col("rk") <= F.col("n") - F.ceil(SETSIM_TAU * F.col("n")) + 1)
+        .select("t", "doc_id")
+    )
+    cand = (
+        ranked.groupBy("t")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ids) - 2), i -> "
+                    "transform(sequence(i + 1, size(ids) - 1), j -> "
+                    "struct(ids[i] AS a, ids[j] AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("ta")),
+            "doc_id_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("tb")),
+            "doc_id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("ta") + F.size("tb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(
+            F.col("inter")
+            / (F.size("ta") + F.size("tb") - F.col("inter"))
+            >= SETSIM_TAU
+        )
+    )
+    return verified.select("doc_id_a", "doc_id_b", "jaccard")
+
+
+# ------------------------------------------------ shard balance audit
+N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+WITH s AS (
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {N_SHARDS} AS shard_id,
+           n_chars
+    FROM documents
+)
+SELECT CAST(shard_id AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (), 6) AS doc_share,
+       ROUND(SUM(n_chars)::DOUBLE / SUM(SUM(n_chars)) OVER (), 6) AS char_share
+FROM s GROUP BY 1
+"""
+
+
+@query("shard_balance_audit", oracle=_SHARD_ORACLE)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance audit for the training-shard writeout
+    (extensions/shards.py): per shard, document and character counts
+    and each shard's share of the corpus — skewed shards mean skewed
+    data-loader throughput, so this is the check a pipeline runs after
+    sharding and before training. Assignment is the writer's exact
+    content-addressed hash (md5 of the id), so the audit IS the
+    writer's distribution, not a model of it.
+
+    100 TB shape: one {N_SHARDS}-key aggregate with map-side partials;
+    the share normalization is a window over the {N_SHARDS}-row
+    result, not the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    from iot_etl_spark.extensions.shards import shard_of
+
+    w = Window.partitionBy()
+    return (
+        docs.select(shard_of("doc_id", N_SHARDS).alias("shard_id"), "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+            F.round(
+                F.col("total_chars") / F.sum("total_chars").over(w), 6
+            ).alias("char_share"),
+        )
+    )

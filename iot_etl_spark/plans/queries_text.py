@@ -113,6 +113,22 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct shingle arrays, materialized once per
+    (documents parquet, stage code) — the split/shingle/distinct
+    lineage is string-heavy and consumed by the exact-rescore side of
+    dedup_ngram_jaccard, dedup_clusters, the signature index, and the
+    prefix-filter join (queries_mlprep.setsim_prefix_join), each of
+    which otherwise re-parses every document."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    return cached_stage(
+        spark, "shingle_sets", sf_dir, ("documents",),
+        lambda: _shingle_sets(spark, sf_dir),
+        code_deps=(_shingle_sets, _shingles_expr, _words),
+    )
+
+
 def _minhash_band_sigs(spark: SparkSession, sh: DataFrame) -> DataFrame:
     """(doc_id, band, sig): MinHash(16 perms) grouped into 4 bands x 4
     rows, signature = '|'-joined row minima.
@@ -267,7 +283,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard 100 TB corpus-dedup shape (recall at s=0.8 with 4 bands x
     4 rows is 1-(1-0.8^4)^4 ~ 0.88; raise bands for higher recall).
     Oracle replicates the identical candidate+rescore pipeline."""
-    sh = _shingle_sets(spark, sf_dir)
+    sh = _shingle_sets_cached(spark, sf_dir)
     cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
     j = (
         cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")), "doc_id_a")
@@ -747,7 +763,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffice; the same loop IS the standard large-scale CC shape
     (label propagation a la large-star/small-star) at 100 TB. Oracle:
     DuckDB recursive-CTE transitive closure of the identical edge set."""
-    sh = _shingle_sets(spark, sf_dir)
+    sh = _shingle_sets_cached(spark, sf_dir)
     cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
     jac = (
         cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")), "doc_id_a")
