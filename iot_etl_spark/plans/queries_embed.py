@@ -117,8 +117,7 @@ FROM sc WHERE cos >= {SIM_THRESHOLD}
 """
 
 
-@query("embedding_similar_pairs", oracle=_SIMILAR_PAIRS_ORACLE)
-def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _similar_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine >= threshold via sign-bit LSH
     blocking + exact rescore. The only pair join is on (band, sign-
     signature) — bucket sizes are ~N/2^LSH_BITS per band, so the
@@ -183,6 +182,29 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= SIM_THRESHOLD)
         .select("vec_id_a", "vec_id_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+def _similar_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair set, materialized once per
+    (embeddings parquet, stage code) and shared by
+    embedding_similar_pairs (the report surface) and
+    semantic_dedup_verdict (the keep/drop surface) — the banding +
+    rescore pipeline is the family's dominant cost and its output is
+    a few hundred rows."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    return cached_stage(
+        spark, "embed_lsh_pairs", sf_dir, ("embeddings",),
+        lambda: _similar_pairs_build(spark, sf_dir),
+        code_deps=(_similar_pairs_build, _as_double, _norm, _dot),
+    )
+
+
+@query("embedding_similar_pairs", oracle=_SIMILAR_PAIRS_ORACLE)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _similar_pairs_build (the algorithm) — served from the
+    materialized stage shared with semantic_dedup_verdict."""
+    return _similar_pairs_cached(spark, sf_dir)
 
 
 _CENTROID_ORACLE = """
@@ -425,7 +447,7 @@ def semantic_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: inherits the sign-bit LSH blocking (no all-pairs scan); the
     verdict adds one aggregate on the pair set plus a left join back
     to the corpus — both keyed shuffles, no new quadratic term."""
-    pairs = embedding_similar_pairs(spark, sf_dir)
+    pairs = _similar_pairs_cached(spark, sf_dir)
     drops = pairs.groupBy("vec_id_b").agg(F.count(F.lit(1)).alias("cnt"))
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (

