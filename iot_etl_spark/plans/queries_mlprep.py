@@ -430,8 +430,7 @@ WHERE len(x.toks) > 0 AND len(y.toks) > 0
 """
 
 
-@query("setsim_prefix_join", oracle=_SETSIM_ORACLE)
-def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _setsim_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT shingle-set Jaccard similarity join (J >= {SETSIM_TAU})
     via prefix filtering (AllPairs/PPJoin, Bayardo et al. 2007) — the
     exact-recall complement to dedup_ngram_jaccard's MinHash-LSH
@@ -526,6 +525,29 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_id_a", "doc_id_b", "jaccard")
 
 
+def _setsim_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact pair set, materialized once per (documents parquet,
+    stage code) and shared by setsim_prefix_join (the report surface)
+    and split_leakage_audit (which re-aggregates it by split)."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+    from iot_etl_spark.plans.queries_text import (
+        _shingle_sets, _shingle_sets_cached, _shingles_expr, _words,
+    )
+
+    return cached_stage(
+        spark, "setsim_pairs", sf_dir, ("documents",),
+        lambda: _setsim_pairs_build(spark, sf_dir),
+        code_deps=(_setsim_pairs_build, _shingle_sets, _shingles_expr, _words),
+    )
+
+
+@query("setsim_prefix_join", oracle=_SETSIM_ORACLE)
+def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _setsim_pairs_build (the algorithm) — served from the
+    materialized stage shared with split_leakage_audit."""
+    return _setsim_pairs_cached(spark, sf_dir)
+
+
 # ------------------------------------------------ shard balance audit
 N_SHARDS = 16
 
@@ -577,5 +599,173 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("total_chars") / F.sum("total_chars").over(w), 6
             ).alias("char_share"),
+        )
+    )
+
+
+# ----------------------------------------------- bigram LM scoring
+LM_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+_BIGRAM_LM_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bg AS (
+    SELECT doc_id, ws[i-1] AS prev, ws[i] AS cur
+    FROM (
+        SELECT doc_id, ws, unnest(generate_series(2, len(ws))) AS i FROM w
+    )
+),
+uni AS (
+    SELECT t AS tok, COUNT(*) AS c
+    FROM (SELECT unnest(ws) AS t FROM w) GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS s FROM uni),
+big AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, SUM(c2) AS c1 FROM big GROUP BY 1),
+sc AS (
+    SELECT bg.doc_id,
+           ln({LM_LAMBDA} * big.c2::DOUBLE / ctx.c1
+              + {1 - LM_LAMBDA} * uni.c::DOUBLE / tot.s) AS lp
+    FROM bg
+    JOIN big ON big.prev = bg.prev AND big.cur = bg.cur
+    JOIN ctx ON ctx.prev = bg.prev
+    JOIN uni ON uni.tok = bg.cur
+    CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(lp), 6) AS mean_bigram_logprob,
+       ROUND(MIN(lp), 6) AS min_bigram_logprob
+FROM sc GROUP BY 1
+"""
+
+
+@query("bigram_lm_score", oracle=_BIGRAM_LM_ORACLE)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram
+    language model trained on the corpus itself:
+    log(lambda * P(w_i | w_{{i-1}}) + (1-lambda) * P(w_i)) — one step
+    up the perplexity ladder from unigram_logprob_score (word-order
+    sensitivity: scrambled or templated text scores differently even
+    with an identical unigram profile). The KenLM-filter shape from
+    CCNet, at bigram order.
+
+    100 TB shape: mirrors the unigram design — both LM tables (bigram
+    counts, context totals) and the unigram vocabulary are sublinear
+    in corpus size and BROADCAST; the bigram stream itself never
+    shuffles for scoring, and the per-doc aggregate is the only
+    stream-keyed shuffle. Zipf-head skew is irrelevant because nothing
+    repartitions by token."""
+    docs = load_table(spark, sf_dir, "documents")
+    # let-bound ws: split runs once per doc (CollapseProject would
+    # otherwise re-split per element reference)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array(split(text, ' ')), ws -> "
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(2, size(ws)), i -> "
+                "struct(ws[i-2] AS prev, ws[i-1] AS cur)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<prev: STRING, cur: STRING>>) END)[0]"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("p1", F.col("c") / F.sum("c").over(Window.partitionBy()))
+    )
+    big = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = big.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    lp = F.log(
+        LM_LAMBDA * F.col("c2") / F.col("c1")
+        + (1 - LM_LAMBDA) * F.col("p1")
+    )
+    scored = (
+        bg.join(F.broadcast(big), ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(uni.select(F.col("tok").alias("cur"), "p1")), "cur")
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_bigram_logprob"),
+        F.round(F.min("lp"), 6).alias("min_bigram_logprob"),
+    )
+
+
+# -------------------------------------------- split leakage audit
+SPLIT_TRAIN_PCT, SPLIT_VALID_PCT = 90, 5  # train/valid/test = 90/5/5
+
+_SPLIT_CASE_DUCK = f"""
+CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < {SPLIT_TRAIN_PCT} THEN 'train'
+     WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+     ELSE 'test' END
+"""
+
+_LEAKAGE_ORACLE = f"""
+WITH pairs AS ({_SETSIM_ORACLE}),
+s AS (
+    SELECT doc_id, {_SPLIT_CASE_DUCK} AS split FROM documents
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_leak_pairs,
+       ROUND(AVG(p.jaccard), 6) AS avg_jaccard
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.doc_id_a
+JOIN s sb ON sb.doc_id = p.doc_id_b
+GROUP BY 1, 2
+"""
+
+
+@query("split_leakage_audit", oracle=_LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: assign every document to
+    train/valid/test by content-addressed hash (90/5/5), then count
+    near-duplicate pairs (the EXACT prefix-filter join, J >= 0.8)
+    whose endpoints land in different splits — each such pair is
+    test-set leakage that survives document-level split hygiene. The
+    off-diagonal rows of this report are the number a model-eval team
+    needs to be zero (or to deduplicate away) before trusting held-out
+    metrics.
+
+    100 TB shape: composes over the registered setsim_prefix_join
+    (shared shingle stage, exact recall — an audit built on a
+    maybe-missed LSH candidate set would undercount leakage); split
+    assignment is map-side hash arithmetic; the final aggregate is
+    six rows."""
+    pairs = _setsim_pairs_cached(spark, sf_dir)
+    from iot_etl_spark.extensions.shards import shard_of  # same md5 idiom
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    s = docs.select(
+        "doc_id",
+        F.when(h < SPLIT_TRAIN_PCT, "train")
+        .when(h < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = s.select(F.col("doc_id").alias("doc_id_a"), F.col("split").alias("_sa"))
+    sb = s.select(F.col("doc_id").alias("doc_id_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_leak_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
         )
     )
