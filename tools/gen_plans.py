@@ -36,6 +36,12 @@ PICKS = [
     ("session_path_topk",
      "native session_window sessionization -> tiny-key path counts -> "
      "TakeOrderedAndProject"),
+    ("quality_classifier_score",
+     "hashed linear classifier: ZERO Exchanges - feature hashing, weight "
+     "lookup and scoring all inside whole-stage codegen on the scan"),
+    ("setsim_prefix_join",
+     "exact set-similarity join: prefix-shingle buckets (no self-join), "
+     "BIGINT hash-space comparisons, exact verify of candidates only"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
