@@ -326,3 +326,101 @@ def route_to_agg(
     if raw_max_ts.timestamp() >= mv_max_bucket.timestamp() + covered:
         return compute()
     return mv.drop("agg_date")
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: list,
+    partition_col: str = "agg_date",
+) -> dict:
+    """Targeted key erasure (the GDPR right-to-be-forgotten path,
+    SURVEY §2.11 lifecycle family): delete every row whose ``key_col``
+    is in ``keys``, rewriting ONLY the partitions that can actually
+    contain one of the keys.
+
+    Candidate partitions are selected from parquet FOOTER STATISTICS
+    (row-group min/max of ``key_col`` — the same no-data-scan idiom as
+    route_to_agg's freshness check): a partition whose every row group
+    bounds exclude all keys is provably clean and is never read,
+    rewritten, or even touched — at 100 TB with date partitions and
+    ``sortWithinPartitions(key)`` layout (SCALE.md storage table),
+    erasing one device touches O(files containing that device), not
+    the table. Affected partitions rewrite with the compact_partitions
+    staging-dir + rename swap, so a mid-job failure leaves each
+    partition fully old or fully new.
+
+    Deleted-row accounting comes from footer row counts before/after —
+    no counting scan. Returns ``{"partitions_scanned", 
+    "partitions_rewritten", "rows_deleted"}``.
+
+    Scale note: the partition loop is ops-plane iteration over
+    O(days) directory names (the drop_partitions_older_than
+    convention); each rewrite is a distributed job. On object stores
+    the swap belongs to a transactional format (Iceberg/Delta
+    DELETE), which performs this identical file-level pruning from
+    its manifest stats.
+    """
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    keyset = sorted(set(keys))
+
+    def _footer_rows(d: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return n
+
+    def _may_contain(d: str) -> bool:
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+                if key_col not in schema_names:
+                    return True  # cannot prove absence
+                ci = schema_names.index(key_col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        return True
+                    if any(st.min <= k <= st.max for k in keyset):
+                        return True
+        return False
+
+    prefix = f"{partition_col}="
+    part_dirs = sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(path, d))
+    )
+    rewritten, deleted = [], 0
+    for d in part_dirs:
+        live = os.path.join(path, d)
+        if not _may_contain(live):
+            continue
+        before = _footer_rows(live)
+        stage = os.path.join(path, f"._erase_{uuid.uuid4().hex}")
+        (
+            spark.read.parquet(live)
+            .filter(~F.col(key_col).isin(keyset))
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        retired = live + "._old"
+        os.rename(live, retired)
+        os.rename(stage, live)
+        shutil.rmtree(retired)
+        deleted += before - _footer_rows(live)
+        rewritten.append(d)
+    return {
+        "partitions_scanned": len(part_dirs),
+        "partitions_rewritten": rewritten,
+        "rows_deleted": deleted,
+    }

@@ -408,3 +408,53 @@ def test_route_to_agg_serves_mv_when_fresh(spark, tmp_path):
     # no MV at all -> raw compute
     none = route_to_agg(spark, ev, str(tmp_path / "missing"), bucket="hour")
     assert "FileScan" in none._jdf.queryExecution().executedPlan().toString()
+
+
+def test_delete_keys_rewrites_only_containing_partitions(spark, tmp_path):
+    """GDPR erasure: keyed rows vanish, clean partitions are never
+    touched (footer-stat pruning proven by file mtimes), accounting is
+    exact, and absent keys are a no-op."""
+    import os
+    import pyspark.sql.functions as F
+    from iot_etl_spark.warehouse.lifecycle import delete_keys
+
+    path = str(tmp_path / "facts")
+    # device 1 only in date A; device 99 only in date C; dates sorted
+    # by device so row-group stats are tight
+    rows = [
+        (1, "2024-01-01", 10.0), (2, "2024-01-01", 11.0),
+        (2, "2024-01-02", 12.0), (3, "2024-01-02", 13.0),
+        (99, "2024-01-03", 14.0), (3, "2024-01-03", 15.0),
+    ]
+    df = spark.createDataFrame(rows, "device_id long, agg_date string, value double")
+    (df.repartition(1).sortWithinPartitions("agg_date", "device_id")
+       .write.partitionBy("agg_date").mode("overwrite").parquet(path))
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("agg_date="):
+                full = os.path.join(path, d)
+                out[d] = max(
+                    os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full) if f.endswith(".parquet")
+                )
+        return out
+
+    before = mtimes()
+    res = delete_keys(spark, path, "device_id", [1, 99])
+    assert res["rows_deleted"] == 2
+    assert sorted(res["partitions_rewritten"]) == [
+        "agg_date=2024-01-01", "agg_date=2024-01-03",
+    ]
+    assert res["partitions_scanned"] == 3
+    # untouched partition keeps its exact files
+    after = mtimes()
+    assert after["agg_date=2024-01-02"] == before["agg_date=2024-01-02"]
+    # data correctness: keys gone, everything else intact
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("device_id").isin(1, 99)).count() == 0
+    assert back.count() == 4
+    # absent key -> zero rewrites
+    res2 = delete_keys(spark, path, "device_id", [12345])
+    assert res2["partitions_rewritten"] == [] and res2["rows_deleted"] == 0
