@@ -339,9 +339,14 @@ PATH_TOPK = 10
 
 _SESSION_PATH_ORACLE = f"""
 WITH o AS (
+    -- gaps on MICROSECOND epochs (the session_stats convention):
+    -- second-truncated epochs shift true gaps of 1799.xx/1800.xx s
+    -- across the boundary and split sessions differently from
+    -- Spark's microsecond session_window (caught by the sf0.1 sweep)
     SELECT user_id, event_id, event_type, {DUCK_TS} AS t,
-           CASE WHEN LAG({DUCK_TS_EPOCH}) OVER w IS NULL
-                     OR {DUCK_TS_EPOCH} - LAG({DUCK_TS_EPOCH}) OVER w >= {SESSION_GAP_S}
+           CASE WHEN LAG(epoch_us({DUCK_TS})) OVER w IS NULL
+                     OR epoch_us({DUCK_TS}) - LAG(epoch_us({DUCK_TS})) OVER w
+                        >= {SESSION_GAP_S} * 1000000
                 THEN 1 ELSE 0 END AS new_s
     FROM events
     WINDOW w AS (PARTITION BY user_id {_EVT_ORDER})
