@@ -77,26 +77,37 @@ CUSUM_SIGMA = 3.0
 
 
 _CUSUM_ORACLE = f"""
-WITH d AS (
-    SELECT user_id, value, {DUCK_TS} AS t, event_id,
-           value - AVG(value) OVER (PARTITION BY user_id) AS dev,
-           STDDEV(value) OVER (PARTITION BY user_id) AS sd
+WITH q AS (
+    SELECT user_id, {DUCK_TS} AS t, event_id,
+           CAST(ROUND(value * 1000000) AS BIGINT) AS vq
     FROM events
 ),
-c AS (
-    SELECT user_id, sd,
-           SUM(dev) OVER (
-               PARTITION BY user_id ORDER BY t, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cusum
-    FROM d
+w AS (
+    SELECT user_id, vq,
+           COUNT(*) OVER wp AS n,
+           CAST(SUM(vq) OVER wp AS BIGINT) AS tot,
+           SUM(vq * vq) OVER wp AS s2,
+           CAST(SUM(vq) OVER wo AS BIGINT) AS pk,
+           ROW_NUMBER() OVER wrk AS k
+    FROM q
+    WINDOW wp AS (PARTITION BY user_id),
+           wo AS (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wrk AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+f AS (
+    SELECT user_id, n,
+           ABS(n * pk - k * tot)::DOUBLE / n AS cu,
+           (n::DOUBLE * s2::DOUBLE - tot::DOUBLE * tot::DOUBLE)
+               / (n * (n - 1)) AS varu
+    FROM w
 )
 SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(MAX(ABS(cusum)), 6) AS max_abs_cusum,
-       CAST(SUM(CASE WHEN ABS(cusum) > {CUSUM_SIGMA} * sd THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_exceedances
-FROM c
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       ROUND(MAX(cu) / 1000000.0, 6) AS max_abs_cusum,
+       CAST(SUM(CASE WHEN cu > {CUSUM_SIGMA} * sqrt(varu) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exceedances
+FROM f
 GROUP BY 1
 """
 
@@ -109,25 +120,55 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cusum| > 3*sigma excursions flag level shifts (Page's CUSUM, the
     standard sequential changepoint statistic).
 
-    100 TB shape: the whole-partition mean/stddev and the running sum
-    ride the SAME single shuffle on user_id (no-orderBy window +
-    ordered window over one partitioning); output is one row per
-    device."""
+    Exactness (the SCALE.md convention, applied after the sf0.1 sweep
+    caught a 6th-decimal divergence in the double formulation):
+    readings quantize to BIGINT micro-units, and the running deviation
+    sum is the all-integer identity C_k = n*P_k - k*TOT (P_k =
+    running sum, TOT/n = partition total/count) — no float
+    accumulation anywhere in the trajectory, so engines agree bit-for-
+    bit regardless of window-aggregation association order (DuckDB
+    segment trees vs Spark running frames). The variance for the
+    exceedance gate derives from the same exact integers (n*S2 -
+    TOT^2) with IEEE ops applied in the identical sequence both
+    sides.
+
+    100 TB shape: the whole-partition count/total/S2 and the running
+    sum ride the SAME single shuffle on user_id; output is one row
+    per device."""
     events = load_table(spark, sf_dir, "events")
     wp = Window.partitionBy("user_id")
     wo = _evt_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = events.select(
-        "user_id",
-        F.stddev("value").over(wp).alias("sd"),
-        (
-            F.sum(F.col("value") - F.avg("value").over(wp)).over(wo)
-        ).alias("cusum"),
+    q = events.select(
+        "user_id", "ts", "event_id",
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vq"),
     )
-    return c.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.max(F.abs("cusum")), 6).alias("max_abs_cusum"),
+    w = q.select(
+        "user_id",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("vq").over(wp).alias("tot"),
+        F.sum((F.col("vq").cast("decimal(38,0)") * F.col("vq"))).over(wp).alias("s2"),
+        F.sum("vq").over(wo).alias("pk"),
+        F.row_number().over(_evt_window()).alias("k"),
+    )
+    f = w.select(
+        "user_id", "n",
+        (
+            F.abs(F.col("n") * F.col("pk") - F.col("k") * F.col("tot"))
+            .cast("double") / F.col("n")
+        ).alias("cu"),
+        (
+            (
+                F.col("n").cast("double") * F.col("s2").cast("double")
+                - F.col("tot").cast("double") * F.col("tot").cast("double")
+            )
+            / (F.col("n") * (F.col("n") - 1))
+        ).alias("varu"),
+    )
+    return f.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(F.max("cu") / 1000000.0, 6).alias("max_abs_cusum"),
         F.sum(
-            (F.abs("cusum") > CUSUM_SIGMA * F.col("sd")).cast("long")
+            (F.col("cu") > CUSUM_SIGMA * F.sqrt("varu")).cast("long")
         ).alias("n_exceedances"),
     )
 
