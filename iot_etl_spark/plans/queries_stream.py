@@ -415,3 +415,60 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_window.end").alias("session_end_us"),
         "n_events", "sum_value",
     )
+
+
+TREND_TOPK = 3
+
+_TRENDING_ORACLE = f"""
+WITH c AS (
+    SELECT {duck_bucket_epoch('hour')} AS window_start_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT window_start_epoch, event_type, n_events,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start_epoch
+        ORDER BY n_events DESC, event_type
+    ) AS rnk
+    FROM c
+)
+WHERE rnk <= {TREND_TOPK}
+"""
+
+
+@query("stream_trending_topk", oracle=_TRENDING_ORACLE)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types per hour off the live stream: the
+    streaming engine maintains hourly windowed counts; the top-k rank
+    per window runs on the emitted aggregate — the standard
+    lambda-free serving split (streaming engines can't rank inside an
+    update-mode aggregate; the sink-side rank over the
+    windows-x-keys frame is the production layout a dashboard reads).
+    Deterministic tiebreak on event_type.
+
+    Scale: streaming state = one row per (window, type) — bounded by
+    watermark x key cardinality, not event volume; the rank runs on
+    that already-tiny frame partitioned by window."""
+    src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _, out = run_stream_to_memory(agg, output_mode="complete")
+    from pyspark.sql import Window as W
+
+    rnk = W.partitionBy("window").orderBy(F.desc("n_events"), "event_type")
+    return (
+        out.withColumn("rnk", F.row_number().over(rnk).cast("long"))
+        .filter(F.col("rnk") <= TREND_TOPK)
+        .select(
+            F.unix_timestamp("window.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "rnk",
+        )
+    )
