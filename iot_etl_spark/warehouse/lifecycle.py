@@ -409,7 +409,10 @@ def delete_keys(
         stage = os.path.join(path, f"._erase_{uuid.uuid4().hex}")
         (
             spark.read.parquet(live)
-            .filter(~F.col(key_col).isin(keyset))
+            # NULL-keyed rows must survive: bare ~isin() is NULL for a
+            # NULL key, and a NULL predicate filters the row out —
+            # silent data loss on unkeyed rows
+            .filter(~F.col(key_col).isin(keyset) | F.col(key_col).isNull())
             .write.mode("overwrite")
             .parquet(stage)
         )

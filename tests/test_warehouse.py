@@ -458,3 +458,21 @@ def test_delete_keys_rewrites_only_containing_partitions(spark, tmp_path):
     # absent key -> zero rewrites
     res2 = delete_keys(spark, path, "device_id", [12345])
     assert res2["partitions_rewritten"] == [] and res2["rows_deleted"] == 0
+
+
+def test_delete_keys_preserves_null_keyed_rows(spark, tmp_path):
+    """~isin() is NULL for NULL keys and a NULL predicate drops the
+    row — the erase filter must keep unkeyed rows explicitly."""
+    import pyspark.sql.functions as F
+    from iot_etl_spark.warehouse.lifecycle import delete_keys
+
+    path = str(tmp_path / "facts")
+    rows = [(1, "2024-01-01", 1.0), (None, "2024-01-01", 2.0),
+            (3, "2024-01-01", 3.0)]
+    df = spark.createDataFrame(rows, "device_id long, agg_date string, value double")
+    df.write.partitionBy("agg_date").mode("overwrite").parquet(path)
+    res = delete_keys(spark, path, "device_id", [1])
+    assert res["rows_deleted"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert back.filter(F.col("device_id").isNull()).count() == 1
