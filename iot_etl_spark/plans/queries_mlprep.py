@@ -737,29 +737,30 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: composes over the registered setsim_prefix_join
     (shared shingle stage, exact recall — an audit built on a
-    maybe-missed LSH candidate set would undercount leakage); split
-    assignment is map-side hash arithmetic; the final aggregate is
-    six rows."""
+    maybe-missed LSH candidate set would undercount leakage). The
+    split is a PURE FUNCTION of doc_id (content-addressed hash), so
+    both endpoints' splits compute inline on the pair set — zero
+    joins, no corpus-sized split table to broadcast or shuffle; the
+    final aggregate is six rows."""
     pairs = _setsim_pairs_cached(spark, sf_dir)
-    from iot_etl_spark.extensions.shards import shard_of  # same md5 idiom
 
-    docs = load_table(spark, sf_dir, "documents")
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    s = docs.select(
-        "doc_id",
-        F.when(h < SPLIT_TRAIN_PCT, "train")
-        .when(h < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
-        .otherwise("test")
-        .alias("split"),
-    )
-    sa = s.select(F.col("doc_id").alias("doc_id_a"), F.col("split").alias("_sa"))
-    sb = s.select(F.col("doc_id").alias("doc_id_b"), F.col("split").alias("_sb"))
+    def split_of(col: str):
+        h = (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100
+        )
+        return (
+            F.when(h < SPLIT_TRAIN_PCT, "train")
+            .when(h < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+            .otherwise("test")
+        )
+
     return (
-        pairs.join(F.broadcast(sa), "doc_id_a")
-        .join(F.broadcast(sb), "doc_id_b")
+        pairs.select(
+            split_of("doc_id_a").alias("_sa"),
+            split_of("doc_id_b").alias("_sb"),
+            "jaccard",
+        )
         .groupBy(
             F.least("_sa", "_sb").alias("split_a"),
             F.greatest("_sa", "_sb").alias("split_b"),
