@@ -651,12 +651,16 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an identical unigram profile). The KenLM-filter shape from
     CCNet, at bigram order.
 
-    100 TB shape: mirrors the unigram design — both LM tables (bigram
-    counts, context totals) and the unigram vocabulary are sublinear
-    in corpus size and BROADCAST; the bigram stream itself never
+    100 TB shape: mirrors the unigram design — the LM tables (bigram
+    counts, context totals, unigram vocabulary) are sublinear in
+    corpus size and broadcast here; the bigram stream itself never
     shuffles for scoring, and the per-doc aggregate is the only
     stream-keyed shuffle. Zipf-head skew is irrelevant because nothing
-    repartitions by token."""
+    repartitions by token. Honest caveat for the full 100 TB corpus:
+    the bigram-type table can outgrow the broadcast ceiling — there
+    the scoring join degrades gracefully to SHUFFLE_HASH on
+    (prev, cur) (join_medium_dim's regime), or the LM is pruned to a
+    top-K table as CCNet does with its trained KenLM."""
     docs = load_table(spark, sf_dir, "documents")
     # let-bound ws: split runs once per doc (CollapseProject would
     # otherwise re-split per element reference)
