@@ -774,3 +774,202 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
         )
     )
+
+
+# ------------------------------------------- hashed text embeddings
+EMB_DIMS = 16
+
+_HASH_EMB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 8))::BIGINT % {EMB_DIMS} AS dim,
+           (('0x' || substr(md5('s#' || t), 1, 8))::BIGINT % 2) * 2 - 1 AS sgn
+    FROM tok WHERE t <> ''
+),
+w AS (
+    SELECT doc_id, CAST(dim AS INT) AS dim, CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM h GROUP BY 1, 2
+),
+n AS (
+    SELECT doc_id, sqrt(SUM(weight::DOUBLE * weight)) AS l2 FROM w GROUP BY 1
+)
+SELECT w.doc_id, w.dim, w.weight,
+       ROUND(w.weight / n.l2, 6) AS norm_weight
+FROM w JOIN n ON n.doc_id = w.doc_id
+WHERE w.weight <> 0
+"""
+
+
+@query("hashed_embedding_vectors", oracle=_HASH_EMB_ORACLE)
+def hashed_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed text embeddings (the hashing trick, Weinberger
+    et al. 2009): every token hashes to one of {EMB_DIMS} dimensions
+    with a +/-1 sign hash; a document's vector is the signed count
+    per dimension, L2-normalized. This is the embedding-GENERATION
+    plumbing of the pipeline — the bridge from `documents` to the
+    `embeddings` table's ANN stack — with the hash projection standing
+    in for a model forward pass (swapping in a real encoder changes
+    only the vectorizer, not the schema, partitioning, or downstream
+    consumers). Emitted in exploded (doc_id, dim, weight) form so
+    every component is an oracle-checkable scalar; raw weights are
+    exact BIGINTs, the normalized component is ONE IEEE division.
+
+    100 TB shape: token hashing and signing are map-side expressions;
+    the (doc_id, dim) aggregate and the per-doc norm share the same
+    doc-keyed shuffle; output is bounded by nnz <= {EMB_DIMS} rows
+    per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    h = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % EMB_DIMS
+        ).cast("int").alias("dim"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("s#"), F.col("t"))), 1, 8),
+                    16, 10,
+                ).cast("long") % 2
+            ) * 2 - 1
+        ).alias("sgn"),
+    )
+    w = h.groupBy("doc_id", "dim").agg(F.sum("sgn").cast("long").alias("weight"))
+    wl2 = Window.partitionBy("doc_id")
+    return (
+        w.withColumn(
+            "l2",
+            F.sqrt(F.sum(F.col("weight").cast("double") * F.col("weight")).over(wl2)),
+        )
+        .filter(F.col("weight") != 0)
+        .select(
+            "doc_id", "dim", "weight",
+            F.round(F.col("weight") / F.col("l2"), 6).alias("norm_weight"),
+        )
+    )
+
+
+# ----------------------------------------------- PSI value drift
+PSI_BINS = 10
+
+_PSI_QS = ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS))
+
+_PSI_ORACLE = f"""
+WITH wk AS (
+    SELECT epoch_us(date_trunc('week', CAST(ts AS TIMESTAMP))) // 1000000
+               AS week_epoch,
+           value
+    FROM events
+),
+base AS (SELECT MIN(week_epoch) AS w0 FROM wk),
+bounds AS (
+    SELECT quantile_cont(value, [{_PSI_QS}]) AS bs
+    FROM wk CROSS JOIN base WHERE week_epoch = w0
+),
+binned AS (
+    SELECT week_epoch,
+           len(list_filter(bounds.bs, b -> value >= b)) AS bin
+    FROM wk CROSS JOIN bounds
+),
+counts AS (
+    SELECT week_epoch, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+),
+tot AS (SELECT week_epoch, SUM(c) AS n FROM counts GROUP BY 1),
+grid AS (
+    SELECT t.week_epoch, g.bin, t.n
+    FROM tot t, (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin) g
+),
+shares AS (
+    SELECT g.week_epoch, g.bin,
+           (COALESCE(c.c, 0) + 1.0) / (g.n + {PSI_BINS}) AS p
+    FROM grid g
+    LEFT JOIN counts c ON c.week_epoch = g.week_epoch AND c.bin = g.bin
+),
+basep AS (
+    SELECT s.bin, s.p AS p0 FROM shares s CROSS JOIN base
+    WHERE s.week_epoch = base.w0
+)
+SELECT s.week_epoch,
+       CAST(t.n AS BIGINT) AS n_events,
+       ROUND(SUM((s.p - b.p0) * ln(s.p / b.p0)), 6) AS psi
+FROM shares s
+JOIN basep b ON b.bin = s.bin
+JOIN tot t ON t.week_epoch = s.week_epoch
+CROSS JOIN base
+WHERE s.week_epoch <> base.w0
+GROUP BY 1, 2
+"""
+
+
+@query("psi_value_drift", oracle=_PSI_ORACLE)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the reading distribution, week
+    over baseline week: the first ISO week's value deciles define the
+    bins; every later week's binned shares (Laplace-smoothed so empty
+    bins stay finite) compare against the baseline shares via
+    PSI = sum((q_i - p_i) * ln(q_i / p_i)) — the standard
+    model-monitoring drift score (PSI > 0.25 = major shift). The
+    distributional complement to schema_drift_audit's structural
+    checks: schema intact, values silently shifted.
+
+    100 TB shape: the baseline decile array is a 1-row broadcast
+    (exact percentile on the baseline slice; approx_percentile is the
+    documented swap at full scale); binning is a map-side
+    higher-order filter against that array; everything after operates
+    on the (weeks x {PSI_BINS})-row share table."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        F.unix_timestamp(F.date_trunc("week", F.col("ts"))).cast("long")
+        .alias("week_epoch"),
+        "value",
+    )
+    base_w = wk.agg(F.min("week_epoch").alias("w0"))
+    qs = F.array(*[F.lit(i / PSI_BINS) for i in range(1, PSI_BINS)])
+    bounds = (
+        wk.crossJoin(F.broadcast(base_w))
+        .filter(F.col("week_epoch") == F.col("w0"))
+        .agg(F.percentile("value", qs).alias("bs"))
+    )
+    binned = wk.crossJoin(F.broadcast(bounds)).select(
+        "week_epoch",
+        F.expr("size(filter(bs, b -> value >= b))").alias("bin"),
+    )
+    counts = binned.groupBy("week_epoch", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("week_epoch").agg(F.sum("c").alias("n"))
+    grid = tot.crossJoin(
+        F.broadcast(
+            spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+        )
+    )
+    shares = (
+        grid.join(counts, ["week_epoch", "bin"], "left")
+        .select(
+            "week_epoch", "bin",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + PSI_BINS))
+            .alias("p"),
+        )
+    )
+    basep = (
+        shares.crossJoin(F.broadcast(base_w))
+        .filter(F.col("week_epoch") == F.col("w0"))
+        .select("bin", F.col("p").alias("p0"))
+    )
+    return (
+        shares.crossJoin(F.broadcast(base_w))
+        .filter(F.col("week_epoch") != F.col("w0"))
+        .join(F.broadcast(basep), "bin")
+        .join(tot, "week_epoch")
+        .groupBy("week_epoch")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.round(
+                F.sum((F.col("p") - F.col("p0")) * F.log(F.col("p") / F.col("p0"))),
+                6,
+            ).alias("psi"),
+        )
+    )
