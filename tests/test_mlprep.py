@@ -192,3 +192,62 @@ def test_duplicated_span_detects_shared_passage(spark, tmp_path):
     assert out[2].max_dup_run == 4
     assert out[3].n_dup_grams == 0 and out[3].max_dup_run == 0
     assert out[1].n_dup_grams == 4
+
+
+def test_setsim_agrees_with_bruteforce_on_random_corpus(spark, tmp_path):
+    """Exact-recall pin on an adversarial-ish random corpus: the
+    prefix-filter join must emit EXACTLY the brute-force pair set
+    (seeded generator, ~zipfian small vocab so near-dups are common)."""
+    import os
+    import random
+
+    rng = random.Random(421)
+    vocab = [f"t{i}" for i in range(30)]
+    base_docs = []
+    for i in range(25):
+        n = rng.randint(25, 45)  # long enough that a 1-word edit keeps J >= tau
+        base_docs.append([rng.choice(vocab) for _ in range(n)])
+    docs = []
+    for i, ws in enumerate(base_docs):
+        docs.append((i, " ".join(ws)))
+        roll = rng.random()
+        if roll < 0.3:  # plant a near-dup with a small edit
+            mutated = list(ws)
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(mutated)))
+        elif roll < 0.45:  # plant an exact duplicate
+            docs.append((2000 + i, " ".join(ws)))
+
+    def shingles(text):
+        ws = text.split(" ")
+        return {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+
+    want = set()
+    for i, (ida, ta) in enumerate(docs):
+        sa = shingles(ta)
+        if not sa:
+            continue
+        for idb, tb in docs[i + 1 :]:
+            sb = shingles(tb)
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= SETSIM_TAU:
+                a, b = sorted((ida, idb))
+                want.add((a, b))
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in registry.QUERIES["setsim_prefix_join"](spark, d).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the corpus actually planted near-dups

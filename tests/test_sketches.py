@@ -11,7 +11,7 @@ from iot_etl_spark.extensions.sketches import (
     approx_distinct_profile,
     approx_quantile_profile,
 )
-from iot_etl_spark.sources.tables import load_events
+from iot_etl_spark.sources.tables import load_events, load_table
 from tests.conftest import SF_DIR
 
 
@@ -66,3 +66,40 @@ def test_gk_quantiles_within_rank_error(spark, events):
             lo = v[max(0, target - tol)]
             hi = v[min(n - 1, target + tol)]
             assert lo <= got <= hi, (et, p, got, lo, hi)
+
+
+def test_cms_overestimates_and_bounds(spark):
+    """CMS guarantees: est >= true for EVERY key; mean overestimate
+    well inside the e/width * N bound."""
+    import math
+    import pyspark.sql.functions as F
+    from iot_etl_spark.extensions.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, str(SF_DIR), "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    cms = cms_build(tok)
+    est = cms_estimate(cms, exact.select("token"))
+    j = exact.join(est, "token").select("token", "c", "est").collect()
+    n_total = sum(r.c for r in j)
+    assert all(r.est >= r.c for r in j), "CMS must never underestimate"
+    bound = math.e / 256 * n_total
+    overs = [r.est - r.c for r in j]
+    assert sum(overs) / len(overs) <= bound
+    # with depth 4, the fraction of keys past the 1-row bound is tiny
+    assert sum(1 for o in overs if o > bound) <= len(overs) * 0.05
+
+
+def test_cms_merge_is_exact(spark):
+    """cms(A) + cms(B) must equal cms(A union B) cell-for-cell —
+    the mergeability that makes it a distributed partial aggregate."""
+    import pyspark.sql.functions as F
+    from iot_etl_spark.extensions.sketches import cms_build, cms_merge
+
+    docs = load_table(spark, str(SF_DIR), "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    a = cms_build(tok.filter("doc_id % 2 = 0"))
+    b = cms_build(tok.filter("doc_id % 2 = 1"))
+    merged = {(r.row, r.slot): r.c for r in cms_merge(a, b).collect()}
+    full = {(r.row, r.slot): r.c for r in cms_build(tok).collect()}
+    assert merged == full
