@@ -287,6 +287,52 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------ span-level duplication
+def _span_flags_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, is_dup): every positional 3-gram flagged shared
+    iff it occurs in >= 2 distinct documents.
+
+    The let-binding note: `ws` is a lambda-bound VALUE (transform over
+    a 1-element array, the queries_text._minhash_band_sigs
+    convention), so split(text) runs ONCE per doc — inlining it per
+    element reference re-splits the text O(grams) times (measured
+    12 s -> 2 s at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array(split(text, ' ')), ws -> "
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(1, size(ws) - 2), i -> "
+                "struct(i AS pos, concat_ws(' ', ws[i-1], ws[i], ws[i+1]) AS gram)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, gram: STRING>>) END)[0]"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    shared = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram", F.lit(True).alias("_shared"))
+    )
+    return g.join(shared, "gram", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("_shared"), F.lit(False)).alias("is_dup")
+    )
+
+
+def _span_flags_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span flags, materialized once per (documents parquet, stage
+    code) — shared by the screen (duplicated_span_stats) and the
+    rewrite transform (dedup_span_rewrite)."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    return cached_stage(
+        spark, "span_flags", sf_dir, ("documents",),
+        lambda: _span_flags_build(spark, sf_dir),
+        code_deps=(_span_flags_build,),
+    )
+
+
 _SPAN_ORACLE = """
 WITH w AS (
     SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -349,32 +395,7 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc window for run-length encoding — the decontaminate /
     boilerplate family's shape, never a doc-pair expansion."""
     docs = load_table(spark, sf_dir, "documents")
-    # transform over a 1-element array is the expression-level let
-    # (queries_text._minhash_band_sigs convention): `ws` is a
-    # lambda-bound VALUE, so split(text) runs ONCE per doc — inlining
-    # it per element reference re-splits the text O(grams) times
-    # (measured 12 s -> 2 s at sf0.1 for this query).
-    g = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(array(split(text, ' ')), ws -> "
-                "CASE WHEN size(ws) >= 3 THEN "
-                "transform(sequence(1, size(ws) - 2), i -> "
-                "struct(i AS pos, concat_ws(' ', ws[i-1], ws[i], ws[i+1]) AS gram)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, gram: STRING>>) END)[0]"
-            )
-        ).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    shared = (
-        g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram", F.lit(True).alias("_shared"))
-    )
-    m = g.join(shared, "gram", "left").select(
-        "doc_id", "pos", F.coalesce(F.col("_shared"), F.lit(False)).alias("is_dup")
-    )
+    m = _span_flags_cached(spark, sf_dir)
     per_doc = m.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_grams"),
@@ -971,5 +992,217 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum((F.col("p") - F.col("p0")) * F.log(F.col("p") / F.col("p0"))),
                 6,
             ).alias("psi"),
+        )
+    )
+
+
+# ------------------------------------------- span rewrite transform
+SPAN_RUN_K = 4  # remove runs of >= 4 shared grams (>= 6 shared words)
+
+_SPAN_CTES = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+    SELECT doc_id, pos, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS gram
+    FROM (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos
+        FROM w
+    )
+),
+df AS (
+    SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+m AS (
+    SELECT g.doc_id, g.pos, df.gram IS NOT NULL AS is_dup
+    FROM g LEFT JOIN df ON g.gram = df.gram
+)
+"""
+
+_SPAN_REWRITE_ORACLE = f"""{_SPAN_CTES},
+runs AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM m WHERE is_dup
+),
+iv AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+    FROM runs GROUP BY doc_id, grp HAVING COUNT(*) >= {SPAN_RUN_K}
+),
+ivs AS (
+    SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+    FROM iv GROUP BY 1
+),
+words AS (
+    SELECT doc_id, i, ws[i] AS word
+    FROM (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w
+    )
+),
+kept AS (
+    SELECT wo.doc_id, wo.i, wo.word
+    FROM words wo LEFT JOIN ivs ON ivs.doc_id = wo.doc_id
+    WHERE ivs.doc_id IS NULL
+       OR len(list_filter(ivs.spans,
+              iv -> wo.i >= iv.s AND wo.i <= iv.e + 2)) = 0
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(word, ' ' ORDER BY i) AS clean
+    FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT)
+           AS n_removed_words,
+       COALESCE(a.clean, '') AS clean_text
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@query("dedup_span_rewrite", oracle=_SPAN_REWRITE_ORACLE)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step of substring-level dedup (Lee et al. 2022
+    remove the duplicated span, keep the document): every run of
+    >= {SPAN_RUN_K} consecutive shared 3-grams (>= {SPAN_RUN_K} + 2
+    verbatim shared words — licenses, boilerplate headers, quoted
+    passages) is cut out of the text; the rest of the document
+    survives. duplicated_span_stats is the screen; this emits the
+    cleaned corpus.
+
+    100 TB shape: shares the materialized span-flag stage with the
+    screen (one gram shuffle amortized over both); runs collapse to a
+    per-doc interval LIST (a handful of (start, end) structs — never
+    a word-level join), word filtering is a map-side higher-order
+    EXISTS against that list, and reassembly is one per-doc ordered
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = _span_flags_cached(spark, sf_dir)
+    wrn = Window.partitionBy("doc_id").orderBy("pos")
+    ivs = (
+        m.filter("is_dup")
+        .select("doc_id", "pos", (F.col("pos") - F.row_number().over(wrn)).alias("grp"))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= SPAN_RUN_K)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p0", "word"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "word")
+    kept = (
+        words.join(ivs, "doc_id", "left")
+        .filter(
+            F.col("spans").isNull()
+            | ~F.expr("exists(spans, iv -> i >= iv.s AND i <= iv.e + 2)")
+        )
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(i, word))), x -> x.word)"),
+        ).alias("clean"),
+    )
+    nw = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select("doc_id", nw.alias("n_words"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed_words"),
+            F.coalesce(F.col("clean"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# ------------------------------------------------ corpus datasheet
+SHORT_DOC_TOKENS = 50
+
+_DATASHEET_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_doc_tokens,
+           ROUND(SUM(CASE WHEN len(string_split(text, ' ')) < {SHORT_DOC_TOKENS}
+                          THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+               AS short_doc_share
+    FROM documents
+),
+digests AS (
+    SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique FROM documents
+),
+langs AS (
+    SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs FROM documents
+),
+top AS (
+    SELECT lang AS top_lang,
+           ROUND(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM documents), 6)
+               AS top_lang_share
+    FROM documents GROUP BY lang
+    ORDER BY COUNT(*) DESC, lang LIMIT 1
+)
+SELECT b.n_docs, b.n_tokens, b.n_chars, b.avg_doc_tokens, b.short_doc_share,
+       ROUND((b.n_docs - d.n_unique)::DOUBLE / b.n_docs, 6) AS exact_dup_share,
+       l.n_langs, t.top_lang, t.top_lang_share
+FROM base b CROSS JOIN digests d CROSS JOIN langs l CROSS JOIN top t
+"""
+
+
+@query("corpus_datasheet", oracle=_DATASHEET_ORACLE)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the corpus — the summary block of a
+    datasheet/data-statement (Gebru et al.): volume (docs, tokens,
+    chars), length profile (mean tokens, short-doc share), exact
+    duplication share, and language composition (distinct languages,
+    dominant language + share). The first page of every corpus
+    release review.
+
+    100 TB shape: four independent aggregates (full profile, distinct
+    digests, distinct langs, top lang), each with map-side partials,
+    cross-joined as 1-row broadcast frames — no wide shuffles beyond
+    the digest/lang distincts, output is ONE row."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(F.avg(ntok), 6).alias("avg_doc_tokens"),
+        F.round(
+            F.sum((ntok < SHORT_DOC_TOKENS).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("short_doc_share"),
+    )
+    digests = docs.agg(
+        F.count_distinct(F.md5("text")).cast("long").alias("n_unique")
+    )
+    langs = docs.agg(F.count_distinct("lang").cast("long").alias("n_langs"))
+    top = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(1)
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n"))))
+        .select(
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("c") / F.col("_n"), 6).alias("top_lang_share"),
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(digests))
+        .crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_docs", "n_tokens", "n_chars", "avg_doc_tokens", "short_doc_share",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+            ).alias("exact_dup_share"),
+            "n_langs", "top_lang", "top_lang_share",
         )
     )

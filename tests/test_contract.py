@@ -23,7 +23,7 @@ def test_entry_module_contract():
     qs = e.queries()
     osql = e.oracle_sql()
     assert callable(e.entry)
-    assert len(qs) >= 155
+    assert len(qs) >= 157
     # every query callable, every oracle a non-empty SQL string, and
     # the two dicts cover the same names (zero rows-only checks)
     assert set(qs) == set(osql)
