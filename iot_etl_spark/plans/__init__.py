@@ -24,6 +24,7 @@ from iot_etl_spark.plans import queries_stream  # noqa: F401
 from iot_etl_spark.plans import queries_warehouse  # noqa: F401
 from iot_etl_spark.plans import queries_analytics2  # noqa: F401
 from iot_etl_spark.plans import queries_mlprep  # noqa: F401
+from iot_etl_spark.plans import queries_audit  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the

@@ -1,0 +1,480 @@
+"""Scale-diagnostics & audit operators, round 4 (second batch): the
+queries an operator of a 1000-executor cluster runs BEFORE and AFTER
+the heavy pipelines — shuffle-key skew profiling (decides salting),
+sketch-vs-exact audits (qualifies the approx swaps), estimator-error
+audits for the dedup family, record-linkage blocking (the
+entity-resolution shape), and daily active-user flow accounting.
+
+Registry conventions apply (registry.py): ROUND(x, 6) on computed
+doubles BOTH sides, explicit BIGINT casts wherever DuckDB would widen
+a windowed/summed BIGINT to HUGEINT, deterministic tiebreaks on every
+ORDER BY + LIMIT.
+
+Reference parity: the reference's quality checks stop at row-count
+validation (etl/validate.py's count assertions); this family is the
+engine-grade extension the brief names (audits as first-class
+operators), not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iot_etl_spark.plans.registry import query, duck_bucket_epoch
+from iot_etl_spark.sources.tables import load_table
+
+# ------------------------------------------------------ key skew audit
+_KEY_SKEW_ORACLE = """
+WITH per_key AS (
+    SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS max_key_share,
+       ROUND(MEDIAN(cnt), 6) AS median_key_rows,
+       ROUND(MAX(cnt) / MEDIAN(cnt), 6) AS skew_ratio,
+       CAST(CEIL(MAX(cnt) / (SUM(cnt) / CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+           AS suggested_salt_buckets
+FROM per_key
+GROUP BY event_type
+"""
+
+
+@query("key_skew_audit", oracle=_KEY_SKEW_ORACLE)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile per event type: key cardinality, the
+    hottest key's row share, max/median ratio, and the salt-bucket
+    count that would level the hot key to the average (the input
+    operators/skew.py's salted aggregation asks for).
+
+    This is the diagnostic that DECIDES whether a 100 TB groupBy/join
+    on this key needs salting or AQE skew handling — run it on a
+    sample before committing the shuffle, not after the straggler.
+
+    100 TB shape: two-level aggregation — the per-key count is a
+    map-side-combinable shuffle on (type, key); the profile then
+    aggregates the (small) key-count table. MEDIAN over per-key counts
+    buffers only the distinct-key counts per type, never raw rows."""
+    per_key = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    avg_cnt = F.sum("cnt") / F.count(F.lit(1)).cast("double")
+    return per_key.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.max("cnt") / F.sum("cnt").cast("double"), 6).alias("max_key_share"),
+        F.round(F.percentile("cnt", F.lit(0.5)), 6).alias("median_key_rows"),
+        F.round(F.max("cnt") / F.percentile("cnt", F.lit(0.5)), 6).alias("skew_ratio"),
+        F.ceil(F.max("cnt") / avg_cnt).alias("suggested_salt_buckets"),
+    )
+
+
+# ------------------------------------------------- HLL distinct audit
+HLL_RSD = 0.05
+
+_HLL_AUDIT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+            AS BIGINT) AS exact_days,
+       TRUE AS users_within_bound,
+       TRUE AS days_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("hll_distinct_audit", oracle=_HLL_AUDIT_ORACLE)
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the HyperLogLog++ distinct path (extensions/
+    sketches.py's approx_distinct_profile) against exact COUNT
+    DISTINCT: per event type, the exact cardinalities plus verified
+    claims that `approx_count_distinct(rsd=0.05)` landed within a
+    3-sigma relative-error bound (+small-cardinality slack — HLL++
+    switches to exact linear counting below its sparse threshold).
+
+    Same audit shape as quantile_sketch_audit: the sketch estimate is
+    engine-specific (never hash-comparable cross-engine), so the
+    oracle re-derives the exact side and asserts the bound booleans —
+    if the sketch drifts outside its published guarantee the driver
+    hash breaks.
+
+    100 TB shape: the exact Expand aggregation is the test harness;
+    the production path is the one-pass mergeable HLL register merge.
+    Both sides here share one scan and one shuffle on event_type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    prof = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("day").alias("exact_days"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("_au"),
+        F.approx_count_distinct("day", HLL_RSD).alias("_ad"),
+    )
+
+    def _bound(approx, exact):
+        slack = F.greatest(3 * F.lit(HLL_RSD) * exact, F.lit(8.0))
+        return F.abs(approx - exact) <= slack
+
+    return prof.select(
+        "event_type",
+        "exact_users",
+        "exact_days",
+        _bound(F.col("_au"), F.col("exact_users")).alias("users_within_bound"),
+        _bound(F.col("_ad"), F.col("exact_days")).alias("days_within_bound"),
+    )
+
+
+# ------------------------------------------- MinHash estimator audit
+def _minhash_audit_oracle() -> str:
+    from iot_etl_spark.plans.queries_text import _MINHASH_CTES
+
+    return f"""
+WITH {_MINHASH_CTES},
+agree AS (
+    SELECT c.doc_id_a, c.doc_id_b,
+           CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.doc_id_a
+    JOIN mh y ON y.doc_id = c.doc_id_b AND y.perm = x.perm
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT c.doc_id_a, c.doc_id_b,
+           len(list_intersect(x.s, y.s))::DOUBLE
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_id_a
+    JOIN sh y ON y.doc_id = c.doc_id_b
+)
+SELECT a.doc_id_a, a.doc_id_b,
+       a.n_agree,
+       ROUND(a.n_agree / 16.0, 6) AS est_jaccard,
+       ROUND(e.jac, 6) AS jaccard,
+       ROUND(ABS(a.n_agree / 16.0 - e.jac), 6) AS abs_error
+FROM agree a
+JOIN exact e ON e.doc_id_a = a.doc_id_a AND e.doc_id_b = a.doc_id_b
+"""
+
+
+@query("minhash_estimate_audit", oracle=_minhash_audit_oracle())
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-error audit for the MinHash family: on every LSH
+    candidate pair, the 16-permutation agreement estimate of Jaccard
+    next to the EXACT shingle Jaccard and the absolute error — the
+    query that tells you whether 16 permutations are enough before you
+    commit a 100 TB dedup run to the sketch's word.
+
+    Reuses BOTH materialized stages (stagecache): agreement counts are
+    recovered by splitting the cached band signatures back into
+    per-permutation minima (zero re-hashing of shingles), and the
+    exact side reads the cached per-doc shingle arrays. est = n/16 is
+    exact binary arithmetic, so the error column is bit-identical
+    cross-engine before the shared ROUND.
+
+    100 TB shape: candidate pairs only (LSH-bounded), never all pairs;
+    per-pair work is a 4-row band join + one array intersect."""
+    from iot_etl_spark.plans.queries_text import (
+        _band_candidate_pairs,
+        _band_sigs_cached,
+        _shingle_sets_cached,
+    )
+
+    sig = _band_sigs_cached(spark, sf_dir).withColumn(
+        "mins", F.split("sig", "[|]")
+    )
+    cand = _band_candidate_pairs(sig)
+    per_band = (
+        cand.join(
+            sig.select(
+                F.col("doc_id").alias("doc_id_a"),
+                "band",
+                F.col("mins").alias("mins_a"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("sig_doc_b"),
+                F.col("band").alias("band_b"),
+                F.col("mins").alias("mins_b"),
+            ),
+            (F.col("sig_doc_b") == F.col("doc_id_b"))
+            & (F.col("band_b") == F.col("band")),
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(
+                F.filter(
+                    F.zip_with("mins_a", "mins_b", lambda x, y: x == y),
+                    lambda b: b,
+                )
+            ).alias("band_agree"),
+        )
+    )
+    agree = per_band.groupBy("doc_id_a", "doc_id_b").agg(
+        F.sum("band_agree").alias("n_agree")
+    )
+    sh = _shingle_sets_cached(spark, sf_dir)
+    exact = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")),
+            "doc_id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb")),
+            "doc_id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.col("inter")
+                / (F.size("sa") + F.size("sb") - F.col("inter")).cast("double")
+            ).alias("jac"),
+        )
+    )
+    est = F.col("n_agree") / F.lit(16.0)
+    return agree.join(exact, ["doc_id_a", "doc_id_b"]).select(
+        "doc_id_a",
+        "doc_id_b",
+        "n_agree",
+        F.round(est, 6).alias("est_jaccard"),
+        F.round("jac", 6).alias("jaccard"),
+        F.round(F.abs(est - F.col("jac")), 6).alias("abs_error"),
+    )
+
+
+# --------------------------------------- record-linkage blocking join
+BLOCKING_MAX_EDIT = 4
+
+_BLOCKING_ORACLE = f"""
+WITH p AS (
+    SELECT p_partkey, p_name, p_brand,
+           split_part(p_name, ' ', 2) AS noun
+    FROM part
+)
+SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+FROM p a
+JOIN p b
+  ON a.noun = b.noun AND a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {BLOCKING_MAX_EDIT}
+  AND a.p_name <> b.p_name
+"""
+
+
+@query("blocking_link_pairs", oracle=_BLOCKING_ORACLE)
+def blocking_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidate pairs: block on (head noun of the part
+    name, brand), then verify with edit distance <= 4 — the classic
+    entity-resolution blocking+verify shape (same skeleton as the
+    dedup family's LSH+rescore, but string-edit flavored, the fuzzy
+    matcher a master-data pipeline runs over product/supplier names).
+
+    Scale design: the quadratic step is confined to blocks, whose size
+    the blocking key controls (here noun x brand); the verify step
+    (levenshtein, JVM built-in) runs only on in-block pairs. At 100 TB
+    the same plan holds with a groupBy-bucket + within-bucket
+    expansion (see _band_candidate_pairs) if blocks grow hot; at this
+    block size the hash self-join is the cheaper plan and Catalyst
+    picks a plain shuffle-hash join on the compound key. Identical
+    names are excluded (exact dedup owns those; this is the NEAR-match
+    surface)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("noun").alias("noun_a"),
+        F.col("p_brand").alias("brand_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("noun").alias("noun_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("noun_a") == F.col("noun_b"))
+            & (F.col("brand_a") == F.col("brand_b"))
+            & (F.col("partkey_a") < F.col("partkey_b")),
+        )
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(
+            (F.col("edit_distance") <= BLOCKING_MAX_EDIT)
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .select("partkey_a", "partkey_b", "name_a", "name_b", "edit_distance")
+    )
+
+
+# --------------------------------------------- daily active-user flows
+_DAILY_FLOWS_ORACLE = f"""
+WITH du AS (
+    SELECT DISTINCT {duck_bucket_epoch("day")} AS day, user_id FROM events
+),
+firsts AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1),
+flows AS (
+    SELECT t.day,
+           COUNT(*) AS dau,
+           SUM(CASE WHEN f.first_day = t.day THEN 1 ELSE 0 END) AS new_users,
+           SUM(CASE WHEN y.user_id IS NOT NULL THEN 1 ELSE 0 END) AS retained
+    FROM du t
+    JOIN firsts f ON f.user_id = t.user_id
+    LEFT JOIN du y ON y.user_id = t.user_id AND y.day = t.day - 86400
+    GROUP BY 1
+),
+churn AS (
+    SELECT y.day + 86400 AS day, COUNT(*) AS churned
+    FROM du y
+    LEFT JOIN du t ON t.user_id = y.user_id AND t.day = y.day + 86400
+    WHERE t.user_id IS NULL
+    GROUP BY 1
+)
+SELECT f.day,
+       CAST(f.dau AS BIGINT) AS dau,
+       CAST(f.new_users AS BIGINT) AS new_users,
+       CAST(f.retained AS BIGINT) AS retained,
+       CAST(f.dau - f.new_users - f.retained AS BIGINT) AS resurrected,
+       CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned
+FROM flows f
+LEFT JOIN churn c ON c.day = f.day
+"""
+
+
+@query("daily_active_flows", oracle=_DAILY_FLOWS_ORACLE)
+def daily_active_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active-user flow accounting: DAU decomposed into new
+    (first-ever day), retained (also active the previous day), and
+    resurrected (returning after a gap), plus churned (active the
+    previous day, absent today, credited to today) — the growth-
+    accounting identity every product-analytics warehouse serves
+    (complements the weekly cohort_retention triangle with the
+    day-over-day flow view).
+
+    100 TB shape: everything derives from the distinct (day, user)
+    table — ONE shuffle on user_id covers the first-day aggregate and
+    both day-adjacency self-joins (equi-joins on the same key Spark
+    co-partitions); the flow aggregation then shuffles the already-
+    tiny (day, user) frame by day. No windows over raw events."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    prev = du.select(F.col("user_id").alias("p_user"), F.col("day").alias("p_day"))
+    flows = (
+        du.join(firsts, "user_id")
+        .join(
+            prev,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_day") == F.col("day") - 86400),
+            "left",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum((F.col("first_day") == F.col("day")).cast("long")).alias("new_users"),
+            F.sum(F.col("p_user").isNotNull().cast("long")).alias("retained"),
+        )
+    )
+    nxt = du.select(F.col("user_id").alias("n_user"), F.col("day").alias("n_day"))
+    churn = (
+        du.join(
+            nxt,
+            (F.col("n_user") == F.col("user_id"))
+            & (F.col("n_day") == F.col("day") + 86400),
+            "left_anti",
+        )
+        .groupBy((F.col("day") + 86400).alias("day"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return flows.join(churn, "day", "left").select(
+        "day",
+        "dau",
+        "new_users",
+        "retained",
+        (F.col("dau") - F.col("new_users") - F.col("retained")).alias("resurrected"),
+        F.coalesce("churned", F.lit(0)).alias("churned"),
+    )
+
+
+# --------------------------------------------- embedding norm outliers
+NORM_Z_THRESHOLD = 2.0
+
+_NORM_OUTLIER_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, label,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+st AS (
+    SELECT label, AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sd, COUNT(*) AS n
+    FROM v GROUP BY 1
+)
+SELECT v.vec_id, v.label,
+       ROUND(v.nrm, 6) AS l2_norm,
+       ROUND((v.nrm - st.mu) / st.sd, 6) AS z_score
+FROM v JOIN st ON st.label = v.label
+WHERE st.sd > 0 AND ABS((v.nrm - st.mu) / st.sd) > {NORM_Z_THRESHOLD}
+"""
+
+
+@query("embedding_norm_outliers", oracle=_NORM_OUTLIER_ORACLE)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: vectors whose L2 norm sits more than 2 standard
+    deviations from their label's mean norm — the cheap screen for
+    corrupt/degenerate vectors (zeroed rows, unnormalized batches,
+    encoder drift) run before any ANN index build.
+
+    100 TB shape: norm is map-side column math; per-label mean/std is
+    one tiny aggregate broadcast back onto the scan (Catalyst plans
+    the broadcast join — 10 label rows); the z-score filter prunes at
+    scan speed. Same guarded-stddev convention as zscore_anomaly."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.expr("transform(embedding, x -> cast(x AS DOUBLE))"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("nrm"),
+    )
+    st = v.groupBy("label").agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sd")
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sd")
+    return (
+        v.join(F.broadcast(st), "label")
+        .filter((F.col("sd") > 0) & (F.abs(z) > NORM_Z_THRESHOLD))
+        .select(
+            "vec_id",
+            "label",
+            F.round("nrm", 6).alias("l2_norm"),
+            F.round(z, 6).alias("z_score"),
+        )
+    )
