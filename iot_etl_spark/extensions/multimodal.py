@@ -19,9 +19,15 @@ Codec status (this container ships no PIL/torchaudio/ffmpeg):
   inflate, per-row unfiltering (all five filter types incl. Paeth),
   mean pixel over the reconstructed samples (8-bit non-interlaced
   greyscale/RGB/GA/RGBA; other shapes fall back to dims-only).
-- Entropy-coded formats (JPEG/MP3/MP4/...) still raise
-  ``NotImplementedError`` — DCT/Huffman needs a real codec library;
-  swap ``_decode_payload``'s fallthrough for PIL/pyav in production.
+- **Baseline JPEG decodes FOR REAL** via stdlib + numpy: marker walk,
+  canonical Huffman + DC-prediction entropy decode (restart markers
+  supported), dequantize, inverse zigzag, exact matrix IDCT, chroma
+  upsampling, YCbCr->RGB; mean pixel over the reconstructed image.
+  An encoder half (``encode_jpeg``) exists so tests fabricate genuine
+  entropy-coded payloads. Progressive (SOF2) falls back to dims-only.
+- Audio/video entropy codecs (MP3/AAC/MP4/...) still raise
+  ``NotImplementedError`` — swap ``_decode_payload``'s fallthrough for
+  soundfile/pyav in production.
 - The deterministic ``FAKE`` header (``make_fake_media_bytes``) remains
   for exercising the video frame-sampling fan-out, which has no
   stdlib-decodable container format.
@@ -225,6 +231,509 @@ def _decode_png(payload: bytes) -> dict:
     return out
 
 
+# --------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (SOF0), pure stdlib + numpy: marker parse,
+# canonical Huffman decode, dequantize, inverse zigzag, matrix IDCT,
+# chroma upsampling, YCbCr->RGB. The encoder half exists so tests can
+# fabricate REAL entropy-coded payloads without any imaging library.
+# Bit-level work is Python-loop per MCU — fine for test-scale images;
+# a production deployment swaps the dispatch branch for PIL/turbojpeg
+# (same dict contract), keeping this as the dependency-free fallback.
+
+# ITU-T T.81 Annex K.1/K.2 example quantization tables (public spec).
+_JPEG_QT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+_JPEG_QT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.float64)
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The 64-entry zigzag scan order, generated (not transcribed):
+    walk anti-diagonals, alternating direction — even diagonals run
+    bottom-left -> top-right."""
+    out: list[tuple[int, int]] = []
+    for d in range(15):
+        idx = [(r, d - r) for r in range(max(0, d - 7), min(d, 7) + 1)]
+        if d % 2 == 0:
+            idx.reverse()
+        out.extend(idx)
+    return out
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# Orthonormal 8x8 DCT-II basis: forward F = C @ x @ C.T, inverse
+# x = C.T @ F @ C — the exact float IDCT (no integer approximation).
+_DCT8 = np.array([
+    [
+        (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+        * np.cos((2 * n + 1) * k * np.pi / 16)
+        for n in range(8)
+    ]
+    for k in range(8)
+])
+
+# Our canonical Huffman tables (encoder side): 12 DC categories at
+# code length 4, all 162 AC (run,size) symbols at length 8. JPEG reads
+# table definitions from the DHT segments, so ANY well-formed
+# prefix-free table is a valid choice — using flat canonical tables
+# sidesteps transcribing the 162-value Annex K lists while the DECODER
+# stays fully general (it builds whatever tables the file declares).
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 Annex C): symbol ->
+    (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code, k = code + 1, k + 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+    def restart(self, i: int) -> None:
+        """Byte-align (1-padding) and emit the RSTn marker."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (i % 8)])
+
+
+def _jpeg_cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _jpeg_encode_block(
+    wr: _JpegBitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc: dict[int, tuple[int, int]],
+    ac: dict[int, tuple[int, int]],
+) -> int:
+    coef = np.round(_DCT8 @ (block - 128.0) @ _DCT8.T / q).astype(np.int64)
+    zz = [int(coef[r, c]) for r, c in _JPEG_ZZ]
+    diff = zz[0] - pred
+    size = _jpeg_cat(diff)
+    code, length = dc[size]
+    wr.put(code, length)
+    if size:
+        wr.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac[0xF0]  # ZRL: 16 zeros
+            wr.put(c, ln)
+            run -= 16
+        size = _jpeg_cat(zz[i])
+        c, ln = ac[(run << 4) | size]
+        wr.put(c, ln)
+        v = zz[i]
+        wr.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac[0x00]  # EOB
+        wr.put(c, ln)
+    return zz[0]
+
+
+def encode_jpeg(
+    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """REAL baseline-JPEG encoder, pure stdlib + numpy: level shift,
+    matrix DCT, Annex-K quantization, zigzag, canonical Huffman coding
+    with byte stuffing. ``pixels`` is uint8 (h, w) greyscale or
+    (h, w, 3) RGB; ``subsample=True`` emits 4:2:0 (2x2-averaged
+    chroma, 16x16 MCUs). Exists so the decode path can be exercised on
+    genuine entropy-coded payloads in a container with no imaging
+    libraries."""
+    pixels = np.asarray(pixels, dtype=np.float64)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = pixels[..., 0], pixels[..., 1], pixels[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # pad to even dims by edge replication, then 2x2 mean
+            cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+            crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        padded.append(
+            np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        )
+    dc = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qts = [_JPEG_QT_LUMA, _JPEG_QT_CHROMA]
+
+    wr = _JpegBitWriter()
+    preds = [0] * len(planes)
+    n_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m = my * mcux + mx
+            if restart_interval and m and m % restart_interval == 0:
+                wr.restart(n_rst)
+                n_rst += 1
+                preds = [0] * len(planes)
+            for ci, (p, (hs, vs)) in enumerate(zip(padded, samp)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        r0 = (my * vs + by) * 8
+                        c0 = (mx * hs + bx) * 8
+                        preds[ci] = _jpeg_encode_block(
+                            wr, p[r0 : r0 + 8, c0 : c0 + 8],
+                            qts[qids[ci]], preds[ci], dc, ac,
+                        )
+    scan = wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    n_qt = 1 if gray else 2
+    for tq in range(n_qt):
+        zzq = bytes(int(qts[tq][r, c]) for r, c in _JPEG_ZZ)
+        out += seg(0xDB, bytes([tq]) + zzq)
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    out += seg(0xC0, sof)
+    for cls in (0, 1):  # one DC + one AC table, shared by all components
+        bits = _JPEG_DC_BITS if cls == 0 else _JPEG_AC_BITS
+        vals = _JPEG_DC_VALS if cls == 0 else _JPEG_AC_VALS
+        out += seg(0xC4, bytes([cls << 4]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # dc table 0, ac table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += scan + b"\xff\xd9"
+    return bytes(out)
+
+
+def make_jpeg_bytes(
+    width: int = 16, height: int = 16, seed: int = 0,
+    gray: bool = False, subsample: bool = False,
+) -> bytes:
+    """A REAL baseline JPEG with seed-deterministic smooth pixels
+    (smooth so quantization error stays small and round-trip asserts
+    are tight)."""
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi, 3)
+    chans = [
+        np.clip(
+            128 + 100 * np.sin(2 * np.pi * (xx / max(width, 1)) + phase[i])
+            * np.cos(2 * np.pi * (yy / max(height, 1)) + phase[(i + 1) % 3]),
+            0, 255,
+        )
+        for i in range(3)
+    ]
+    img = chans[0] if gray else np.stack(chans, axis=-1)
+    return encode_jpeg(img.astype(np.uint8), subsample=subsample)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, byte-aligns and
+    swallows RSTn markers, treats any other marker as end-of-data
+    (trailing reads pad with 1s, as the spec's padding convention)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.done = False
+
+    def _fill(self) -> None:
+        if self.done or self.pos >= len(self.data):
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+            return
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nb = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+            if nb == 0x00:
+                self.pos += 2
+            else:
+                self.done = True  # marker: end of entropy data
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (restart-interval
+        boundary)."""
+        self.nbits = 0
+        self.acc = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _jpeg_huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for the bit-serial decoder."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code, k = code + 1, k + 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_symbol(rd: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """Real baseline-JPEG decode, pure stdlib + numpy: marker walk
+    (DQT/SOF0/DHT/DRI/SOS), Huffman + DC-prediction entropy decode
+    with restart-marker support, dequantize, inverse zigzag, exact
+    matrix IDCT, nearest-neighbor chroma upsampling, YCbCr->RGB;
+    mean_pixel over the reconstructed samples. Baseline sequential
+    only — progressive (SOF2) falls back to dims-only metadata."""
+    if payload[:2] != b"\xff\xd8":
+        return {"ok": False, "error": "bad JPEG signature"}
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    frame = None
+    progressive = False
+    restart = 0
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                n = 64 * (2 if pq else 1)
+                raw = body[i + 1 : i + 1 + n]
+                vals = (
+                    struct.unpack(f">{64}H", raw) if pq else list(raw)
+                )
+                q = np.zeros((8, 8))
+                for v, (r, c) in zip(vals, _JPEG_ZZ):
+                    q[r, c] = v
+                qts[tq] = q
+                i += 1 + n
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "precision": precision}
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huffs[(cls, tid)] = _jpeg_huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = [
+                (body[1 + ci * 2], body[2 + ci * 2] >> 4, body[2 + ci * 2] & 0xF)
+                for ci in range(ns)
+            ]
+            scan_start = pos
+            break
+    if frame is None:
+        return {"ok": False, "error": "missing SOF frame header"}
+    out = {
+        "ok": True, "error": None, "decoded_kind": "image",
+        "width": int(frame["w"]), "height": int(frame["h"]),
+    }
+    if progressive or frame["precision"] != 8 or scan_comps is None:
+        return out  # dims-only outside the baseline decoder
+    comps = frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cid, dc_id, ac_id in scan_comps:
+        c = by_id[cid]
+        c["dc_t"] = huffs[(0, dc_id)]
+        c["ac_t"] = huffs[(1, ac_id)]
+        c["plane"] = np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8))
+        order.append(c)
+    rd = _JpegBitReader(payload, scan_start)
+    preds = {c["id"]: 0 for c in order}
+    try:
+        for m in range(mcux * mcuy):
+            if restart and m and m % restart == 0:
+                rd.align_restart()
+                rd.done = False
+                preds = {c["id"]: 0 for c in order}
+            my, mx = divmod(m, mcux)
+            for c in order:
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        zz = np.zeros(64)
+                        size = _jpeg_read_symbol(rd, c["dc_t"])
+                        diff = _jpeg_extend(rd.read(size), size) if size else 0
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_read_symbol(rd, c["ac_t"])
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            zz[k] = _jpeg_extend(rd.read(size), size)
+                            k += 1
+                        coef = np.zeros((8, 8))
+                        for v, (r, cc) in zip(zz, _JPEG_ZZ):
+                            coef[r, cc] = v
+                        block = _DCT8.T @ (coef * qts[c["tq"]]) @ _DCT8 + 128.0
+                        r0 = (my * c["vs"] + by) * 8
+                        c0 = (mx * c["hs"] + bx) * 8
+                        c["plane"][r0 : r0 + 8, c0 : c0 + 8] = block
+    except (ValueError, IndexError) as exc:
+        return {"ok": False, "error": f"JPEG entropy decode failed: {exc}"}
+    h, w = frame["h"], frame["w"]
+    planes = []
+    for c in order:
+        p = np.repeat(
+            np.repeat(c["plane"], vmax // c["vs"], axis=0), hmax // c["hs"], axis=1
+        )[:h, :w]
+        planes.append(p)
+    if len(planes) == 1:
+        rgb = np.clip(planes[0], 0, 255)
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+    out["mean_pixel"] = float(rgb.mean())
+    return out
+
+
 def _decode_wav(payload: bytes) -> dict:
     """Real RIFF/WAVE decode (stdlib ``wave``): container metadata plus
     RMS amplitude computed from the decoded PCM samples."""
@@ -295,6 +804,8 @@ def _decode_payload(payload: bytes) -> dict:
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if len(payload) >= _HEADER.size:
         magic, kind_b, width, height, duration_ms = _HEADER.unpack_from(payload)
         if magic == _MAGIC:
@@ -307,8 +818,9 @@ def _decode_payload(payload: bytes) -> dict:
                 "duration_ms": duration_ms,
             }
     raise NotImplementedError(
-        "entropy-coded media codecs (JPEG/MP3/MP4/...) are not available in "
-        "this environment; RIFF/WAVE, uncompressed BMP, and PNG decode natively"
+        "audio/video entropy codecs (MP3/AAC/MP4/...) are not available in "
+        "this environment; RIFF/WAVE, uncompressed BMP, PNG, and baseline "
+        "JPEG decode natively"
     )
 
 

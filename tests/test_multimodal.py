@@ -184,12 +184,93 @@ def test_png_dims_only_fallback():
     assert "mean_pixel" not in out
 
 
-def test_compressed_formats_still_error_as_rows(spark):
-    """JPEG-magic payloads still land in the documented
-    NotImplementedError path — as rows, never task failures."""
+def test_real_jpeg_decode_through_spark(spark):
+    """Baseline JPEG payloads decode FOR REAL (stdlib marker walk +
+    canonical Huffman entropy decode + matrix IDCT): dimensions exact
+    and mean pixel within quantization error of the source image, for
+    greyscale, RGB 4:4:4, and RGB 4:2:0 with restart markers."""
+    import numpy as np
+    from iot_etl_spark.extensions.multimodal import encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:33].astype(float)
+    gray = np.clip(128 + 60 * np.sin(xx / 8) + 40 * np.cos(yy / 6), 0, 255).astype(
+        np.uint8
+    )
+    rgb = np.stack(
+        [np.clip(128 + 80 * np.sin(xx / 7 + i) * np.cos(yy / 9), 0, 255)
+         for i in range(3)],
+        axis=-1,
+    ).astype(np.uint8)
+    payloads = [
+        (20, encode_jpeg(gray), gray),
+        (21, encode_jpeg(rgb), rgb),
+        (22, encode_jpeg(rgb, subsample=True, restart_interval=2), rgb),
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", p, "image/jpeg", 33, 24, None) for i, p, _ in payloads],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    for i, payload, src in payloads:
+        row = rows[i]
+        assert row.ok and row.decoded_kind == "image", row.error
+        assert (row.width, row.height) == (33, 24)
+        assert abs(row.mean_pixel - float(src.mean())) < 1.5
+        assert row.digest and row.n_bytes == len(payload)
+
+
+def test_jpeg_restart_decode_identical():
+    """Restart-marker streams reconstruct the identical image as the
+    plain stream (byte-align + DC-predictor reset path)."""
+    import numpy as np
+    from iot_etl_spark.extensions.multimodal import encode_jpeg, _decode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56].astype(float)
+    rgb = np.stack(
+        [np.clip(128 + 80 * np.sin(xx / 7 + i), 0, 255) for i in range(3)], axis=-1
+    ).astype(np.uint8)
+    plain = _decode_jpeg(encode_jpeg(rgb, subsample=True))
+    rst = _decode_jpeg(encode_jpeg(rgb, subsample=True, restart_interval=3))
+    assert plain["ok"] and rst["ok"]
+    assert plain["mean_pixel"] == rst["mean_pixel"]
+
+
+def test_jpeg_progressive_dims_only_fallback():
+    """Progressive JPEG (SOF2) keeps header metadata but skips pixel
+    reconstruction — no crash, no NotImplementedError."""
+    import struct
+    from iot_etl_spark.extensions.multimodal import _decode_jpeg
+
+    sof2 = struct.pack(">BHHB", 8, 9, 13, 1) + bytes([1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+        + b"\xff\xd9"
+    )
+    out = _decode_jpeg(payload)
+    assert out["ok"] and (out["width"], out["height"]) == (13, 9)
+    assert "mean_pixel" not in out
+
+
+def test_malformed_jpeg_errors_as_row(spark):
+    """A JPEG-magic payload with no frame header is an error ROW
+    (ok=false), never a task failure."""
     df = spark.createDataFrame(
         [(12, "image", b"\xff\xd8\xff\xe0 not a decodable jpeg body",
           "image/jpeg", None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    row = decode_and_featurize(df).collect()[0]
+    assert not row.ok and "SOF" in row.error
+
+
+def test_compressed_formats_still_error_as_rows(spark):
+    """Formats with no in-sandbox codec (MP3) still land in the
+    documented NotImplementedError path — as rows, never task
+    failures."""
+    df = spark.createDataFrame(
+        [(12, "audio", b"ID3\x04\x00\x00\x00\x00\x00\x00 not decodable mp3",
+          "audio/mpeg", None, None, None)],
         MEDIA_SCHEMA,
     )
     row = decode_and_featurize(df).collect()[0]
