@@ -25,6 +25,10 @@ Codec status (this container ships no PIL/torchaudio/ffmpeg):
   upsampling, YCbCr->RGB; mean pixel over the reconstructed image.
   An encoder half (``encode_jpeg``) exists so tests fabricate genuine
   entropy-coded payloads. Progressive (SOF2) falls back to dims-only.
+- **GIF decodes FOR REAL** via stdlib + numpy: full LZW decompression
+  (growing dictionary, variable code width, Clear/End, KwKwK case,
+  interlace reorder), palette mapping, mean pixel — first frame. The
+  generator compresses with real LZW too, so round-trips are exact.
 - Audio/video entropy codecs (MP3/AAC/MP4/...) still raise
   ``NotImplementedError`` — swap ``_decode_payload``'s fallthrough for
   soundfile/pyav in production.
@@ -229,6 +233,188 @@ def _decode_png(payload: bytes) -> dict:
             return {"ok": False, "error": f"unknown PNG filter type {ftype}"}
     out["mean_pixel"] = float(recon.mean())
     return out
+
+
+# ---------------------------------------------------------------- GIF
+def _lzw_compress(indices: bytes, min_code: int) -> bytes:
+    """Real GIF-flavor LZW: growing dictionary, LSB-first variable
+    code width (grows when next_code passes the width), Clear emitted
+    when the 12-bit dictionary fills."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits: list[int] = []
+    width_bits = min_code + 1
+
+    def put(code: int) -> None:
+        for i in range(width_bits):
+            bits.append((code >> i) & 1)
+
+    def reset() -> tuple[dict[bytes, int], int]:
+        return {bytes([i]): i for i in range(1 << min_code)}, end + 1
+
+    put(clear)
+    table, next_code = reset()
+    w = b""
+    for px in indices:
+        nxt = w + bytes([px])
+        if nxt in table:
+            w = nxt
+            continue
+        put(table[w])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width_bits) + 1:
+            if width_bits < 12:
+                width_bits += 1
+            else:
+                put(clear)
+                width_bits = min_code + 1
+                table, next_code = reset()
+        w = bytes([px])
+    if w:
+        put(table[w])
+    put(end)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+    return bytes(data)
+
+
+def make_gif_bytes(
+    width: int = 8, height: int = 6, seed: int = 0, flat: bool = False
+) -> bytes:
+    """A REAL GIF89a payload with seed-deterministic pixels over a
+    deterministic 64-color palette, compressed with real LZW
+    (dictionary growth, variable code width, Clear on 12-bit
+    overflow). ``flat=True`` emits a constant-color image, whose run
+    structure drives the decoder's KwKwK (code == next dictionary
+    entry) special case."""
+    rng = np.random.default_rng(seed)
+    n_colors = 64  # palette size 2^6
+    palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    if flat:
+        idx = np.full((height, width), int(rng.integers(0, n_colors)), dtype=np.uint8)
+    else:
+        idx = rng.integers(0, n_colors, (height, width), dtype=np.uint8)
+    min_code = 6  # 2^6 = palette size
+    data = _lzw_compress(idx.tobytes(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (min_code - 1), 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """Real GIF decode, pure stdlib + numpy: logical screen descriptor,
+    color tables, extension-block skip, full LZW decompression of the
+    first image (growing dictionary, Clear/End codes, 12-bit cap,
+    interlace reorder), mean pixel over the palette-mapped RGB."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return {"ok": False, "error": "bad GIF signature"}
+    sw, sh, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    out = {
+        "ok": True, "error": None, "decoded_kind": "image",
+        "width": int(sw), "height": int(sh),
+    }
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return out
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            return {"ok": False, "error": f"unknown GIF block 0x{block:02x}"}
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            return {"ok": False, "error": "no color table"}
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # sub-block terminator
+        # ---- LZW decompress (LSB-first bit order, growing code width)
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width_bits = min_code + 1
+        table_base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        dictionary = list(table_base)
+        acc = nbits = 0
+        prev: bytes | None = None
+        pixels = bytearray()
+        i = 0
+        try:
+            while True:
+                while nbits < width_bits:
+                    acc |= data[i] << nbits
+                    nbits += 8
+                    i += 1
+                code = acc & ((1 << width_bits) - 1)
+                acc >>= width_bits
+                nbits -= width_bits
+                if code == clear:
+                    dictionary = list(table_base)
+                    width_bits = min_code + 1
+                    prev = None
+                    continue
+                if code == end:
+                    break
+                if code < len(dictionary):
+                    entry = dictionary[code]
+                    if prev is not None:
+                        dictionary.append(prev + entry[:1])
+                elif code == len(dictionary) and prev is not None:
+                    entry = prev + prev[:1]
+                    dictionary.append(entry)
+                else:
+                    return {"ok": False, "error": "corrupt LZW code stream"}
+                pixels += entry
+                prev = entry
+                if len(dictionary) == (1 << width_bits) and width_bits < 12:
+                    width_bits += 1
+        except IndexError:
+            return {"ok": False, "error": "truncated LZW data"}
+        if len(pixels) < iw * ih:
+            return {"ok": False, "error": "short pixel stream"}
+        idx = np.frombuffer(bytes(pixels[: iw * ih]), np.uint8).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: reorder the four passes
+            order = (
+                list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2))
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        safe = np.minimum(idx, len(table) - 1)
+        out["mean_pixel"] = float(table[safe].mean())
+        return out  # first frame only — the plumbing contract
+    return {"ok": False, "error": "missing GIF trailer"}
 
 
 # --------------------------------------------------------------- JPEG
@@ -806,6 +992,8 @@ def _decode_payload(payload: bytes) -> dict:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if len(payload) >= _HEADER.size:
         magic, kind_b, width, height, duration_ms = _HEADER.unpack_from(payload)
         if magic == _MAGIC:

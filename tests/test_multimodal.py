@@ -264,6 +264,48 @@ def test_malformed_jpeg_errors_as_row(spark):
     assert not row.ok and "SOF" in row.error
 
 
+def test_real_gif_decode_through_spark(spark):
+    """GIF payloads decode FOR REAL (full LZW decompression + palette
+    mapping): mean pixel matches the seeded source EXACTLY (LZW is
+    lossless), for both random images (dictionary growth) and flat
+    images (the KwKwK special case)."""
+    import numpy as np
+    from iot_etl_spark.extensions.multimodal import make_gif_bytes
+
+    cases = [(30, 33, 24, 5, False), (31, 64, 64, 3, True)]
+    df = spark.createDataFrame(
+        [(i, "image", make_gif_bytes(w, h, seed, flat=flat), "image/gif", w, h, None)
+         for i, w, h, seed, flat in cases],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    for i, w, h, seed, flat in cases:
+        rng = np.random.default_rng(seed)
+        palette = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+        idx = (
+            np.full((h, w), int(rng.integers(0, 64)), dtype=np.uint8)
+            if flat else rng.integers(0, 64, (h, w), dtype=np.uint8)
+        )
+        row = rows[i]
+        assert row.ok and row.decoded_kind == "image", row.error
+        assert (row.width, row.height) == (w, h)
+        assert row.mean_pixel == float(palette[idx].mean())
+
+
+def test_gif_lzw_dictionary_overflow_roundtrip():
+    """A large random GIF forces the LZW dictionary through every code
+    width up to 12 bits and a mid-stream Clear reset; the decode is
+    still bit-exact."""
+    import numpy as np
+    from iot_etl_spark.extensions.multimodal import make_gif_bytes, _decode_gif
+
+    out = _decode_gif(make_gif_bytes(500, 400, seed=9))
+    rng = np.random.default_rng(9)
+    palette = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    idx = rng.integers(0, 64, (400, 500), dtype=np.uint8)
+    assert out["ok"] and out["mean_pixel"] == float(palette[idx].mean())
+
+
 def test_compressed_formats_still_error_as_rows(spark):
     """Formats with no in-sandbox codec (MP3) still land in the
     documented NotImplementedError path — as rows, never task
