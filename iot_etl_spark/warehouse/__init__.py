@@ -9,6 +9,7 @@ recomputes only the trailing dirty window via dynamic partition
 overwrite; retention drops whole date partitions.
 """
 
+from iot_etl_spark.warehouse.txlog import TxTable, ConcurrentCommitError
 from iot_etl_spark.warehouse.lifecycle import (
     compact_partitions,
     hourly_agg,
@@ -27,4 +28,6 @@ __all__ = [
     "refresh_agg",
     "drop_partitions_older_than",
     "read_agg",
+    "TxTable",
+    "ConcurrentCommitError",
 ]

@@ -1,0 +1,196 @@
+"""A miniature table-format transaction log: ACID commits, snapshot
+isolation, time travel, and vacuum over plain parquet — the
+Delta/Iceberg capability expressed in ~150 lines, no table-format
+dependency.
+
+Why the engine needs it: plain parquet directories have no commit
+point — a reader can see a half-written append, a failed job leaves
+orphan files that silently join the next scan, and "what did the table
+look like yesterday" is unanswerable. The reference sidesteps all of
+this by rewriting whole tables (spark_load.py's overwrite loads); that
+stops working the moment two writers or a reader/writer pair overlap.
+
+Design (the standard log-structured table layout):
+
+- Data files are immutable parquet parts under ``<table>/data/``,
+  written to a staging dir first and moved in — a file is visible ONLY
+  if a committed log entry references it.
+- The log is ``<table>/_txlog/<version 8-digit>.json``, one entry per
+  commit: operation, files added, files logically removed. The current
+  snapshot = replay of entries 0..N (removed files drop out).
+- **Commit = O_EXCL create of the next version file.** POSIX open with
+  O_CREAT|O_EXCL is atomic on a local/HDFS-semantics filesystem: two
+  writers racing for version N — exactly one wins, the loser gets
+  ``ConcurrentCommitError`` and retries on the new snapshot
+  (optimistic concurrency, no locks held during the data write).
+- **Readers never block**: a scan resolves the snapshot file list once
+  and reads those immutable parts; later commits are invisible
+  (snapshot isolation). ``version=`` pins any historical snapshot
+  (time travel), enabling reproducible training runs over evolving
+  corpora.
+- **Vacuum** deletes data files referenced by NO retained version —
+  physical deletion is decoupled from logical (an ``overwrite`` only
+  marks files removed, so time travel keeps working until vacuum).
+
+At 100 TB nothing changes structurally: the log stays tiny (file
+lists, not data), commits stay O(1), and scans plan from the snapshot
+list exactly like Delta's. On S3-like stores the O_EXCL rename needs a
+coordination service (as Delta's commit service does) — documented
+boundary, same code shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first; re-read and retry."""
+
+
+class TxTable:
+    """Transactional parquet table rooted at ``path``."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.log_dir = os.path.join(path, "_txlog")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ log
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _entry(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as fh:
+            return json.load(fh)
+
+    def snapshot_files(self, version: int | None = None) -> list[str]:
+        """Replay the log through ``version`` (default: latest):
+        the live data-file list for that snapshot."""
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        if version is None:
+            version = latest
+        if version not in self.versions():
+            raise ValueError(f"version {version} does not exist (have {self.versions()})")
+        live: list[str] = []
+        for v in range(version + 1):
+            e = self._entry(v)
+            removed = set(e.get("removed", ()))
+            live = [f for f in live if f not in removed]
+            live.extend(e.get("added", ()))
+        return [os.path.join(self.data_dir, f) for f in live]
+
+    def _commit(self, entry: dict, version: int | None = None) -> int:
+        """Atomically claim ``version`` (default: next after latest)
+        via O_CREAT|O_EXCL. The version is the one the writer PLANNED
+        from its read snapshot — if another writer claimed it first,
+        this raises instead of silently committing on top of state the
+        writer never saw (the optimistic-concurrency contract)."""
+        if version is None:
+            latest = self.latest_version()
+            version = 0 if latest is None else latest + 1
+        entry = {"version": version, **entry}
+        target = os.path.join(self.log_dir, f"{version:08d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"version {version} was committed concurrently"
+            ) from exc
+        with os.fdopen(fd, "w") as fh:
+            json.dump(entry, fh)
+        return version
+
+    # ---------------------------------------------------------- write
+    def _stage(self, df: DataFrame) -> list[str]:
+        """Write ``df`` to a staging dir, move parts into data/ under
+        commit-unique names. Files are INVISIBLE until a log entry
+        references them — a crash here leaves only orphans for
+        vacuum."""
+        tag = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f"_staging_{tag}")
+        df.write.mode("overwrite").parquet(staging)
+        names = []
+        for i, f in enumerate(sorted(os.listdir(staging))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{tag}-{i:05d}.parquet"
+            shutil.move(os.path.join(staging, f), os.path.join(self.data_dir, name))
+            names.append(name)
+        shutil.rmtree(staging)
+        return names
+
+    def append(self, df: DataFrame, max_retries: int = 3) -> int:
+        """ACID append: stage files, then one atomic commit at the
+        version planned from the read snapshot. Appends commute, so a
+        lost race is safely retried at the new head (the staged files
+        are reused — they were never visible)."""
+        added = self._stage(df)
+        for _ in range(max_retries + 1):
+            latest = self.latest_version()
+            planned = 0 if latest is None else latest + 1
+            try:
+                return self._commit(
+                    {"op": "append", "added": added, "removed": []}, planned
+                )
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"append lost {max_retries + 1} commit races")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """ACID overwrite: new files in, every file live IN THE READ
+        SNAPSHOT logically removed (still on disk — time travel reads
+        them until vacuum). A lost race RAISES rather than retrying:
+        unlike append, overwrite's removed-list depends on the
+        snapshot it read, which the winning commit invalidated."""
+        latest = self.latest_version()
+        planned = 0 if latest is None else latest + 1
+        live = [os.path.basename(f) for f in self.snapshot_files()]
+        added = self._stage(df)
+        return self._commit(
+            {"op": "overwrite", "added": added, "removed": live}, planned
+        )
+
+    # ----------------------------------------------------------- read
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read (time travel with ``version=``): resolves the
+        immutable file list once; concurrent later commits are
+        invisible to this DataFrame."""
+        files = self.snapshot_files(version)
+        if not files:
+            raise ValueError("table has no committed data")
+        return spark.read.parquet(*files)
+
+    # --------------------------------------------------------- vacuum
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Physically delete data files referenced by none of the last
+        ``retain_last`` versions (older snapshots stop time-traveling
+        — the Delta VACUUM contract). Also sweeps orphans from crashed
+        stagings. Returns deleted file names."""
+        vs = self.versions()
+        keep: set[str] = set()
+        for v in vs[-retain_last:] if retain_last else []:
+            keep.update(os.path.basename(f) for f in self.snapshot_files(v))
+        deleted = []
+        for f in os.listdir(self.data_dir):
+            if f not in keep:
+                os.remove(os.path.join(self.data_dir, f))
+                deleted.append(f)
+        return sorted(deleted)

@@ -476,3 +476,79 @@ def test_delete_keys_preserves_null_keyed_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2
     assert back.filter(F.col("device_id").isNull()).count() == 1
+
+
+# ------------------------------------------------- transaction log
+def _tx_rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_txlog_append_overwrite_time_travel(spark, tmp_path):
+    """Commits are versioned; time travel reads any historical
+    snapshot; overwrite logically removes but never rewrites old
+    files."""
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    v0 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING"))
+    v1 = t.append(spark.createDataFrame([(3, "c")], "k INT, v STRING"))
+    v2 = t.overwrite(spark.createDataFrame([(9, "z")], "k INT, v STRING"))
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert _tx_rows(t.read(spark)) == [(9, "z")]
+    assert _tx_rows(t.read(spark, version=0)) == [(1, "a"), (2, "b")]
+    assert _tx_rows(t.read(spark, version=1)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_txlog_snapshot_isolation(spark, tmp_path):
+    """A resolved reader is pinned to its snapshot: commits that land
+    after the read never change what it sees."""
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    reader = t.read(spark)  # resolves the v0 file list NOW
+    t.overwrite(spark.createDataFrame([(2, "b")], "k INT, v STRING"))
+    assert _tx_rows(reader) == [(1, "a")]  # isolation
+    assert _tx_rows(t.read(spark)) == [(2, "b")]  # fresh read sees v1
+
+
+def test_txlog_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers racing for the same version: exactly one wins; the
+    loser gets ConcurrentCommitError and its staged files stay
+    invisible (vacuum sweeps them)."""
+    import pytest
+    from iot_etl_spark.warehouse.txlog import ConcurrentCommitError, TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    # simulate the race: both writers plan version 1 from the same
+    # read snapshot; the second O_EXCL create must lose
+    staged = t._stage(spark.createDataFrame([(2, "b")], "k INT, v STRING"))
+    planned = t.latest_version() + 1
+    t._commit({"op": "append", "added": ["other.parquet"], "removed": []}, planned)
+    with pytest.raises(ConcurrentCommitError):
+        t._commit({"op": "append", "added": staged, "removed": []}, planned)
+    # loser's files never became visible
+    visible = {f.split("/")[-1] for f in t.snapshot_files()}
+    assert not (set(staged) & visible)
+    # the append() API retries a lost race at the new head and wins
+    v = t.append(spark.createDataFrame([(3, "c")], "k INT, v STRING"))
+    assert v == planned + 1
+
+
+def test_txlog_vacuum_decouples_physical_deletion(spark, tmp_path):
+    """Vacuum deletes only files referenced by no retained version;
+    the latest snapshot is untouched, older time travel stops."""
+    import pytest
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    t.overwrite(spark.createDataFrame([(2, "b")], "k INT, v STRING"))
+    before = _tx_rows(t.read(spark, version=0))  # old snapshot readable pre-vacuum
+    assert before == [(1, "a")]
+    deleted = t.vacuum(retain_last=1)
+    assert deleted  # the overwritten v0 file went away physically
+    assert _tx_rows(t.read(spark)) == [(2, "b")]  # latest intact
+    with pytest.raises(Exception):
+        t.read(spark, version=0).collect()  # time travel past horizon
