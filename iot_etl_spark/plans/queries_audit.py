@@ -478,3 +478,246 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z_score"),
         )
     )
+
+
+# ------------------------------------------------------ RFM segments
+_RFM_ORACLE = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+agg AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(date_diff('day', MAX(o_orderdate), anchor.mx) AS BIGINT)
+               AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+    FROM orders, anchor
+    GROUP BY o_custkey, anchor.mx
+),
+scored AS (
+    SELECT c_custkey, recency_days, frequency,
+           ROUND(CAST(mon AS DOUBLE), 6) AS monetary,
+           NTILE(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r_quintile,
+           NTILE(5) OVER (ORDER BY frequency ASC, c_custkey) AS f_quintile,
+           NTILE(5) OVER (ORDER BY mon ASC, c_custkey) AS m_quintile
+    FROM agg
+)
+SELECT *,
+       CASE WHEN r_quintile >= 4 AND f_quintile >= 4 AND m_quintile >= 4
+                THEN 'champion'
+            WHEN r_quintile <= 2 AND f_quintile >= 4 THEN 'at_risk_loyal'
+            WHEN r_quintile >= 4 AND f_quintile <= 2 THEN 'new_or_promising'
+            ELSE 'core' END AS segment
+FROM scored
+"""
+
+
+@query("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles plus a rule-based segment label, the standard
+    marketing-warehouse scoring query.
+
+    Determinism: monetary accumulates as exact DECIMAL(18,2) (the
+    pricing_summary convention), every NTILE carries a custkey
+    tiebreak, and recency anchors to MAX(o_orderdate) (data-derived,
+    not wall clock).
+
+    100 TB shape: one shuffle to the per-customer aggregate; the
+    NTILE windows then rank the (small) customer summary. At a 100M+
+    customer table the exact global NTILE becomes the bottleneck —
+    the documented swap (same as quality_percentile_gate) is
+    approx_percentile quintile cut points broadcast back as a range
+    join, identical buckets up to sketch error."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    agg = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate")).cast("long").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
+    w_f = Window.orderBy(F.col("frequency").asc(), "c_custkey")
+    w_m = Window.orderBy(F.col("mon").asc(), "c_custkey")
+    scored = agg.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("mon").cast("double"), 6).alias("monetary"),
+        F.ntile(5).over(w_r).alias("r_quintile"),
+        F.ntile(5).over(w_f).alias("f_quintile"),
+        F.ntile(5).over(w_m).alias("m_quintile"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_quintile") >= 4)
+            & (F.col("f_quintile") >= 4)
+            & (F.col("m_quintile") >= 4),
+            "champion",
+        )
+        .when((F.col("r_quintile") <= 2) & (F.col("f_quintile") >= 4), "at_risk_loyal")
+        .when((F.col("r_quintile") >= 4) & (F.col("f_quintile") <= 2), "new_or_promising")
+        .otherwise("core"),
+    )
+
+
+# ------------------------------------------------ supplier Pareto share
+_PARETO_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+    FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey,
+       ROUND(CAST(r AS DOUBLE), 6) AS revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY r DESC, l_suppkey) AS BIGINT) AS rnk,
+       ROUND(CAST(SUM(r) OVER (ORDER BY r DESC, l_suppkey) AS DOUBLE)
+             / CAST(SUM(r) OVER () AS DOUBLE), 6) AS cum_share,
+       CAST(SUM(r) OVER (ORDER BY r DESC, l_suppkey) - r AS DOUBLE)
+           / CAST(SUM(r) OVER () AS DOUBLE) < 0.8 AS pareto_head
+FROM rev
+"""
+
+
+@query("supplier_pareto_share", oracle=_PARETO_ORACLE)
+def supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration analysis: supplier revenue ranked
+    with cumulative share, flagging the head that carries 80% of
+    revenue — the concentration screen behind vendor-risk and
+    data-source-mix decisions alike.
+
+    Determinism: revenue is exact DECIMAL end to end — the running
+    cumulative sum is a DECIMAL window over a DECIMAL-ordered,
+    suppkey-tiebroken frame, so the double division at the very end is
+    identical cross-engine. 100 TB shape: one shuffle to the supplier
+    aggregate; the ordered window runs over the post-aggregate frame
+    (suppliers, not lineitems), with the same documented cut-point
+    swap as rfm_segments if the supplier dimension itself explodes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("r")
+    )
+    w = Window.orderBy(F.col("r").desc(), "l_suppkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return rev.select(
+        "l_suppkey",
+        F.round(F.col("r").cast("double"), 6).alias("revenue"),
+        F.row_number()
+        .over(Window.orderBy(F.col("r").desc(), "l_suppkey"))
+        .cast("long")
+        .alias("rnk"),
+        F.round(
+            F.sum("r").over(w).cast("double") / F.sum("r").over(w_all).cast("double"), 6
+        ).alias("cum_share"),
+        (
+            (F.sum("r").over(w) - F.col("r")).cast("double")
+            / F.sum("r").over(w_all).cast("double")
+            < 0.8
+        ).alias("pareto_head"),
+    )
+
+
+# --------------------------------------------- vocabulary coverage curve
+VOCAB_CURVE_TOP = 100
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+curve AS (
+    SELECT token, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token) AS BIGINT) AS cum_count,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS total
+    FROM counts
+)
+SELECT token, cnt, rnk, cum_count,
+       ROUND(cum_count / CAST(total AS DOUBLE), 6) AS cum_share
+FROM curve
+WHERE rnk <= {VOCAB_CURVE_TOP}
+"""
+
+
+@query("vocab_coverage_curve", oracle=_VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the top-{VOCAB_CURVE_TOP} tokens by
+    frequency with cumulative share of ALL token occurrences — the
+    query that answers "what vocab size covers X% of the stream"
+    before committing a tokenizer budget.
+
+    100 TB shape: the token stream collapses to per-token counts with
+    map-side combine (one shuffle, Zipf head handled by partial aggs);
+    the ordered window then runs over the VOCABULARY (sublinear in
+    corpus size). Counts stay BIGINT throughout; only the final share
+    divides."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = Window.orderBy(F.col("cnt").desc(), "token")
+    w_cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        counts.select(
+            "token",
+            "cnt",
+            F.row_number().over(order).cast("long").alias("rnk"),
+            F.sum("cnt").over(w_cum).alias("cum_count"),
+            F.round(
+                F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_all).cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rnk") <= VOCAB_CURVE_TOP)
+    )
+
+
+# --------------------------------------------- dedup cluster size profile
+def _cluster_hist_oracle() -> str:
+    from iot_etl_spark.plans.queries_text import _CLUSTERS_CTES
+
+    return f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM walk GROUP BY doc_id),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM labels GROUP BY 1)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+
+
+@query("dedup_cluster_size_hist", oracle=_cluster_hist_oracle())
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution — the shape report a dedup
+    run is judged by (how much of the corpus sits in 2-doc mirror
+    pairs vs 50-doc boilerplate explosions), and the early-warning
+    signal for LSH bucket blowups.
+
+    Composes over the registered dedup_clusters query (shared
+    materialized stages, consistent by construction); two extra
+    tiny-key aggregates on the (doc, cluster) labels."""
+    from iot_etl_spark.plans.queries_text import dedup_clusters
+
+    sizes = (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )

@@ -723,8 +723,8 @@ def _min_label_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
-_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_MINHASH_CTES},
+# shared with the cluster-size histogram (queries_audit.py)
+_CLUSTERS_CTES = f"""{_MINHASH_CTES},
 jac AS (
     SELECT doc_id_a, doc_id_b
     FROM cand
@@ -741,7 +741,10 @@ walk(doc_id, r) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT e.a, walk.r FROM edges e JOIN walk ON e.b = walk.doc_id
-)
+)"""
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
 SELECT doc_id, MIN(r) AS cluster_id, doc_id = MIN(r) AS is_canonical
 FROM walk GROUP BY doc_id
 """
