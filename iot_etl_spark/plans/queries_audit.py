@@ -370,10 +370,12 @@ def daily_active_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-over-day flow view).
 
     100 TB shape: everything derives from the distinct (day, user)
-    table — ONE shuffle on user_id covers the first-day aggregate and
-    both day-adjacency self-joins (equi-joins on the same key Spark
-    co-partitions); the flow aggregation then shuffles the already-
-    tiny (day, user) frame by day. No windows over raw events."""
+    table with ONE shuffle on user_id — lag/lead over each user's
+    ordered day sequence classifies new/retained/churn-source rows in
+    the same pass (no day-adjacency self-joins: the join formulation
+    planned 11 exchanges, this 7, and only ONE touches raw-events
+    volume); the flow aggregations then shuffle the already-tiny
+    classified frame by day."""
     du = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -382,30 +384,23 @@ def daily_active_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    prev = du.select(F.col("user_id").alias("p_user"), F.col("day").alias("p_day"))
-    flows = (
-        du.join(firsts, "user_id")
-        .join(
-            prev,
-            (F.col("p_user") == F.col("user_id"))
-            & (F.col("p_day") == F.col("day") - 86400),
-            "left",
-        )
-        .groupBy("day")
-        .agg(
-            F.count(F.lit(1)).alias("dau"),
-            F.sum((F.col("first_day") == F.col("day")).cast("long")).alias("new_users"),
-            F.sum(F.col("p_user").isNotNull().cast("long")).alias("retained"),
-        )
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = du.select(
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
     )
-    nxt = du.select(F.col("user_id").alias("n_user"), F.col("day").alias("n_day"))
+    flows = marked.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.col("prev_day").isNull().cast("long")).alias("new_users"),
+        # when(): a NULL prev_day must count 0, not poison the sum
+        F.sum(
+            F.when(F.col("prev_day") == F.col("day") - 86400, 1).otherwise(0)
+        ).alias("retained"),
+    )
     churn = (
-        du.join(
-            nxt,
-            (F.col("n_user") == F.col("user_id"))
-            & (F.col("n_day") == F.col("day") + 86400),
-            "left_anti",
+        marked.filter(
+            F.col("next_day").isNull() | (F.col("next_day") > F.col("day") + 86400)
         )
         .groupBy((F.col("day") + 86400).alias("day"))
         .agg(F.count(F.lit(1)).alias("churned"))
