@@ -220,3 +220,22 @@ def test_corpus_analytics_avoid_shuffle_joins(spark):
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_audit_family_plan_shapes(spark):
+    """Round-4 audit family: the blocking join is a real equi-join
+    (never cartesian/nested-loop), the skew audit is the two-level
+    aggregation (exactly 2 exchanges), the vocab curve windows run
+    over the post-aggregate vocabulary (no join at all), and the norm
+    outlier screen broadcasts its tiny per-label stats."""
+    plan, _ = _plans(spark, "blocking_link_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    plan, _ = _plans(spark, "key_skew_audit")
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+
+    plan, _ = _plans(spark, "vocab_coverage_curve")
+    assert "Join" not in plan
+
+    plan, _ = _plans(spark, "embedding_norm_outliers")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
