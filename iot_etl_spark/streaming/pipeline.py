@@ -267,6 +267,37 @@ def dedup_stream(
     return out.dropDuplicates([*keys, "window"])
 
 
+def start_txlog_sink(
+    df: DataFrame,
+    table,
+    checkpoint: str,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+):
+    """Exactly-once streaming append into a transactional table
+    (warehouse/txlog.py): foreachBatch delivers each micro-batch with
+    its epoch id, and ``TxTable.append_batch`` commits atomically
+    keyed by that id — a re-delivered batch (restart between sink
+    write and checkpoint commit, the classic at-least-once window) is
+    recognized in the table's own log and skipped. Readers never see a
+    partial batch (files are invisible until the log commit) and never
+    see a batch twice: end-to-end exactly-once without a table-format
+    dependency.
+
+    ``table``: a ``TxTable`` (duck-typed to avoid a hard import in
+    the streaming module)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        table.append_batch(batch_df, int(epoch_id))
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def start_console_sink(df: DataFrame, num_rows: int = 10, truncate: bool = True):
     """Debug console sink (S13, spark_streaming_consumer.py:258-279)."""
     return (

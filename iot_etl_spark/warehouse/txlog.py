@@ -154,6 +154,35 @@ class TxTable:
                 continue
         raise ConcurrentCommitError(f"append lost {max_retries + 1} commit races")
 
+    def committed_batch_ids(self) -> set[int]:
+        """Batch ids recorded by ``append_batch`` commits — the
+        idempotence ledger for exactly-once streaming. The log is file
+        lists, not data, so this scan is O(commits) tiny reads; a
+        long-lived table would checkpoint the set forward."""
+        ids = set()
+        for v in self.versions():
+            b = self._entry(v).get("batch_id")
+            if b is not None:
+                ids.add(b)
+        return ids
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """Idempotent append keyed by micro-batch id: a replayed batch
+        (foreachBatch re-delivery after a failure/restart) is detected
+        in the log and skipped — TOGETHER with the atomic commit this
+        upgrades Structured Streaming's at-least-once foreachBatch
+        contract to exactly-once into this table. Returns the new
+        version, or None for a recognized replay."""
+        if batch_id in self.committed_batch_ids():
+            return None
+        added = self._stage(df)
+        latest = self.latest_version()
+        planned = 0 if latest is None else latest + 1
+        return self._commit(
+            {"op": "append", "added": added, "removed": [], "batch_id": batch_id},
+            planned,
+        )
+
     def overwrite(self, df: DataFrame) -> int:
         """ACID overwrite: new files in, every file live IN THE READ
         SNAPSHOT logically removed (still on disk — time travel reads

@@ -552,3 +552,36 @@ def test_txlog_vacuum_decouples_physical_deletion(spark, tmp_path):
     assert _tx_rows(t.read(spark)) == [(2, "b")]  # latest intact
     with pytest.raises(Exception):
         t.read(spark, version=0).collect()  # time travel past horizon
+
+
+def test_txlog_streaming_sink_exactly_once(spark, tmp_path):
+    """The foreachBatch -> TxTable.append_batch sink is exactly-once:
+    a full replay (fresh checkpoint, same source) re-delivers every
+    micro-batch and ALL of them are recognized by batch id and
+    skipped; a genuinely new batch still lands."""
+    from iot_etl_spark.streaming.pipeline import read_stream_source, start_txlog_sink
+    from iot_etl_spark.warehouse.txlog import TxTable
+    from tests.conftest import SF_DIR
+
+    t = TxTable(str(tmp_path / "tx"))
+    src = read_stream_source(spark, "parquet", path=f"{SF_DIR}/events.parquet")
+    proj = src.select("event_id", "event_type", "value")
+    q = start_txlog_sink(proj, t, str(tmp_path / "ckpt0"), trigger_seconds=1)
+    q.processAllAvailable()
+    q.stop()
+    n1 = t.read(spark).count()
+    assert n1 > 0
+    # replay: fresh checkpoint re-delivers batch 0 with the same id
+    q = start_txlog_sink(proj, t, str(tmp_path / "ckpt1"), trigger_seconds=1)
+    q.processAllAvailable()
+    q.stop()
+    assert t.read(spark).count() == n1, "replayed batch was appended twice"
+    # direct re-delivery of the same (df, batch_id) is also a no-op
+    assert t.append_batch(spark.range(3).toDF("event_id"), 0) is None
+    # a new batch id commits
+    v = t.append_batch(
+        spark.createDataFrame([(999999, "x", 1.0)], "event_id LONG, event_type STRING, value DOUBLE"),
+        batch_id=777,
+    )
+    assert v is not None
+    assert t.read(spark).count() == n1 + 1
