@@ -716,3 +716,93 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("sz").alias("n_docs"),
     )
+
+
+# ------------------------------------- Holt double-exponential forecast
+_HOLT_ORACLE = """
+WITH RECURSIVE obs AS (
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS i,
+           value
+    FROM events
+),
+nn AS (SELECT user_id, CAST(MAX(i) AS BIGINT) AS n_obs FROM obs GROUP BY 1),
+hw(user_id, i, level, trend) AS (
+    SELECT a.user_id, 2, b.value, b.value - a.value
+    FROM obs a JOIN obs b ON b.user_id = a.user_id AND a.i = 1 AND b.i = 2
+    UNION ALL
+    SELECT h.user_id, h.i + 1,
+           o.value / 2 + (h.level + h.trend) / 2,
+           ((o.value / 2 + (h.level + h.trend) / 2) - h.level) / 2 + h.trend / 2
+    FROM hw h JOIN obs o ON o.user_id = h.user_id AND o.i = h.i + 1
+)
+SELECT h.user_id, nn.n_obs,
+       ROUND(h.level, 6) AS level,
+       ROUND(h.trend, 6) AS trend,
+       ROUND(h.level + h.trend, 6) AS forecast_next
+FROM hw h JOIN nn ON nn.user_id = h.user_id
+WHERE h.i = nn.n_obs
+"""
+
+
+@query("holt_forecast_per_device", oracle=_HOLT_ORACLE)
+def holt_forecast_per_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per device (alpha = beta =
+    1/2): final level/trend state and the one-step-ahead forecast —
+    the classic capacity-planning smoother, and the representative of
+    the inherently-sequential per-key recurrence family (each step
+    depends on the previous state, so no window frame can express it).
+
+    Spark shape: ONE shuffle collects each device's readings into a
+    time-ordered array (struct sort on (ts, event_id) — deterministic
+    under duplicate timestamps), then the whole recurrence runs as a
+    single ``aggregate()`` fold — JVM codegen, no Python, no
+    iteration in the driver. Memory is bounded per device (the fold
+    input is one device's history); at 100 TB the same fold runs
+    windowed (trailing N readings) or as the streaming EWMA operator's
+    applyInPandasWithState shape. alpha = beta = 1/2 makes every step
+    an exact IEEE halving, so the trajectory is bit-identical on any
+    engine that evaluates the same recurrence — the oracle replays it
+    with a recursive CTE, one row-join per step.
+
+    Devices need >= 2 observations (level/trend seed from the first
+    two); every fixture device qualifies."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq")
+        )
+        .filter(F.size("seq") >= 2)
+        .select(
+            "user_id",
+            F.size("seq").cast("long").alias("n_obs"),
+            F.expr("transform(seq, s -> s.value)").alias("vals"),
+        )
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          slice(vals, 3, greatest(size(vals) - 2, 0)),
+          named_struct(
+            'level', element_at(vals, 2),
+            'trend', element_at(vals, 2) - element_at(vals, 1)),
+          (acc, x) -> named_struct(
+            'level', x / 2 + (acc.level + acc.trend) / 2,
+            'trend', ((x / 2 + (acc.level + acc.trend) / 2) - acc.level) / 2
+                     + acc.trend / 2)
+        )
+        """
+    )
+    return arr.select(
+        "user_id",
+        "n_obs",
+        F.round(fold.getField("level"), 6).alias("level"),
+        F.round(fold.getField("trend"), 6).alias("trend"),
+        F.round(
+            fold.getField("level") + fold.getField("trend"), 6
+        ).alias("forecast_next"),
+    )
