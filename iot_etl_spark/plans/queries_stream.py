@@ -472,3 +472,49 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+_TXLOG_INGEST_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("stream_txlog_ingest", oracle=_TXLOG_INGEST_ORACLE)
+def stream_txlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into the transactional table
+    (warehouse/txlog.py + start_txlog_sink), PROVEN under the oracle
+    gate: the stream is run to completion TWICE — the second run uses
+    a fresh checkpoint, so Structured Streaming re-delivers every
+    micro-batch — and the batch-id ledger in the table's commit log
+    recognizes and skips each replay. The oracle is the plain batch
+    aggregate of the source: if even one batch were double-appended
+    (at-least-once leakage) or half-visible (no atomic commit), the
+    row counts and exact DECIMAL sums would break the hash.
+
+    100 TB shape: the sink is an O(1) log commit per micro-batch on
+    top of immutable staged parquet; the replay ledger is the log
+    itself (file lists, not data)."""
+    import os
+    import tempfile
+
+    from iot_etl_spark.streaming.pipeline import start_txlog_sink
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    d = tempfile.mkdtemp(prefix="iot_etl_txs_")
+    t = TxTable(os.path.join(d, "tx"))
+    src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
+    proj = src.select("event_id", "event_type", "value")
+    for i in range(2):  # run 2 = full replay (fresh checkpoint, same ids)
+        q = start_txlog_sink(proj, t, os.path.join(d, f"ck{i}"), trigger_seconds=1)
+        q.processAllAvailable()
+        q.stop()
+    return t.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
