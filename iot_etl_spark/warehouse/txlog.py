@@ -207,6 +207,30 @@ class TxTable:
             raise ValueError("table has no committed data")
         return spark.read.parquet(*files)
 
+    def read_changes(
+        self, spark: SparkSession, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed: the rows APPENDED by commits in
+        ``(since_version, to_version]`` — the incremental-consumption
+        primitive (downstream aggregate refresh, index updates, replica
+        shipping) that reads only the new files, never the table.
+        Overwrite commits contribute their added files (the feed is
+        append-only deltas; removals are visible in the log entries
+        for consumers that need them)."""
+        to_version = self.latest_version() if to_version is None else to_version
+        if to_version is None:
+            raise ValueError("table has no commits")
+        files = []
+        for v in self.versions():
+            if since_version < v <= to_version:
+                files.extend(
+                    os.path.join(self.data_dir, f)
+                    for f in self._entry(v).get("added", ())
+                )
+        if not files:
+            return self.read(spark).limit(0)
+        return spark.read.parquet(*files)
+
     # --------------------------------------------------------- vacuum
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Physically delete data files referenced by none of the last

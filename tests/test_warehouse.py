@@ -585,3 +585,24 @@ def test_txlog_streaming_sink_exactly_once(spark, tmp_path):
     )
     assert v is not None
     assert t.read(spark).count() == n1 + 1
+
+
+def test_txlog_change_data_feed(spark, tmp_path):
+    """read_changes returns exactly the rows appended after the given
+    version — the incremental-refresh primitive: consuming (v0, v2]
+    plus the v0 snapshot reconstructs the table."""
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    v0 = t.append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    t.append(spark.createDataFrame([(2, "b")], "k INT, v STRING"))
+    t.append(spark.createDataFrame([(3, "c")], "k INT, v STRING"))
+    delta = _tx_rows(t.read_changes(spark, since_version=v0))
+    assert delta == [(2, "b"), (3, "c")]
+    # bounded range
+    assert _tx_rows(t.read_changes(spark, since_version=v0, to_version=v0 + 1)) == [
+        (2, "b")
+    ]
+    # empty range -> empty frame with the table schema
+    empty = t.read_changes(spark, since_version=2)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
