@@ -702,13 +702,13 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs vs 50-doc boilerplate explosions), and the early-warning
     signal for LSH bucket blowups.
 
-    Composes over the registered dedup_clusters query (shared
-    materialized stages, consistent by construction); two extra
-    tiny-key aggregates on the (doc, cluster) labels."""
-    from iot_etl_spark.plans.queries_text import dedup_clusters
+    Reads the materialized cluster-label stage shared with
+    dedup_clusters (consistent by construction — same physical rows);
+    two extra tiny-key aggregates on the (doc, cluster) labels."""
+    from iot_etl_spark.plans.queries_text import _cluster_labels_cached
 
     sizes = (
-        dedup_clusters(spark, sf_dir)
+        _cluster_labels_cached(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )

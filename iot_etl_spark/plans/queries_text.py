@@ -750,22 +750,9 @@ FROM walk GROUP BY doc_id
 """
 
 
-@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER resolution — the step after pair generation in
-    a corpus-dedup pipeline: connected components over the Jaccard>=0.8
-    edge set, cluster id = min doc_id in the component, one canonical
-    doc per cluster (keep-canonical + drop-rest is then a filter).
-
-    Distributed algorithm: iterative min-label propagation — each
-    round, every node takes the min of its own label and its
-    neighbors' labels (one join + one groupBy per round), converging
-    in O(component diameter) rounds; the driver loop only checks a
-    scalar convergence count, no data is collected. Near-dup
-    components are overwhelmingly tiny (dup clusters), so 2-3 rounds
-    suffice; the same loop IS the standard large-scale CC shape
-    (label propagation a la large-star/small-star) at 100 TB. Oracle:
-    DuckDB recursive-CTE transitive closure of the identical edge set."""
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document: connected components
+    over the Jaccard>=0.8 edge set via min-label propagation."""
     sh = _shingle_sets_cached(spark, sf_dir)
     cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
     jac = (
@@ -793,10 +780,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("label", "doc_id").alias("cluster_id"),
         )
-        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
     edges.unpersist()
     return out
+
+
+def _cluster_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labels, materialized once per (documents parquet, stage
+    code) — the iterative CC is the registry's most expensive stage
+    and has two consumers (dedup_clusters, dedup_cluster_size_hist);
+    its output is two BIGINTs per doc."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    return cached_stage(
+        spark, "cluster_labels", sf_dir, ("documents",),
+        lambda: _cluster_labels(spark, sf_dir),
+        code_deps=(_cluster_labels, _min_label_components, _band_candidate_pairs,
+                   _minhash_band_sigs, _shingle_sets, _shingles_expr, _words),
+    )
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution — the step after pair generation in
+    a corpus-dedup pipeline: connected components over the Jaccard>=0.8
+    edge set, cluster id = min doc_id in the component, one canonical
+    doc per cluster (keep-canonical + drop-rest is then a filter).
+
+    Distributed algorithm: iterative min-label propagation — each
+    round, every node takes the min of its own label and its
+    neighbors' labels (one join + one groupBy per round), converging
+    in O(component diameter) rounds; the driver loop only checks a
+    scalar convergence count, no data is collected. Near-dup
+    components are overwhelmingly tiny (dup clusters), so 2-3 rounds
+    suffice; the same loop IS the standard large-scale CC shape
+    (label propagation a la large-star/small-star) at 100 TB. Oracle:
+    DuckDB recursive-CTE transitive closure of the identical edge set.
+    The label table is a materialized shared stage (stagecache) — the
+    cluster-size histogram reads the same physical rows."""
+    return _cluster_labels_cached(spark, sf_dir).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
 
 
 # ------------------------------------- deterministic stratified sampling
