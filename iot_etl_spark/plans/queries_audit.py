@@ -316,6 +316,12 @@ def blocking_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("brand_a") == F.col("brand_b"))
             & (F.col("partkey_a") < F.col("partkey_b")),
         )
+        # length prune first: |len(a)-len(b)| > k implies lev > k, and
+        # the length compare is ~free next to the DP edit distance —
+        # the standard verify-step short-circuit in similarity joins
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= BLOCKING_MAX_EDIT
+        )
         .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(
             (F.col("edit_distance") <= BLOCKING_MAX_EDIT)
