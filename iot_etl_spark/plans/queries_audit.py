@@ -812,3 +812,292 @@ def holt_forecast_per_device(spark: SparkSession, sf_dir: str) -> DataFrame:
             fold.getField("level") + fold.getField("trend"), 6
         ).alias("forecast_next"),
     )
+
+
+# ------------------------------------------------- triangle counting
+_TRIANGLE_ORACLE = """
+WITH a AS (
+    SELECT DISTINCT epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) // 1000000 AS b,
+           user_id
+    FROM events
+),
+e AS (
+    SELECT DISTINCT x.user_id AS ua, y.user_id AS ub
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id < y.user_id
+),
+tri AS (
+    SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+    FROM e e1
+    JOIN e e2 ON e2.ua = e1.ub
+    JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+),
+per_node AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS u FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY 1
+),
+deg AS (
+    SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT ua AS u FROM e UNION ALL SELECT ub FROM e
+    ) GROUP BY 1
+)
+SELECT d.u AS user_id, d.degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       ROUND(2.0 * COALESCE(p.n_triangles, 0)
+             / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+FROM deg d LEFT JOIN per_node p ON p.u = d.u
+WHERE d.degree >= 2
+"""
+
+
+@query("triangle_count_graph", oracle=_TRIANGLE_ORACLE)
+def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the device co-activity graph — the graph-density diagnostic next
+    to pagerank_device_graph's centrality (triangles are THE signal
+    for community structure vs hub-and-spoke wiring).
+
+    Distributed algorithm: the classic vertex-ordered triangle join —
+    edges are kept once in id order (a < b), so each triangle
+    (a < b < c) is produced exactly once by a two-hop join
+    (e1: a-b, e2: b-c, closure check e3: a-c). No node ever sees more
+    than its neighborhood; the two joins shuffle the edge list on its
+    own keys. At 100 TB graphs the same plan gets the standard
+    refinement (orient edges low-degree -> high-degree) without
+    changing shape."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("b"), "user_id"
+    ).distinct()
+    other = act.select(F.col("b").alias("b2"), F.col("user_id").alias("u2"))
+    e = (
+        act.join(other, (F.col("b") == F.col("b2")) & (F.col("user_id") < F.col("u2")))
+        .select(F.col("user_id").alias("ua"), F.col("u2").alias("ub"))
+        .distinct()
+    )
+    e1 = e.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
+    e2 = e.select(F.col("ua").alias("b"), F.col("ub").alias("c"))
+    e3 = e.select(F.col("ua").alias("a"), F.col("ub").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("u"))
+        .unionAll(tri.select(F.col("b").alias("u")))
+        .unionAll(tri.select(F.col("c").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionAll(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(per_node, "u", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("u").alias("user_id"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# ------------------------------------------- rolling 7-day active users
+_ROLLING_ACTIVE_ORACLE = f"""
+WITH du AS (
+    SELECT DISTINCT {duck_bucket_epoch("day")} AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT g.day,
+       CAST(COUNT(DISTINCT CASE WHEN d.day = g.day THEN d.user_id END) AS BIGINT)
+           AS dau,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau_7d,
+       ROUND(COUNT(DISTINCT CASE WHEN d.day = g.day THEN d.user_id END)
+             / CAST(COUNT(DISTINCT d.user_id) AS DOUBLE), 6) AS stickiness
+FROM days g
+JOIN du d ON d.day BETWEEN g.day - 518400 AND g.day
+GROUP BY g.day
+"""
+
+
+@query("rolling_7d_active_users", oracle=_ROLLING_ACTIVE_ORACLE)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU/WAU) per day — the
+    sliding-window DISTINCT problem, which no window frame solves
+    (distinct doesn't decompose over frames).
+
+    Scale design: FACTORIZED fan-out instead of a range join — each
+    distinct (day, user) activity explodes to the <= 7 report days it
+    contributes to (bounded 7x row growth on the already-collapsed
+    day-user table), then one groupBy(report_day) counts distinct
+    users. The oracle states the same semantics as a range join, which
+    is the formulation that does NOT scale (every report day rescans
+    its whole trailing week); the explode ships each activity once."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct().withColumnRenamed("day", "report_day")
+    fan = du.select(
+        "day",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6 * 86400, F.lit(86400))
+        ).alias("report_day"),
+    ).join(days, "report_day")  # drop report days past the data horizon
+    return (
+        fan.groupBy("report_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("report_day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau_7d"),
+        )
+        .select(
+            F.col("report_day").alias("day"),
+            "dau",
+            "wau_7d",
+            F.round(F.col("dau") / F.col("wau_7d").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------- market-basket lift
+BASKET_TOP_K = 25
+
+_BASKET_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM op GROUP BY 1),
+pair AS (
+    SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_cnt
+    FROM op x JOIN op y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.pair_cnt,
+       ROUND(p.pair_cnt * n.n_orders / CAST(a.cnt * b.cnt AS DOUBLE), 6) AS lift
+FROM pair p
+JOIN item a ON a.l_partkey = p.part_a
+JOIN item b ON b.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
+@query("basket_lift_pairs", oracle=_BASKET_ORACLE)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: top co-purchased part pairs by lift
+    (P(a,b) / P(a)P(b)) with a minimum co-occurrence of 2 — the
+    classic affinity query behind recommendations and bundling.
+
+    Determinism: lift = (pair_cnt * n_orders) / (cnt_a * cnt_b) is one
+    double division of exact BIGINT products — identical cross-engine
+    — and the top-k ordering carries the (part_a, part_b) tiebreak.
+
+    100 TB shape: the pair expansion is WITHIN-ORDER (bounded by
+    basket size, never catalog size); item counts and the 1-row order
+    total are broadcast back onto the pair aggregate; the final top-k
+    is TakeOrderedAndProject."""
+    op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    other = op.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        op.join(other, (F.col("l_orderkey") == F.col("o2"))
+                & (F.col("l_partkey") < F.col("part_b")))
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    return (
+        pair.join(
+            F.broadcast(item.select(F.col("l_partkey").alias("part_a"),
+                                    F.col("cnt").alias("cnt_a"))), "part_a")
+        .join(
+            F.broadcast(item.select(F.col("l_partkey").alias("part_b"),
+                                    F.col("cnt").alias("cnt_b"))), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "pair_cnt",
+            F.round(
+                F.col("pair_cnt") * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+# ------------------------------------------- signup -> purchase latency
+_CONVERT_ORACLE = """
+WITH m AS (
+    SELECT user_id,
+           epoch_us(MIN(CASE WHEN event_type = 'signup'
+                             THEN CAST(ts AS TIMESTAMP) END)) // 1000000
+               AS signup_epoch,
+           epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                             THEN CAST(ts AS TIMESTAMP) END)) // 1000000
+               AS first_purchase_epoch
+    FROM events GROUP BY 1
+)
+SELECT user_id, signup_epoch, first_purchase_epoch,
+       ROUND((first_purchase_epoch - signup_epoch) / 3600.0, 6) AS hours_to_convert
+FROM m
+WHERE signup_epoch IS NOT NULL AND first_purchase_epoch IS NOT NULL
+"""
+
+
+@query("time_to_first_purchase", oracle=_CONVERT_ORACLE)
+def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency per user — the conversion-lag
+    metric behind activation dashboards (complements
+    funnel_conversion's ordered-sequence counts with the WHEN).
+    Negative lags are kept (a purchase before the recorded signup is a
+    data-quality signal, not a row to hide).
+
+    100 TB shape: both firsts come from ONE conditional-MIN pass over
+    the events scan (single user_id shuffle, map-side combinable) —
+    never two filtered scans joined."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_timestamp("ts"))
+        ).alias("signup_epoch"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_timestamp("ts"))
+        ).alias("first_purchase_epoch"),
+    )
+    return (
+        m.filter(
+            F.col("signup_epoch").isNotNull()
+            & F.col("first_purchase_epoch").isNotNull()
+        )
+        .select(
+            "user_id",
+            "signup_epoch",
+            "first_purchase_epoch",
+            F.round(
+                (F.col("first_purchase_epoch") - F.col("signup_epoch")) / 3600.0, 6
+            ).alias("hours_to_convert"),
+        )
+    )
