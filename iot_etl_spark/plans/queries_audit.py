@@ -1101,3 +1101,190 @@ def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hours_to_convert"),
         )
     )
+
+
+# ---------------------------------------------- JSON key discovery
+_JSON_KEYS_ORACLE = """
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+k AS (
+    SELECT unnest(json_keys(props)) AS key, props
+    FROM events WHERE props IS NOT NULL
+)
+SELECT k.key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(COUNT(*) / CAST(tot.n AS DOUBLE), 6) AS coverage,
+       MIN(TRY_CAST(json_extract_string(k.props, '$.' || k.key) AS BIGINT))
+           AS min_value,
+       MAX(TRY_CAST(json_extract_string(k.props, '$.' || k.key) AS BIGINT))
+           AS max_value
+FROM k, tot
+GROUP BY k.key, tot.n
+"""
+
+
+@query("json_key_coverage", oracle=_JSON_KEYS_ORACLE)
+def json_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over the open-schema JSON column: every key
+    that occurs in ``props``, its row coverage, and the numeric value
+    range — the profiling pass that runs BEFORE committing a
+    VariantType extraction schema (props_variant_extract is the
+    after).
+
+    100 TB shape: key explosion is map-side (json_object_keys);
+    the aggregate shuffles (key) with map-side combine; corpus total
+    is a 1-row broadcast join-back."""
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    k = (
+        ev.filter(F.col("props").isNotNull())
+        .select("props", F.explode(F.expr("json_object_keys(props)")).alias("key"))
+    )
+    val = F.expr("try_cast(get_json_object(props, concat('$.', key)) AS BIGINT)")
+    return (
+        k.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(val).alias("min_value"),
+            F.max(val).alias("max_value"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("n").cast("double"), 6).alias("coverage"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+# ---------------------------------------------- activity streaks
+_STREAKS_ORACLE = f"""
+WITH du AS (
+    SELECT DISTINCT user_id, {duck_bucket_epoch("day")} AS day FROM events
+),
+g AS (
+    SELECT user_id, day,
+           day - 86400 * ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+    FROM du
+),
+runs AS (
+    SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM g GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       MAX(run_len) AS longest_streak_days
+FROM runs GROUP BY user_id
+"""
+
+
+@query("user_activity_streaks", oracle=_STREAKS_ORACLE)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (longest run, streak
+    count, active days) — the gaps-and-islands idiom on the calendar
+    axis, the engagement metric behind every retention dashboard.
+
+    100 TB shape: ONE shuffle on user_id covers the island-id window
+    and both aggregations (day - 86400*row_number is constant within
+    a consecutive run — pure column math, no self-join)."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        du.withColumn("grp", F.col("day") - 86400 * F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("run_len").alias("longest_streak_days"),
+    )
+
+
+# ---------------------------------------------- duplicate-row audit
+_DUP_AUDIT_ORACLE = """
+WITH grp AS (
+    SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS t, value,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2, 3, 4
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_rows,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+       CAST(SUM(c - 1) AS BIGINT) AS excess_rows
+FROM grp GROUP BY event_type
+"""
+
+
+@query("duplicate_events_audit", oracle=_DUP_AUDIT_ORACLE)
+def duplicate_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row duplicate audit on the fact table (same user, time,
+    type, value) — the ingestion-health check that catches replayed
+    producers and double loads; a clean table reports zeros rather
+    than vanishing (audits must be visibly green, not silently
+    empty).
+
+    100 TB shape: two-level aggregation on the natural-key tuple,
+    map-side combinable; no distinct-rescan of the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy("event_type", "user_id", "ts", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return grp.groupBy("event_type").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_rows"),
+        F.sum((F.col("c") > 1).cast("long")).alias("dup_groups"),
+        F.sum(F.col("c") - 1).alias("excess_rows"),
+    )
+
+
+# ---------------------------------------------- catalog profile
+_CATALOG_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+_CATALOG_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    f" CAST((SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM {t})) AS BIGINT)"
+    f" AS n_columns FROM {t}"
+    for t in _CATALOG_TABLES
+)
+
+
+@query("catalog_profile", oracle=_CATALOG_ORACLE)
+def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-table catalog profile (row count, column count)
+    across the whole star schema — the ANALYZE-TABLE floor that feeds
+    a cost-based optimizer and the first sanity check after any load
+    (S6's multi-source orchestration exercised as a single union
+    plan).
+
+    100 TB shape: ten count-star scans (parquet footer-metadata
+    counts — Spark's scan reads no data pages for COUNT(*)) unioned;
+    column counts come from the schema, not the data."""
+    frames = []
+    for t in _CATALOG_TABLES:
+        df = load_table(spark, sf_dir, t)
+        frames.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                F.lit(len(df.columns)).cast("long").alias("n_columns"),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionAll(f2)
+    return out
