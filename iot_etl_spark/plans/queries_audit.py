@@ -1,9 +1,14 @@
-"""Scale-diagnostics & audit operators, round 4 (second batch): the
-queries an operator of a 1000-executor cluster runs BEFORE and AFTER
-the heavy pipelines — shuffle-key skew profiling (decides salting),
-sketch-vs-exact audits (qualifies the approx swaps), estimator-error
-audits for the dedup family, record-linkage blocking (the
-entity-resolution shape), and daily active-user flow accounting.
+"""Scale-diagnostics, audit, and BI operators, round 4 (second
+session): the queries an operator of a 1000-executor cluster runs
+BEFORE and AFTER the heavy pipelines — shuffle-key skew profiling
+(decides salting), sketch-vs-exact audits (qualifies the approx
+swaps), estimator-error audits for the dedup family, record-linkage
+blocking (the entity-resolution shape), growth accounting (daily
+flows, rolling actives, streaks, conversion latency), marketing/BI
+scoring (RFM quintiles, Pareto concentration, basket lift), graph
+density (triangles), corpus curves (vocab coverage, cluster sizes),
+per-key sequential recurrences (Holt forecasting), and catalog/schema
+discovery (JSON keys, duplicate rows, table profiles).
 
 Registry conventions apply (registry.py): ROUND(x, 6) on computed
 doubles BOTH sides, explicit BIGINT casts wherever DuckDB would widen

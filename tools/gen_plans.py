@@ -42,6 +42,15 @@ PICKS = [
     ("setsim_prefix_join",
      "exact set-similarity join: prefix-shingle buckets (no self-join), "
      "BIGINT hash-space comparisons, exact verify of candidates only"),
+    ("key_skew_audit",
+     "skew diagnostics: exactly two map-side-combinable aggregation levels, "
+     "no window, no join"),
+    ("triangle_count_graph",
+     "vertex-ordered triangle join: each triangle produced once, "
+     "edge-list shuffles only on its own keys"),
+    ("holt_forecast_per_device",
+     "per-key sequential recurrence: one shuffle to the sorted array, "
+     "the whole fold inside codegen"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
