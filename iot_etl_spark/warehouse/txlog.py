@@ -53,6 +53,14 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first; re-read and retry."""
 
 
+class SchemaMismatchError(ValueError):
+    """Appended frame's schema conflicts with the table schema."""
+
+
+def _schema_sig(df: DataFrame) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
 class TxTable:
     """Transactional parquet table rooted at ``path``."""
 
@@ -137,18 +145,53 @@ class TxTable:
         shutil.rmtree(staging)
         return names
 
-    def append(self, df: DataFrame, max_retries: int = 3) -> int:
+    def table_schema(self) -> dict[str, str] | None:
+        """Column -> type of the current table schema (recorded at
+        each commit; the latest entry carrying one wins)."""
+        for v in reversed(self.versions()):
+            sig = self._entry(v).get("schema")
+            if sig:
+                return sig
+        return None
+
+    def _check_schema(self, df: DataFrame, allow_evolution: bool) -> dict[str, str]:
+        """Schema enforcement on the write path (the table-format
+        contract plain parquet directories lack): an append must match
+        the table schema exactly, or — with ``allow_evolution`` — may
+        ADD columns while keeping every existing column's type. A
+        drifted producer fails at commit time, not at some future
+        reader's mergeSchema surprise."""
+        sig = _schema_sig(df)
+        current = self.table_schema()
+        if current is None or sig == current:
+            return sig
+        widened = allow_evolution and all(
+            sig.get(c) == t for c, t in current.items()
+        )
+        if not widened:
+            raise SchemaMismatchError(
+                f"append schema {sig} conflicts with table schema {current}"
+                + ("" if allow_evolution else " (pass allow_evolution=True to add columns)")
+            )
+        return sig
+
+    def append(
+        self, df: DataFrame, max_retries: int = 3, allow_evolution: bool = False
+    ) -> int:
         """ACID append: stage files, then one atomic commit at the
         version planned from the read snapshot. Appends commute, so a
         lost race is safely retried at the new head (the staged files
-        are reused — they were never visible)."""
+        are reused — they were never visible). Schema-enforced; see
+        _check_schema."""
+        sig = self._check_schema(df, allow_evolution)
         added = self._stage(df)
         for _ in range(max_retries + 1):
             latest = self.latest_version()
             planned = 0 if latest is None else latest + 1
             try:
                 return self._commit(
-                    {"op": "append", "added": added, "removed": []}, planned
+                    {"op": "append", "added": added, "removed": [], "schema": sig},
+                    planned,
                 )
             except ConcurrentCommitError:
                 continue
@@ -175,11 +218,13 @@ class TxTable:
         version, or None for a recognized replay."""
         if batch_id in self.committed_batch_ids():
             return None
+        sig = self._check_schema(df, allow_evolution=False)
         added = self._stage(df)
         latest = self.latest_version()
         planned = 0 if latest is None else latest + 1
         return self._commit(
-            {"op": "append", "added": added, "removed": [], "batch_id": batch_id},
+            {"op": "append", "added": added, "removed": [], "batch_id": batch_id,
+             "schema": sig},
             planned,
         )
 
@@ -194,7 +239,9 @@ class TxTable:
         live = [os.path.basename(f) for f in self.snapshot_files()]
         added = self._stage(df)
         return self._commit(
-            {"op": "overwrite", "added": added, "removed": live}, planned
+            {"op": "overwrite", "added": added, "removed": live,
+             "schema": _schema_sig(df)},  # overwrite may redefine the schema
+            planned,
         )
 
     # ----------------------------------------------------------- read
@@ -205,7 +252,34 @@ class TxTable:
         files = self.snapshot_files(version)
         if not files:
             raise ValueError("table has no committed data")
-        return spark.read.parquet(*files)
+        # mergeSchema: evolved tables (allow_evolution appends) read
+        # with the union schema; pre-widening files NULL the new cols
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+
+    def optimize(self, spark: SparkSession, target_files: int = 1) -> int | None:
+        """OPTIMIZE: rewrite the current snapshot's files into
+        ``target_files`` compacted parts and commit the swap as ONE
+        atomic log entry (adds the compacted files, logically removes
+        every input). Readers pinned to older versions keep their
+        small files until vacuum; a concurrent appender that wins the
+        version race makes this raise rather than drop its rows —
+        rerun on the new snapshot. No-op (returns None) if the
+        snapshot is already within the target."""
+        live = self.snapshot_files()
+        if len(live) <= target_files:
+            return None
+        latest = self.latest_version()
+        planned = latest + 1
+        df = spark.read.parquet(*live).coalesce(target_files)
+        added = self._stage(df)
+        return self._commit(
+            {
+                "op": "optimize",
+                "added": added,
+                "removed": [os.path.basename(f) for f in live],
+            },
+            planned,
+        )
 
     def read_changes(
         self, spark: SparkSession, since_version: int, to_version: int | None = None

@@ -606,3 +606,48 @@ def test_txlog_change_data_feed(spark, tmp_path):
     # empty range -> empty frame with the table schema
     empty = t.read_changes(spark, since_version=2)
     assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+
+def test_txlog_optimize_compacts_in_one_commit(spark, tmp_path):
+    """OPTIMIZE rewrites the snapshot into one file via a single
+    atomic commit; values unchanged; pre-optimize time travel still
+    reads the small files until vacuum."""
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, str(i))], "k INT, v STRING"))
+    assert len(t.snapshot_files()) >= 3
+    before = _tx_rows(t.read(spark))
+    v = t.optimize(spark, target_files=1)
+    assert v == 3
+    assert len(t.snapshot_files()) == 1
+    assert _tx_rows(t.read(spark)) == before
+    assert _tx_rows(t.read(spark, version=2)) == before  # time travel intact
+    assert t.optimize(spark, target_files=1) is None  # already compact
+
+
+def test_txlog_schema_enforcement(spark, tmp_path):
+    """Appends with a drifted schema fail at commit time; widening is
+    opt-in and merges on read (old rows NULL the new column);
+    overwrite may redefine the schema."""
+    import pytest
+    from iot_etl_spark.warehouse.txlog import SchemaMismatchError, TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    # type drift rejected
+    with pytest.raises(SchemaMismatchError):
+        t.append(spark.createDataFrame([("x", "b")], "k STRING, v STRING"))
+    # column add rejected unless opted in
+    with pytest.raises(SchemaMismatchError):
+        t.append(spark.createDataFrame([(2, "b", 1.5)], "k INT, v STRING, w DOUBLE"))
+    t.append(
+        spark.createDataFrame([(2, "b", 1.5)], "k INT, v STRING, w DOUBLE"),
+        allow_evolution=True,
+    )
+    rows = {r.k: (r.v, r.w) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 1.5)}
+    # overwrite redefines
+    t.overwrite(spark.createDataFrame([("z",)], "only STRING"))
+    assert t.table_schema() == {"only": "string"}
