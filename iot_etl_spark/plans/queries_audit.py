@@ -1293,3 +1293,153 @@ def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f2 in frames[1:]:
         out = out.unionAll(f2)
     return out
+
+
+# ---------------------------------------------- shipping delay profile
+_SHIP_DELAY_ORACLE = """
+WITH d AS (
+    SELECT o.o_orderpriority,
+           date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                     CAST(l.l_shipdate AS TIMESTAMP)) AS delay_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       ROUND(AVG(delay_days), 6) AS avg_delay_days,
+       ROUND(QUANTILE_CONT(delay_days, 0.5), 6) AS p50_delay_days,
+       ROUND(QUANTILE_CONT(delay_days, 0.95), 6) AS p95_delay_days,
+       CAST(MAX(delay_days) AS BIGINT) AS max_delay_days
+FROM d GROUP BY o_orderpriority
+"""
+
+
+@query("shipping_delay_stats", oracle=_SHIP_DELAY_ORACLE)
+def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority — the
+    fulfillment-SLA query (does URGENT actually ship faster?), and the
+    registry's fact-fact join floor: lineitem joined to orders on
+    orderkey with exact percentile aggregation.
+
+    Determinism: delays are integer days; AVG of BIGINT over BIGINT
+    count is one double division; percentiles interpolate identically
+    (linear) in both engines. 100 TB shape: the orderkey equi-join is
+    the canonical co-partitioned fact-fact shuffle (bucketed tables
+    make it zero-Exchange — see bucketed_join_revenue); the aggregate
+    is 5 groups."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("delay_days"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.avg("delay_days"), 6).alias("avg_delay_days"),
+        F.round(F.percentile("delay_days", F.lit(0.5)), 6).alias("p50_delay_days"),
+        F.round(F.percentile("delay_days", F.lit(0.95)), 6).alias("p95_delay_days"),
+        F.max("delay_days").alias("max_delay_days"),
+    )
+
+
+# ---------------------------------------------- week-over-week trend
+_WOW_ORACLE = f"""
+WITH wk AS (
+    SELECT event_type,
+           ({duck_bucket_epoch("day")} // 604800) * 604800 AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, n_events, n_users,
+       LAG(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_events,
+       ROUND((n_events - LAG(n_events) OVER (PARTITION BY event_type ORDER BY week))
+             / CAST(LAG(n_events) OVER (PARTITION BY event_type ORDER BY week)
+                    AS DOUBLE), 6) AS wow_change
+FROM wk
+"""
+
+
+@query("wow_percent_change", oracle=_WOW_ORACLE)
+def wow_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type (counts, distinct users,
+    percent change vs the previous week; the first week's change is
+    NULL, not zero) — the trend row every operational report leads
+    with.
+
+    Weeks are exact integer epoch divisions (floor(day/604800)) so no
+    engine week-start convention is involved. 100 TB shape: one
+    shuffle to the (type, week) aggregate; the LAG window runs over
+    the tiny weekly frame."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 604800)
+        .cast("long") * 604800
+    )
+    wk = ev.groupBy("event_type", week.alias("week")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "n_events",
+        "n_users",
+        prev.alias("prev_events"),
+        F.round((F.col("n_events") - prev) / prev.cast("double"), 6).alias(
+            "wow_change"
+        ),
+    )
+
+
+# ---------------------------------------------- cohort revenue triangle
+_COHORT_REV_ORACLE = """
+WITH o AS (
+    SELECT o_custkey,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000 // 604800 AS wk,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+),
+cohort AS (SELECT o_custkey, MIN(wk) AS cohort_wk FROM o GROUP BY 1)
+SELECT c.cohort_wk * 604800 AS cohort_week,
+       CAST(o.wk - c.cohort_wk AS BIGINT) AS age_weeks,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(o.price) AS DOUBLE), 6) AS revenue
+FROM o JOIN cohort c ON c.o_custkey = o.o_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_revenue_triangle", oracle=_COHORT_REV_ORACLE)
+def cohort_revenue_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort triangle: spend by (first-order week, weeks
+    since first order) — the LTV-curve input that prices acquisition
+    (cohort_retention's money-weighted sibling).
+
+    Determinism: exact integer week division (no engine week-start
+    convention), revenue as exact DECIMAL until the final rounded
+    cast. 100 TB shape: the first-order aggregate and the activity
+    join share the custkey shuffle; the triangle aggregate then runs
+    on (cohort, age) keys."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.unix_timestamp("o_orderdate") / 604800).cast("long").alias("wk"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            (F.col("cohort_wk") * 604800).alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_wk")).cast("long").alias("age_weeks"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price").cast("double"), 6).alias("revenue"),
+        )
+    )
