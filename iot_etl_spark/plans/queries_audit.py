@@ -1443,3 +1443,53 @@ def cohort_revenue_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price").cast("double"), 6).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------- column-level profile
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+_COL_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name,"
+    f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+    f" ROUND((COUNT(*) - COUNT({c})) / CAST(COUNT(*) AS DOUBLE), 6) AS null_rate,"
+    f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct"
+    f" FROM events"
+    for c in _EVENT_COLS
+)
+
+
+@query("column_profile_events", oracle=_COL_PROFILE_ORACLE)
+def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the fact table: null count/rate and
+    exact distinct cardinality for every column — the ANALYZE-grade
+    statistics a cost-based optimizer (and every data-quality
+    dashboard) feeds on, one row per column.
+
+    100 TB shape: ONE scan — all per-column null counts and distinct
+    aggregates compute in a single aggregation (Catalyst plans one
+    Expand for the multi-distinct), then the 1xN row melts to N rows
+    with a map-side stack(). The oracle states it as per-column
+    passes; the engine's single-scan plan is the point. At extreme
+    widths the distinct side swaps to HLL (approx_count_distinct),
+    same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    aggs = []
+    for c in _EVENT_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"d_{c}"))
+    one = ev.agg(n.alias("total"), *aggs)
+    stack = ", ".join(f"'{c}', n_{c}, d_{c}" for c in _EVENT_COLS)
+    return one.select(
+        F.expr(
+            f"stack({len(_EVENT_COLS)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+        ),
+        "total",
+    ).select(
+        "column_name",
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("total").cast("double"), 6).alias(
+            "null_rate"
+        ),
+        "n_distinct",
+    )
