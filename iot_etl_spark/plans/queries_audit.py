@@ -877,6 +877,13 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("b"), "user_id"
     ).distinct()
     other = act.select(F.col("b").alias("b2"), F.col("user_id").alias("u2"))
+    # NOTE: the edge list has 5 consumers (three triangle legs,
+    # degree, per-node), so .cache() looks attractive — measured at
+    # sf0.1 local[32] the recompute is FASTER (4.8 s vs 6.9 s): the
+    # lineage is narrow and parallel, while cache materialization
+    # serializes it through the memory store. On a cluster with an
+    # expensive upstream scan, persist() earns its keep; left
+    # uncached here by measurement, not oversight.
     e = (
         act.join(other, (F.col("b") == F.col("b2")) & (F.col("user_id") < F.col("u2")))
         .select(F.col("user_id").alias("ua"), F.col("u2").alias("ub"))
