@@ -1500,3 +1500,171 @@ def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_distinct",
     )
+
+
+# ---------------------------------------------- top parts per segment
+SEGMENT_TOP_K = 3
+
+_TOP_PARTS_SEGMENT_ORACLE = f"""
+WITH rev AS (
+    SELECT c.c_mktsegment, l.l_partkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS r
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT c_mktsegment, l_partkey, r,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY r DESC, l_partkey) AS rnk
+    FROM rev
+)
+SELECT rk.c_mktsegment, CAST(rk.rnk AS BIGINT) AS rnk, rk.l_partkey,
+       p.p_name, ROUND(CAST(rk.r AS DOUBLE), 6) AS revenue
+FROM ranked rk JOIN part p ON p.p_partkey = rk.l_partkey
+WHERE rk.rnk <= {SEGMENT_TOP_K}
+"""
+
+
+@query("top_parts_per_segment", oracle=_TOP_PARTS_SEGMENT_ORACLE)
+def top_parts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{SEGMENT_TOP_K} revenue parts within each market segment —
+    the top-k-per-group shape across a 4-table join (fact, orders,
+    customer dim, part dim).
+
+    100 TB shape: the orderkey join is the one fact shuffle; customer
+    and part hop on broadcast; revenue is exact DECIMAL; the per-group
+    rank window runs on the (segment, part) aggregate with a partkey
+    tiebreak, and the rank filter prunes before the name join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("r").desc(), "l_partkey")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= SEGMENT_TOP_K)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "c_mktsegment", "rnk", "l_partkey", "p_name",
+            F.round(F.col("r").cast("double"), 6).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------- weekly segment share
+_SEGMENT_SHARE_ORACLE = """
+WITH wk AS (
+    SELECT c.c_mktsegment,
+           (epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 1000000 // 604800)
+               * 604800 AS week,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+)
+SELECT c_mktsegment, week,
+       ROUND(CAST(r AS DOUBLE), 6) AS revenue,
+       ROUND(CAST(r AS DOUBLE) / CAST(SUM(r) OVER (PARTITION BY week) AS DOUBLE), 6)
+           AS week_share
+FROM wk
+"""
+
+
+@query("segment_weekly_share", oracle=_SEGMENT_SHARE_ORACLE)
+def segment_weekly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue share by market segment — share-of-total over a
+    calendar partition, the mix-shift view every revenue review opens
+    with. Weeks are exact integer epoch divisions; revenue stays
+    DECIMAL through the per-week total window so the share division is
+    the only float op.
+
+    100 TB shape: one shuffle to the (segment, week) aggregate
+    (customer dim broadcast); the share window partitions by week over
+    the tiny aggregate — no single-partition window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            ((F.unix_timestamp("o_orderdate") / 604800).cast("long") * 604800).alias(
+                "week"
+            ),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    w = Window.partitionBy("week")
+    return wk.select(
+        "c_mktsegment",
+        "week",
+        F.round(F.col("r").cast("double"), 6).alias("revenue"),
+        F.round(
+            F.col("r").cast("double") / F.sum("r").over(w).cast("double"), 6
+        ).alias("week_share"),
+    )
+
+
+# ---------------------------------------------- Zipf-law fit audit
+ZIPF_TOP = 100
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+ranked AS (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+    FROM counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       ROUND(REGR_SLOPE(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+       ROUND(REGR_INTERCEPT(ln(cnt), ln(rnk)), 6) AS zipf_intercept,
+       ROUND(REGR_R2(ln(cnt), ln(rnk)), 6) AS fit_r2
+FROM ranked WHERE rnk <= {ZIPF_TOP}
+"""
+
+
+@query("zipf_slope_audit", oracle=_ZIPF_ORACLE)
+def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the token frequency head: OLS slope of
+    log(count) on log(rank) for the top {ZIPF_TOP} tokens (natural
+    text sits near -1; a synthetic or templated corpus shows up
+    immediately as a flat or kinked slope) — the one-row
+    distributional fingerprint next to vocab_coverage_curve's raw
+    counts.
+
+    100 TB shape: token counts collapse with map-side combine; the
+    regression runs via single-pass co-moment aggregates (REGR_*)
+    over just {ZIPF_TOP} ranked rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token"))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= ZIPF_TOP)
+    y, x = F.log(F.col("cnt")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("fit_r2"),
+    )
