@@ -239,3 +239,21 @@ def test_audit_family_plan_shapes(spark):
 
     plan, _ = _plans(spark, "embedding_norm_outliers")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_session3_bi_plan_shapes(spark):
+    """Later round-4 additions: per-key recurrence folds in one
+    exchange, weekly share windows partition by week (never a global
+    single-partition window), segment top-k broadcasts its dims, and
+    the fact-fact delay join has no broadcast-nested-loop fallback."""
+    plan, _ = _plans(spark, "holt_forecast_per_device")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+    plan, _ = _plans(spark, "segment_weekly_share")
+    assert "SinglePartition" not in plan
+
+    plan, _ = _plans(spark, "top_parts_per_segment")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+    plan, _ = _plans(spark, "shipping_delay_stats")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
