@@ -1668,3 +1668,95 @@ def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(y, x), 6).alias("fit_r2"),
     )
+
+
+# ---------------------------------------------- order size histogram
+_ORDER_LINES_ORACLE = """
+WITH per_order AS (
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_order)
+SELECT n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(COUNT(*) / CAST(tot.n AS DOUBLE), 6) AS share
+FROM per_order, tot
+GROUP BY n_lines, tot.n
+"""
+
+
+@query("order_lines_histogram", oracle=_ORDER_LINES_ORACLE)
+def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many orders have k line items —
+    the fan-out profile that sizes every orderkey join's per-key work
+    (the empirical bound behind 'within-order pair expansion is safe'
+    claims like basket_lift_pairs').
+
+    100 TB shape: two-level aggregation with map-side combine; the
+    total is a 1-row broadcast join-back."""
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    tot = per_order.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_order.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("n").cast("double"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------- geo hierarchy rollup
+_GEO_ROLLUP_ORACLE = """
+SELECT r.r_name, n.n_name,
+       CAST(GROUPING(r.r_name) AS BIGINT) AS region_margin,
+       CAST(GROUPING(n.n_name) AS BIGINT) AS nation_margin,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS total_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+@query("geo_rollup_acctbal", oracle=_GEO_ROLLUP_ORACLE)
+def geo_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer account balances rolled up the geographic hierarchy
+    (nation -> region -> grand total) with GROUPING markers
+    disambiguating real NULLs from margin rows — the dimensional
+    ROLLUP next to hourly_rollup's time hierarchy.
+
+    100 TB shape: both dim hops broadcast; ROLLUP compiles to one
+    map-side Expand + one shuffle (3 grouping sets, never 3 scans);
+    balances accumulate as exact DECIMAL."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("long").alias("region_margin"),
+            F.grouping("n_name").cast("long").alias("nation_margin"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("total_acctbal"),
+        )
+        .select(
+            "r_name", "n_name", "region_margin", "nation_margin",
+            "n_customers", "total_acctbal",
+        )
+    )
