@@ -28,70 +28,72 @@ from iot_etl_spark.plans import queries_audit  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
-# window is curated per round for maximum fresh evidence. Round-4
-# rotation: the 32 queries the driver has never oracle-checked (union
-# coverage rounds 1-3 was 96/128 — the TPC-H shape suite, SQL-surface
-# family, and round-3 analytics; all judge-verified green r3), then
-# sequence_packing (oracle HUGEINT cast fixed this round — needs a
-# fresh driver row), then round-4 registrations. Names listed here but
-# not (yet) registered are ignored; registered names absent from the
-# list keep their original relative order after the prioritized block.
+# window is curated per round for maximum fresh evidence. Round-5
+# rotation (VERDICT r4 item 1): the 41 queries the driver has never
+# oracle-checked — the late round-4 registrations (audit family,
+# ML-prep batch, second-session analytics, graph/stream additions; all
+# judge-green at sf0.01 in r4) — so union driver coverage reaches
+# 186/186. The 9 spare slots go to round-5 registrations (ignored
+# until registered). Names listed here but not (yet) registered are
+# ignored; registered names absent from the list keep their original
+# relative order after the prioritized block.
 _DRIVER_WINDOW_FIRST: list[str] = [
-    # TPC-H shape suite — never driver-checked (judge-green r3)
-    "q2_min_cost_supplier",
-    "q4_priority_with_returns",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_sole_blame_supplier",
-    "q22_dormant_high_balance",
-    # SQL-surface family — never driver-checked
-    "sql_lateral_recent_orders",
-    "sql_recursive_dedup_roots",
-    "grouping_sets_matrix",
-    # round-3 analytics — never driver-checked
-    "cohort_retention",
-    "funnel_conversion",
-    "constraint_audit",
-    "regr_value_trend",
-    "unpivot_type_metrics",
-    "user_event_signature",
-    "pmi_cooccurrence",
-    "tfidf_top_terms",
-    "seasonal_residual_anomaly",
-    "device_availability",
-    "props_variant_extract",
-    "mixture_sampling_weights",
-    "device_mad_pandas",
-    # oracle fixed round 4 (HUGEINT pack_id cast) — re-evidence
-    "sequence_packing",
-    # round-4 registrations (ignored until registered)
-    "markov_event_transitions",
-    "changepoint_cusum",
-    "reservoir_sample_per_type",
-    "ngram_novelty",
-    "inter_arrival_stats",
-    "burst_detection",
-    "embedding_centroid_drift",
-    "length_bucket_histogram",
-    "device_cooccurrence",
-    "token_entropy_stats",
-    "dedup_family_signatures",
-    "quantile_sketch_audit",
-    "session_path_topk",
-    "value_autocorr",
-    "schema_drift_audit",
-    "text_lang_mix",
-    "pack_efficiency_stats",
+    # graph / linkage / similarity — never driver-checked (judge-green r4)
+    "pagerank_device_graph",
+    "triangle_count_graph",
+    "basket_lift_pairs",
+    "blocking_link_pairs",
+    "setsim_prefix_join",
+    # streaming — never driver-checked
+    "stream_txlog_ingest",
+    "stream_trending_topk",
+    # audit family — never driver-checked
+    "holt_forecast_per_device",
+    "key_skew_audit",
+    "hll_distinct_audit",
+    "minhash_estimate_audit",
+    "daily_active_flows",
+    "embedding_norm_outliers",
+    "rfm_segments",
+    "supplier_pareto_share",
+    "vocab_coverage_curve",
+    "dedup_cluster_size_hist",
+    # ML-prep batch — never driver-checked
+    "quality_classifier_score",
+    "duplicated_span_stats",
+    "shard_balance_audit",
+    "bigram_lm_score",
+    "split_leakage_audit",
+    "hashed_embedding_vectors",
+    "psi_value_drift",
+    "dedup_span_rewrite",
+    "corpus_datasheet",
+    # second-session analytics — never driver-checked
+    "rolling_7d_active_users",
+    "time_to_first_purchase",
+    "json_key_coverage",
+    "user_activity_streaks",
+    "duplicate_events_audit",
+    "catalog_profile",
+    "shipping_delay_stats",
+    "wow_percent_change",
+    "cohort_revenue_triangle",
+    "column_profile_events",
+    "top_parts_per_segment",
+    "segment_weekly_share",
+    "zipf_slope_audit",
+    "order_lines_histogram",
+    "geo_rollup_acctbal",
+    # round-5 registrations (ignored until registered)
+    "rfm_segments_approx",
+    "supplier_pareto_share_approx",
+    "quality_percentile_gate_approx",
+    "sessionize_events",
+    "asof_join_orders_events",
+    "range_join_price_bands",
+    "topic_term_profile",
+    "winsorized_value_stats",
+    "order_payment_reconcile",
 ]
 
 

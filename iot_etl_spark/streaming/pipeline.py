@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -34,6 +35,29 @@ DEFAULT_TRIGGER_S = 5  # reference STREAM_WINDOW_SECONDS=5 (config.py:121)
 DEFAULT_WATERMARK = "2 minutes"
 
 _SINGLETON_DIRS: dict[str, str] = {}
+
+
+@contextmanager
+def stream_shuffle_scope(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the streaming state
+    size (``SPARK_GRAFT_STREAM_PARTITIONS``, default 8) for the
+    duration of a ``.start()`` call — stateful streaming pins its
+    state-store partition count AT QUERY START and AQE never
+    re-coalesces it, so an untuned session (Spark default 200) pays
+    200 state tasks per micro-batch (measured 4x wall time). The conf
+    is restored immediately after start; the caller's batch
+    configuration is untouched. In production the knob goes the other
+    way — state partitions must cover the cluster's cores — hence an
+    env knob, not a constant."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _singleton_dir(file_path: str) -> str:
@@ -361,15 +385,8 @@ def run_stream_to_memory(
 ) -> tuple[str, DataFrame]:
     """Drive a streaming frame to completion synchronously against an
     in-memory sink (hermetic test/oracle path): processAllAvailable,
-    stop, return the materialized table.
-
-    Stateful streaming fixes its state-store partition count to
-    ``spark.sql.shuffle.partitions`` AT QUERY START and AQE never
-    re-coalesces it — in an untuned session (Spark's default 200) every
-    micro-batch pays 200 state tasks (measured 4x wall time on the
-    stream-stream interval join). The conf is scoped to query start:
-    set to ``SPARK_GRAFT_STREAM_PARTITIONS`` (default 8), restored
-    right after, so the caller's batch configuration is untouched.
+    stop, return the materialized table. State-store partition count
+    is scoped via ``stream_shuffle_scope``.
 
     Why 8 and not the core count: every state-store instance adds
     per-micro-batch fixed cost (task launch, provider open/commit),
@@ -381,15 +398,8 @@ def run_stream_to_memory(
     memory), which is why it's an env knob, not a constant."""
     spark = df.sparkSession
     name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
-    )
-    try:
+    with stream_shuffle_scope(spark):
         q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:

@@ -29,24 +29,27 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 4): the first 50 registration-order
-    # names front-load the 32 never-driver-checked queries (TPC-H shape
-    # suite, SQL-surface family, round-3 analytics — VERDICT r3 item 3)
-    # plus sequence_packing, whose oracle was fixed this round.
+    # driver-window curation (round 5): the first 50 registration-order
+    # names front-load the 41 never-driver-checked round-4 queries
+    # (VERDICT r4 item 1) so union driver coverage reaches 186/186.
     first50 = list(qs)[:50]
     for must in (
-        "q2_min_cost_supplier",
-        "q22_dormant_high_balance",
-        "sql_lateral_recent_orders",
-        "sql_recursive_dedup_roots",
-        "grouping_sets_matrix",
-        "cohort_retention",
-        "funnel_conversion",
-        "pmi_cooccurrence",
-        "tfidf_top_terms",
-        "mixture_sampling_weights",
-        "device_mad_pandas",
-        "sequence_packing",
+        "pagerank_device_graph",
+        "triangle_count_graph",
+        "basket_lift_pairs",
+        "blocking_link_pairs",
+        "setsim_prefix_join",
+        "stream_txlog_ingest",
+        "stream_trending_topk",
+        "rfm_segments",
+        "supplier_pareto_share",
+        "vocab_coverage_curve",
+        "quality_classifier_score",
+        "dedup_span_rewrite",
+        "corpus_datasheet",
+        "wow_percent_change",
+        "zipf_slope_audit",
+        "geo_rollup_acctbal",
     ):
         assert must in first50, must
 
