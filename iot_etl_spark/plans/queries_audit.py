@@ -530,9 +530,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one shuffle to the per-customer aggregate; the
     NTILE windows then rank the (small) customer summary. At a 100M+
     customer table the exact global NTILE becomes the bottleneck —
-    the documented swap (same as quality_percentile_gate) is
-    approx_percentile quintile cut points broadcast back as a range
-    join, identical buckets up to sketch error."""
+    the EXECUTABLE swap is rfm_segments_approx (approx_percentile cut
+    points broadcast back, zero windows; equivalence pytest in
+    test_approx_twins.py)."""
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("mx"))
     agg = (
@@ -557,6 +557,174 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w_r).alias("r_quintile"),
         F.ntile(5).over(w_f).alias("f_quintile"),
         F.ntile(5).over(w_m).alias("m_quintile"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_quintile") >= 4)
+            & (F.col("f_quintile") >= 4)
+            & (F.col("m_quintile") >= 4),
+            "champion",
+        )
+        .when((F.col("r_quintile") <= 2) & (F.col("f_quintile") >= 4), "at_risk_loyal")
+        .when((F.col("r_quintile") >= 4) & (F.col("f_quintile") <= 2), "new_or_promising")
+        .otherwise("core"),
+    )
+
+
+# ------------------------------------- RFM segments, approx cut points
+# The executable 100 TB swap the exact twin's docstring promises
+# (VERDICT r4 item 3): quintile CUT POINTS from one approx_percentile
+# reduce, broadcast back, buckets assigned map-side — no global NTILE
+# window anywhere in the plan. ACCURACY is pinned high enough that the
+# GK sketch is EXACT at test scale (rank error < 1 whenever n <=
+# accuracy), which is what makes the cross-engine hash deterministic:
+# Spark approx_percentile and DuckDB quantile_disc then select the
+# SAME discrete element (verified empirically across n/p grids). At a
+# real 100M+ key frame you dial accuracy down to the rank-error
+# budget (Spark default 10k) — the code path is identical.
+# Tie semantics differ from NTILE by design: threshold bucketing puts
+# equal values in the same bucket; NTILE splits them on the tiebreak.
+APPROX_CUT_ACCURACY = 1_000_000
+_RFM_PS = (0.2, 0.4, 0.6, 0.8)
+
+
+def _disc_cut_cols(prefix: str, ps) -> str:
+    """Oracle-side discrete cut points at EXACTLY Spark's GK rank.
+
+    An exact GK summary (n <= accuracy) answers query(p) with the
+    element at 1-indexed rank ceil(p * n) where p * n is an IEEE
+    DOUBLE product — at near-integer products that differs from
+    DuckDB's quantile_disc definition (observed: p=0.55, n=100 picks
+    rank 56 vs 55, because 0.55*100 = 55.000000000000007 in binary).
+    So the oracle selects the ranked element explicitly with the SAME
+    double arithmetic, making the cut cross-engine deterministic for
+    every (p, n). Expects a frame with (v, rn, n): value, dense 1-based
+    rank ordered by v, and COUNT(*) OVER () cast to DOUBLE."""
+    return ",\n           ".join(
+        f"MAX(CASE WHEN rn = CAST(CEIL(CAST({p!r} AS DOUBLE) * n) AS BIGINT)"
+        f" THEN v END) AS {prefix}{i}"
+        for i, p in enumerate(ps)
+    )
+
+
+_RFM_APPROX_ORACLE = f"""
+WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+agg AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(date_diff('day', MAX(o_orderdate), anchor.mx) AS BIGINT)
+               AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS monetary
+    FROM orders, anchor
+    GROUP BY o_custkey, anchor.mx
+),
+r_rk AS (SELECT recency_days AS v,
+                row_number() OVER (ORDER BY recency_days) AS rn,
+                COUNT(*) OVER () AS n FROM agg),
+f_rk AS (SELECT frequency AS v,
+                row_number() OVER (ORDER BY frequency) AS rn,
+                COUNT(*) OVER () AS n FROM agg),
+m_rk AS (SELECT monetary AS v,
+                row_number() OVER (ORDER BY monetary) AS rn,
+                COUNT(*) OVER () AS n FROM agg),
+r_cuts AS (SELECT {_disc_cut_cols("r", _RFM_PS)} FROM r_rk),
+f_cuts AS (SELECT {_disc_cut_cols("f", _RFM_PS)} FROM f_rk),
+m_cuts AS (SELECT {_disc_cut_cols("m", _RFM_PS)} FROM m_rk),
+cuts AS (SELECT * FROM r_cuts, f_cuts, m_cuts),
+scored AS (
+    SELECT c_custkey, recency_days, frequency, monetary,
+           1 + (recency_days < r0)::INT + (recency_days < r1)::INT
+             + (recency_days < r2)::INT + (recency_days < r3)::INT AS r_quintile,
+           1 + (frequency > f0)::INT + (frequency > f1)::INT
+             + (frequency > f2)::INT + (frequency > f3)::INT AS f_quintile,
+           1 + (monetary > m0)::INT + (monetary > m1)::INT
+             + (monetary > m2)::INT + (monetary > m3)::INT AS m_quintile
+    FROM agg, cuts
+)
+SELECT *,
+       CASE WHEN r_quintile >= 4 AND f_quintile >= 4 AND m_quintile >= 4
+                THEN 'champion'
+            WHEN r_quintile <= 2 AND f_quintile >= 4 THEN 'at_risk_loyal'
+            WHEN r_quintile >= 4 AND f_quintile <= 2 THEN 'new_or_promising'
+            ELSE 'core' END AS segment
+FROM scored
+"""
+
+
+def _bucket_from_cuts(col: str, prefix: str, n_cuts: int, desc: bool):
+    """1 + number of cut points the value clears — map-side bucket
+    assignment against broadcast cut columns ``{prefix}0..{prefix}k``.
+    desc=True counts downward (smallest values land in the top
+    bucket), matching an ORDER BY ... DESC ntile orientation."""
+    e = F.lit(1)
+    for i in range(n_cuts):
+        cmp = (
+            F.col(col) < F.col(f"{prefix}{i}")
+            if desc
+            else F.col(col) > F.col(f"{prefix}{i}")
+        )
+        e = e + cmp.cast("int")
+    return e
+
+
+@query("rfm_segments_approx", oracle=_RFM_APPROX_ORACLE)
+def rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation via APPROX quintile cut points — the scalable
+    twin of rfm_segments with the global NTILE windows replaced by:
+    (1) one approx_percentile reduce over the per-customer aggregate
+    (GK sketch, mergeable, map-side partials), (2) a broadcast of the
+    12 cut points, (3) map-side threshold bucketing. The plan contains
+    NO WindowExec (pytest-pinned) — nothing in it is single-partition
+    at any scale.
+
+    Cut-point determinism: accuracy=1e6 makes the sketch exact at
+    test scale, and an exact GK query returns the same discrete
+    element DuckDB's quantile_disc picks, so the oracle hash is
+    stable. Ties land in one bucket (vs NTILE's tiebreak split); the
+    segment rules are identical to the exact twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    agg = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate")).cast("long").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+        )
+        .withColumn("monetary", F.round(F.col("mon").cast("double"), 6))
+        .drop("mon")
+    )
+    acc = F.lit(APPROX_CUT_ACCURACY)
+    cuts = agg.agg(
+        *[
+            F.approx_percentile(metric, F.lit(p), acc).alias(f"{pre}{i}")
+            for metric, pre in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for i, p in enumerate(_RFM_PS)
+        ]
+    )
+    scored = agg.crossJoin(F.broadcast(cuts)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _bucket_from_cuts("recency_days", "r", len(_RFM_PS), desc=True).alias(
+            "r_quintile"
+        ),
+        _bucket_from_cuts("frequency", "f", len(_RFM_PS), desc=False).alias(
+            "f_quintile"
+        ),
+        _bucket_from_cuts("monetary", "m", len(_RFM_PS), desc=False).alias(
+            "m_quintile"
+        ),
     )
     return scored.withColumn(
         "segment",
@@ -603,8 +771,9 @@ def supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppkey-tiebroken frame, so the double division at the very end is
     identical cross-engine. 100 TB shape: one shuffle to the supplier
     aggregate; the ordered window runs over the post-aggregate frame
-    (suppliers, not lineitems), with the same documented cut-point
-    swap as rfm_segments if the supplier dimension itself explodes."""
+    (suppliers, not lineitems). If the key dimension itself explodes,
+    the EXECUTABLE swap is supplier_pareto_share_approx (ventile cut
+    points broadcast, window over the <=20-row bucket frame)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(
@@ -631,6 +800,105 @@ def supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("r").over(w_all).cast("double")
             < 0.8
         ).alias("pareto_head"),
+    )
+
+
+# --------------------------------- supplier Pareto, approx bucket curve
+# The executable 100 TB swap for the Pareto query's global ordered
+# window (VERDICT r4 item 3): instead of a full-frame cumulative sum
+# ordered by revenue, bucket suppliers into ventiles by broadcast
+# approx-percentile cut points (map-side), aggregate per bucket, and
+# run the cumulative window over the <=20-row bucket frame. The
+# concentration curve keeps its shape (5%-granularity) while nothing
+# in the plan exceeds the bucket count, at any supplier cardinality.
+PARETO_BUCKETS = 20
+_PARETO_PS = tuple(i / PARETO_BUCKETS for i in range(1, PARETO_BUCKETS))
+
+_PARETO_APPROX_ORACLE = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+    FROM lineitem GROUP BY 1
+),
+rv AS (SELECT l_suppkey, r, ROUND(CAST(r AS DOUBLE), 6) AS rvd FROM rev),
+rk AS (SELECT rvd AS v, row_number() OVER (ORDER BY rvd) AS rn,
+              COUNT(*) OVER () AS n FROM rv),
+cuts AS (SELECT {_disc_cut_cols("c", _PARETO_PS)} FROM rk),
+bucketed AS (
+    SELECT l_suppkey, r,
+           1 + {" + ".join(f"(rvd < c{i})::INT" for i in range(len(_PARETO_PS)))}
+               AS bucket
+    FROM rv, cuts
+),
+agg AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           SUM(r) AS br
+    FROM bucketed GROUP BY bucket
+)
+SELECT bucket, n_suppliers,
+       ROUND(CAST(br AS DOUBLE), 6) AS bucket_revenue,
+       ROUND(CAST(br AS DOUBLE) / CAST(SUM(br) OVER () AS DOUBLE), 6)
+           AS revenue_share,
+       ROUND(CAST(SUM(br) OVER (ORDER BY bucket) AS DOUBLE)
+             / CAST(SUM(br) OVER () AS DOUBLE), 6) AS cum_share,
+       CAST(SUM(br) OVER (ORDER BY bucket) - br AS DOUBLE)
+           / CAST(SUM(br) OVER () AS DOUBLE) < 0.8 AS pareto_head
+FROM agg
+"""
+
+
+@query("supplier_pareto_share_approx", oracle=_PARETO_APPROX_ORACLE)
+def supplier_pareto_share_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration at ventile granularity — the scalable twin
+    of supplier_pareto_share: approx cut points (one sketch reduce,
+    broadcast back), map-side bucket assignment (bucket 1 = top 5% of
+    suppliers by revenue), per-bucket exact DECIMAL revenue, and the
+    cumulative-share window over the <=20-row BUCKET frame instead of
+    the full supplier frame. pareto_head marks the buckets whose
+    preceding cumulative share is below 80% — the same 80/20 read at
+    5% resolution.
+
+    Determinism: cut points are exact at accuracy=1e6 / test scale
+    and match DuckDB quantile_disc element-for-element (see
+    rfm_segments_approx); per-bucket sums stay DECIMAL until the
+    final division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("r")
+    ).withColumn("rvd", F.round(F.col("r").cast("double"), 6))
+    acc = F.lit(APPROX_CUT_ACCURACY)
+    cuts = rev.agg(
+        *[
+            F.approx_percentile("rvd", F.lit(p), acc).alias(f"c{i}")
+            for i, p in enumerate(_PARETO_PS)
+        ]
+    )
+    bucketed = rev.crossJoin(F.broadcast(cuts)).select(
+        "l_suppkey",
+        "r",
+        _bucket_from_cuts("rvd", "c", len(_PARETO_PS), desc=True).alias("bucket"),
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_suppliers"), F.sum("r").alias("br")
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.sum("br").over(w_all).cast("double")
+    cum = F.sum("br").over(w_cum)
+    return agg.select(
+        "bucket",
+        "n_suppliers",
+        F.round(F.col("br").cast("double"), 6).alias("bucket_revenue"),
+        F.round(F.col("br").cast("double") / total, 6).alias("revenue_share"),
+        F.round(cum.cast("double") / total, 6).alias("cum_share"),
+        ((cum - F.col("br")).cast("double") / total < 0.8).alias("pareto_head"),
     )
 
 
@@ -663,31 +931,32 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     query that answers "what vocab size covers X% of the stream"
     before committing a tokenizer budget.
 
-    100 TB shape: the token stream collapses to per-token counts with
-    map-side combine (one shuffle, Zipf head handled by partial aggs);
-    the ordered window then runs over the VOCABULARY (sublinear in
-    corpus size). Counts stay BIGINT throughout; only the final share
-    divides."""
+    100 TB shape (top-k-FIRST, VERDICT r4 item 4): the token stream
+    collapses to per-token counts with map-side combine (one shuffle,
+    Zipf head handled by partial aggs); the grand total is a 1-row
+    aggregate broadcast back; the head is a TakeOrderedAndProject
+    top-{VOCAB_CURVE_TOP} (per-partition heaps, no global sort); only
+    then does the ordered cumulative window run — over the <=
+    {VOCAB_CURVE_TOP}-row head, never the full vocabulary. Counts stay
+    BIGINT throughout; only the final share divides."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    head = counts.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_CURVE_TOP)
     order = Window.orderBy(F.col("cnt").desc(), "token")
     w_cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return (
-        counts.select(
-            "token",
-            "cnt",
-            F.row_number().over(order).cast("long").alias("rnk"),
-            F.sum("cnt").over(w_cum).alias("cum_count"),
-            F.round(
-                F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_all).cast("double"), 6
-            ).alias("cum_share"),
-        )
-        .filter(F.col("rnk") <= VOCAB_CURVE_TOP)
+    return head.crossJoin(F.broadcast(total)).select(
+        "token",
+        "cnt",
+        F.row_number().over(order).cast("long").alias("rnk"),
+        F.sum("cnt").over(w_cum).alias("cum_count"),
+        F.round(
+            F.sum("cnt").over(w_cum) / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
     )
 
 

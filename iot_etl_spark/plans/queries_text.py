@@ -937,9 +937,10 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on source (the stratum key); each partition
     sorts locally. Sources are few and large at 100 TB, so skew is the
-    hazard — the documented swap is approx_percentile per source
-    (broadcast the cut points back) which drops the per-row window
-    entirely and goes map-side."""
+    hazard — the EXECUTABLE swap is quality_percentile_gate_approx
+    (approx_percentile per source, cut points broadcast back, gate
+    map-side; provably the same kept set, pinned in
+    test_approx_twins.py)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -952,6 +953,73 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_words",
         F.round(cdf, 6).alias("cdf"),
         (cdf >= QUALITY_GATE_CDF).alias("kept"),
+    )
+
+
+# ------------------------------- percentile gate, approx cut points
+# The executable 100 TB swap the exact twin's docstring promises
+# (VERDICT r4 item 3): one grouped approx_percentile reduce gives the
+# per-source 75th-percentile cut, broadcast-joined back; the gate is
+# then a map-side comparison — the per-row CUME_DIST window is gone.
+# Provably the SAME kept set when the sketch is exact:
+# cume_dist(v) >= p  <=>  v >= quantile_disc(p), since quantile_disc
+# returns the smallest element whose CDF reaches p.
+# The cut is the element at 1-indexed rank CEIL(p * n) computed in
+# IEEE DOUBLE — exactly the rank an exact GK sketch answers with (see
+# queries_audit._disc_cut_cols for why quantile_disc can differ at
+# near-integer p*n products).
+_GATE_APPROX_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+    FROM documents
+),
+rk AS (
+    SELECT source, n_words,
+           row_number() OVER (PARTITION BY source ORDER BY n_words) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM s
+),
+cuts AS (
+    SELECT source,
+           MAX(CASE WHEN rn = CAST(CEIL(CAST({QUALITY_GATE_CDF!r} AS DOUBLE) * n)
+                                   AS BIGINT)
+                    THEN n_words END) AS q75
+    FROM rk GROUP BY source
+)
+SELECT doc_id, s.source, n_words, q75, n_words >= q75 AS kept
+FROM s JOIN cuts USING (source)
+"""
+
+
+@query("quality_percentile_gate_approx", oracle=_GATE_APPROX_ORACLE)
+def quality_percentile_gate_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile gate via APPROX cut points — the scalable
+    twin of quality_percentile_gate: approx_percentile per source (GK
+    sketch, mergeable), cut points broadcast back (one tiny frame, a
+    handful of sources), kept = n_words >= cut computed map-side. The
+    plan has NO WindowExec (pytest-pinned) and no per-source sort —
+    the skewed-stratum hazard of the CUME_DIST version is gone.
+
+    Equivalence: with an exact sketch (accuracy=1e6 >= stratum size at
+    test scale) the kept set is IDENTICAL to the exact twin's
+    cume_dist >= 0.75 gate — pinned by pytest at sf0.1."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.size(_words()).cast("long").alias("n_words")
+    )
+    from iot_etl_spark.plans.queries_audit import APPROX_CUT_ACCURACY
+
+    cuts = scored.groupBy("source").agg(
+        F.approx_percentile(
+            "n_words", F.lit(QUALITY_GATE_CDF), F.lit(APPROX_CUT_ACCURACY)
+        ).alias("q75")
+    )
+    return scored.join(F.broadcast(cuts), "source").select(
+        "doc_id",
+        "source",
+        "n_words",
+        "q75",
+        (F.col("n_words") >= F.col("q75")).alias("kept"),
     )
 
 

@@ -49,7 +49,7 @@ def test_topk_compiles_to_take_ordered(spark):
     """ORDER BY + LIMIT never runs a global sort."""
     for name in ["enriched_lineitem_topk", "recent_anomalies_topk",
                  "sql_shipping_priority", "token_heavy_hitters",
-                 "q10_returned_items"]:
+                 "q10_returned_items", "vocab_coverage_curve"]:
         plan, _ = _plans(spark, name)
         assert "TakeOrderedAndProject" in plan, name
         assert "], true, 0" not in plan, name  # no global Sort node
@@ -234,8 +234,15 @@ def test_audit_family_plan_shapes(spark):
     plan, _ = _plans(spark, "key_skew_audit")
     assert plan.count("Exchange") == 2, plan.count("Exchange")
 
+    # top-k-first (r5): the head is a TakeOrderedAndProject, the grand
+    # total arrives by 1-row broadcast, and the cumulative window runs
+    # AFTER the limit — over <=100 rows, never the full vocabulary.
     plan, _ = _plans(spark, "vocab_coverage_curve")
-    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total join
+    take_pos = plan.index("TakeOrderedAndProject")
+    win_pos = plan.index("Window")
+    assert win_pos < take_pos  # Window sits ABOVE the limited head
 
     plan, _ = _plans(spark, "embedding_norm_outliers")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
