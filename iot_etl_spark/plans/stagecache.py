@@ -27,11 +27,47 @@ from __future__ import annotations
 import hashlib
 import inspect
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE_ROOT = "/tmp/iot_etl_stages"
+_TAG_LEN = 12
+
+
+def evict_stale_tags(root: str, name: str, keep_tag: str) -> list[str]:
+    """Remove COMPLETED sibling cache entries for ``name`` whose tag
+    differs from ``keep_tag`` — every testdata regen or builder edit
+    mints a new tag, and without this sweep the orphaned directories
+    accumulate forever (VERDICT r4 hygiene item).
+
+    Safety: only dirs carrying a ``_READY`` marker are candidates (a
+    markerless dir may be a concurrent writer mid-write; its own
+    overwrite handles it), and the marker is removed FIRST so a
+    concurrent reader that checks readiness never starts reading a
+    dir being deleted. A reader of a stale tag cannot exist within a
+    session — tags are pure functions of the current inputs."""
+    if not os.path.isdir(root):
+        return []
+    prefix = f"{name}_"
+    evicted = []
+    for d in os.listdir(root):
+        tag = d[len(prefix):]
+        if (
+            not d.startswith(prefix)
+            or len(tag) != _TAG_LEN
+            or not all(c in "0123456789abcdef" for c in tag)
+            or tag == keep_tag
+        ):
+            continue
+        marker = os.path.join(root, d, "_READY")
+        if not os.path.exists(marker):
+            continue
+        os.remove(marker)
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        evicted.append(d)
+    return evicted
 
 
 def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
@@ -70,4 +106,5 @@ def cached_stage(
         build().write.mode("overwrite").parquet(path)
         with open(marker, "w") as fh:
             fh.write(tag)
+        evict_stale_tags(_CACHE_ROOT, name, tag)
     return spark.read.parquet(path)

@@ -296,22 +296,32 @@ def start_txlog_sink(
     table,
     checkpoint: str,
     trigger_seconds: int = DEFAULT_TRIGGER_S,
+    ledger_id: str | None = None,
 ):
     """Exactly-once streaming append into a transactional table
     (warehouse/txlog.py): foreachBatch delivers each micro-batch with
     its epoch id, and ``TxTable.append_batch`` commits atomically
-    keyed by that id — a re-delivered batch (restart between sink
-    write and checkpoint commit, the classic at-least-once window) is
-    recognized in the table's own log and skipped. Readers never see a
-    partial batch (files are invisible until the log commit) and never
-    see a batch twice: end-to-end exactly-once without a table-format
-    dependency.
+    keyed by (ledger scope, epoch id) — a re-delivered batch (restart
+    between sink write and checkpoint commit, the classic
+    at-least-once window) is recognized in the table's own log and
+    skipped. Readers never see a partial batch (files are invisible
+    until the log commit) and never see a batch twice: end-to-end
+    exactly-once without a table-format dependency.
+
+    ``ledger_id`` picks the dedup scope. Spark's epoch-id contract
+    guarantees identical batch contents only WITHIN one checkpoint
+    lineage — share a scope across checkpoints only when the
+    source->batch mapping is deterministic (same finite source, same
+    boundaries: the replay-proof harness shape); in production, scope
+    to the checkpoint/query id so a restarted stream with new batch
+    boundaries is never silently skipped (see
+    TxTable.append_batch for the full contract).
 
     ``table``: a ``TxTable`` (duck-typed to avoid a hard import in
     the streaming module)."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        table.append_batch(batch_df, int(epoch_id))
+        table.append_batch(batch_df, int(epoch_id), ledger_id=ledger_id)
 
     return (
         df.writeStream.outputMode("append")

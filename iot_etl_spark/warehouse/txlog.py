@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -161,7 +162,14 @@ class TxTable:
         ADD columns while keeping every existing column's type. A
         drifted producer fails at commit time, not at some future
         reader's mergeSchema surprise."""
-        sig = _schema_sig(df)
+        return self._check_sig(_schema_sig(df), allow_evolution)
+
+    def _check_sig(self, sig: dict[str, str], allow_evolution: bool) -> dict[str, str]:
+        """Signature-level check, re-runnable inside a commit retry
+        loop without touching the DataFrame (the table schema may have
+        changed under a lost race — e.g. a concurrent overwrite
+        redefined it — and a blind retry would stamp a conflicting
+        schema back on, silently mixing incompatible files)."""
         current = self.table_schema()
         if current is None or sig == current:
             return sig
@@ -181,11 +189,15 @@ class TxTable:
         """ACID append: stage files, then one atomic commit at the
         version planned from the read snapshot. Appends commute, so a
         lost race is safely retried at the new head (the staged files
-        are reused — they were never visible). Schema-enforced; see
-        _check_schema."""
+        are reused — they were never visible). Schema-enforced BOTH
+        before staging and on every retry: if the race was lost to an
+        overwrite that redefined the table schema, the retry raises
+        SchemaMismatchError instead of committing conflicting files
+        (the staged parts stay invisible; vacuum sweeps them)."""
         sig = self._check_schema(df, allow_evolution)
         added = self._stage(df)
         for _ in range(max_retries + 1):
+            self._check_sig(sig, allow_evolution)
             latest = self.latest_version()
             planned = 0 if latest is None else latest + 1
             try:
@@ -197,36 +209,70 @@ class TxTable:
                 continue
         raise ConcurrentCommitError(f"append lost {max_retries + 1} commit races")
 
-    def committed_batch_ids(self) -> set[int]:
-        """Batch ids recorded by ``append_batch`` commits — the
-        idempotence ledger for exactly-once streaming. The log is file
-        lists, not data, so this scan is O(commits) tiny reads; a
-        long-lived table would checkpoint the set forward."""
+    def committed_batch_ids(self, ledger_id: str | None = None) -> set[int]:
+        """Batch ids recorded by ``append_batch`` commits WITHIN one
+        ledger scope — the idempotence ledger for exactly-once
+        streaming. The log is file lists, not data, so this scan is
+        O(commits) tiny reads; a long-lived table would checkpoint the
+        set forward."""
         ids = set()
         for v in self.versions():
-            b = self._entry(v).get("batch_id")
-            if b is not None:
+            e = self._entry(v)
+            b = e.get("batch_id")
+            if b is not None and e.get("ledger_id") == ledger_id:
                 ids.add(b)
         return ids
 
-    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
-        """Idempotent append keyed by micro-batch id: a replayed batch
-        (foreachBatch re-delivery after a failure/restart) is detected
-        in the log and skipped — TOGETHER with the atomic commit this
-        upgrades Structured Streaming's at-least-once foreachBatch
-        contract to exactly-once into this table. Returns the new
-        version, or None for a recognized replay."""
-        if batch_id in self.committed_batch_ids():
+    def append_batch(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        ledger_id: str | None = None,
+        max_retries: int = 3,
+    ) -> int | None:
+        """Idempotent append keyed by (ledger scope, micro-batch id): a
+        replayed batch (foreachBatch re-delivery after a
+        failure/restart) is detected in the log and skipped — TOGETHER
+        with the atomic commit this upgrades Structured Streaming's
+        at-least-once foreachBatch contract to exactly-once into this
+        table. Returns the new version, or None for a recognized
+        replay.
+
+        LEDGER VALIDITY — Spark's epoch-id contract only guarantees
+        that the SAME batch id carries the SAME rows within one
+        checkpoint lineage. Reuse one ``ledger_id`` across checkpoints
+        ONLY when the source->batch mapping is deterministic (same
+        finite source, same boundaries — the replay-proof harness
+        shape); a restarted stream with a NEW checkpoint and different
+        batch boundaries must use a new ledger scope, otherwise its
+        batch 0 would be silently skipped (data loss). Scoping to the
+        checkpoint/query id is the safe production default.
+
+        The check-then-commit window is closed by the commit itself:
+        on a lost version race the ledger is RE-READ — if the winning
+        commit claimed this (ledger, batch) key, the replay is
+        recognized and the retry abandoned."""
+        if batch_id in self.committed_batch_ids(ledger_id):
             return None
         sig = self._check_schema(df, allow_evolution=False)
         added = self._stage(df)
-        latest = self.latest_version()
-        planned = 0 if latest is None else latest + 1
-        return self._commit(
-            {"op": "append", "added": added, "removed": [], "batch_id": batch_id,
-             "schema": sig},
-            planned,
-        )
+        for _ in range(max_retries + 1):
+            self._check_sig(sig, allow_evolution=False)
+            latest = self.latest_version()
+            planned = 0 if latest is None else latest + 1
+            try:
+                return self._commit(
+                    {"op": "append", "added": added, "removed": [],
+                     "batch_id": batch_id, "ledger_id": ledger_id, "schema": sig},
+                    planned,
+                )
+            except ConcurrentCommitError:
+                # the winner may have BEEN this batch (two sinks racing
+                # the same replay): re-read the ledger before retrying
+                if batch_id in self.committed_batch_ids(ledger_id):
+                    return None
+                continue
+        raise ConcurrentCommitError(f"append_batch lost {max_retries + 1} commit races")
 
     def overwrite(self, df: DataFrame) -> int:
         """ACID overwrite: new files in, every file live IN THE READ
@@ -306,18 +352,38 @@ class TxTable:
         return spark.read.parquet(*files)
 
     # --------------------------------------------------------- vacuum
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 1, retention_seconds: float = 24 * 3600
+    ) -> list[str]:
         """Physically delete data files referenced by none of the last
         ``retain_last`` versions (older snapshots stop time-traveling
-        — the Delta VACUUM contract). Also sweeps orphans from crashed
-        stagings. Returns deleted file names."""
+        — the Delta VACUUM contract), but ONLY once they are at least
+        ``retention_seconds`` old. The age gate is what makes vacuum
+        safe against lock-free concurrent writers: ``_stage`` moves
+        files into data/ BEFORE the log commit, so a freshly staged
+        in-flight file is unreferenced for a moment — deleting it
+        would let the writer's commit land referencing missing files
+        (silent data loss). Delta's VACUUM has the same retention
+        check for the same reason; pass ``retention_seconds=0`` only
+        when no writer can be in flight (tests, single-writer
+        maintenance windows). ``retain_last`` is clamped to >= 1 — the
+        live snapshot is never vacuumable. Also sweeps aged orphans
+        from crashed stagings. Returns deleted file names."""
+        retain_last = max(1, retain_last)
         vs = self.versions()
         keep: set[str] = set()
-        for v in vs[-retain_last:] if retain_last else []:
+        for v in vs[-retain_last:]:
             keep.update(os.path.basename(f) for f in self.snapshot_files(v))
+        horizon = time.time() - retention_seconds
         deleted = []
         for f in os.listdir(self.data_dir):
-            if f not in keep:
-                os.remove(os.path.join(self.data_dir, f))
+            p = os.path.join(self.data_dir, f)
+            if f not in keep and os.path.getmtime(p) <= horizon:
+                os.remove(p)
                 deleted.append(f)
+        # crashed staging dirs (writer died before the move): same age gate
+        for d in os.listdir(self.path):
+            p = os.path.join(self.path, d)
+            if d.startswith("_staging_") and os.path.getmtime(p) <= horizon:
+                shutil.rmtree(p, ignore_errors=True)
         return sorted(deleted)

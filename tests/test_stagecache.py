@@ -99,7 +99,42 @@ def test_code_dep_change_invalidates(spark, tmp_path, cache_root):
     entries_after_a = set(os.listdir(cache_root))
     cached_stage(spark, "s", sf, ("documents",), build, code_deps=(helper_b,))
     entries_after_b = set(os.listdir(cache_root))
-    assert entries_after_b > entries_after_a  # a second, distinct entry
+    # a distinct entry was built AND the superseded tag was evicted
+    assert len(entries_after_a) == 1 and len(entries_after_b) == 1
+    assert entries_after_b != entries_after_a
+
+
+def test_stale_tags_evicted_on_write(spark, tmp_path, cache_root):
+    """VERDICT r4 hygiene: a regenerated source mints a new tag and the
+    write sweeps the superseded entry — but never a sibling STAGE's
+    entry, never an unrelated dir, and never a markerless (in-flight)
+    dir."""
+    sf = _source_dir(tmp_path, spark, 1)
+
+    def build():
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    def build_other():
+        return spark.read.parquet(os.path.join(sf, "documents.parquet")).limit(2)
+
+    cached_stage(spark, "s", sf, ("documents",), build)
+    cached_stage(spark, "other", sf, ("documents",), build_other)
+    old_entry = [d for d in os.listdir(cache_root) if d.startswith("s_")][0]
+    # an in-flight dir (no _READY) with a valid-looking tag must survive
+    inflight = os.path.join(cache_root, "s_" + "ab" * 6)
+    os.makedirs(inflight)
+    # regenerate the source in place -> new tag on next build
+    spark.range(5).selectExpr("id AS doc_id", "id * 7 AS v").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    fresh = cached_stage(spark, "s", sf, ("documents",), build)
+    assert fresh.count() == 5
+    entries = set(os.listdir(cache_root))
+    assert old_entry not in entries  # superseded tag swept
+    assert os.path.basename(inflight) in entries  # in-flight untouched
+    assert any(d.startswith("other_") for d in entries)  # sibling stage kept
+    assert sum(d.startswith("s_") and d != os.path.basename(inflight)
+               for d in entries) == 1  # exactly the fresh tag
 
 
 def test_half_write_is_not_served(spark, tmp_path, cache_root):

@@ -547,7 +547,9 @@ def test_txlog_vacuum_decouples_physical_deletion(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(2, "b")], "k INT, v STRING"))
     before = _tx_rows(t.read(spark, version=0))  # old snapshot readable pre-vacuum
     assert before == [(1, "a")]
-    deleted = t.vacuum(retain_last=1)
+    # retention_seconds=0: the explicit no-writers-in-flight override
+    # (the 24h default would keep these seconds-old files)
+    deleted = t.vacuum(retain_last=1, retention_seconds=0)
     assert deleted  # the overwritten v0 file went away physically
     assert _tx_rows(t.read(spark)) == [(2, "b")]  # latest intact
     with pytest.raises(Exception):
@@ -651,3 +653,71 @@ def test_txlog_schema_enforcement(spark, tmp_path):
     # overwrite redefines
     t.overwrite(spark.createDataFrame([("z",)], "only STRING"))
     assert t.table_schema() == {"only": "string"}
+
+
+def test_txlog_vacuum_retention_protects_inflight_staging(spark, tmp_path):
+    """ADVICE r4: vacuum must not delete a concurrent writer's staged
+    (not-yet-committed) files — the default retention age-gates them.
+    Simulated by staging without committing: a default vacuum keeps
+    the fresh files, the writer's commit then lands intact; only a
+    later zero-retention maintenance vacuum may sweep true orphans."""
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    staged = t._stage(spark.createDataFrame([(2, "b")], "k INT, v STRING"))
+    deleted = t.vacuum(retain_last=1)  # default 24h retention
+    assert not (set(staged) & set(deleted)), "vacuum ate an in-flight write"
+    # the in-flight writer commits; its files must all exist
+    v = t._commit({"op": "append", "added": staged, "removed": [],
+                   "schema": t.table_schema()})
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    # retain_last=0 is clamped: the live snapshot is never deleted
+    assert t.vacuum(retain_last=0, retention_seconds=0) == []
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_txlog_append_retry_recheck_schema(spark, tmp_path):
+    """ADVICE r4: an append that loses its commit race to an overwrite
+    that REDEFINED the table schema must raise on retry, not stamp its
+    now-conflicting schema back onto the table."""
+    import pytest
+    from iot_etl_spark.warehouse.txlog import SchemaMismatchError, TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+
+    # make the first _commit lose exactly once, with an overwrite that
+    # changes the schema landing in between (the race interleaving)
+    real_commit = t._commit
+    state = {"raced": False}
+
+    def racing_commit(entry, version=None):
+        if not state["raced"] and entry.get("op") == "append" and entry.get("schema"):
+            state["raced"] = True
+            t.overwrite(spark.createDataFrame([("z",)], "only STRING"))
+        return real_commit(entry, version)
+
+    t._commit = racing_commit
+    with pytest.raises(SchemaMismatchError):
+        t.append(spark.createDataFrame([(2, "b")], "k INT, v STRING"))
+    t._commit = real_commit
+    assert t.table_schema() == {"only": "string"}  # overwrite's schema intact
+    assert [tuple(r) for r in t.read(spark).collect()] == [("z",)]
+
+
+def test_txlog_batch_ledger_scoping(spark, tmp_path):
+    """ADVICE r4: batch ids dedupe WITHIN a ledger scope. Same
+    (scope, id) is a recognized replay; the same id under a different
+    scope (a new checkpoint lineage with different batch boundaries)
+    must land as new data, not be silently skipped."""
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    df = spark.createDataFrame([(1,)], "k INT")
+    assert t.append_batch(df, 0, ledger_id="ckpt-A") is not None
+    assert t.append_batch(df, 0, ledger_id="ckpt-A") is None  # replay
+    assert t.append_batch(df, 0, ledger_id="ckpt-B") is not None  # new lineage
+    assert t.append_batch(df, 0) is not None  # unscoped is its own ledger
+    assert t.append_batch(df, 0) is None
+    assert t.read(spark).count() == 3
