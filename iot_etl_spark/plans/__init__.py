@@ -88,12 +88,12 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "rfm_segments_approx",
     "supplier_pareto_share_approx",
     "quality_percentile_gate_approx",
-    "sessionize_events",
-    "asof_join_orders_events",
-    "range_join_price_bands",
-    "topic_term_profile",
+    "holt_forecast_recent",
     "winsorized_value_stats",
     "order_payment_reconcile",
+    "interval_overlap_load",
+    "doc_token_topk_per_lang",
+    "stream_dedup_exactly_once",
 ]
 
 
