@@ -84,7 +84,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "zipf_slope_audit",
     "order_lines_histogram",
     "geo_rollup_acctbal",
-    # round-5 registrations (ignored until registered)
+    # round-5 registrations — fill the window's remaining 9 slots
     "rfm_segments_approx",
     "supplier_pareto_share_approx",
     "quality_percentile_gate_approx",
@@ -92,8 +92,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "winsorized_value_stats",
     "order_payment_reconcile",
     "interval_overlap_load",
-    "doc_token_topk_per_lang",
-    "stream_dedup_exactly_once",
+    "dedup_keep_best",
+    "stream_dlq_stats",
 ]
 
 

@@ -2154,3 +2154,212 @@ def geo_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers", "total_acctbal",
         )
     )
+
+
+# -------------------------------------- winsorized robust value stats
+# Robust per-type telemetry stats: clamp value to its [p05, p95] band
+# before averaging — the outlier-resistant summary a fleet dashboard
+# shows when a stuck sensor would otherwise drag the mean. Cut points
+# come from ONE grouped approx_percentile reduce, broadcast back;
+# clamping and the clip counters run map-side (the same scalable
+# cut-point shape as rfm_segments_approx, grouped). Sums accumulate as
+# exact DECIMAL(18,2) (values are 2-decimal data), so the final double
+# division is cross-engine stable.
+_WINSOR_LO, _WINSOR_HI = 0.05, 0.95
+
+_WINSOR_ORACLE = f"""
+WITH rk AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+cuts AS (
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(CAST({_WINSOR_LO!r} AS DOUBLE) * n)
+                                   AS BIGINT) THEN value END) AS lo,
+           MAX(CASE WHEN rn = CAST(CEIL(CAST({_WINSOR_HI!r} AS DOUBLE) * n)
+                                   AS BIGINT) THEN value END) AS hi
+    FROM rk GROUP BY event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_low,
+       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_high,
+       ROUND(MAX(lo), 6) AS p05,
+       ROUND(MAX(hi), 6) AS p95,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi) AS DECIMAL(18,2)))
+                  AS DOUBLE) / COUNT(*), 6) AS winsorized_mean,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+           AS raw_mean
+FROM events JOIN cuts USING (event_type)
+GROUP BY event_type
+"""
+
+
+@query("winsorized_value_stats", oracle=_WINSOR_ORACLE)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) mean next to the raw mean plus clip
+    counters per event type — see module-level notes on the grouped
+    cut-point swap. The oracle picks cut points at the exact GK rank
+    (see _disc_cut_cols)."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = F.lit(APPROX_CUT_ACCURACY)
+    cuts = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(_WINSOR_LO), acc).alias("lo"),
+        F.approx_percentile("value", F.lit(_WINSOR_HI), acc).alias("hi"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("value") < F.col("lo")).cast("int")).cast("long").alias(
+            "n_clipped_low"
+        ),
+        F.sum((F.col("value") > F.col("hi")).cast("int")).cast("long").alias(
+            "n_clipped_high"
+        ),
+        F.round(F.max("lo"), 6).alias("p05"),
+        F.round(F.max("hi"), 6).alias("p95"),
+        F.round(
+            F.sum(clamped.cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("raw_mean"),
+    )
+
+
+# ------------------------------------------ order/lineitem reconcile
+# Financial-reconciliation audit: recompute each order's total from
+# its lines (extendedprice x (1-discount) x (1+tax), exact DECIMAL end
+# to end) and compare against the booked o_totalprice — the
+# cross-table consistency check a warehouse runs after every load.
+# Orders with no lines are surfaced, not dropped (referential audit).
+_RECONCILE_ORACLE = """
+WITH lt AS (
+    SELECT l_orderkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS recomputed
+    FROM lineitem GROUP BY 1
+),
+j AS (
+    SELECT o_orderstatus AS order_status,
+           recomputed,
+           ABS(CAST(recomputed - CAST(o_totalprice AS DECIMAL(18,2))
+                    AS DOUBLE)) AS adiff
+    FROM orders LEFT JOIN lt ON l_orderkey = o_orderkey
+)
+SELECT order_status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_without_lines,
+       CAST(SUM(CASE WHEN adiff <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reconciled,
+       CAST(SUM(CASE WHEN adiff > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mismatched,
+       ROUND(MAX(adiff), 6) AS max_abs_diff
+FROM j GROUP BY order_status
+"""
+
+
+@query("order_payment_reconcile", oracle=_RECONCILE_ORACLE)
+def order_payment_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module notes above the oracle. 100 TB shape: lineitem
+    pre-aggregates to one row per order BEFORE the join (partial aggs
+    map-side), then a key-colocated fact-fact join on orderkey — the
+    exact pair the bucketed-table layout (warehouse/bucketing.py)
+    amortizes; the final rollup groups on the 3-value status key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lt = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+        ).alias("recomputed")
+    )
+    j = orders.join(lt, orders.o_orderkey == lt.l_orderkey, "left").select(
+        F.col("o_orderstatus").alias("order_status"),
+        "recomputed",
+        F.abs(
+            (F.col("recomputed") - F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+        ).alias("adiff"),
+    )
+    return j.groupBy("order_status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("recomputed").isNull().cast("int")).cast("long").alias(
+            "n_without_lines"
+        ),
+        F.sum((F.col("adiff") <= 0.01).cast("int")).cast("long").alias(
+            "n_reconciled"
+        ),
+        F.sum((F.col("adiff") > 0.01).cast("int")).cast("long").alias(
+            "n_mismatched"
+        ),
+        F.round(F.max("adiff"), 6).alias("max_abs_diff"),
+    )
+
+
+# -------------------------------------------- interval overlap load
+# Sweep-line concurrency: how many orders are OPEN (orderdate ..
+# latest ship date of their lines) on each calendar day — the classic
+# interval-overlap count, computed without expanding order x day
+# rows: each order contributes a +1 delta at start and a -1 after its
+# end, deltas aggregate per day (one shuffle on a calendar-bounded
+# key), and the running sum over the per-day frame yields the load.
+# The cumulative window is global but over CALENDAR DAYS — a frame
+# bounded by the time span (a few thousand rows at any data scale),
+# not by data volume.
+_OVERLAP_ORACLE = """
+WITH span AS (
+    SELECT o_orderkey, CAST(MIN(o_orderdate) AS DATE) AS start_d,
+           CAST(MAX(l_shipdate) AS DATE) AS end_d
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1
+),
+deltas AS (
+    SELECT start_d AS d, 1 AS delta FROM span
+    UNION ALL
+    SELECT end_d + 1, -1 FROM span
+),
+byday AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY 1)
+SELECT CAST(epoch_us(CAST(d AS TIMESTAMP)) // 1000000 AS BIGINT) AS day_epoch,
+       CAST(SUM(net) OVER (ORDER BY d) AS BIGINT) AS open_orders
+FROM byday
+"""
+
+
+@query("interval_overlap_load", oracle=_OVERLAP_ORACLE)
+def interval_overlap_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module notes above the oracle (sweep-line interval overlap,
+    never an order x day expansion)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.to_date(F.min("o_orderdate")).alias("start_d"),
+            F.to_date(F.max("l_shipdate")).alias("end_d"),
+        )
+    )
+    deltas = span.select(
+        F.col("start_d").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        span.select(F.date_add("end_d", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    byday = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return byday.select(
+        F.unix_timestamp(F.col("d").cast("timestamp")).cast("long").alias("day_epoch"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )

@@ -544,3 +544,70 @@ def stream_txlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+DIRTY_FIXTURE = "/root/repo/tests/fixtures/sensor_stream_dirty.jsonl"
+
+# DuckDB reads the raw lines via read_text + split (no JSON reader —
+# the point is that some lines are NOT JSON) and applies the same
+# malformed predicate as parse_with_dlq: unparseable JSON, missing
+# device_id, or an uncastable time all quarantine.
+_DLQ_ORACLE = f"""
+WITH lines AS (
+    SELECT unnest(string_split(content, chr(10))) AS raw
+    FROM read_text('{DIRTY_FIXTURE}')
+),
+parsed AS (
+    SELECT raw,
+           CASE WHEN json_valid(raw)
+                THEN json_extract_string(raw, '$.device_id') END AS device_id,
+           CASE WHEN json_valid(raw)
+                THEN TRY_CAST(json_extract_string(raw, '$.time') AS TIMESTAMP)
+           END AS t
+    FROM lines WHERE length(raw) > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN device_id IS NULL OR t IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(SUM(CASE WHEN device_id IS NOT NULL AND t IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(COUNT(DISTINCT CASE WHEN device_id IS NOT NULL AND t IS NOT NULL
+                                THEN device_id END) AS BIGINT)
+           AS n_valid_devices
+FROM parsed
+"""
+
+
+@query("stream_dlq_stats", oracle=_DLQ_ORACLE)
+def stream_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue decode stats off the live stream: the wire
+    decode runs through parse_with_dlq (streaming/pipeline.py), which
+    PRESERVES the raw message next to the parsed fields and flags
+    undecodable rows (broken JSON, non-object payloads, missing
+    device_id, uncastable time) instead of dropping them — the
+    quarantine-and-replay input stage every production ingest needs.
+    Driven over a deliberately dirty fixture; the oracle re-derives
+    the same quarantine predicate from the raw lines WITHOUT a JSON
+    reader, so the engines cross-check each other's malformed-row
+    semantics, not just the happy path.
+
+    Scale: pure map-side decode — one pass, no shuffle until the
+    final 1-row rollup; the DLQ split itself (run_dlq_split) fans the
+    same frame to valid/quarantine sinks."""
+    from iot_etl_spark.streaming.pipeline import _singleton_dir, parse_with_dlq
+
+    raw = (
+        spark.readStream.text(_singleton_dir(DIRTY_FIXTURE))
+        .withColumnRenamed("value", "json_value")
+    )
+    flagged = parse_with_dlq(raw)
+    _, out = run_stream_to_memory(flagged, output_mode="append")
+    valid = ~F.col("is_malformed")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_malformed").cast("int")).cast("long").alias("n_quarantined"),
+        F.sum(valid.cast("int")).cast("long").alias("n_valid"),
+        F.count_distinct(
+            F.when(valid, F.col("device_id"))
+        ).cast("long").alias("n_valid_devices"),
+    )

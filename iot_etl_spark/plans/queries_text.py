@@ -1111,3 +1111,70 @@ def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(norm) != F.col("n_chars")).alias("changed"),
         F.md5(norm).alias("norm_digest"),
     )
+
+
+# --------------------------------------- keep-best dedup resolution
+# Policy layer on top of cluster resolution: within each near-dup
+# cluster keep the single BEST document (longest by n_chars, doc_id
+# tiebreak) instead of the arbitrary min-id canonical — the selection
+# rule an LLM-corpus dedup actually ships (drop the truncated mirror,
+# keep the full article). Composes the materialized cluster-label
+# stage with a per-cluster top-1 window (partitioned by cluster,
+# frames are cluster-sized — bounded by the dedup family's own
+# guarantees, never corpus-sized), then rolls up the keep/drop
+# decision per source for the run report.
+def _keep_best_oracle() -> str:
+    from iot_etl_spark.plans.queries_text import _CLUSTERS_CTES  # self-import safe
+
+    return f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM walk GROUP BY doc_id),
+ranked AS (
+    SELECT d.source, d.n_chars, l.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rk
+    FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS kept_chars,
+       ROUND(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END)::DOUBLE
+             / SUM(n_chars), 6) AS kept_char_share
+FROM ranked GROUP BY source
+"""
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module notes above: best-doc-per-cluster dedup resolution
+    (n_chars DESC, doc_id tiebreak), reported per source."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    labels = _cluster_labels_cached(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = (
+        docs.join(labels, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    kept = (F.col("rk") == 1).cast("int")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(1 - kept).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("rk") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+        F.round(
+            F.sum(F.when(F.col("rk") == 1, F.col("n_chars")).otherwise(0))
+            / F.sum("n_chars"),
+            6,
+        ).alias("kept_char_share"),
+    )
