@@ -170,24 +170,14 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(done_marker, "w") as fh:
             fh.write(tag)
         # evict bucket layouts for superseded source fingerprints —
-        # every testdata regen mints a new tag; same marker-first
-        # safety as stagecache.evict_stale_tags
-        tmp_root = os.path.dirname(root)
-        for d in os.listdir(tmp_root):
-            other = d[len("iot_etl_bucketed_"):]
-            if (
-                not d.startswith("iot_etl_bucketed_")
-                or len(other) != 8
-                or not all(c in "0123456789abcdef" for c in other)
-                or other == tag
-            ):
-                continue
-            stale_marker = os.path.join(tmp_root, d, "_BUCKETS_READY")
-            if os.path.exists(stale_marker):
-                os.remove(stale_marker)
-                import shutil
+        # every testdata regen mints a new tag; marker-first safety
+        # and the cross-process race handling live in the shared sweep
+        from iot_etl_spark.plans.stagecache import evict_stale_tags
 
-                shutil.rmtree(os.path.join(tmp_root, d), ignore_errors=True)
+        evict_stale_tags(
+            os.path.dirname(root), "iot_etl_bucketed", tag,
+            tag_len=8, marker_name="_BUCKETS_READY",
+        )
     joined = colocated_join(
         spark, f"bkt_orders_{tag}", f"bkt_lineitem_{tag}",
         on=[F.col("o_orderkey") == F.col("l_orderkey")],

@@ -36,18 +36,37 @@ _CACHE_ROOT = "/tmp/iot_etl_stages"
 _TAG_LEN = 12
 
 
-def evict_stale_tags(root: str, name: str, keep_tag: str) -> list[str]:
+def evict_stale_tags(
+    root: str,
+    name: str,
+    keep_tag: str,
+    tag_len: int = _TAG_LEN,
+    marker_name: str = "_READY",
+) -> list[str]:
     """Remove COMPLETED sibling cache entries for ``name`` whose tag
     differs from ``keep_tag`` — every testdata regen or builder edit
     mints a new tag, and without this sweep the orphaned directories
-    accumulate forever (VERDICT r4 hygiene item).
+    accumulate forever (VERDICT r4 hygiene item). ``tag_len`` and
+    ``marker_name`` parameterize the layout so every fingerprint-keyed
+    cache family (stage caches, bucketed table roots, streaming
+    serving tables) shares this one sweep instead of re-implementing
+    it (ADVICE r5).
 
-    Safety: only dirs carrying a ``_READY`` marker are candidates (a
-    markerless dir may be a concurrent writer mid-write; its own
-    overwrite handles it), and the marker is removed FIRST so a
-    concurrent reader that checks readiness never starts reading a
-    dir being deleted. A reader of a stale tag cannot exist within a
-    session — tags are pure functions of the current inputs."""
+    Safety: only dirs carrying the marker are candidates (a markerless
+    dir may be a concurrent writer mid-write; its own overwrite
+    handles it), and the marker is removed FIRST so a concurrent
+    reader that checks readiness never starts reading a dir being
+    deleted. Within one process, a reader of a stale tag cannot exist
+    — tags are pure functions of the current inputs. ACROSS processes
+    (parallel pytest + driver sharing the cache root) two sweepers can
+    race on the same stale marker, and a long-lived session in another
+    process may still hold a lazy DataFrame over a tag this process
+    considers stale; the lost-race unlink is treated as
+    already-evicted (suppressed), and the cross-process reader hazard
+    is accepted for /tmp scratch — a governed warehouse would pin
+    snapshots via the txlog instead."""
+    import contextlib
+
     if not os.path.isdir(root):
         return []
     prefix = f"{name}_"
@@ -56,15 +75,16 @@ def evict_stale_tags(root: str, name: str, keep_tag: str) -> list[str]:
         tag = d[len(prefix):]
         if (
             not d.startswith(prefix)
-            or len(tag) != _TAG_LEN
+            or len(tag) != tag_len
             or not all(c in "0123456789abcdef" for c in tag)
             or tag == keep_tag
         ):
             continue
-        marker = os.path.join(root, d, "_READY")
+        marker = os.path.join(root, d, marker_name)
         if not os.path.exists(marker):
             continue
-        os.remove(marker)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(marker)
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         evicted.append(d)
     return evicted

@@ -270,6 +270,15 @@ class TxTable:
                 # the winner may have BEEN this batch (two sinks racing
                 # the same replay): re-read the ledger before retrying
                 if batch_id in self.committed_batch_ids(ledger_id):
+                    # the loser's staged files are referenced by no log
+                    # entry — removing them is safe and avoids orphans
+                    # that would otherwise sit on disk until a vacuum
+                    # with elapsed retention runs (ADVICE r5)
+                    import contextlib
+
+                    for f in added:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.remove(os.path.join(self.data_dir, f))
                     return None
                 continue
         raise ConcurrentCommitError(f"append_batch lost {max_retries + 1} commit races")

@@ -711,3 +711,130 @@ def test_stateful_query_runs_on_rocksdb_state_store(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_txlog_upsert_sink_latest_per_key_resolution_and_compaction(spark):
+    """start_txlog_upsert_sink (the 100 TB replacement for the
+    per-group-directory parquet upsert sink): update-mode micro-batches
+    APPEND changed groups with their epoch seq; read_upserted resolves
+    latest-per-key — an updated group supersedes its earlier row, a
+    sibling group untouched by the update survives. OPTIMIZE compacts
+    the accumulated per-batch files into one without changing the
+    resolved view."""
+    from iot_etl_spark.streaming.pipeline import (
+        read_upserted,
+        start_txlog_upsert_sink,
+    )
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_txup_")
+    try:
+        base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        write_batch(
+            [
+                (1, base + datetime.timedelta(seconds=10), 1, "view", 1.0, None),
+                (2, base + datetime.timedelta(seconds=20), 1, "click", 2.0, None),
+            ],
+            "b1",
+        )
+        stream = read_stream_source(spark, "parquet", path=src_dir + "/*")
+        agg = windowed_aggregate(stream, window="1 minute", watermark=None)
+        t = TxTable(os.path.join(tmp, "serve"))
+        q = start_txlog_upsert_sink(agg, t, os.path.join(tmp, "ckpt"), trigger_seconds=1)
+        try:
+            q.processAllAvailable()
+            write_batch(
+                [(3, base + datetime.timedelta(seconds=30), 1, "click", 4.0, None)],
+                "b2",
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def resolved():
+            return {
+                r.event_type: r
+                for r in read_upserted(
+                    spark, t, ("window_start", "window_end", "event_type")
+                )
+                .select("event_type", "reading_count", "max_value")
+                .collect()
+            }
+
+        rows = resolved()
+        assert set(rows) == {"view", "click"}, "sibling group lost"
+        assert rows["view"].reading_count == 1
+        assert rows["click"].reading_count == 2 and rows["click"].max_value == 4.0
+        # the table holds BOTH click versions pre-resolution (append log)
+        assert t.read(spark).filter(F.col("event_type") == "click").count() == 2
+        # compaction: many per-batch files -> 1, resolution unchanged
+        assert len(t.snapshot_files()) > 1
+        t.optimize(spark)
+        assert len(t.snapshot_files()) == 1
+        assert resolved() == rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_txlog_upsert_sink_replay_is_exactly_once(spark):
+    """Re-draining the SAME finite source through a FRESH checkpoint
+    with the same ledger scope re-delivers every micro-batch; the
+    append_batch ledger skips each replay, so the resolved view (and
+    the underlying row count) is unchanged — and the replay loser's
+    staged files do not orphan (ADVICE r5: they are deleted, not left
+    for vacuum)."""
+    from iot_etl_spark.streaming.pipeline import (
+        read_upserted,
+        start_txlog_upsert_sink,
+    )
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_txrp_")
+    try:
+        base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+        spark.createDataFrame(
+            [
+                (1, base + datetime.timedelta(seconds=10), 1, "view", 1.0, None),
+                (2, base + datetime.timedelta(seconds=20), 1, "click", 2.0, None),
+            ],
+            schema,
+        ).withColumn("ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")).write.parquet(
+            os.path.join(src_dir, "b1")
+        )
+        t = TxTable(os.path.join(tmp, "serve"))
+        for i in range(2):  # run 2 = full replay via fresh checkpoint
+            stream = read_stream_source(spark, "parquet", path=src_dir + "/*")
+            agg = windowed_aggregate(stream, window="1 minute", watermark=None)
+            q = start_txlog_upsert_sink(
+                agg, t, os.path.join(tmp, f"ckpt{i}"), trigger_seconds=1
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        assert t.read(spark).count() == 2, "replayed batch was double-appended"
+        rows = {
+            r.event_type: r.reading_count
+            for r in read_upserted(
+                spark, t, ("window_start", "window_end", "event_type")
+            ).collect()
+        }
+        assert rows == {"view": 1, "click": 1}
+        # no orphaned data files: every file on disk is referenced
+        live = {os.path.basename(f) for f in t.snapshot_files()}
+        on_disk = set(os.listdir(t.data_dir))
+        assert on_disk == live, f"orphans: {on_disk - live}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
