@@ -1,0 +1,67 @@
+"""Hot-bucket guard for co-activity edge builds (VERDICT r5 item 4).
+
+The co-activity graph family (``device_cooccurrence``,
+``triangle_count_graph``, ``pagerank_device_graph``) derives edges
+from "two users active in the same minute bucket" — a pair expansion
+whose cost is the sum over buckets of occupancy², quadratic in a hot
+bucket's occupancy. At test scale the max per-minute occupancy is ~12;
+at 100 TB a flash-crowd minute with 10⁶ active users would expand
+10¹² pairs. This module makes the guard CODE, not prose: each family
+member has a ``_capped`` twin whose activity set is bounded per bucket
+BEFORE any pair expansion, the same pattern the approx-percentile
+twins apply to the global-NTILE family.
+
+Semantics (documented, deterministic): per bucket, the ``cap``
+lowest-id members are kept; members beyond the cap contribute no edges
+from that bucket. With ``cap >= max bucket occupancy`` the output is
+IDENTICAL to the exact build (pinned by pytest equivalence), so the
+twin is a pure scale guard, not an approximation at current data. The
+cap runs as a per-bucket ``row_number`` — sort-based, spillable,
+bounded state — never a ``collect_list`` of the raw bucket, so the
+guard itself cannot blow up on the hot bucket it protects against.
+
+Cap choice: ``COACT_BUCKET_CAP = 64`` — >5x the sf0.1 max occupancy
+(non-binding at every test SF) while bounding the per-bucket expansion
+at 64*63/2 = 2016 pairs regardless of crowd size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+COACT_BUCKET_CAP = 64
+
+
+def cap_bucket_activity(
+    act: DataFrame,
+    cap: int | None,
+    bucket_col: str = "b",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Bound a distinct (bucket, id) activity frame to at most ``cap``
+    members per bucket — the ``cap`` lowest ids win (deterministic and
+    engine-independent). ``cap=None`` is the exact pass-through, so
+    every consumer routes through this one guard and the capped twins
+    differ from their exact siblings by ONLY this call."""
+    if cap is None:
+        return act
+    w = Window.partitionBy(bucket_col).orderBy(id_col)
+    return (
+        act.withColumn("_bucket_rn", F.row_number().over(w))
+        .filter(F.col("_bucket_rn") <= cap)
+        .drop("_bucket_rn")
+    )
+
+
+def duck_capped_activity(bucket_sql: str, cap: int) -> str:
+    """DuckDB twin of ``cap_bucket_activity`` over the events view:
+    a CTE body yielding the capped distinct (b, user_id) activity set,
+    spliced into each capped twin's oracle so both engines apply the
+    identical per-bucket min-id cap."""
+    return f"""(
+    SELECT b, user_id FROM (
+        SELECT b, user_id,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY user_id) AS rn
+        FROM (SELECT DISTINCT {bucket_sql} AS b, user_id FROM events)
+    ) WHERE rn <= {cap}
+)"""

@@ -328,21 +328,11 @@ FROM p WHERE c >= {COOCCUR_MIN}
 """
 
 
-@query("device_cooccurrence", oracle=_COOCCUR_ORACLE)
-def device_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Device co-activity graph: pairs of devices active in the same
-    minute bucket at least {COOCCUR_MIN} times — correlated-device
-    discovery (shared gateway, duplicated stream, physical
-    coupling).
-
-    100 TB shape: NOT a self-join on the bucket key (a hot minute
-    would square) — distinct (minute, device) rows group per minute
-    into a sorted id array and pairs expand WITHIN the bucket, so
-    cost is sum of per-minute-activity^2, bounded by concurrent
-    activity, not corpus size; the pair aggregate is the only other
-    shuffle. Same shape as the LSH band-bucket pair expansion
-    (queries_text._band_candidate_pairs)."""
-    a = (
+def minute_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (minute-bucket, user) activity — the shared root of
+    the co-activity graph family (cooccurrence / triangles /
+    pagerank)."""
+    return (
         load_table(spark, sf_dir, "events")
         .select(
             F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).cast("long").alias("b"),
@@ -350,6 +340,9 @@ def device_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _cooccurrence_from_activity(a: DataFrame) -> DataFrame:
     buckets = (
         a.groupBy("b")
         .agg(F.array_sort(F.collect_list("user_id")).alias("ids"))
@@ -371,6 +364,63 @@ def device_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cominutes"))
         .filter(F.col("n_cominutes") >= COOCCUR_MIN)
     )
+
+
+@query("device_cooccurrence", oracle=_COOCCUR_ORACLE)
+def device_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device co-activity graph: pairs of devices active in the same
+    minute bucket at least {COOCCUR_MIN} times — correlated-device
+    discovery (shared gateway, duplicated stream, physical
+    coupling).
+
+    100 TB shape: NOT a self-join on the bucket key (a hot minute
+    would square) — distinct (minute, device) rows group per minute
+    into a sorted id array and pairs expand WITHIN the bucket, so
+    cost is sum of per-minute-activity^2, bounded by concurrent
+    activity, not corpus size; the pair aggregate is the only other
+    shuffle. Same shape as the LSH band-bucket pair expansion
+    (queries_text._band_candidate_pairs). A flash-crowd minute is
+    still quadratic in ITS occupancy — the bounded-fan-out variant is
+    device_cooccurrence_capped (plans/graphedges.py)."""
+    return _cooccurrence_from_activity(minute_activity(spark, sf_dir))
+
+
+from iot_etl_spark.plans.graphedges import (  # noqa: E402 - grouped section import
+    COACT_BUCKET_CAP,
+    cap_bucket_activity,
+    duck_capped_activity,
+)
+
+_COOCCUR_CAPPED_ORACLE = f"""
+WITH a AS (
+    SELECT b, user_id FROM {duck_capped_activity(duck_bucket_epoch('minute'), COACT_BUCKET_CAP)}
+),
+p AS (
+    SELECT x.user_id AS user_a, y.user_id AS user_b, COUNT(*) AS c
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id < y.user_id
+    GROUP BY 1, 2
+)
+SELECT user_a, user_b, CAST(c AS BIGINT) AS n_cominutes
+FROM p WHERE c >= {COOCCUR_MIN}
+"""
+
+
+@query("device_cooccurrence_capped", oracle=_COOCCUR_CAPPED_ORACLE)
+def device_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """device_cooccurrence with the hot-bucket guard as CODE (VERDICT
+    r5 item 4): per minute bucket, only the {COACT_BUCKET_CAP}
+    lowest-id active devices contribute pairs — per-bucket expansion
+    is bounded at cap*(cap-1)/2 regardless of a flash crowd's size,
+    so the plan survives a minute with 10^6 active devices. The cap is
+    a per-bucket row_number (sort-based, spillable), applied BEFORE
+    the collect/expand, and is non-binding at every test SF (max
+    observed occupancy 12 at sf0.1, so output == exact twin; pinned
+    by tests/test_graph_caps.py). Oracle applies the identical min-id
+    cap."""
+    act = cap_bucket_activity(
+        minute_activity(spark, sf_dir), COACT_BUCKET_CAP
+    )
+    return _cooccurrence_from_activity(act)
 
 
 # --------------------------------------------------- session path top-k

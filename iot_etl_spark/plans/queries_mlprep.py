@@ -114,7 +114,9 @@ def pagerank_device_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver only orchestrates; no data is collected. Iteration count is
     fixed (3) rather than convergence-tested, so the plan depth is
     static — the practical choice when a scheduler needs a bounded
-    DAG."""
+    DAG. The edge build's per-bucket pair expansion is quadratic in a
+    hot bucket's occupancy — the bounded variant is
+    pagerank_device_graph_capped (plans/graphedges.py)."""
     ev = load_table(spark, sf_dir, "events")
     act = (
         ev.select(
@@ -123,6 +125,10 @@ def pagerank_device_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return _pagerank_from_activity(ev, act)
+
+
+def _pagerank_from_activity(ev: DataFrame, act: DataFrame) -> DataFrame:
     buckets = (
         act.groupBy("b")
         .agg(F.array_sort(F.collect_list("user_id")).alias("ids"))
@@ -193,6 +199,51 @@ def pagerank_device_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r") / PR_SCALE, 6).alias("pagerank"),
         )
     )
+
+
+from iot_etl_spark.plans.graphedges import (  # noqa: E402 - grouped section import
+    COACT_BUCKET_CAP,
+    cap_bucket_activity,
+    duck_capped_activity,
+)
+
+_PAGERANK_CAPPED_ORACLE = _PAGERANK_ORACLE.replace(
+    """WITH a AS (
+    SELECT DISTINCT epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) // 1000000 AS b,
+           user_id
+    FROM events
+),""",
+    f"""WITH a AS (
+    SELECT b, user_id FROM {duck_capped_activity(
+        "epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) // 1000000",
+        COACT_BUCKET_CAP,
+    )}
+),""",
+)
+assert _PAGERANK_CAPPED_ORACLE != _PAGERANK_ORACLE  # replace() must land
+
+
+@query("pagerank_device_graph_capped", oracle=_PAGERANK_CAPPED_ORACLE)
+def pagerank_device_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pagerank_device_graph with the hot-bucket guard as CODE
+    (VERDICT r5 item 4): the minute-bucket activity set is bounded to
+    the {COACT_BUCKET_CAP} lowest ids per bucket BEFORE the edge pair
+    expansion — a flash-crowd minute contributes at most cap*(cap-1)
+    directed edges instead of occupancy². Node set, damping and the
+    integer-exact rank trajectory are unchanged (devices capped out of
+    a bucket keep their node row; they just gain no edges from that
+    bucket). Non-binding at every test SF (max occupancy 12 at sf0.1
+    → output == exact twin; pinned by tests/test_graph_caps.py).
+    Oracle applies the identical min-id cap."""
+    ev = load_table(spark, sf_dir, "events")
+    act = cap_bucket_activity(
+        ev.select(
+            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).cast("long").alias("b"),
+            "user_id",
+        ).distinct(),
+        COACT_BUCKET_CAP,
+    )
+    return _pagerank_from_activity(ev, act)
 
 
 # ------------------------------------------- hashed linear classifier
