@@ -28,72 +28,67 @@ from iot_etl_spark.plans import queries_audit  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
-# window is curated per round for maximum fresh evidence. Round-5
-# rotation (VERDICT r4 item 1): the 41 queries the driver has never
-# oracle-checked — the late round-4 registrations (audit family,
-# ML-prep batch, second-session analytics, graph/stream additions; all
-# judge-green at sf0.01 in r4) — so union driver coverage reaches
-# 186/186. The 9 spare slots go to round-5 registrations (ignored
-# until registered). Names listed here but not (yet) registered are
-# ignored; registered names absent from the list keep their original
-# relative order after the prioritized block.
+# window is curated per round for maximum fresh evidence. Round-6
+# rotation (VERDICT r5 item 5): union driver coverage reached the full
+# registry in r5, so this round begins REGRESSION re-rotation — the 3
+# round-6 registrations (the capped co-activity twins) plus the 47
+# OLDEST greens (the round-1 batch, in original registration order:
+# TPC-H core, SQL-surface, and the first events-analytics block),
+# which have not been driver-checked since 5 rounds of refactors.
+# Names listed here but not (yet) registered are ignored; registered
+# names absent from the list keep their original relative order after
+# the prioritized block.
 _DRIVER_WINDOW_FIRST: list[str] = [
-    # graph / linkage / similarity — never driver-checked (judge-green r4)
-    "pagerank_device_graph",
-    "triangle_count_graph",
-    "basket_lift_pairs",
-    "blocking_link_pairs",
-    "setsim_prefix_join",
-    # streaming — never driver-checked
-    "stream_txlog_ingest",
-    "stream_trending_topk",
-    # audit family — never driver-checked
-    "holt_forecast_per_device",
-    "key_skew_audit",
-    "hll_distinct_audit",
-    "minhash_estimate_audit",
-    "daily_active_flows",
-    "embedding_norm_outliers",
-    "rfm_segments",
-    "supplier_pareto_share",
-    "vocab_coverage_curve",
-    "dedup_cluster_size_hist",
-    # ML-prep batch — never driver-checked
-    "quality_classifier_score",
-    "duplicated_span_stats",
-    "shard_balance_audit",
-    "bigram_lm_score",
-    "split_leakage_audit",
-    "hashed_embedding_vectors",
-    "psi_value_drift",
-    "dedup_span_rewrite",
-    "corpus_datasheet",
-    # second-session analytics — never driver-checked
-    "rolling_7d_active_users",
-    "time_to_first_purchase",
-    "json_key_coverage",
-    "user_activity_streaks",
-    "duplicate_events_audit",
-    "catalog_profile",
-    "shipping_delay_stats",
-    "wow_percent_change",
-    "cohort_revenue_triangle",
-    "column_profile_events",
-    "top_parts_per_segment",
-    "segment_weekly_share",
-    "zipf_slope_audit",
-    "order_lines_histogram",
-    "geo_rollup_acctbal",
-    # round-5 registrations — fill the window's remaining 9 slots
-    "rfm_segments_approx",
-    "supplier_pareto_share_approx",
-    "quality_percentile_gate_approx",
-    "holt_forecast_recent",
-    "winsorized_value_stats",
-    "order_payment_reconcile",
-    "interval_overlap_load",
-    "dedup_keep_best",
-    "stream_dlq_stats",
+    "device_cooccurrence_capped",
+    "triangle_count_graph_capped",
+    "pagerank_device_graph_capped",
+    "benford_first_digit",
+    "nation_revenue_gini",
+    "editdist_blocking_pairs",
+    "pricing_summary",
+    "enriched_lineitem_topk",
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "order_priority_counts",
+    "sql_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q4_priority_with_returns",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_blame_supplier",
+    "q22_dormant_high_balance",
+    "q2_min_cost_supplier",
+    "sql_lateral_recent_orders",
+    "sql_recursive_dedup_roots",
+    "grouping_sets_matrix",
+    "hourly_device_agg",
+    "daily_agg_business_hours",
+    "latest_per_device",
+    "rolling_window_stats",
+    "lag_features",
+    "zscore_anomaly",
+    "hour_of_day_profile",
+    "weekend_weekday_comparison",
+    "anomaly_rate_by_device",
+    "device_health_24h",
+    "data_quality_metrics",
+    "device_stats",
+    "device_correlation",
+    "flagship_enriched_hourly",
+    "full_transform_pipeline",
 ]
 
 

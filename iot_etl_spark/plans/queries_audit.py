@@ -2411,3 +2411,205 @@ def interval_overlap_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("d").cast("timestamp")).cast("long").alias("day_epoch"),
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+# ---------------------------------------------- Benford first-digit audit
+_BENFORD_ORACLE = """
+WITH d AS (
+    SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') AS BIGINT)
+        AS digit
+    FROM orders
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT digit,
+       CAST(n AS BIGINT) AS n_orders,
+       ROUND(n / CAST(t.total AS DOUBLE), 6) AS observed_pct,
+       ROUND(LOG10(1 + 1.0 / digit), 6) AS expected_pct,
+       ROUND(ABS(n / CAST(t.total AS DOUBLE) - LOG10(1 + 1.0 / digit)), 6)
+           AS abs_dev
+FROM c CROSS JOIN t
+"""
+
+
+@query("benford_first_digit", oracle=_BENFORD_ORACLE)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/synthetic-data screen: organically-grown monetary amounts
+    follow P(d) = log10(1 + 1/d); a generator or manipulator that
+    draws uniformly does not. Digit extracted from the DECIMAL's
+    string form (first nonzero char), never via float log10, so there
+    is no boundary ambiguity at powers of ten.
+
+    100 TB shape: map-side regexp + a 9-group aggregate; the total is
+    a 1-row broadcast back onto 9 rows. Nothing scales with data but
+    the scan."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0)
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    obs = F.col("n") / F.col("total").cast("double")
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(obs, 6).alias("observed_pct"),
+        F.round(exp, 6).alias("expected_pct"),
+        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+    )
+
+
+# ------------------------------------------------ per-nation revenue Gini
+_GINI_ORACLE = """
+WITH r AS (
+    SELECT c.c_nationkey, o.o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+rk AS (
+    SELECT c_nationkey, rev,
+           ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey ORDER BY rev, o_custkey
+           ) AS i
+    FROM r
+),
+g AS (
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           SUM(rev) AS total,
+           SUM(i * rev) AS s
+    FROM rk GROUP BY 1
+)
+SELECT n.n_name,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       ROUND(CAST(total AS DOUBLE), 2) AS total_revenue,
+       ROUND((2.0 * CAST(s AS DOUBLE)) / (n_customers * CAST(total AS DOUBLE))
+             - (n_customers + 1.0) / n_customers, 6) AS gini
+FROM g JOIN nation n ON n.n_nationkey = g.c_nationkey
+"""
+
+
+@query("nation_revenue_gini", oracle=_GINI_ORACLE)
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue within each nation — the
+    inequality/concentration audit (is revenue spread across the
+    customer base or captured by a few accounts?) via the exact
+    rank formula G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n over ascending-
+    sorted revenues. Rank ties broken by custkey; equal revenues make
+    Σ(i*x_i) invariant to tie order, so the statistic is
+    deterministic. Revenue accumulates as DECIMAL (exact), the rank
+    products too; floats appear only in the final ratio, computed by
+    the identical expression in both engines.
+
+    100 TB shape: the rank window is PARTITIONED by nation over the
+    per-customer aggregate (customer-cardinality input, distributed
+    sort within nation) — never a global unpartitioned sort."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev", "o_custkey")
+    rk = r.withColumn("i", F.row_number().over(w))
+    g = rk.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("i") * F.col("rev")).alias("s"),
+    )
+    gini = (2.0 * F.col("s").cast("double")) / (
+        F.col("n_customers") * F.col("total").cast("double")
+    ) - (F.col("n_customers") + 1.0) / F.col("n_customers")
+    return g.join(F.broadcast(nation), g.c_nationkey == nation.n_nationkey).select(
+        "n_name",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(F.col("total").cast("double"), 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+# ------------------------------- edit-distance-1 blocking pair discovery
+_EDITDIST_ORACLE = """
+WITH nm AS (SELECT DISTINCT c_name AS name FROM customer),
+p AS (
+    SELECT a.name AS a, b.name AS b
+    FROM nm a JOIN nm b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) = 1
+),
+d AS (
+    SELECT name, COUNT(*) AS deg FROM (
+        SELECT a AS name FROM p UNION ALL SELECT b FROM p
+    ) GROUP BY 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_linked_names,
+       CAST(MAX(deg) AS BIGINT) AS max_degree,
+       ROUND(AVG(deg), 6) AS avg_degree
+FROM d
+"""
+
+
+@query("editdist_blocking_pairs", oracle=_EDITDIST_ORACLE)
+def editdist_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 name pair discovery via DELETION-NEIGHBORHOOD
+    blocking (the SymSpell/FastSS family): each name emits itself plus
+    its |name| single-character deletions; any two names within
+    Levenshtein distance 1 necessarily share a variant (substitution →
+    delete the differing position from both; insertion/deletion → the
+    longer's deletion equals the shorter), so candidate generation is
+    a variant-keyed equi-join — never an all-pairs scan — and an exact
+    levenshtein()==1 rescore removes false candidates. This is the
+    typo/duplicate-entity screen of record linkage, here summarized as
+    link-graph stats (pair count, linked names, degree profile).
+
+    100 TB shape: O(len) variants per name, shuffle keyed by variant;
+    hot variants are bounded by name length and alphabet, and the
+    rescore touches only candidates. The ORACLE intentionally uses the
+    quadratic exact self-join — two independent algorithms must agree
+    on every pair, which is precisely what makes the blocking
+    correctness-checkable.
+
+    Reference-free extension (SURVEY §2 linkage family, next to
+    blocking_link_pairs' soundex/zip blocking)."""
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("name"))
+        .distinct()
+    )
+    variants = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                "array_union(array(name), transform(sequence(1, length(name)), "
+                "i -> concat(substring(name, 1, i - 1), "
+                "substring(name, i + 1, length(name)))))"
+            )
+        ).alias("v"),
+    )
+    other = variants.select(F.col("v").alias("v2"), F.col("name").alias("name_b"))
+    pairs = (
+        variants.join(other, (F.col("v") == F.col("v2")) & (F.col("name") < F.col("name_b")))
+        .select(F.col("name").alias("a"), F.col("name_b").alias("b"))
+        .distinct()
+        .filter(F.levenshtein(F.col("a"), F.col("b")) == 1)
+    )
+    deg = (
+        pairs.select(F.col("a").alias("name"))
+        .unionAll(pairs.select(F.col("b").alias("name")))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_linked_names"),
+        F.max("deg").cast("long").alias("max_degree"),
+        F.round(F.avg("deg"), 6).alias("avg_degree"),
+    ).crossJoin(F.broadcast(n_pairs)).select(
+        "n_pairs", "n_linked_names", "max_degree", "avg_degree"
+    )

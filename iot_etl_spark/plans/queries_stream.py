@@ -486,7 +486,15 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from iot_etl_spark.warehouse.txlog import TxTable
 
-    code = inspect.getsource(stream_trending_topk)
+    from iot_etl_spark.streaming import pipeline as _pl
+
+    # the checkpoint hard-codes source paths resolved by the pipeline
+    # helpers, so their source is part of the tag too: a plumbing edit
+    # (e.g. the singleton-dir layout) mints a fresh serving dir instead
+    # of resuming a checkpoint whose recorded basePath no longer matches
+    code = inspect.getsource(stream_trending_topk) + inspect.getsource(
+        _pl._singleton_dir
+    ) + inspect.getsource(_pl.read_stream_source)
     tag = hashlib.md5(
         f"trend_topk|{_source_fingerprint(sf_dir, ('events',))}|{code}".encode()
     ).hexdigest()[:12]

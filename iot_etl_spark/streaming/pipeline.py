@@ -61,14 +61,28 @@ def stream_shuffle_scope(spark: SparkSession):
 
 
 def _singleton_dir(file_path: str) -> str:
-    """Directory containing a symlink to exactly one parquet file."""
+    """Directory containing a symlink to exactly one parquet file.
+
+    DETERMINISTIC per source path (md5-keyed, not mkdtemp): streaming
+    checkpoints record the source's basePath, so a fingerprint-keyed
+    checkpoint resumed in a LATER PROCESS must resolve the same
+    directory or the file source fails with "Wrong basePath". A lost
+    creation race with a concurrent process is benign — both build the
+    identical symlink."""
+    import contextlib
+    import hashlib
     import os
-    import tempfile
 
     d = _SINGLETON_DIRS.get(file_path)
     if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="iot_etl_stream_src_")
-        os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
+        real = os.path.realpath(file_path)
+        tag = hashlib.md5(real.encode()).hexdigest()[:12]
+        d = os.path.join("/tmp", f"iot_etl_stream_src_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(file_path))
+        if not os.path.lexists(link):
+            with contextlib.suppress(FileExistsError):
+                os.symlink(file_path, link)
         _SINGLETON_DIRS[file_path] = d
     return d
 

@@ -29,27 +29,23 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 5): the first 50 registration-order
-    # names front-load the 41 never-driver-checked round-4 queries
-    # (VERDICT r4 item 1) so union driver coverage reaches 186/186.
+    # driver-window curation (round 6, VERDICT r5 item 5): full union
+    # coverage was reached in r5, so the window now carries the round-6
+    # registrations plus the OLDEST r1 greens for regression re-checks.
     first50 = list(qs)[:50]
     for must in (
-        "pagerank_device_graph",
-        "triangle_count_graph",
-        "basket_lift_pairs",
-        "blocking_link_pairs",
-        "setsim_prefix_join",
-        "stream_txlog_ingest",
-        "stream_trending_topk",
-        "rfm_segments",
-        "supplier_pareto_share",
-        "vocab_coverage_curve",
-        "quality_classifier_score",
-        "dedup_span_rewrite",
-        "corpus_datasheet",
-        "wow_percent_change",
-        "zipf_slope_audit",
-        "geo_rollup_acctbal",
+        "device_cooccurrence_capped",
+        "triangle_count_graph_capped",
+        "pagerank_device_graph_capped",
+        "pricing_summary",
+        "order_priority_counts",
+        "hourly_device_agg",
+        "latest_per_device",
+        "rolling_window_stats",
+        "zscore_anomaly",
+        "device_stats",
+        "full_transform_pipeline",
+        "flagship_enriched_hourly",
     ):
         assert must in first50, must
 
