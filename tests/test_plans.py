@@ -264,3 +264,28 @@ def test_session3_bi_plan_shapes(spark):
 
     plan, _ = _plans(spark, "shipping_delay_stats")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_round6_additions_plan_shapes(spark):
+    """Round-6 additions: the edit-distance blocking join is a
+    variant-keyed equi-join (never an all-pairs product), the Gini
+    rank window partitions by nation (never a global single-partition
+    window before aggregation), and the capped co-activity twins keep
+    the bucket cap as a partitioned window, no cartesian fallback."""
+    plan, _ = _plans(spark, "editdist_blocking_pairs")
+    # candidate generation must be a variant-keyed EQUI-join (the
+    # 1-row summary stitch at the end is a legitimate broadcast
+    # cross join, same exclusion as the embedding top-k family)
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+    plan, _ = _plans(spark, "nation_revenue_gini")
+    # the only SinglePartition allowed is none: ranks partition by
+    # nation and the result stays per-nation
+    assert "SinglePartition" not in plan
+
+    for name in ["device_cooccurrence_capped", "triangle_count_graph_capped"]:
+        plan, _ = _plans(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
