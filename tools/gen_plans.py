@@ -51,6 +51,15 @@ PICKS = [
     ("holt_forecast_per_device",
      "per-key sequential recurrence: one shuffle to the sorted array, "
      "the whole fold inside codegen"),
+    ("triangle_count_graph_capped",
+     "hot-bucket guard: per-bucket row_number cap bounds the pair "
+     "expansion before any join; downstream oriented wedge join unchanged"),
+    ("editdist_blocking_pairs",
+     "deletion-neighborhood blocking: variant-keyed equi-join + exact "
+     "levenshtein rescore, never an all-pairs product"),
+    ("nation_revenue_gini",
+     "exact rank-formula Gini: nation-partitioned window over the "
+     "per-customer aggregate, no global sort or single-partition exchange"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
