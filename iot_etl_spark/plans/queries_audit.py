@@ -2535,6 +2535,37 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------- edit-distance-1 blocking pair discovery
+def _editdist1_pairs(names: DataFrame) -> DataFrame:
+    """All unordered pairs of distinct ``name`` values within
+    Levenshtein distance 1, via deletion-neighborhood blocking: each
+    name emits itself plus its single-character deletions; every
+    distance-1 pair shares a variant (substitution → delete the
+    differing position from both; insert/delete → the longer's
+    deletion equals the shorter), so candidates come from a
+    variant-keyed equi-join and the exact levenshtein()==1 rescore
+    drops false candidates. Completeness across ALL three edit kinds
+    is pinned by tests/test_operators.py against a brute-force
+    quadratic (the customer-name corpus alone only exercises
+    substitutions — equal lengths)."""
+    variants = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                "array_union(array(name), transform(sequence(1, length(name)), "
+                "i -> concat(substring(name, 1, i - 1), "
+                "substring(name, i + 1, length(name)))))"
+            )
+        ).alias("v"),
+    )
+    other = variants.select(F.col("v").alias("v2"), F.col("name").alias("name_b"))
+    return (
+        variants.join(other, (F.col("v") == F.col("v2")) & (F.col("name") < F.col("name_b")))
+        .select(F.col("name").alias("a"), F.col("name_b").alias("b"))
+        .distinct()
+        .filter(F.levenshtein(F.col("a"), F.col("b")) == 1)
+    )
+
+
 _EDITDIST_ORACLE = """
 WITH nm AS (SELECT DISTINCT c_name AS name FROM customer),
 p AS (
@@ -2582,23 +2613,7 @@ def editdist_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_name").alias("name"))
         .distinct()
     )
-    variants = names.select(
-        "name",
-        F.explode(
-            F.expr(
-                "array_union(array(name), transform(sequence(1, length(name)), "
-                "i -> concat(substring(name, 1, i - 1), "
-                "substring(name, i + 1, length(name)))))"
-            )
-        ).alias("v"),
-    )
-    other = variants.select(F.col("v").alias("v2"), F.col("name").alias("name_b"))
-    pairs = (
-        variants.join(other, (F.col("v") == F.col("v2")) & (F.col("name") < F.col("name_b")))
-        .select(F.col("name").alias("a"), F.col("name_b").alias("b"))
-        .distinct()
-        .filter(F.levenshtein(F.col("a"), F.col("b")) == 1)
-    )
+    pairs = _editdist1_pairs(names)
     deg = (
         pairs.select(F.col("a").alias("name"))
         .unionAll(pairs.select(F.col("b").alias("name")))

@@ -348,3 +348,38 @@ def test_constraint_report_quoted_names_survive(spark):
     assert len(rep) == 1
     assert rep[0].constraint == name
     assert rep[0].n_violations == 1
+
+
+def test_editdist1_blocking_complete_for_all_edit_kinds(spark):
+    """Deletion-neighborhood blocking must find EVERY Levenshtein-1
+    pair — substitution, insertion, and deletion (the customer-name
+    corpus only exercises substitutions, so mixed-length cases are
+    pinned here against a brute-force quadratic)."""
+    import itertools
+
+    from iot_etl_spark.plans.queries_audit import _editdist1_pairs
+
+    words = [
+        "cat", "cut", "cart", "carts", "car", "ca", "dog", "dig",
+        "digs", "dogs", "sparky", "spark", "spar", "spa", "xyz",
+    ]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) == 1
+    )
+    names = spark.createDataFrame([(w,) for w in words], "name STRING")
+    got = sorted((r.a, r.b) for r in _editdist1_pairs(names).collect())
+    assert got == expected and len(expected) >= 8
