@@ -55,8 +55,8 @@ PICKS = [
      "hot-bucket guard: per-bucket row_number cap bounds the pair "
      "expansion before any join; downstream oriented wedge join unchanged"),
     ("editdist_blocking_pairs",
-     "deletion-neighborhood blocking: variant-keyed equi-join + exact "
-     "levenshtein rescore, never an all-pairs product"),
+     "deletion-neighborhood blocking: position-filtered variant equi-join, "
+     "exact by construction, never an all-pairs product"),
     ("nation_revenue_gini",
      "exact rank-formula Gini: nation-partitioned window over the "
      "per-customer aggregate, no global sort or single-partition exchange"),
