@@ -53,6 +53,37 @@ def cap_bucket_activity(
     )
 
 
+def capped_minute_activity(spark, sf_dir: str):
+    """The shared root of all three ``_capped`` co-activity twins
+    (cooccurrence / triangles / PageRank): distinct (minute, user)
+    activity with the COACT_BUCKET_CAP guard applied, MATERIALIZED
+    once per (source fingerprint, builder code) via the stage cache —
+    the twins otherwise each pay the distinct + per-bucket window
+    again. At 100 TB this is the activity-index table a graph
+    pipeline maintains beside the events (same argument as the
+    MinHash/SimHash shared stages)."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+    from iot_etl_spark.sources.tables import load_table
+
+    def build():
+        act = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                F.unix_timestamp(F.date_trunc("minute", F.col("ts")))
+                .cast("long")
+                .alias("b"),
+                "user_id",
+            )
+            .distinct()
+        )
+        return cap_bucket_activity(act, COACT_BUCKET_CAP)
+
+    return cached_stage(
+        spark, "coact_capped", sf_dir, ("events",), build,
+        code_deps=(cap_bucket_activity,),
+    )
+
+
 def duck_capped_activity(bucket_sql: str, cap: int) -> str:
     """DuckDB twin of ``cap_bucket_activity`` over the events view:
     a CTE body yielding the capped distinct (b, user_id) activity set,

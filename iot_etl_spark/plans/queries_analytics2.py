@@ -416,11 +416,12 @@ def device_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collect/expand, and is non-binding at every test SF (max
     observed occupancy 12 at sf0.1, so output == exact twin; pinned
     by tests/test_graph_caps.py). Oracle applies the identical min-id
-    cap."""
-    act = cap_bucket_activity(
-        minute_activity(spark, sf_dir), COACT_BUCKET_CAP
-    )
-    return _cooccurrence_from_activity(act)
+    cap. The capped activity frame is the stage-cached root shared
+    with the other two capped twins
+    (graphedges.capped_minute_activity)."""
+    from iot_etl_spark.plans.graphedges import capped_minute_activity
+
+    return _cooccurrence_from_activity(capped_minute_activity(spark, sf_dir))
 
 
 # --------------------------------------------------- session path top-k

@@ -1359,9 +1359,12 @@ def triangle_count_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     test SF (max observed occupancy 12 at sf0.1 → output == exact
     twin; pinned by tests/test_graph_caps.py); the degree-oriented
     wedge join downstream is unchanged. Oracle applies the identical
-    min-id cap."""
-    act = cap_bucket_activity(_minute_act(spark, sf_dir), COACT_BUCKET_CAP)
-    return _triangle_from_activity(act)
+    min-id cap. The capped activity frame is the stage-cached root
+    shared with the other two capped twins
+    (graphedges.capped_minute_activity)."""
+    from iot_etl_spark.plans.graphedges import capped_minute_activity
+
+    return _triangle_from_activity(capped_minute_activity(spark, sf_dir))
 
 
 # ------------------------------------------- rolling 7-day active users

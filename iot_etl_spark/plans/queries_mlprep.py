@@ -234,16 +234,13 @@ def pagerank_device_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bucket keep their node row; they just gain no edges from that
     bucket). Non-binding at every test SF (max occupancy 12 at sf0.1
     → output == exact twin; pinned by tests/test_graph_caps.py).
-    Oracle applies the identical min-id cap."""
+    Oracle applies the identical min-id cap. The capped activity
+    frame is the stage-cached root shared with the other two capped
+    twins (graphedges.capped_minute_activity)."""
+    from iot_etl_spark.plans.graphedges import capped_minute_activity
+
     ev = load_table(spark, sf_dir, "events")
-    act = cap_bucket_activity(
-        ev.select(
-            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).cast("long").alias("b"),
-            "user_id",
-        ).distinct(),
-        COACT_BUCKET_CAP,
-    )
-    return _pagerank_from_activity(ev, act)
+    return _pagerank_from_activity(ev, capped_minute_activity(spark, sf_dir))
 
 
 # ------------------------------------------- hashed linear classifier
