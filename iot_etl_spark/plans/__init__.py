@@ -45,6 +45,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "benford_first_digit",
     "nation_revenue_gini",
     "editdist_blocking_pairs",
+    "theilsen_trend_recent",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -80,7 +81,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "rolling_window_stats",
     "lag_features",
     "zscore_anomaly",
-    "hour_of_day_profile",
     "weekend_weekday_comparison",
     "anomaly_rate_by_device",
     "device_health_24h",

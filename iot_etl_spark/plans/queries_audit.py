@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from iot_etl_spark.plans.registry import query, duck_bucket_epoch
+from iot_etl_spark.plans.registry import DUCK_TS, query, duck_bucket_epoch
 from iot_etl_spark.sources.tables import load_table
 
 # ------------------------------------------------------ key skew audit
@@ -2651,4 +2651,111 @@ def editdist_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("deg"), 6).alias("avg_degree"),
     ).crossJoin(F.broadcast(n_pairs)).select(
         "n_pairs", "n_linked_names", "max_degree", "avg_degree"
+    )
+
+
+# ------------------------------------- Theil-Sen robust trend (trailing)
+THEIL_N = 24  # trailing points per device -> at most 276 pairwise slopes
+
+_THEILSEN_ORACLE = f"""
+WITH o AS (
+    SELECT user_id, epoch_us({DUCK_TS}) AS t, event_id, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY {DUCK_TS} DESC, event_id DESC
+           ) AS rd
+    FROM events
+),
+r AS (SELECT * FROM o WHERE rd <= {THEIL_N}),
+np AS (
+    SELECT user_id, COUNT(*) AS n_points FROM r GROUP BY 1 HAVING COUNT(*) >= 2
+),
+p AS (
+    SELECT a.user_id,
+           (b.value - a.value) / CAST(b.t - a.t AS DOUBLE) AS s
+    FROM r a JOIN r b ON a.user_id = b.user_id
+     AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+     AND a.t <> b.t
+),
+c AS (SELECT user_id, COUNT(*) AS n_slopes FROM p GROUP BY 1),
+m AS (
+    SELECT user_id, s, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s) AS rk
+    FROM p
+)
+SELECT np.user_id,
+       CAST(np.n_points AS BIGINT) AS n_points,
+       CAST(c.n_slopes AS BIGINT) AS n_slopes,
+       ROUND(m.s, 6) AS theilsen_slope
+FROM np
+JOIN c ON c.user_id = np.user_id
+JOIN m ON m.user_id = np.user_id AND m.rk = (c.n_slopes + 1) // 2
+"""
+
+
+@query("theilsen_trend_recent", oracle=_THEILSEN_ORACLE)
+def theilsen_trend_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per device over the trailing {THEIL_N}
+    readings: the (lower) median of all pairwise slopes — the
+    breakdown-point-29% robust alternative to the OLS slope
+    (regr_value_trend), immune to the spikes that drag least squares.
+    Pairs with equal timestamps are excluded (undefined slope);
+    devices need >= 2 points and >= 1 defined slope.
+
+    Exactness: the pair order is (t, event_id)-canonical on both
+    sides, each slope is the identical IEEE double expression
+    (later - earlier over later - earlier), and the median is the
+    ORDER-STATISTIC element at rank (n+1) div 2 — engines sort the
+    same doubles and pick the same element, so no averaging or
+    interpolation can diverge.
+
+    100 TB shape: the trailing-window cut is a per-key row_number
+    (bounded history — the holt_forecast_recent convention), then ALL
+    pairwise work happens inside one array expression per device
+    (<= 276 slopes from 24 points, map-side, whole-stage codegen) —
+    the O(N^2) is bounded by the window constant, never by stream
+    length, and the only shuffle is the per-device grouping."""
+    ev = load_table(spark, sf_dir, "events")
+    # unix_micros is monotone in ts, so ordering by t == ordering by ts
+    w = Window.partitionBy("user_id").orderBy(F.desc("t"), F.desc("event_id"))
+    recent = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            "value",
+        )
+        .withColumn("rd", F.row_number().over(w))
+        .filter(F.col("rd") <= THEIL_N)
+    )
+    arr = (
+        recent.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("t", "event_id", "value"))
+            ).alias("seq")
+        )
+        .filter(F.size("seq") >= 2)
+    )
+    slopes = F.expr(
+        """
+        array_sort(filter(
+          flatten(transform(sequence(0, size(seq) - 2), i ->
+            transform(sequence(i + 1, size(seq) - 1), j ->
+              CASE WHEN seq[j].t <> seq[i].t
+                   THEN (seq[j].value - seq[i].value)
+                        / CAST(seq[j].t - seq[i].t AS DOUBLE) END))),
+          s -> s IS NOT NULL))
+        """
+    )
+    out = arr.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_points"),
+        slopes.alias("ss"),
+    ).filter(F.size("ss") >= 1)
+    return out.select(
+        "user_id",
+        "n_points",
+        F.size("ss").cast("long").alias("n_slopes"),
+        F.round(
+            F.element_at("ss", ((F.size("ss") + 1) / 2).cast("int")), 6
+        ).alias("theilsen_slope"),
     )
