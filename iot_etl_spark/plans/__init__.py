@@ -46,6 +46,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "nation_revenue_gini",
     "editdist_blocking_pairs",
     "theilsen_trend_recent",
+    "embedding_truncation_audit",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -82,7 +83,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "lag_features",
     "zscore_anomaly",
     "weekend_weekday_comparison",
-    "anomaly_rate_by_device",
     "device_health_24h",
     "data_quality_metrics",
     "device_stats",

@@ -458,3 +458,87 @@ def semantic_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").isNull().alias("kept"),
         )
     )
+
+
+# --------------------------------- truncated-dimension fidelity audit
+TRUNC_DIMS = (8, 16, 32, 64)
+TRUNC_SAMPLE_MOD = 10  # audit sample: every 10th vector id
+
+_TRUNC_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    FROM embeddings WHERE vec_id % {TRUNC_SAMPLE_MOD} = 0
+),
+p AS (
+    SELECT a.emb AS ea, b.emb AS eb
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+),
+c AS (
+    SELECT d.dim,
+           list_inner_product(ea[1:d.dim], eb[1:d.dim])
+             / (sqrt(list_inner_product(ea[1:d.dim], ea[1:d.dim]))
+                * sqrt(list_inner_product(eb[1:d.dim], eb[1:d.dim]))) AS cd,
+           list_inner_product(ea, eb)
+             / (sqrt(list_inner_product(ea, ea))
+                * sqrt(list_inner_product(eb, eb))) AS cf
+    FROM p, (VALUES {", ".join(f"({d})" for d in TRUNC_DIMS)}) d(dim)
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(CAST(ROUND(ABS(cd - cf) * 1000000) AS BIGINT))
+             / COUNT(*) / 1000000.0, 6) AS mean_abs_err,
+       ROUND(MAX(ABS(cd - cf)), 6) AS max_abs_err
+FROM c GROUP BY 1
+"""
+
+
+@query("embedding_truncation_audit", oracle=_TRUNC_ORACLE)
+def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation fidelity audit: how much does
+    cosine similarity drift when vectors are cut to their first
+    8/16/32/64 dimensions? Mean and max absolute deviation from the
+    full-dimension cosine over a deterministic id-sampled pair set —
+    the measurement that decides whether a truncated (cheaper) index
+    tier is usable, the same role the recall pytest plays for IVF.
+
+    Exactness: cosines are sequential left-to-right folds on both
+    engines (the embedding_similar_pairs convention); the MEAN
+    quantizes each |Δcosine| to BIGINT micro-units before summing
+    (the changepoint_cusum convention) so no distributed float
+    accumulation order can flip the 6th decimal; MAX is order-free.
+
+    Scale: an audit over a BOUNDED sample (every
+    {TRUNC_SAMPLE_MOD}th id), so the pair expansion is O(sample²) by
+    design and rides a broadcast of the sample — the guard is the
+    sample bound, not a join strategy; the full corpus is never
+    pair-expanded."""
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % TRUNC_SAMPLE_MOD == 0)
+        .select("vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("emb"))
+    )
+    b = v.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("eb"))
+    pairs = v.join(F.broadcast(b), F.col("vec_id") < F.col("vec_id_b")).select(
+        F.col("emb").alias("ea"), "eb"
+    )
+    dims = F.explode(F.array(*[F.lit(d) for d in TRUNC_DIMS])).alias("dim")
+    expanded = pairs.select("ea", "eb", dims)
+
+    def cos(a, bcol):
+        return _dot(a, bcol) / (_norm(a) * _norm(bcol))
+
+    ta = F.slice("ea", 1, F.col("dim"))
+    tb = F.slice("eb", 1, F.col("dim"))
+    scored = expanded.select(
+        "dim",
+        cos(ta, tb).alias("cd"),
+        cos(F.col("ea"), F.col("eb")).alias("cf"),
+    )
+    err_units = F.round(F.abs(F.col("cd") - F.col("cf")) * 1000000).cast("long")
+    return scored.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(err_units) / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_abs_err"),
+        F.round(F.max(F.abs(F.col("cd") - F.col("cf"))), 6).alias("max_abs_err"),
+    )
