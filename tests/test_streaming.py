@@ -301,9 +301,16 @@ def test_stateful_ewma_state_survives_across_batches(spark):
         os.makedirs(src_dir)
 
         def write_batch(rows, name):
+            # ONE part file per logical batch: the always-on trigger
+            # lists the source directory continuously and can pick up a
+            # multi-part write's files AS TASKS COMMIT (observed under
+            # full-suite load: a 1-row micro-batch with values out of
+            # ts order, breaking the prefix-fold invariant). A single
+            # file appears atomically (task-commit rename), so each
+            # logical batch is exactly one indivisible source unit.
             spark.createDataFrame(rows, schema).withColumn(
                 "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
-            ).write.parquet(os.path.join(src_dir, name))
+            ).coalesce(1).write.parquet(os.path.join(src_dir, name))
 
         b1 = [(i, base + datetime.timedelta(seconds=i), 1, "view", float(10 + i), None)
               for i in range(4)]
