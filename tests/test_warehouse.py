@@ -799,3 +799,35 @@ def test_compact_leaf_partitions_on_upsert_sink_layout(spark, tmp_path):
     assert snap() == before, "compaction changed the data"
     # idempotent: already-compacted leaves are skipped
     assert compact_leaf_partitions(spark, path) == n_after
+
+
+def test_compact_leaf_partitions_ignores_orphaned_staging(spark, tmp_path):
+    """Crash-safety of the leaf compactor: a dot-prefixed staging dir
+    orphaned by a mid-job crash is invisible to partition discovery
+    (reads unchanged) and is not treated as a leaf by a later
+    compaction run."""
+    import os
+
+    from iot_etl_spark.warehouse.lifecycle import compact_leaf_partitions
+
+    path = str(tmp_path / "serve")
+    df = spark.createDataFrame(
+        [("20240101_100000", "view", i, float(i)) for i in range(4)],
+        "window_key STRING, event_type STRING, n LONG, v DOUBLE",
+    )
+    for _ in range(2):
+        df.write.mode("append").partitionBy("window_key", "event_type").parquet(path)
+
+    def snap():
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    before = snap()
+    # simulate a crashed compaction: orphaned staging next to the leaf
+    orphan = os.path.join(
+        path, "window_key=20240101_100000", "._compact_deadbeef"
+    )
+    df.limit(1).select("n", "v").write.parquet(orphan)
+    assert snap() == before, "orphaned ._compact_ dir leaked into reads"
+    compact_leaf_partitions(spark, path)
+    assert snap() == before
+    assert os.path.isdir(orphan), "compactor must not treat staging as a leaf"
