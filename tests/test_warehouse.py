@@ -831,3 +831,54 @@ def test_compact_leaf_partitions_ignores_orphaned_staging(spark, tmp_path):
     compact_leaf_partitions(spark, path)
     assert snap() == before
     assert os.path.isdir(orphan), "compactor must not treat staging as a leaf"
+
+
+def test_cdf_driven_incremental_refresh(spark, tmp_path):
+    """Compose the two lifecycle primitives end to end (the Delta/
+    Iceberg incremental-MV pattern): the txlog CHANGE DATA FEED tells
+    the refresh job its dirty window — read_changes since the last
+    refreshed version yields exactly the late-arriving rows, their
+    min date snaps the window, and refresh_agg over that window makes
+    the aggregate equal a full recompute. No full-history rescan: the
+    CDF read touches only the new files."""
+    import os
+
+    from iot_etl_spark.sources.tables import load_table
+    from iot_etl_spark.warehouse.lifecycle import (
+        hourly_agg,
+        materialize_agg,
+        read_agg,
+        refresh_agg,
+    )
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    split = events.select(
+        F.date_add(F.min(F.to_date("ts")), 3).alias("d")
+    ).first()["d"]
+    old = events.filter(F.to_date("ts") < F.lit(split))
+    late = events.filter(F.to_date("ts") >= F.lit(split))
+
+    t = TxTable(str(tmp_path / "events_tx"))
+    v0 = t.append(old)
+    agg_path = str(tmp_path / "hourly")
+    materialize_agg(t.read(spark), agg_path, bucket="hour")
+
+    t.append(late)  # late-arriving facts land as a new commit
+
+    # the refresh job derives its dirty window FROM THE LOG, not from
+    # a rescan: changes since the version it last aggregated
+    delta = t.read_changes(spark, since_version=v0)
+    assert delta.count() == late.count()
+    dirty_start = delta.select(F.min(F.to_date("ts"))).first()[0]
+    refresh_agg(t.read(spark), agg_path, since=dirty_start, bucket="hour")
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(cols).collect())
+
+    assert canon(read_agg(spark, agg_path).drop("agg_date")) == canon(
+        hourly_agg(t.read(spark))
+    )
