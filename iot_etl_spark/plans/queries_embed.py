@@ -462,12 +462,17 @@ def semantic_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------- truncated-dimension fidelity audit
 TRUNC_DIMS = (8, 16, 32, 64)
-TRUNC_SAMPLE_MOD = 10  # audit sample: every 10th vector id
+TRUNC_SAMPLE_MOD = 10   # audit sample: every 10th vector id ...
+TRUNC_SAMPLE_MAX = 512  # ... capped at 512 vectors ABSOLUTELY — a
+# mod-only sample grows linearly with the corpus and its pair set
+# quadratically; the cap keeps the audit O(1) at any scale
 
 _TRUNC_ORACLE = f"""
 WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-    FROM embeddings WHERE vec_id % {TRUNC_SAMPLE_MOD} = 0
+    FROM embeddings
+    WHERE vec_id % {TRUNC_SAMPLE_MOD} = 0
+      AND vec_id < {TRUNC_SAMPLE_MOD} * {TRUNC_SAMPLE_MAX}
 ),
 p AS (
     SELECT a.emb AS ea, b.emb AS eb
@@ -507,14 +512,18 @@ def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the changepoint_cusum convention) so no distributed float
     accumulation order can flip the 6th decimal; MAX is order-free.
 
-    Scale: an audit over a BOUNDED sample (every
-    {TRUNC_SAMPLE_MOD}th id), so the pair expansion is O(sample²) by
-    design and rides a broadcast of the sample — the guard is the
-    sample bound, not a join strategy; the full corpus is never
+    Scale: an audit over an ABSOLUTELY BOUNDED sample (every
+    {TRUNC_SAMPLE_MOD}th id, capped at {TRUNC_SAMPLE_MAX} vectors —
+    a mod-only sample would grow with the corpus and pair-expand
+    quadratically), so the pair expansion is O(cap²) at any scale and
+    rides a broadcast of the sample; the full corpus is never
     pair-expanded."""
     v = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % TRUNC_SAMPLE_MOD == 0)
+        .filter(
+            (F.col("vec_id") % TRUNC_SAMPLE_MOD == 0)
+            & (F.col("vec_id") < TRUNC_SAMPLE_MOD * TRUNC_SAMPLE_MAX)
+        )
         .select("vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("emb"))
     )
     b = v.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("eb"))
