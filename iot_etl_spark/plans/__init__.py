@@ -47,6 +47,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "editdist_blocking_pairs",
     "theilsen_trend_recent",
     "embedding_truncation_audit",
+    "pps_sample_estimate",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -83,7 +84,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "lag_features",
     "zscore_anomaly",
     "weekend_weekday_comparison",
-    "device_health_24h",
     "data_quality_metrics",
     "device_stats",
     "device_correlation",

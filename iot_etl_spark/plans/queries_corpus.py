@@ -927,3 +927,105 @@ def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------- PPS sampling + Horvitz-Thompson estimation
+PPS_K = 8           # expected sample size per source
+PPS_U_GRAIN = 1_000_000  # deterministic uniform lattice 1e-6
+
+_PPS_ORACLE = f"""
+WITH d AS (
+    SELECT source, doc_id, n_chars,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % {PPS_U_GRAIN}) / {PPS_U_GRAIN}.0 AS u
+    FROM documents
+),
+w AS (
+    SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(*) AS n_docs
+    FROM d GROUP BY 1
+),
+p AS (
+    SELECT d.source, d.n_chars, d.u,
+           LEAST(1.0, {PPS_K} * d.n_chars / CAST(w.total_chars AS DOUBLE)) AS pi
+    FROM d JOIN w ON w.source = d.source
+)
+SELECT p.source,
+       CAST(w.n_docs AS BIGINT) AS n_docs,
+       w.total_chars AS true_chars,
+       CAST(SUM(CASE WHEN u < pi THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN u < pi
+                     THEN CAST(ROUND(n_chars / pi) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS ht_estimate_chars,
+       ROUND((SUM(CASE WHEN u < pi
+                       THEN CAST(ROUND(n_chars / pi) AS BIGINT)
+                       ELSE 0 END) - w.total_chars)
+             / CAST(w.total_chars AS DOUBLE), 6) AS rel_err
+FROM p JOIN w ON w.source = p.source
+GROUP BY 1, 2, 3
+"""
+
+
+@query("pps_sample_estimate", oracle=_PPS_ORACLE)
+def pps_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size (PPS/Poisson) sampling with
+    the Horvitz-Thompson total estimator, per source: each document
+    enters the sample with probability pi = min(1, K * size / total),
+    and the HT estimate sum(size_i / pi_i) over the sample is
+    design-unbiased for the true total — reported next to the truth
+    so the row IS the estimator-error audit (the survey-sampling twin
+    of the HLL/MinHash estimator audits). PPS is how a corpus
+    pipeline draws budget-bounded eval/inspection samples that still
+    estimate corpus-level statistics.
+
+    Determinism: the "uniform" is md5(doc_id) reduced to a 1e-6
+    lattice (the hash convention every dedup operator shares), so the
+    sample is replayable on any engine; pi and each HT term are the
+    identical double expressions both sides, and each term quantizes
+    to BIGINT before the distributed SUM (no accumulation-order
+    noise).
+
+    100 TB shape: one pass for per-source totals (broadcast back),
+    one map-side inclusion test — no shuffle beyond the two
+    aggregates; sample size concentrates around K per source
+    regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars",
+        (
+            (
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % PPS_U_GRAIN
+            )
+            / float(PPS_U_GRAIN)
+        ).alias("u"),
+    )
+    w = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    p = d.join(F.broadcast(w), "source").withColumn(
+        "pi",
+        F.least(
+            F.lit(1.0),
+            PPS_K * F.col("n_chars") / F.col("total_chars").cast("double"),
+        ),
+    )
+    sampled = F.col("u") < F.col("pi")
+    ht_term = F.when(
+        sampled, F.round(F.col("n_chars") / F.col("pi")).cast("long")
+    ).otherwise(F.lit(0))
+    return p.groupBy("source", "n_docs", "total_chars").agg(
+        F.sum(sampled.cast("int")).cast("long").alias("n_sampled"),
+        F.sum(ht_term).cast("long").alias("ht_estimate_chars"),
+    ).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").alias("true_chars"),
+        "n_sampled",
+        "ht_estimate_chars",
+        F.round(
+            (F.col("ht_estimate_chars") - F.col("total_chars"))
+            / F.col("total_chars").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
