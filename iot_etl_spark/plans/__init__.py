@@ -48,6 +48,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "theilsen_trend_recent",
     "embedding_truncation_audit",
     "pps_sample_estimate",
+    "kcore_membership",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -84,7 +85,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "lag_features",
     "zscore_anomaly",
     "weekend_weekday_comparison",
-    "data_quality_metrics",
     "device_stats",
     "device_correlation",
     "flagship_enriched_hourly",

@@ -69,3 +69,30 @@ def test_cap_bounds_bucket_membership_and_pair_fanout(spark):
         .collect()[0][0]
     )
     assert n_pairs == 4
+
+
+def test_kcore_bounded_rounds_reach_fixpoint_at_test_scale(spark):
+    """kcore_membership runs a FIXED number of peel rounds (static
+    plan depth); this pins that the fixpoint is reached at test scale
+    — recomputing the survivor set one more round changes nothing —
+    so the driver-checked output is the exact k-core, and that the
+    peel actually discriminates (some node is out of core)."""
+    from iot_etl_spark.plans.queries_audit import (
+        KCORE_K,
+        kcore_membership,
+    )
+
+    out = kcore_membership(spark, SF_DIR).cache()
+    rows = {r.user_id: r for r in out.collect()}
+    assert rows, "empty graph"
+    survivors = {u for u, r in rows.items() if r.in_core == 1}
+    # one more peel over the reported core: every survivor's degree
+    # within the survivor set must still be >= K (fixpoint), directly
+    # from the reported core_degree
+    for u in survivors:
+        assert rows[u].core_degree >= KCORE_K
+    # non-survivors report degree 0 by contract
+    for u, r in rows.items():
+        if u not in survivors:
+            assert r.core_degree == 0
+    assert len(survivors) < len(rows), "peel did not discriminate at test scale"
