@@ -530,19 +530,19 @@ def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = v.join(F.broadcast(b), F.col("vec_id") < F.col("vec_id_b")).select(
         F.col("emb").alias("ea"), "eb"
     )
-    dims = F.explode(F.array(*[F.lit(d) for d in TRUNC_DIMS])).alias("dim")
-    expanded = pairs.select("ea", "eb", dims)
-
     def cos(a, bcol):
         return _dot(a, bcol) / (_norm(a) * _norm(bcol))
 
+    # full-dim cosine computed ONCE per pair, before the dim explode —
+    # it is as expensive as the widest truncated cosine, so computing
+    # it per (pair, dim) row would redo 64-dim folds |dims| times
+    dims = F.explode(F.array(*[F.lit(d) for d in TRUNC_DIMS])).alias("dim")
+    expanded = pairs.withColumn("cf", cos(F.col("ea"), F.col("eb"))).select(
+        "ea", "eb", "cf", dims
+    )
     ta = F.slice("ea", 1, F.col("dim"))
     tb = F.slice("eb", 1, F.col("dim"))
-    scored = expanded.select(
-        "dim",
-        cos(ta, tb).alias("cd"),
-        cos(F.col("ea"), F.col("eb")).alias("cf"),
-    )
+    scored = expanded.select("dim", cos(ta, tb).alias("cd"), "cf")
     err_units = F.round(F.abs(F.col("cd") - F.col("cf")) * 1000000).cast("long")
     return scored.groupBy(F.col("dim").cast("long").alias("dim")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
