@@ -49,6 +49,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "embedding_truncation_audit",
     "pps_sample_estimate",
     "kcore_membership",
+    "containment_pairs",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "zscore_anomaly",
     "weekend_weekday_comparison",
     "device_stats",
-    "device_correlation",
     "flagship_enriched_hourly",
     "full_transform_pipeline",
 ]

@@ -1178,3 +1178,61 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_char_share"),
     )
+
+
+# ------------------------------------------ containment (subset) pairs
+CONTAIN_TAU = 0.7
+
+_CONTAIN_ORACLE = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_id_a, doc_id_b,
+       ROUND(len(list_intersect(x.s, y.s))::DOUBLE / len(x.s), 6)
+           AS containment_a_in_b,
+       ROUND(len(list_intersect(x.s, y.s))::DOUBLE / len(y.s), 6)
+           AS containment_b_in_a
+FROM cand
+JOIN sh x ON x.doc_id = doc_id_a
+JOIN sh y ON y.doc_id = doc_id_b
+WHERE len(x.s) > 0 AND len(y.s) > 0
+  AND GREATEST(len(list_intersect(x.s, y.s))::DOUBLE / len(x.s),
+               len(list_intersect(x.s, y.s))::DOUBLE / len(y.s))
+      >= {CONTAIN_TAU}
+"""
+
+
+@query("containment_pairs", oracle=_CONTAIN_ORACLE)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle CONTAINMENT |A∩B|/|A| (and the
+    reverse) over the shared LSH candidate pairs — the measure Jaccard
+    misses. A short document wholly embedded in a long one (quote
+    farm, boilerplate wrapper, excerpt page) has high containment but
+    LOW Jaccard (the union is dominated by the long side), so a
+    Jaccard-only dedup keeps both; containment >= {CONTAIN_TAU} on
+    EITHER side flags subset-duplication for the keep-longest /
+    strip-wrapper policies a training-corpus pipeline applies.
+
+    Scale: identical shape to dedup_ngram_jaccard — stage-cached
+    shingle sets + (band, signature) candidates, exact intersection
+    rescore only on candidates; both containment directions come from
+    the ONE intersection count. Caveat (documented): LSH banding
+    targets Jaccard, so recall for high-containment/low-Jaccard pairs
+    falls with the length ratio — the production fix is a second
+    band family on the shorter side's shingles; at test SF the
+    candidate set covers every qualifying pair, which the oracle's
+    identical pipeline verifies."""
+    sh = _shingle_sets_cached(spark, sf_dir)
+    cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
+    j = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb")), "doc_id_b")
+        .filter((F.size("sa") > 0) & (F.size("sb") > 0))
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("ca", F.col("inter") / F.size("sa"))
+        .withColumn("cb", F.col("inter") / F.size("sb"))
+        .filter(F.greatest("ca", "cb") >= CONTAIN_TAU)
+    )
+    return j.select(
+        "doc_id_a", "doc_id_b",
+        F.round("ca", 6).alias("containment_a_in_b"),
+        F.round("cb", 6).alias("containment_b_in_a"),
+    )
