@@ -50,6 +50,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "pps_sample_estimate",
     "kcore_membership",
     "containment_pairs",
+    "linear_attribution",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

@@ -1060,3 +1060,75 @@ def schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("null_rate_jump"),
     )
+
+
+# ------------------------------- multi-touch linear attribution
+_MTA_ORACLE = f"""
+WITH o AS (
+    SELECT user_id, event_id, event_type, {DUCK_TS} AS t,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY {DUCK_TS}, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS conv_seq,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id
+           ) AS n_conv
+    FROM events
+),
+touches AS (
+    SELECT user_id, event_type AS touch_type, conv_seq
+    FROM o WHERE event_type <> 'purchase' AND conv_seq < n_conv
+),
+segs AS (
+    SELECT user_id, conv_seq, COUNT(*) AS k
+    FROM touches GROUP BY 1, 2
+)
+SELECT t.touch_type,
+       CAST(s.k AS BIGINT) AS segment_size,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(COUNT(*) / CAST(s.k AS DOUBLE), 6) AS attributed_conversions
+FROM touches t JOIN segs s ON s.user_id = t.user_id AND s.conv_seq = t.conv_seq
+GROUP BY t.touch_type, s.k
+"""
+
+
+@query("linear_attribution", oracle=_MTA_ORACLE)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every non-purchase touch
+    between two conversions shares the following conversion's credit
+    equally (1/k to each of the k touches in the segment); touches
+    after a user's last conversion earn nothing. Reported per
+    (touch type, segment size) so every credit value in the output is
+    ONE integer division — counts accumulate exactly as BIGINT and
+    the only float appears per output row, so no distributed
+    accumulation order can shift the 6th decimal (the same discipline
+    as the PPS/HT and truncation audits).
+
+    100 TB shape: one user-partitioned running-sum window assigns
+    each touch its segment, one (user, segment) aggregate sizes the
+    segments, one join back, one small final aggregate — all shuffles
+    keyed, output cardinality is types x segment sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    is_conv = (F.col("event_type") == "purchase").cast("int")
+    wo = _evt_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("user_id")
+    o = ev.select(
+        "user_id", "event_id", "event_type",
+        F.sum(is_conv).over(wo).alias("conv_seq"),
+        F.sum(is_conv).over(wp).alias("n_conv"),
+    )
+    touches = o.filter(
+        (F.col("event_type") != "purchase") & (F.col("conv_seq") < F.col("n_conv"))
+    ).select("user_id", F.col("event_type").alias("touch_type"), "conv_seq")
+    segs = touches.groupBy("user_id", "conv_seq").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        touches.join(segs, ["user_id", "conv_seq"])
+        .groupBy("touch_type", F.col("k").cast("long").alias("segment_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+        .select(
+            "touch_type", "segment_size", "n_touches",
+            F.round(
+                F.col("n_touches") / F.col("segment_size").cast("double"), 6
+            ).alias("attributed_conversions"),
+        )
+    )
