@@ -86,7 +86,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "rolling_window_stats",
     "lag_features",
     "zscore_anomaly",
-    "weekend_weekday_comparison",
     "device_stats",
     "flagship_enriched_hourly",
     "full_transform_pipeline",
