@@ -60,6 +60,12 @@ PICKS = [
     ("nation_revenue_gini",
      "exact rank-formula Gini: nation-partitioned window over the "
      "per-customer aggregate, no global sort or single-partition exchange"),
+    ("kcore_membership",
+     "shrinking-frontier iteration: per-round survivor set materialized "
+     "(localCheckpoint) so consumed-twice lineage stays linear"),
+    ("linear_attribution",
+     "one running-sum window + keyed aggregates; credit is one integer "
+     "division per output row, no float accumulation"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
