@@ -51,6 +51,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "kcore_membership",
     "containment_pairs",
     "linear_attribution",
+    "bootstrap_mean_ci",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -84,7 +85,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "daily_agg_business_hours",
     "latest_per_device",
     "rolling_window_stats",
-    "lag_features",
     "zscore_anomaly",
     "device_stats",
     "flagship_enriched_hourly",

@@ -2879,3 +2879,136 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("deg").isNotNull(), 1).otherwise(0).cast("long").alias("in_core"),
         F.coalesce("deg", F.lit(0)).cast("long").alias("core_degree"),
     )
+
+
+# -------------------------- deterministic Poisson bootstrap mean CI
+BOOT_B = 32  # bootstrap replicas
+# Poisson(1) inverse-CDF ladder, hard-coded to the 1e-6 lattice on
+# BOTH engines: P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699,
+# P(<=3)=.981012, else 4 (tail mass folded into w=4; the estimator
+# only needs exchangeable integer weights with mean ~1, and the
+# truncation is part of the documented, engine-exact definition).
+_BOOT_LADDER = ((367879, 0), (735759, 1), (919699, 2), (981012, 3))
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {w}" for t, w in _BOOT_LADDER
+    )
+    return f"(CASE {cases} ELSE 4 END)"
+
+
+_BOOT_ORACLE = f"""
+WITH q AS (
+    SELECT event_type, event_id,
+           CAST(ROUND(value * 1000000) AS BIGINT) AS vq
+    FROM events
+),
+r AS (
+    SELECT q.event_type, b.b, q.vq,
+           {_boot_w_sql(
+               "(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' "
+               "|| CAST(b.b AS VARCHAR)), 1, 8))::BIGINT % 1000000)"
+           )} AS w
+    FROM q CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+),
+m AS (
+    SELECT event_type, b,
+           SUM(w * vq) AS swv, SUM(w) AS sw
+    FROM r GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+rk AS (
+    SELECT event_type,
+           (CAST(swv AS DOUBLE) / sw) / 1000000.0 AS mb,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY CAST(swv AS DOUBLE) / sw
+           ) AS rnk,
+           COUNT(*) OVER (PARTITION BY event_type) AS nb
+    FROM m
+),
+pt AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           (CAST(SUM(vq) AS DOUBLE) / COUNT(*)) / 1000000.0 AS mean_v
+    FROM q GROUP BY 1
+)
+SELECT pt.event_type, pt.n_events,
+       ROUND(pt.mean_v, 6) AS mean_value,
+       ROUND(MAX(CASE WHEN rnk = CEIL(0.05 * nb) THEN mb END), 6) AS ci_low,
+       ROUND(MAX(CASE WHEN rnk = CEIL(0.95 * nb) THEN mb END), 6) AS ci_high
+FROM pt JOIN rk ON rk.event_type = pt.event_type
+GROUP BY 1, 2, 3
+"""
+
+
+@query("bootstrap_mean_ci", oracle=_BOOT_ORACLE)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic POISSON BOOTSTRAP confidence interval for the
+    per-type mean (the resampling scheme that works in one pass on a
+    distributed engine — Poisson(1) weights per (row, replica)
+    instead of a multinomial over the whole dataset, the standard
+    web-scale bootstrap): {BOOT_B} replica means, CI = the 5th/95th
+    percentile ORDER STATISTICS across replicas.
+
+    Replayable and engine-exact: the Poisson weight is an inverse-CDF
+    ladder over the shared md5 1e-6 lattice keyed by (event_id,
+    replica) — hard-coded thresholds, no RNG; values quantize to
+    BIGINT micro-units so every replica sum is exact integer
+    arithmetic, each replica mean is one BIGINT/BIGINT division, and
+    the CI picks elements (no interpolation, no accumulation order).
+
+    100 TB shape: the {BOOT_B}x replica fan-out is the estimator's
+    documented cost (explode + one keyed aggregate — linear, often
+    run on a PPS sample; see pps_sample_estimate); the order
+    statistic runs over {BOOT_B} rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", "event_id",
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vq"),
+    )
+    r = q.select(
+        "event_type", "vq",
+        F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
+        "event_id",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id").cast("string"),
+                                  F.col("b").cast("string"))), 1, 8
+            ), 16, 10
+        ).cast("long") % 1000000
+    )
+    w = F.lit(4)
+    for t, wv in reversed(_BOOT_LADDER):
+        w = F.when(u < t, wv).otherwise(w)
+    m = (
+        r.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(F.sum(F.col("w") * F.col("vq")).alias("swv"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .withColumn("mb", (F.col("swv").cast("double") / F.col("sw")) / 1000000.0)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("swv").cast("double") / F.col("sw")
+    )
+    rk = m.select(
+        "event_type", "mb",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nb"),
+    )
+    pt = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        ((F.sum("vq").cast("double") / F.count(F.lit(1))) / 1000000.0).alias("mean_v"),
+    )
+    return (
+        pt.join(rk, "event_type")
+        .groupBy("event_type", "n_events", F.round("mean_v", 6).alias("mean_value"))
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rnk") == F.ceil(0.05 * F.col("nb")), F.col("mb"))), 6
+            ).alias("ci_low"),
+            F.round(
+                F.max(F.when(F.col("rnk") == F.ceil(0.95 * F.col("nb")), F.col("mb"))), 6
+            ).alias("ci_high"),
+        )
+    )
