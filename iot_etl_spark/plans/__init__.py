@@ -30,10 +30,11 @@ from iot_etl_spark.plans import queries_audit  # noqa: F401
 # The correctness driver checks the FIRST 50 registry entries, so the
 # window is curated per round for maximum fresh evidence. Round-6
 # rotation (VERDICT r5 item 5): union driver coverage reached the full
-# registry in r5, so this round begins REGRESSION re-rotation — the 3
-# round-6 registrations (the capped co-activity twins) plus the 47
-# OLDEST greens (the round-1 batch, in original registration order:
-# TPC-H core, SQL-surface, and the first events-analytics block),
+# registry in r5, so this round begins REGRESSION re-rotation — the 13
+# round-6 registrations (capped co-activity twins, audit/statistics and
+# graph additions) plus the 37 OLDEST greens (the round-1 batch, in
+# original registration order: TPC-H core, SQL-surface, and the first
+# events-analytics block),
 # which have not been driver-checked since 5 rounds of refactors.
 # Names listed here but not (yet) registered are ignored; registered
 # names absent from the list keep their original relative order after
