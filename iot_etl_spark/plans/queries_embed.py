@@ -551,3 +551,133 @@ def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_abs_err"),
         F.round(F.max(F.abs(F.col("cd") - F.col("cf"))), 6).alias("max_abs_err"),
     )
+
+
+# --------------- signed-random-projection (SRP) sketch fidelity audit
+SRP_PLANES = 16
+SRP_DIM = 64
+
+_SRP_ORACLE = f"""
+WITH sg AS (
+    SELECT d.d, p.p,
+           CASE WHEN ('0x' || substr(md5(d.d || ':' || p.p), 1, 8))::BIGINT
+                     % 2 = 0
+                THEN 1 ELSE -1 END AS sgn
+    FROM (SELECT unnest(range({SRP_DIM})) AS d) d,
+         (SELECT unnest(range({SRP_PLANES})) AS p) p
+),
+comp AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS d,
+           CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS vq
+    FROM embeddings
+),
+bits AS (
+    SELECT c.vec_id, sg.p,
+           CASE WHEN SUM(sg.sgn * c.vq) > 0 THEN 1 ELSE 0 END AS bit
+    FROM comp c JOIN sg ON sg.d = c.d
+    GROUP BY 1, 2
+),
+pr AS ({_SIMILAR_PAIRS_ORACLE}),
+ham AS (
+    SELECT pr.vec_id_a, pr.vec_id_b, pr.cosine,
+           CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+    FROM pr
+    JOIN bits ba ON ba.vec_id = pr.vec_id_a
+    JOIN bits bb ON bb.vec_id = pr.vec_id_b AND bb.p = ba.p
+    GROUP BY 1, 2, 3
+)
+SELECT vec_id_a, vec_id_b, cosine, hamming,
+       ROUND(COS(PI() * hamming / {SRP_PLANES}), 6) AS srp_cosine,
+       ROUND(COS(PI() * hamming / {SRP_PLANES}) - cosine, 6) AS srp_err
+FROM ham
+"""
+
+
+@query("srp_sketch_audit", oracle=_SRP_ORACLE)
+def srp_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED-RANDOM-PROJECTION (Charikar hyperplane) sketch fidelity
+    audit: every vector gets a {SRP_PLANES}-bit signature, bit p =
+    sign(<r_p, v>) for a pseudo-random +-1 hyperplane r_p; for each
+    verified near-dup pair the sketch-estimated cosine
+    cos(pi * hamming / {SRP_PLANES}) is compared against the exact
+    cosine. This is the rotation-mixing cousin of the axis-aligned
+    sign-bit LSH in embedding_similar_pairs — the estimator a 100 TB
+    pipeline uses BEFORE any exact rescore (one packed BIGINT per
+    vector, popcount(xor) Hamming), audited here the same way
+    minhash_estimate_audit audits the Jaccard sketch.
+
+    Engine-exact by construction: hyperplane entries are md5-parity
+    +-1 (no RNG to sync), components quantize to BIGINT micro-units so
+    every projection <r_p, v> is exact integer arithmetic — the sign
+    bit can never flip on accumulation order. The only doubles are
+    cos() of one of {SRP_PLANES}+1 lattice angles and the exact
+    cosine carried in from the shared pair stage, both ROUND(x, 6)
+    with verified margin to the rounding ties.
+
+    Scale shape: signature build is a linear pass — posexplode to
+    (vector, dim), broadcast-join the {SRP_DIM}x{SRP_PLANES} sign
+    matrix, one partial-agg groupBy(vec_id, plane); the audit join
+    touches only the near-dup pairs (broadcast) x {SRP_PLANES}
+    bit rows per side. In production the bits pack into one BIGINT
+    column beside the vector (bit_or of bit<<p) and the hamming
+    pre-filter replaces the candidate join entirely."""
+    d = spark.range(SRP_DIM).select(F.col("id").alias("d"))
+    p = spark.range(SRP_PLANES).select(F.col("id").alias("p"))
+    signs = d.crossJoin(p).select(
+        "d", "p",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("d").cast("string"), F.col("p").cast("string")
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    comp = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode(_as_double()).alias("d", "x"))
+        .select(
+            "vec_id", "d",
+            F.expr("CAST(ROUND(x * 1000000) AS BIGINT)").alias("vq"),
+        )
+    )
+    bits = (
+        comp.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("sgn") * F.col("vq")).alias("s"))
+        .select("vec_id", "p", (F.col("s") > 0).cast("int").alias("bit"))
+    )
+    pr = _similar_pairs_cached(spark, sf_dir)
+    ba = bits.select(F.col("vec_id").alias("vec_id_a"), "p", F.col("bit").alias("bit_a"))
+    bb = bits.select(F.col("vec_id").alias("vec_id_b"), "p", F.col("bit").alias("bit_b"))
+    ham = (
+        F.broadcast(pr)
+        .join(ba, "vec_id_a")
+        .join(bb, ["vec_id_b", "p"])
+        .groupBy("vec_id_a", "vec_id_b", "cosine")
+        .agg(
+            F.sum((F.col("bit_a") != F.col("bit_b")).cast("int"))
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    est = F.expr(f"cos(pi() * hamming / {SRP_PLANES})")
+    return ham.select(
+        "vec_id_a", "vec_id_b", "cosine", "hamming",
+        F.round(est, 6).alias("srp_cosine"),
+        F.round(est - F.col("cosine"), 6).alias("srp_err"),
+    )
