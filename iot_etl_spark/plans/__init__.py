@@ -30,11 +30,11 @@ from iot_etl_spark.plans import queries_audit  # noqa: F401
 # The correctness driver checks the FIRST 50 registry entries, so the
 # window is curated per round for maximum fresh evidence. Round-6
 # rotation (VERDICT r5 item 5): union driver coverage reached the full
-# registry in r5, so this round begins REGRESSION re-rotation — the 17
+# registry in r5, so this round begins REGRESSION re-rotation — the 19
 # round-6 registrations (capped co-activity twins, audit/statistics,
-# graph and sketch additions) plus the 33 OLDEST greens (the round-1
-# batch, in original registration order: TPC-H core, SQL-surface, and
-# the first events-analytics block),
+# graph/sketch/retrieval additions) plus the 31 OLDEST greens (the
+# round-1 batch, in original registration order: TPC-H core,
+# SQL-surface, and the first events-analytics block),
 # which have not been driver-checked since 5 rounds of refactors.
 # Names listed here but not (yet) registered are ignored; registered
 # names absent from the list keep their original relative order after
@@ -57,6 +57,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "chi2_type_dow",
     "adamic_adar_linkpred",
     "srp_sketch_audit",
+    "mannwhitney_weekend_value",
+    "rrf_hybrid_retrieval",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -88,8 +90,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "grouping_sets_matrix",
     "hourly_device_agg",
     "daily_agg_business_hours",
-    "latest_per_device",
-    "rolling_window_stats",
 ]
 
 

@@ -3287,3 +3287,108 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_neighbors").desc(), "user_a", "user_b")
         .limit(AA_TOP)
     )
+
+
+# ------------------- Mann-Whitney U rank-sum test, weekend vs weekday
+# The z-statistic is ONE double expression evaluated from exact BIGINT
+# aggregates; the identical SQL text runs on both engines (Spark
+# F.expr and the DuckDB oracle share _MW_Z_SQL verbatim), so the IEEE
+# arithmetic tree — not just the value — is the same on both sides.
+_MW_Z_SQL = (
+    "(u2 - CAST(nw AS DOUBLE) * ne)"
+    " / (2 * SQRT(CAST(nw AS DOUBLE) * ne / 12"
+    "             * ((n + 1) - CAST(tsum AS DOUBLE)"
+    "                          / (CAST(n AS DOUBLE) * (n - 1)))))"
+)
+
+_MW_ORACLE = f"""
+WITH base AS (
+    SELECT event_type, value,
+           CASE WHEN dayofweek({DUCK_TS}) IN (0, 6) THEN 1 ELSE 0 END AS we
+    FROM events
+),
+c AS (
+    SELECT event_type, value,
+           SUM(1 - we) AS cw, SUM(we) AS ce
+    FROM base GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, cw, ce,
+           SUM(cw) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cumw
+    FROM c
+),
+agg AS (
+    SELECT event_type,
+           CAST(SUM(cw) AS BIGINT) AS nw,
+           CAST(SUM(ce) AS BIGINT) AS ne,
+           CAST(SUM(cw) + SUM(ce) AS BIGINT) AS n,
+           CAST(SUM(ce * (2 * cumw - cw)) AS BIGINT) AS u2,
+           CAST(SUM((cw + ce) * (cw + ce) * (cw + ce) - (cw + ce)) AS BIGINT)
+               AS tsum
+    FROM cum GROUP BY 1
+)
+SELECT event_type, nw AS n_weekday, ne AS n_weekend, u2 AS u2_weekend,
+       ROUND({_MW_Z_SQL}, 6) AS z_approx
+FROM agg
+WHERE nw > 0 AND ne > 0
+"""
+
+
+@query("mannwhitney_weekend_value", oracle=_MW_ORACLE)
+def mannwhitney_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test of the weekend vs weekday ``value``
+    distributions per event type — the third leg of the
+    distribution-shift audit family: ks_weekend_value is the sup-CDF
+    distance, chi2_type_dow the categorical rhythm, this the
+    rank-location shift (does the weekend distribution sit HIGHER,
+    not just differ in shape).
+
+    INTEGER-EXACT core: per (type, value) cells carry weekday/weekend
+    counts; 2*U_weekend = sum ce*(2*cumw - cw) over cells (cumw = the
+    running weekday count through the cell, so each weekend reading
+    scores 2 per smaller weekday reading + 1 per tied one) — one
+    BIGINT per type, no ranks materialized per row. The tie-corrected
+    normal z is a single double expression shared VERBATIM with the
+    oracle (_MW_Z_SQL via F.expr), making the IEEE evaluation order
+    engine-identical by construction; ROUND(,6) on top.
+
+    100 TB shape: identical to ks_weekend_value — one shuffle to
+    (type, value) cells, a window over cells (distinct values, not
+    rows), one row per type out. Reference parity: upgrades the
+    reference's weekend/weekday mean comparison
+    (analytical_queries.sql weekend_comparison) to a nonparametric
+    location test."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "value",
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("we"),
+    )
+    c = base.groupBy("event_type", "value").agg(
+        F.sum(1 - F.col("we")).alias("cw"), F.sum("we").alias("ce")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.select(
+        "event_type", "cw", "ce", F.sum("cw").over(wcum).alias("cumw")
+    )
+    t = F.col("cw") + F.col("ce")
+    agg = cum.groupBy("event_type").agg(
+        F.sum("cw").cast("long").alias("nw"),
+        F.sum("ce").cast("long").alias("ne"),
+        (F.sum("cw") + F.sum("ce")).cast("long").alias("n"),
+        F.sum(F.col("ce") * (2 * F.col("cumw") - F.col("cw")))
+        .cast("long")
+        .alias("u2"),
+        F.sum(t * t * t - t).cast("long").alias("tsum"),
+    )
+    return agg.filter((F.col("nw") > 0) & (F.col("ne") > 0)).select(
+        "event_type",
+        F.col("nw").alias("n_weekday"),
+        F.col("ne").alias("n_weekend"),
+        F.col("u2").alias("u2_weekend"),
+        F.round(F.expr(_MW_Z_SQL), 6).alias("z_approx"),
+    )

@@ -17,7 +17,7 @@ pruning does the candidate selection).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from iot_etl_spark.plans.registry import query
 from iot_etl_spark.sources.tables import load_table
@@ -680,4 +680,163 @@ def srp_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id_a", "vec_id_b", "cosine", "hamming",
         F.round(est, 6).alias("srp_cosine"),
         F.round(est - F.col("cosine"), 6).alias("srp_err"),
+    )
+
+
+# ----------------- reciprocal-rank-fusion hybrid retrieval (RAG shape)
+RRF_K = 60
+RRF_LIST_K = 20
+RRF_TOP = 10
+RRF_QUERY_IDS = (0, 7, 42)
+
+_RRF_QIDS_SQL = ", ".join(str(q) for q in RRF_QUERY_IDS)
+
+_RRF_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM v WHERE vec_id IN ({_RRF_QIDS_SQL})),
+dense AS (
+    SELECT qid, vec_id AS id, rnk AS dr FROM (
+        SELECT q.qid, v.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_inner_product(v.emb, q.qemb)
+                                  / (sqrt(list_inner_product(v.emb, v.emb))
+                                     * sqrt(list_inner_product(q.qemb, q.qemb))),
+                            6) DESC, v.vec_id) AS rnk
+        FROM v JOIN q ON v.vec_id <> q.qid
+    ) WHERE rnk <= {RRF_LIST_K}
+),
+tok AS (
+    SELECT doc_id, tok FROM (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+    ) WHERE tok <> ''
+),
+qt AS (SELECT doc_id AS qid, tok FROM tok WHERE doc_id IN ({_RRF_QIDS_SQL})),
+ov AS (
+    SELECT qt.qid, tok.doc_id AS id, COUNT(*) AS overlap
+    FROM qt JOIN tok ON tok.tok = qt.tok AND tok.doc_id <> qt.qid
+    GROUP BY 1, 2
+),
+lex AS (
+    SELECT qid, id, rnk AS lr FROM (
+        SELECT qid, id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY overlap DESC, id) AS rnk
+        FROM ov
+    ) WHERE rnk <= {RRF_LIST_K}
+),
+fused AS (
+    SELECT COALESCE(dense.qid, lex.qid) AS query_id,
+           COALESCE(dense.id, lex.id) AS doc_id,
+           dense.dr AS dense_rank, lex.lr AS lex_rank,
+           COALESCE(1.0 / ({RRF_K} + dense.dr), 0)
+               + COALESCE(1.0 / ({RRF_K} + lex.lr), 0) AS score
+    FROM dense FULL OUTER JOIN lex
+      ON dense.qid = lex.qid AND dense.id = lex.id
+)
+SELECT query_id, doc_id, dense_rank, lex_rank,
+       ROUND(score, 6) AS rrf_score
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+    FROM fused
+) WHERE rnk <= {RRF_TOP}
+"""
+
+
+@query("rrf_hybrid_retrieval", oracle=_RRF_ORACLE)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID dense+lexical retrieval fused with RECIPROCAL RANK FUSION
+    (Cormack et al.) — the standard RAG retrieval shape: for each query
+    document, a dense candidate list (exact cosine over the aligned
+    embedding, top {RRF_LIST_K} by rounded cosine, id tie-break) and a
+    lexical list (distinct-token overlap with the query text — integer
+    score, engine-exact), fused by RRF(d) = sum_lists 1/({RRF_K}+rank)
+    over the union, top {RRF_TOP} per query.
+
+    The two retrievers exercise the 1:1 vec_id/doc_id alignment of the
+    embeddings and documents tables. Rank determinism: the lexical
+    ranks order an INTEGER overlap; the dense ranks order the SAME
+    rounded cosine contract embedding_cosine_topk has held green since
+    round 3; the RRF score is a sum of at most two exact reciprocals
+    of small integers, identical IEEE arithmetic on both engines.
+
+    100 TB shape: queries are a broadcast 3-row dim;
+    the dense pass is scan-and-score + per-query top-k (production
+    swaps in the IVF path of embedding_ivf_topk to prune the scan);
+    the lexical pass is one token-keyed shuffle whose candidate set is
+    bounded by documents sharing a query token. The fusion join
+    touches only 2x{RRF_LIST_K} rows per query. Reference parity: the
+    reference has no retrieval layer; LLM-pipeline extension."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("emb")
+    )
+    qv = emb.filter(F.col("vec_id").isin(*RRF_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", F.col("vec_id").alias("id"),
+            F.round(
+                _dot(F.col("emb"), F.col("qemb"))
+                / (_norm(F.col("emb")) * _norm(F.col("qemb"))), 6,
+            ).alias("cos"),
+        )
+    )
+    wd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
+    dense = (
+        scored.withColumn("dr", F.row_number().over(wd))
+        .filter(F.col("dr") <= RRF_LIST_K)
+        .select("qid", "id", "dr")
+    )
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    qt = tok.filter(F.col("doc_id").isin(*RRF_QUERY_IDS)).select(
+        F.col("doc_id").alias("qid"), "tok"
+    )
+    ov = (
+        tok.join(F.broadcast(qt), "tok")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", F.col("doc_id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    wl = Window.partitionBy("qid").orderBy(F.col("overlap").desc(), F.col("id"))
+    lex = (
+        ov.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= RRF_LIST_K)
+        .select("qid", "id", "lr")
+    )
+
+    fused = dense.join(lex, ["qid", "id"], "full_outer").select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("doc_id"),
+        F.col("dr").alias("dense_rank"),
+        F.col("lr").alias("lex_rank"),
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("dr")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("lr")), F.lit(0.0))
+        ).alias("score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= RRF_TOP)
+        .select(
+            "query_id", "doc_id", "dense_rank", "lex_rank",
+            F.round("score", 6).alias("rrf_score"),
+        )
     )
