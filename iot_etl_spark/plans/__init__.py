@@ -30,9 +30,9 @@ from iot_etl_spark.plans import queries_audit  # noqa: F401
 # The correctness driver checks the FIRST 50 registry entries, so the
 # window is curated per round for maximum fresh evidence. Round-6
 # rotation (VERDICT r5 item 5): union driver coverage reached the full
-# registry in r5, so this round begins REGRESSION re-rotation — the 19
+# registry in r5, so this round begins REGRESSION re-rotation — the 20
 # round-6 registrations (capped co-activity twins, audit/statistics,
-# graph/sketch/retrieval additions) plus the 31 OLDEST greens (the
+# graph/sketch/retrieval/stream additions) plus the 30 OLDEST greens (the
 # round-1 batch, in original registration order: TPC-H core,
 # SQL-surface, and the first events-analytics block),
 # which have not been driver-checked since 5 rounds of refactors.
@@ -59,6 +59,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "srp_sketch_audit",
     "mannwhitney_weekend_value",
     "rrf_hybrid_retrieval",
+    "stream_outer_join_attribution",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -89,7 +90,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "sql_recursive_dedup_roots",
     "grouping_sets_matrix",
     "hourly_device_agg",
-    "daily_agg_business_hours",
 ]
 
 

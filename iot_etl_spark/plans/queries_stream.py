@@ -647,3 +647,108 @@ def stream_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(valid, F.col("device_id"))
         ).cast("long").alias("n_valid_devices"),
     )
+
+
+# ------------------------------- stream-stream LEFT OUTER interval join
+# Emission bound for the finite-source drain: a left row's outer
+# result surfaces only once the watermark passes it, and the final
+# watermark of a drained file source is max(event time) - delay —
+# and the GLOBAL watermark is the MIN across the two watermarked
+# sides, each computed from its own post-filter max event time, which
+# lags the table-wide max by up to the largest inter-arrival gap of
+# that event type (measured 3.9 h for clicks at sf0.001). Both the
+# stream result and the batch oracle therefore restrict purchases to
+# ts <= max(ts) - (watermark 4h + window 2h + 6h side-lag slack) — a
+# 12-hour tail cut on a 30-day table, applied identically on both
+# engines so membership can never disagree on the eviction boundary.
+OUTER_JOIN_TAIL_CUT_S = 4 * 3600 + ATTRIBUTION_WINDOW_S + 6 * 3600
+
+_OUTER_JOIN_ORACLE = f"""
+WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       CAST(COUNT(c.value) AS BIGINT) AS n_clicks,
+       COUNT(c.value) > 0 AS attributed
+FROM p
+JOIN m ON p.ts <= m.mx - INTERVAL {OUTER_JOIN_TAIL_CUT_S} SECONDS
+LEFT JOIN c ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_outer_join_attribution", oracle=_OUTER_JOIN_ORACLE)
+def stream_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join on the real
+    engine (streaming/joins.py how='left_outer'): every purchase with
+    its 2 h click-attribution count, INCLUDING purchases with no
+    attributable click — which the inner stream_interval_join silently
+    drops and a funnel analysis needs most. An unmatched purchase is
+    emitted with NULL click columns only once the watermark proves no
+    matching click can still arrive, so the no-data micro-batch after
+    the drain flushes exactly the purchases older than the final
+    watermark; the shared tail-cut bound (OUTER_JOIN_TAIL_CUT_S,
+    applied on BOTH engines) keeps the comparison away from the
+    eviction boundary.
+
+    State story: identical to the inner join — key-partitioned state
+    evicted past watermark + window; the outer flavor adds no
+    unbounded state, only deferred emission. The post-drain aggregate
+    (clicks per purchase) runs on the materialized output, grouping
+    the multi-touch rows and the NULL-padded singles alike.
+
+    Reference parity: the reference's streaming layer joins nothing
+    (spark_streaming_consumer.py); capability extension completing the
+    T-family join surface (inner interval + left outer + stream-static
+    + as-of batch twin)."""
+    from iot_etl_spark.streaming.joins import interval_join
+    from iot_etl_spark.sources.tables import load_table
+
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    purchases = (
+        read_stream_source(spark, "parquet", path=events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+    )
+    clicks = (
+        read_stream_source(spark, "parquet", path=events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    joined = interval_join(
+        purchases.withColumnRenamed("user_id", "on_key"),
+        clicks.withColumnRenamed("c_user_id", "on_key"),
+        on="on_key",
+        window_seconds=ATTRIBUTION_WINDOW_S,
+        left_ts="purchase_ts", right_ts="click_ts",
+        how="left_outer",
+    )
+    _, out = run_stream_to_memory(
+        joined.select("event_id", "on_key", "purchase_ts", "click_value"),
+        output_mode="append",
+    )
+    bound = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr(f"INTERVAL {OUTER_JOIN_TAIL_CUT_S} SECONDS")).alias("cutoff")
+    )
+    return (
+        out.crossJoin(F.broadcast(bound))
+        .filter(F.col("purchase_ts") <= F.col("cutoff"))
+        .groupBy(
+            "event_id",
+            F.col("on_key").alias("user_id"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+        .agg(
+            F.count("click_value").cast("long").alias("n_clicks"),
+            (F.count("click_value") > 0).alias("attributed"),
+        )
+    )

@@ -3,10 +3,13 @@ two-sided join, a capability the reference engine lacks entirely (its
 streaming layer never joins two streams,
 ``stream_etl/spark_streaming_consumer.py``).
 
-Semantics: inner-join rows of two streams on equal keys where the
-right event falls inside a time interval ending at the left event
+Semantics: join rows of two streams on equal keys where the right
+event falls inside a time interval ending at the left event
 (``left.ts - window <= right.ts <= left.ts``) — windowed attribution,
-request/response pairing, sensor cross-correlation.
+request/response pairing, sensor cross-correlation. ``inner`` emits
+matches as they arrive; ``left_outer`` additionally emits unmatched
+left rows (NULL right side) once the watermark proves no match can
+still arrive — the "purchase with no attributable click" shape.
 
 Scale shape: both sides are watermarked, and the join carries BOTH a
 key equality (state is hash-partitioned by key) and a two-sided time
@@ -29,8 +32,10 @@ def interval_join(
     left_ts: str = "left_ts",
     right_ts: str = "right_ts",
     watermark: str = "4 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join of two STREAMING frames.
+    """Interval join of two STREAMING frames (``inner`` or
+    ``left_outer``).
 
     ``left``/``right`` must already expose distinct column names apart
     from the shared key ``on`` (alias before calling); their event-time
@@ -38,6 +43,17 @@ def interval_join(
     ``left_ts - window_seconds <= right_ts <= left_ts``. Both sides get
     ``watermark`` so join state is evicted once events age out of
     ``watermark + window_seconds``.
+
+    ``left_outer`` additionally emits every unmatched left row with
+    NULL right columns — but only once the right-side watermark proves
+    no future match can arrive, i.e. a left row's outer result
+    surfaces when the watermark passes ``left_ts`` (upper bound of its
+    match interval) plus the delay. Consumers comparing against a
+    batch oracle must therefore restrict both sides to rows older than
+    ``max event time - watermark - window`` (plus slack): younger left
+    rows are still pending in the state store when a finite source
+    drains, BY DESIGN — on an unbounded stream they would emit as the
+    watermark advances.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -46,4 +62,4 @@ def interval_join(
         & (rw[right_ts] <= lw[left_ts])
         & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[on])
+    return lw.join(rw, cond, how).drop(rw[on])

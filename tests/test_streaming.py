@@ -845,3 +845,99 @@ def test_txlog_upsert_sink_replay_is_exactly_once(spark):
         assert on_disk == live, f"orphans: {on_disk - live}"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark):
+    """LEFT OUTER interval join: a purchase with no in-window click is
+    emitted with NULL click columns — but only after the watermark
+    passes it (a later batch advances event time beyond purchase_ts +
+    delay), never while a match could still arrive. Matched purchases
+    emit normally; the unmatched outer row appears exactly once."""
+    import uuid
+
+    from iot_etl_spark.streaming.joins import interval_join
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_ssoj_")
+    try:
+        base = datetime.datetime(2024, 1, 3, 9, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        sec = datetime.timedelta(seconds=1)
+        # user 1: purchase with an in-window click (matched immediately);
+        # user 2: purchase with NO click anywhere (outer candidate)
+        write_batch(
+            [
+                (10, base - 30 * sec, 1, "click", 1.0, None),
+                (20, base, 1, "purchase", 99.0, None),
+                (21, base, 2, "purchase", 77.0, None),
+            ],
+            "b1",
+        )
+
+        def side(event_type, ts_alias, val_alias=None):
+            s = read_stream_source(spark, "parquet", path=src_dir + "/*").filter(
+                F.col("event_type") == event_type
+            )
+            cols = ["event_id", "user_id", F.col("ts").alias(ts_alias)]
+            if val_alias:
+                cols = ["user_id", F.col("ts").alias(ts_alias),
+                        F.col("value").alias(val_alias)]
+            return s.select(*cols)
+
+        joined = interval_join(
+            side("purchase", "purchase_ts"),
+            side("click", "click_ts", "click_value"),
+            on="user_id", window_seconds=60,
+            left_ts="purchase_ts", right_ts="click_ts",
+            watermark="10 seconds", how="left_outer",
+        )
+        name = f"ssoj_{uuid.uuid4().hex[:6]}"
+        q = (joined.writeStream.outputMode("append").format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            got = {(r.event_id, r.click_value)
+                   for r in spark.table(name).collect()}
+            # watermark has not passed the purchases yet: only the
+            # matched pair may be out; the unmatched one MUST NOT be
+            assert (21, None) not in got, got
+            # later events on BOTH inputs push event time far past
+            # purchase_ts + delay + window — the global watermark is
+            # the MIN across the two watermarked sides, so a click
+            # alone would never advance it past the stalled purchase
+            # side. The watermark update lands at b2's END, and state
+            # eviction (hence the outer NULL row) happens in the
+            # SUBSEQUENT micro-batch — documented engine behavior —
+            # so b3 forces that batch to run.
+            write_batch(
+                [
+                    (30, base + 600 * sec, 9, "click", 0.5, None),
+                    (40, base + 600 * sec, 8, "purchase", 1.0, None),
+                ],
+                "b2",
+            )
+            q.processAllAvailable()
+            write_batch(
+                [
+                    (31, base + 601 * sec, 9, "click", 0.5, None),
+                    (41, base + 601 * sec, 8, "purchase", 1.0, None),
+                ],
+                "b3",
+            )
+            q.processAllAvailable()
+            rows = [r for r in spark.table(name).collect()
+                    if r.event_id in (20, 21)]
+        finally:
+            q.stop()
+
+        got = sorted((r.event_id, r.user_id, r.click_value) for r in rows)
+        assert got == [(20, 1, 1.0), (21, 2, None)], rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
