@@ -34,18 +34,20 @@ def test_entry_module_contract():
     # registrations plus the OLDEST r1 greens for regression re-checks.
     first50 = list(qs)[:50]
     for must in (
+        # round-6 registrations (fresh evidence)
         "device_cooccurrence_capped",
         "triangle_count_graph_capped",
         "pagerank_device_graph_capped",
+        "ks_weekend_value",
+        "mannwhitney_weekend_value",
+        "adamic_adar_linkpred",
+        "rrf_hybrid_retrieval",
+        "stream_outer_join_attribution",
+        # oldest r1 greens (regression re-checks)
         "pricing_summary",
         "order_priority_counts",
+        "q2_min_cost_supplier",
         "hourly_device_agg",
-        "latest_per_device",
-        "rolling_window_stats",
-        "zscore_anomaly",
-        "device_stats",
-        "full_transform_pipeline",
-        "flagship_enriched_hourly",
     ):
         assert must in first50, must
 

@@ -66,6 +66,17 @@ PICKS = [
     ("linear_attribution",
      "one running-sum window + keyed aggregates; credit is one integer "
      "division per output row, no float accumulation"),
+    ("ks_weekend_value",
+     "two-sample KS: one shuffle to (type, value) cells, window over "
+     "cells not rows, integer sup-statistic"),
+    ("adamic_adar_linkpred",
+     "wedge join over the stage-cached co-activity edge list (6x lineage "
+     "fan-out reads one materialized artifact), LEFT ANTI vs edges, "
+     "TakeOrderedAndProject on the integer count"),
+    ("rrf_hybrid_retrieval",
+     "hybrid RAG fusion: 3-row query dim broadcast into both the dense "
+     "scan-and-score and the token-overlap join; fusion touches only "
+     "2x20 rows per query"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
