@@ -30,9 +30,9 @@ from iot_etl_spark.plans import queries_audit  # noqa: F401
 # The correctness driver checks the FIRST 50 registry entries, so the
 # window is curated per round for maximum fresh evidence. Round-6
 # rotation (VERDICT r5 item 5): union driver coverage reached the full
-# registry in r5, so this round begins REGRESSION re-rotation — the 20
+# registry in r5, so this round begins REGRESSION re-rotation — the 25
 # round-6 registrations (capped co-activity twins, audit/statistics,
-# graph/sketch/retrieval/stream additions) plus the 30 OLDEST greens (the
+# graph/sketch/retrieval/stream/survival additions) plus the 25 OLDEST greens (the
 # round-1 batch, in original registration order: TPC-H core,
 # SQL-surface, and the first events-analytics block),
 # which have not been driver-checked since 5 rounds of refactors.
@@ -60,6 +60,11 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "mannwhitney_weekend_value",
     "rrf_hybrid_retrieval",
     "stream_outer_join_attribution",
+    "welch_ttest_value",
+    "woe_iv_event_weekend",
+    "classifier_lang_auc",
+    "bm25_retrieval",
+    "kaplan_meier_waits",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -83,12 +88,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
     "q20_dominant_suppliers",
-    "q21_sole_blame_supplier",
-    "q22_dormant_high_balance",
     "q2_min_cost_supplier",
-    "sql_lateral_recent_orders",
-    "sql_recursive_dedup_roots",
-    "grouping_sets_matrix",
     "hourly_device_agg",
 ]
 

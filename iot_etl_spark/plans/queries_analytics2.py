@@ -1132,3 +1132,153 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed_conversions"),
         )
     )
+
+
+# ------------------------------- Kaplan-Meier waiting-time survival
+# Each hazard term ln(1 - d/n) is one double from two exact BIGINTs
+# (identical IEEE both engines), quantized to nano-unit BIGINTs so
+# the running product — accumulated as an integer log-sum in
+# duration order — is immune to accumulation order; S(t) =
+# EXP(cum/1e9) is one shared final expression. Same fixed-point
+# device as pagerank / bm25_retrieval. Curve reported at whole-hour
+# durations to keep the output a readable head.
+_KM_SURV_SQL = "ROUND(EXP(CAST(cum_nano AS DOUBLE) / 1e9), 6)"
+
+_KM_ORACLE = """
+WITH ts_ AS (
+    SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+    FROM events
+),
+obs AS (SELECT CAST(max(us) AS BIGINT) AS obs_end FROM ts_),
+spells AS (
+    SELECT user_id,
+           CAST((COALESCE(next_us, obs_end) - us) // 60000000 AS BIGINT)
+               AS t_min,
+           CASE WHEN next_us IS NULL THEN 0 ELSE 1 END AS observed
+    FROM (
+        SELECT user_id, us,
+               LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS next_us
+        FROM ts_
+    ), obs
+),
+cells AS (
+    SELECT t_min,
+           CAST(SUM(observed) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM spells GROUP BY 1
+),
+risk AS (
+    SELECT *,
+           CAST(SUM(c) OVER (ORDER BY t_min DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+    FROM cells
+),
+terms AS (
+    SELECT t_min, d, n,
+           CASE WHEN d = n THEN NULL
+                WHEN d = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(LN(1 - CAST(d AS DOUBLE) / n) * 1e9) AS BIGINT)
+           END AS nano
+    FROM risk
+),
+cum AS (
+    SELECT *,
+           CAST(COALESCE(SUM(nano) OVER (ORDER BY t_min
+                                         ROWS UNBOUNDED PRECEDING), 0)
+                AS BIGINT) AS cum_nano,
+           CAST(COUNT(*) FILTER (nano IS NULL)
+                OVER (ORDER BY t_min ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS died_out
+    FROM terms
+)
+SELECT t_min, n AS n_at_risk, d AS n_ended,
+       CASE WHEN died_out > 0 THEN 0.0 ELSE {SURV} END AS survival
+FROM cum
+WHERE d > 0 AND t_min % 60 = 0
+""".replace("{SURV}", _KM_SURV_SQL)
+
+
+@query("kaplan_meier_waits", oracle=_KM_ORACLE)
+def kaplan_meier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER SURVIVAL ESTIMATOR over inter-event waiting times
+    — the product-limit curve with REAL right-censoring: every gap
+    between a user's consecutive events is an observed spell (the
+    wait ended in an event); the tail from each user's last event to
+    the end of observation is a CENSORED spell (the wait was still
+    running when the data stops). S(t) = prod over ended-spell
+    durations t' <= t of (1 - d/n), censored spells leaving the risk
+    set without contributing an end — the estimator that keeps
+    "time until next activity" honest when the window truncates the
+    longest waits. Curve sampled at whole-hour durations.
+
+    Determinism: d and n are BIGINTs (cells per distinct duration
+    minute; risk set = one descending running sum); each hazard
+    log-term is one double from two integers, quantized to nano units
+    BEFORE the running sum, so the product is an integer log-sum in
+    duration order; the only unshared float op is the final
+    shared-verbatim EXP. A d = n cell (all remaining spells end at
+    once) pins survival to exactly 0 from that duration on.
+
+    100 TB shape: one user_id shuffle for the LEAD spells, one cell
+    aggregate whose key cardinality is bounded by the observation
+    span in minutes (not by rows); both windows run over cells.
+    Reference parity: none — growth-analytics extension of the
+    DAU/streak/retention family (inter_arrival_stats reports moments;
+    this reports the censoring-corrected distribution)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ = ev.select("user_id", F.unix_micros("ts").cast("long").alias("us"))
+    obs = ts_.agg(F.max("us").cast("long").alias("obs_end"))
+    w_u = Window.partitionBy("user_id").orderBy("us")
+    spells = (
+        ts_.withColumn("next_us", F.lead("us").over(w_u))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.expr("(coalesce(next_us, obs_end) - us) div 60000000")
+            .cast("long")
+            .alias("t_min"),
+            F.col("next_us").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    cells = spells.groupBy("t_min").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.col("t_min").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = cells.withColumn("n", F.sum("c").over(w_desc).cast("long"))
+    terms = risk.withColumn(
+        "nano",
+        F.when(F.col("d") == F.col("n"), F.lit(None))
+        .when(F.col("d") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                F.log(1 - F.col("d").cast("double") / F.col("n")) * F.lit(1e9)
+            ).cast("long")
+        ),
+    )
+    w_asc = (
+        Window.partitionBy()
+        .orderBy("t_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = terms.withColumns(
+        {
+            "cum_nano": F.coalesce(F.sum("nano").over(w_asc), F.lit(0)).cast(
+                "long"
+            ),
+            "died_out": F.count(
+                F.when(F.col("nano").isNull(), 1)
+            ).over(w_asc).cast("long"),
+        }
+    )
+    return cum.filter((F.col("d") > 0) & (F.col("t_min") % 60 == 0)).select(
+        "t_min",
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_ended"),
+        F.when(F.col("died_out") > 0, F.lit(0.0))
+        .otherwise(F.expr(_KM_SURV_SQL))
+        .alias("survival"),
+    )

@@ -3392,3 +3392,196 @@ def mannwhitney_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u2").alias("u2_weekend"),
         F.round(F.expr(_MW_Z_SQL), 6).alias("z_approx"),
     )
+
+
+# ----------------------- Welch's t-test, weekend vs weekday value
+# Both the t statistic and the Welch-Satterthwaite df are single
+# double expressions over exact aggregates (BIGINT counts, DECIMAL
+# sums losslessly cast to DOUBLE); the SQL text is shared VERBATIM
+# between F.expr and the DuckDB oracle so the IEEE evaluation tree is
+# engine-identical, same device as _MW_Z_SQL.
+_WELCH_VW_SQL = "(dqw - dsw * dsw / nw) / (nw - 1)"
+_WELCH_VE_SQL = "(dqe - dse * dse / ne) / (ne - 1)"
+_WELCH_T_SQL = "(dsw / nw - dse / ne) / SQRT(vw / nw + ve / ne)"
+_WELCH_DF_SQL = (
+    "((vw / nw + ve / ne) * (vw / nw + ve / ne))"
+    " / ((vw / nw) * (vw / nw) / (nw - 1)"
+    "    + (ve / ne) * (ve / ne) / (ne - 1))"
+)
+
+_WELCH_ORACLE = f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(value AS DECIMAL(18, 2)) AS v,
+           CASE WHEN dayofweek({DUCK_TS}) IN (0, 6) THEN 1 ELSE 0 END AS we
+    FROM events
+),
+agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (we = 0) AS BIGINT) AS nw,
+           CAST(COUNT(*) FILTER (we = 1) AS BIGINT) AS ne,
+           CAST(COALESCE(SUM(v) FILTER (we = 0), 0) AS DOUBLE) AS dsw,
+           CAST(COALESCE(SUM(v) FILTER (we = 1), 0) AS DOUBLE) AS dse,
+           CAST(COALESCE(SUM(v * v) FILTER (we = 0), 0) AS DOUBLE) AS dqw,
+           CAST(COALESCE(SUM(v * v) FILTER (we = 1), 0) AS DOUBLE) AS dqe
+    FROM base GROUP BY 1
+),
+var_ AS (
+    SELECT *, {_WELCH_VW_SQL} AS vw, {_WELCH_VE_SQL} AS ve FROM agg
+    WHERE nw > 1 AND ne > 1
+)
+SELECT event_type, nw AS n_weekday, ne AS n_weekend,
+       ROUND(dsw / nw, 6) AS mean_weekday,
+       ROUND(dse / ne, 6) AS mean_weekend,
+       ROUND({_WELCH_T_SQL}, 6) AS t_stat,
+       ROUND({_WELCH_DF_SQL}, 6) AS df_approx
+FROM var_
+"""
+
+
+@query("welch_ttest_value", oracle=_WELCH_ORACLE)
+def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE T-TEST of weekend vs weekday ``value``
+    per event type — the parametric leg of the distribution-shift
+    audit family (ks_weekend_value = sup-CDF shape distance,
+    mannwhitney_weekend_value = rank location, chi2_type_dow =
+    categorical rhythm; this = mean shift with per-group variances,
+    plus the Welch-Satterthwaite effective df).
+
+    EXACT core: counts are BIGINT; value is the lossless
+    DECIMAL(18,2) cast (SCALE.md convention), so the per-group sums
+    and sums of squares are exact decimals on both engines; the only
+    doubles are the final correctly-rounded decimal->double casts and
+    the t/df expressions, whose SQL text is shared VERBATIM between
+    F.expr and the oracle (_WELCH_T_SQL/_WELCH_DF_SQL) — identical
+    IEEE trees by construction, ROUND(,6) on top.
+
+    100 TB shape: ONE map-side-combinable aggregate over the scan
+    (conditional sums — no (type, value) cell materialization needed,
+    unlike the rank tests); one row per event type out. Reference
+    parity: the reference's weekend_comparison
+    (analytical_queries.sql) reports the means; this adds the test
+    statistic that says whether the difference is real."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    we = F.dayofweek("ts").isin(1, 7).cast("int")
+    base = ev.select("event_type", v.alias("v"), we.alias("we"))
+    agg = base.groupBy("event_type").agg(
+        F.count(F.when(F.col("we") == 0, 1)).cast("long").alias("nw"),
+        F.count(F.when(F.col("we") == 1, 1)).cast("long").alias("ne"),
+        F.coalesce(F.sum(F.when(F.col("we") == 0, F.col("v"))), F.lit(0))
+        .cast("double").alias("dsw"),
+        F.coalesce(F.sum(F.when(F.col("we") == 1, F.col("v"))), F.lit(0))
+        .cast("double").alias("dse"),
+        F.coalesce(
+            F.sum(F.when(F.col("we") == 0, F.col("v") * F.col("v"))), F.lit(0)
+        ).cast("double").alias("dqw"),
+        F.coalesce(
+            F.sum(F.when(F.col("we") == 1, F.col("v") * F.col("v"))), F.lit(0)
+        ).cast("double").alias("dqe"),
+    )
+    var_ = agg.filter((F.col("nw") > 1) & (F.col("ne") > 1)).withColumns(
+        {"vw": F.expr(_WELCH_VW_SQL), "ve": F.expr(_WELCH_VE_SQL)}
+    )
+    return var_.select(
+        "event_type",
+        F.col("nw").alias("n_weekday"),
+        F.col("ne").alias("n_weekend"),
+        F.round(F.expr("dsw / nw"), 6).alias("mean_weekday"),
+        F.round(F.expr("dse / ne"), 6).alias("mean_weekend"),
+        F.round(F.expr(_WELCH_T_SQL), 6).alias("t_stat"),
+        F.round(F.expr(_WELCH_DF_SQL), 6).alias("df_approx"),
+    )
+
+
+# ------------------- weight-of-evidence / information-value screen
+# Per-bin WOE is one double from four BIGINTs (identical IEEE on both
+# engines); the total IV sums per-bin terms AFTER quantizing each to
+# nano-units (BIGINT), so the cross-bin sum is integer-exact and
+# immune to accumulation order — same device as pagerank's 1e-9 rank
+# units.
+_WOE_SQL = (
+    "LN((CAST(ce AS DOUBLE) / te) / (CAST(cw AS DOUBLE) / tw))"
+)
+_IV_TERM_SQL = (
+    f"(CAST(ce AS DOUBLE) / te - CAST(cw AS DOUBLE) / tw) * ({_WOE_SQL})"
+)
+
+_WOE_ORACLE = f"""
+WITH base AS (
+    SELECT event_type,
+           CASE WHEN dayofweek({DUCK_TS}) IN (0, 6) THEN 1 ELSE 0 END AS we
+    FROM events
+),
+bins AS (
+    SELECT event_type,
+           CAST(SUM(1 - we) AS BIGINT) AS cw,
+           CAST(SUM(we) AS BIGINT) AS ce
+    FROM base GROUP BY 1
+),
+tot AS (
+    SELECT *,
+           CAST(SUM(cw) OVER () AS BIGINT) AS tw,
+           CAST(SUM(ce) OVER () AS BIGINT) AS te
+    FROM bins
+),
+terms AS (
+    SELECT *, CAST(ROUND(({_IV_TERM_SQL}) * 1e9) AS BIGINT) AS iv_nano
+    FROM tot WHERE cw > 0 AND ce > 0
+)
+SELECT event_type, cw AS n_weekday, ce AS n_weekend,
+       ROUND({_WOE_SQL}, 6) AS woe,
+       ROUND({_IV_TERM_SQL}, 6) AS iv_term,
+       ROUND(CAST(SUM(iv_nano) OVER () AS BIGINT) / 1e9, 6) AS total_iv
+FROM terms
+"""
+
+
+@query("woe_iv_event_weekend", oracle=_WOE_ORACLE)
+def woe_iv_event_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE / INFORMATION-VALUE feature screen (the
+    credit-scoring idiom): treating WEEKEND as the binary target and
+    event_type as a categorical feature, WOE(bin) = ln(P(bin|weekend)
+    / P(bin|weekday)) and IV = sum (P(bin|we) - P(bin|wd)) * WOE — the
+    standard one-number answer to "does this feature separate the
+    classes enough to keep".
+
+    Determinism: every WOE is one double expression over four exact
+    BIGINT counts (shared VERBATIM with the oracle); the cross-bin IV
+    sum is taken over nano-unit BIGINT quantized terms, so no
+    cross-engine accumulation-order noise can reach the 6th decimal.
+
+    100 TB shape: one map-side-combinable count aggregate; everything
+    after runs on the tiny per-bin frame (the unpartitioned windows
+    scan <= |event types| rows). Reference parity: extends the
+    reference's weekend/weekday split (analytical_queries.sql) from
+    reporting to feature scoring."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.dayofweek("ts").isin(1, 7).cast("int").alias("we")
+    )
+    bins = base.groupBy("event_type").agg(
+        F.sum(1 - F.col("we")).cast("long").alias("cw"),
+        F.sum("we").cast("long").alias("ce"),
+    )
+    w_all = Window.partitionBy()
+    tot = bins.withColumns(
+        {
+            "tw": F.sum("cw").over(w_all).cast("long"),
+            "te": F.sum("ce").over(w_all).cast("long"),
+        }
+    )
+    terms = tot.filter((F.col("cw") > 0) & (F.col("ce") > 0)).withColumn(
+        "iv_nano",
+        F.round(F.expr(_IV_TERM_SQL) * F.lit(1e9)).cast("long"),
+    )
+    return terms.select(
+        "event_type",
+        F.col("cw").alias("n_weekday"),
+        F.col("ce").alias("n_weekend"),
+        F.round(F.expr(_WOE_SQL), 6).alias("woe"),
+        F.round(F.expr(_IV_TERM_SQL), 6).alias("iv_term"),
+        F.round(
+            (F.sum("iv_nano").over(w_all).cast("long") / F.lit(1e9)), 6
+        ).alias("total_iv"),
+    )

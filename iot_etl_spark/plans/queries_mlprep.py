@@ -1254,3 +1254,85 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_langs", "top_lang", "top_lang_share",
         )
     )
+
+
+# ---------------------- classifier language-bias audit (rank AUC)
+# Composes VERBATIM over the classifier oracle: the cells are keyed by
+# the same ROUND(,6) quality_logit both engines have produced
+# hash-identically since quality_classifier_score registered, so the
+# tie structure — which AUC's U statistic depends on — is
+# engine-identical by construction.
+_AUC_SQL = "CAST(u2 AS DOUBLE) / (2 * np * nn)"
+
+_CLS_AUC_ORACLE = f"""
+WITH cls AS ({_CLASSIFIER_ORACLE}),
+cells AS (
+    SELECT quality_logit,
+           CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS cp,
+           CAST(COUNT(*) FILTER (lang <> 'en') AS BIGINT) AS cn
+    FROM cls GROUP BY 1
+),
+cum AS (
+    SELECT *,
+           SUM(cn) OVER (ORDER BY quality_logit
+                         ROWS UNBOUNDED PRECEDING) AS cumn
+    FROM cells
+),
+agg AS (
+    SELECT CAST(SUM(cp) AS BIGINT) AS np,
+           CAST(SUM(cn) AS BIGINT) AS nn,
+           CAST(SUM(cp * (2 * cumn - cn)) AS BIGINT) AS u2
+    FROM cum
+)
+SELECT np AS n_english, nn AS n_other, u2 AS u2_stat,
+       ROUND({_AUC_SQL}, 6) AS auc
+FROM agg
+"""
+
+
+@query("classifier_lang_auc", oracle=_CLS_AUC_ORACLE)
+def classifier_lang_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-BIAS AUDIT of the quality classifier via rank AUC:
+    treating English as the positive class, AUC = P(score_en >
+    score_other) + 0.5 P(tie) — the one-number check that a quality
+    filter is not a language filter in disguise (a real failure mode
+    of fastText-style quality gates over multilingual corpora; AUC
+    far from 0.5 means the keep/drop gate would skew the language
+    mix).
+
+    INTEGER-EXACT core, Mann-Whitney U formulation on (score) cells:
+    2U = sum cp*(2*cumn - cn) over score-ordered cells (each English
+    doc scores 2 per lower-scored other-language doc + 1 per tie) —
+    one BIGINT; AUC = U/(np*nn) is a single shared-verbatim division.
+    Cells are keyed by the ROUND(,6) logit the classifier query has
+    produced hash-identically on both engines since round 4, so the
+    tie structure is engine-identical.
+
+    100 TB shape: the classifier is the zero-shuffle scan it always
+    was; AUC adds one cell aggregate (distinct scores, not docs) and a
+    window over cells. Reference parity: none — model-governance
+    extension of the LLM-pipeline family."""
+    cls = quality_classifier_score(spark, sf_dir)
+    cells = cls.groupBy("quality_logit").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("cp"),
+        F.count(F.when(F.col("lang") != "en", 1)).cast("long").alias("cn"),
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy("quality_logit")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cumn", F.sum("cn").over(wcum))
+    agg = cum.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cn").cast("long").alias("nn"),
+        F.sum(F.col("cp") * (2 * F.col("cumn") - F.col("cn")))
+        .cast("long")
+        .alias("u2"),
+    )
+    return agg.select(
+        F.col("np").alias("n_english"),
+        F.col("nn").alias("n_other"),
+        F.col("u2").alias("u2_stat"),
+        F.round(F.expr(_AUC_SQL), 6).alias("auc"),
+    )

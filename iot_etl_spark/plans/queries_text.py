@@ -1236,3 +1236,141 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ca", 6).alias("containment_a_in_b"),
         F.round("cb", 6).alias("containment_b_in_a"),
     )
+
+
+# ------------------------------------------------- BM25 retrieval
+# Every per-term score is ONE double expression over five exact
+# BIGINTs (tf, df, dl, n_docs, total_len), shared VERBATIM between
+# F.expr and the oracle; terms are quantized to nano-unit BIGINTs
+# BEFORE the per-document sum, so the cross-term accumulation — and
+# therefore the ranking — is integer-exact on both engines (same
+# device as pagerank's 1e-9 rank units). k1=1.2, b=0.75 (the Lucene
+# defaults); idf is the Robertson/Lucene LN(1 + ...) form, always
+# positive.
+BM25_QUERY_IDS = (0, 7, 42)
+BM25_TOP = 10
+_BM25_QIDS_SQL = ", ".join(str(q) for q in BM25_QUERY_IDS)
+
+_BM25_TERM_SQL = (
+    "LN(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * (CAST(tf AS DOUBLE) * 2.2)"
+    " / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_len AS DOUBLE) / n_docs)))"
+)
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+    ) WHERE tok <> ''
+),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len
+    FROM dl
+),
+dfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tf
+       WHERE doc_id IN ({_BM25_QIDS_SQL})),
+terms AS (
+    SELECT qt.qid, t.doc_id,
+           CAST(ROUND(({_BM25_TERM_SQL}) * 1e9) AS BIGINT) AS nano
+    FROM qt
+    JOIN tf t ON t.tok = qt.tok AND t.doc_id <> qt.qid
+    JOIN dfx ON dfx.tok = qt.tok
+    JOIN dl ON dl.doc_id = t.doc_id, st
+),
+sc AS (
+    SELECT qid, doc_id, CAST(SUM(nano) AS BIGINT) AS nano
+    FROM terms GROUP BY 1, 2
+)
+SELECT qid AS query_id, doc_id, rnk,
+       ROUND(nano / 1e9, 6) AS bm25_score
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY nano DESC, doc_id) AS rnk
+    FROM sc
+) WHERE rnk <= {BM25_TOP}
+"""
+
+
+@query("bm25_retrieval", oracle=_BM25_ORACLE)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 LEXICAL RETRIEVAL (Robertson et al.; the Lucene/default
+    Elasticsearch scorer) — top {BM25_TOP} documents per query doc by
+    idf-weighted, length-normalized term frequency; upgrades the raw
+    token-overlap retriever rrf_hybrid_retrieval fuses with. k1=1.2,
+    b=0.75; idf = LN(1 + (N - df + 0.5)/(df + 0.5)), always positive.
+
+    Rank determinism: each per-term score is one shared-verbatim
+    double expression over five exact BIGINTs, quantized to nano
+    units BEFORE the per-doc sum — the ranking orders an INTEGER, so
+    no cross-engine accumulation order can reorder the head (the same
+    1e-9 fixed-point device as pagerank's rank trajectory).
+
+    100 TB shape: postings (doc, term, tf) shuffle once on the term
+    key and serve document frequencies AND the candidate join; the
+    query side (3 docs' distinct terms, with their df) broadcasts;
+    candidates are bounded by documents sharing a query term;
+    doc-length joins ride the doc_id key. A production index would
+    bucket the postings by term — the query plan is unchanged.
+    Reference parity: none — the reference has no retrieval layer;
+    LLM-pipeline (RAG) extension."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qt = (
+        tf.filter(F.col("doc_id").isin(*BM25_QUERY_IDS))
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    # df restricted to query terms (values unchanged) so the idf side
+    # broadcasts instead of shuffling the full vocabulary.
+    qdf = dfx.join(F.broadcast(qt.select("tok").distinct()), "tok")
+    terms = (
+        tf.join(F.broadcast(qt), "tok")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(qdf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(F.expr(_BM25_TERM_SQL) * F.lit(1e9))
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    sc = terms.groupBy("qid", "doc_id").agg(
+        F.sum("nano").cast("long").alias("nano")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("nano").desc(), "doc_id")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOP)
+        .select(
+            F.col("qid").alias("query_id"),
+            "doc_id",
+            "rnk",
+            F.round(F.col("nano") / F.lit(1e9), 6).alias("bm25_score"),
+        )
+    )

@@ -43,6 +43,9 @@ def test_entry_module_contract():
         "adamic_adar_linkpred",
         "rrf_hybrid_retrieval",
         "stream_outer_join_attribution",
+        "welch_ttest_value",
+        "bm25_retrieval",
+        "kaplan_meier_waits",
         # oldest r1 greens (regression re-checks)
         "pricing_summary",
         "order_priority_counts",

@@ -77,6 +77,13 @@ PICKS = [
      "hybrid RAG fusion: 3-row query dim broadcast into both the dense "
      "scan-and-score and the token-overlap join; fusion touches only "
      "2x20 rows per query"),
+    ("bm25_retrieval",
+     "postings shuffle once on the term key; query terms + their df "
+     "broadcast; per-term scores quantized to nano-unit BIGINTs so the "
+     "ranking orders an integer"),
+    ("kaplan_meier_waits",
+     "one user_id shuffle for LEAD spells; KM product as an integer "
+     "log-sum over duration cells (bounded by span minutes, not rows)"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
