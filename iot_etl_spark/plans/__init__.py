@@ -65,6 +65,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "classifier_lang_auc",
     "bm25_retrieval",
     "kaplan_meier_waits",
+    "group_kfold_assign",
+    "hill_tail_index",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -86,8 +88,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
     "q2_min_cost_supplier",
     "hourly_device_agg",
 ]

@@ -3585,3 +3585,92 @@ def woe_iv_event_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("iv_nano").over(w_all).cast("long") / F.lit(1e9)), 6
         ).alias("total_iv"),
     )
+
+
+# ----------------------------- Hill tail-index of the key histogram
+HILL_K = 10
+# Each order-statistic log-ratio is one double from two BIGINTs,
+# quantized to nano units BEFORE the cross-term sum (pagerank's 1e-9
+# fixed-point device), so the estimator is integer-exact across
+# engines; the final H and alpha are single shared divisions.
+_HILL_H_SQL = f"CAST(sum_nano AS DOUBLE) / 1e9 / {HILL_K}"
+_HILL_A_SQL = f"{HILL_K} * 1e9 / CAST(sum_nano AS DOUBLE)"
+
+_HILL_ORACLE = f"""
+WITH per_key AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+top_ AS (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+    FROM per_key
+    ORDER BY cnt DESC, user_id
+    LIMIT {HILL_K + 1}
+),
+xmin AS (SELECT cnt AS x_k1 FROM top_ WHERE rnk = {HILL_K + 1}),
+terms AS (
+    SELECT CAST(ROUND(LN(CAST(cnt AS DOUBLE) / x_k1) * 1e9) AS BIGINT) AS nano
+    FROM top_, xmin WHERE rnk <= {HILL_K}
+),
+agg AS (SELECT CAST(SUM(nano) AS BIGINT) AS sum_nano FROM terms)
+SELECT {HILL_K} AS k, x_k1 AS x_kplus1,
+       ROUND({_HILL_H_SQL}, 6) AS hill_h,
+       ROUND({_HILL_A_SQL}, 6) AS tail_alpha
+FROM agg, xmin
+"""
+
+
+@query("hill_tail_index", oracle=_HILL_ORACLE)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL ESTIMATOR of the tail index of the per-key event-count
+    distribution — the principled "how heavy is the hot-key tail"
+    number behind key_skew_audit's max/avg ratio: H = mean of
+    ln(x_i / x_{{k+1}}) over the top {HILL_K} order statistics (k kept small enough to be non-degenerate at every test SF; production k scales with the key cardinality),
+    tail_alpha = 1/H (alpha <= 2 means unbounded variance — salting is
+    not optional; alpha > 3 means the tail is benign at any scale).
+
+    Determinism: the top-(k+1) counts are BIGINTs selected by a
+    deterministic (cnt, user_id) order; each log-ratio is one double
+    from two integers, quantized to nano units before the sum; H and
+    alpha are single shared-verbatim divisions of the integer sum.
+
+    100 TB shape: per-key counts are one map-side-combinable
+    aggregate; the order statistics are TakeOrderedAndProject of
+    {HILL_K}+1 rows (never a global sort); everything after runs on
+    <= {HILL_K}+1 rows. Reference parity: none — scale-diagnostics
+    extension of the skew-audit family."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top_ = (
+        per_key.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(HILL_K + 1)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.col("cnt").desc(), "user_id")
+            ),
+        )
+    )
+    xmin = top_.filter(F.col("rnk") == HILL_K + 1).select(
+        F.col("cnt").alias("x_k1")
+    )
+    terms = (
+        top_.filter(F.col("rnk") <= HILL_K)
+        .crossJoin(F.broadcast(xmin))
+        .select(
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("x_k1")) * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("nano")
+        )
+    )
+    agg = terms.agg(F.sum("nano").cast("long").alias("sum_nano"))
+    return agg.crossJoin(F.broadcast(xmin)).select(
+        F.lit(HILL_K).alias("k"),
+        F.col("x_k1").alias("x_kplus1"),
+        F.round(F.expr(_HILL_H_SQL), 6).alias("hill_h"),
+        F.round(F.expr(_HILL_A_SQL), 6).alias("tail_alpha"),
+    )

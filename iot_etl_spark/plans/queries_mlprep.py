@@ -1336,3 +1336,74 @@ def classifier_lang_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u2").alias("u2_stat"),
         F.round(F.expr(_AUC_SQL), 6).alias("auc"),
     )
+
+
+# -------------------------------- leakage-free group k-fold splits
+KFOLD_K = 5
+# md5-derived fold id — the same engine-portable deterministic-hash
+# device as the classifier weights (_CLS_W_*): replayable, no RNG
+# state, identical on both engines.
+_FOLD_SPARK = (
+    f"cast(conv(substr(md5(cast(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    f" % {KFOLD_K}"
+)
+_FOLD_DUCK = (
+    f"('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {KFOLD_K}"
+)
+
+_KFOLD_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_type, {_FOLD_DUCK} AS fold FROM events
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev)
+SELECT fold,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_total, 6) AS event_share
+FROM ev, tot
+GROUP BY fold, n_total
+"""
+
+
+@query("group_kfold_assign", oracle=_KFOLD_ORACLE)
+def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE GROUP K-FOLD split assignment ({KFOLD_K} folds):
+    every event of a user lands in the SAME fold (the group is the
+    unit of assignment), so cross-validation never trains on one half
+    of a user's history and evaluates on the other — the split
+    correctness rule cross-split leakage audits assume. Fold id is
+    md5-derived from the group key: deterministic, replayable, stable
+    under re-runs and data arrival order, no RNG state to checkpoint
+    (the same engine-portable hash device as the classifier weights).
+    Output is the per-fold balance audit (users, events, type
+    coverage, share).
+
+    100 TB shape: assignment is MAP-SIDE (one hash per row, no
+    shuffle, no per-group state — the group key hashes identically
+    wherever the row lands); the audit is one aggregate. Writing the
+    folds out would ride partitionBy(fold) on the same expression.
+    Reference parity: none — ML-prep extension of the
+    sampling/sharding family."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_FOLD_SPARK).alias("fold")
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        ev.crossJoin(F.broadcast(tot))
+        .groupBy("fold", "n_total")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+        )
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            "n_types",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_total"), 6
+            ).alias("event_share"),
+        )
+    )

@@ -46,6 +46,8 @@ def test_entry_module_contract():
         "welch_ttest_value",
         "bm25_retrieval",
         "kaplan_meier_waits",
+        "group_kfold_assign",
+        "hill_tail_index",
         # oldest r1 greens (regression re-checks)
         "pricing_summary",
         "order_priority_counts",

@@ -1,0 +1,152 @@
+"""MERGE INTO semantics over the txlog table (warehouse/merge.py):
+three-clause routing, ambiguity rejection, atomicity/time travel —
+plus the dynamic-partition-pruning plan pin for partitioned fact
+joins (the scan-time analog of MERGE's file pruning note)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from iot_etl_spark.warehouse.merge import merge_into
+from iot_etl_spark.warehouse.txlog import TxTable
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _bootstrap(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tx"))
+    t.overwrite(
+        spark.createDataFrame(
+            [
+                Row(k=1, v="a", n=10),
+                Row(k=2, v="b", n=20),
+                Row(k=3, v="c", n=30),
+                Row(k=4, v="d", n=40),
+            ]
+        )
+    )
+    return t
+
+
+def test_merge_update_delete_insert_routing(spark, tmp_path):
+    t = _bootstrap(spark, tmp_path)
+    src = spark.createDataFrame(
+        [
+            Row(k=2, v="B", n=200),   # matched -> update
+            Row(k=3, v="c", n=-1),    # matched + delete condition -> delete
+            Row(k=9, v="z", n=90),    # not matched -> insert
+        ]
+    )
+    merge_into(
+        spark, t, src, on=["k"], delete_condition=F.col("src_n") < 0
+    )
+    # untouched rows survive, k=2 updated, k=3 deleted, k=9 inserted
+    assert _rows(t.read(spark)) == sorted(
+        [(1, 10, "a"), (2, 200, "B"), (4, 40, "d"), (9, 90, "z")]
+    )
+
+
+def test_merge_update_condition_gates_matches(spark, tmp_path):
+    t = _bootstrap(spark, tmp_path)
+    src = spark.createDataFrame(
+        [Row(k=1, v="A", n=100), Row(k=2, v="B", n=5)]
+    )
+    # only matches where the source n exceeds the target n update
+    merge_into(
+        spark, t, src, on=["k"],
+        update_condition=F.col("src_n") > F.col("n"), insert=False,
+    )
+    got = {r["k"]: (r["v"], r["n"]) for r in t.read(spark).collect()}
+    assert got[1] == ("A", 100)   # condition held -> updated
+    assert got[2] == ("b", 20)    # condition failed -> target kept
+
+
+def test_merge_rejects_ambiguous_source(spark, tmp_path):
+    t = _bootstrap(spark, tmp_path)
+    src = spark.createDataFrame(
+        [Row(k=2, v="x", n=1), Row(k=2, v="y", n=2)]
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        merge_into(spark, t, src, on=["k"])
+    # the failed merge committed NOTHING
+    assert t.latest_version() == 0
+
+
+def test_merge_is_one_commit_and_time_travels(spark, tmp_path):
+    t = _bootstrap(spark, tmp_path)
+    v0 = t.latest_version()
+    src = spark.createDataFrame([Row(k=1, v="A", n=11), Row(k=8, v="h", n=80)])
+    v1 = merge_into(spark, t, src, on=["k"])
+    assert v1 == v0 + 1  # exactly one atomic commit
+    before = {r["k"]: r["n"] for r in t.read(spark, version=v0).collect()}
+    after = {r["k"]: r["n"] for r in t.read(spark).collect()}
+    assert before[1] == 10 and after[1] == 11 and 8 not in before and after[8] == 80
+
+
+def test_merge_null_match_keys_stay_honest(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tx"))
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(k=None, v="t-null", n=1), Row(k=5, v="e", n=50)],
+            "k INT, v STRING, n INT",
+        )
+    )
+    src = spark.createDataFrame(
+        [Row(k=None, v="s-null", n=2)], "k INT, v STRING, n INT"
+    )
+    merge_into(spark, t, src, on=["k"])
+    got = {r["v"]: r["n"] for r in t.read(spark).collect()}
+    # NULL key null-safe-matches NULL key: updated, not duplicated
+    assert got == {"s-null": 2, "e": 50}
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """The scan-side pruning capability: a selective dim filter on a
+    partitioned fact's partition column must inject a runtime
+    dynamicpruning subquery into the fact scan, so at 100 TB the join
+    reads only the partitions the dim side selects."""
+    fact = spark.range(0, 10_000).select(
+        F.col("id").alias("fk"),
+        (F.col("id") % 50).alias("part_key"),
+        (F.col("id") * 2).alias("val"),
+    )
+    fact_path = str(tmp_path / "fact_parted")
+    fact.write.partitionBy("part_key").parquet(fact_path)
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("part_key"), (F.col("id") % 5).alias("grp")
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+
+    f = spark.read.parquet(fact_path)
+    d = spark.read.parquet(dim_path).filter(F.col("grp") == 3)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # DPP must hold in the general (non-broadcast-reuse) case too
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            "false",
+        )
+        joined = f.join(d, "part_key").groupBy("grp").agg(F.sum("val"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and the pruned result is still correct
+        expect = (
+            f.join(d.hint("broadcast"), "part_key")
+            .groupBy("grp")
+            .agg(F.sum("val"))
+            .collect()
+        )
+        assert joined.collect() == expect
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            "true",
+        )
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
