@@ -150,3 +150,74 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         )
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """The runtime half of the skew story (operators/skew.py salting
+    is the manual half): with AQE skew-join enabled, a sort-merge
+    join against a pathologically hot key must be re-planned at
+    runtime into a skew=true SMJ (the hot partition split into
+    multiple tasks), with results identical to the logical join.
+
+    Two discoveries this pin encodes: the split works at MAPPER
+    granularity, so the scan must produce several map tasks (tiny
+    test files coalesce into one scan partition by default — hence
+    the small maxPartitionBytes/openCost); and the thresholds compare
+    against COMPRESSED shuffle bytes, far below the in-memory size at
+    test scale."""
+    big = spark.range(0, 60_000).select(
+        # 95% of rows share key 0; the rest spread over 1000 keys
+        F.when(F.col("id") % 20 != 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    big_path = str(tmp_path / "big")
+    big.write.parquet(big_path)
+    small = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    small_path = str(tmp_path / "small")
+    small.write.parquet(small_path)
+
+    confs = {
+        # several map tasks, so the hot partition is mapper-splittable
+        "spark.sql.files.maxPartitionBytes": "65536",
+        "spark.sql.files.openCostInBytes": "0",
+        # force SMJ (no broadcast); thresholds sized to COMPRESSED
+        # shuffle bytes at test scale
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        # a downstream stage reusing the shuffle would otherwise veto
+        # the split (it adds a shuffle); at 100 TB the split is worth it
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = (
+            spark.read.parquet(big_path)
+            .join(spark.read.parquet(small_path), "k")
+            .select("k", "payload", "dim_val")
+        )
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # the AQEShuffleRead carries the mark
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    # result identical to the broadcast twin, hot key included
+    expect = (
+        spark.read.parquet(big_path)
+        .join(spark.read.parquet(small_path).hint("broadcast"), "k")
+        .select("k", "payload", "dim_val")
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expect))
