@@ -67,6 +67,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "kaplan_meier_waits",
     "group_kfold_assign",
     "hill_tail_index",
+    "cuped_experiment_readout",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -87,7 +88,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
     "q2_min_cost_supplier",
     "hourly_device_agg",
 ]

@@ -3674,3 +3674,122 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_HILL_H_SQL), 6).alias("hill_h"),
         F.round(F.expr(_HILL_A_SQL), 6).alias("tail_alpha"),
     )
+
+
+# --------------------- CUPED variance-reduced experiment readout
+# Linearity does the determinism work: mean(Y - theta*(X - Xbar)) =
+# mean(Y) - theta*(mean(X) - Xbar), so the adjusted per-arm means are
+# computed from exact DECIMAL aggregates through shared-verbatim
+# double expressions — no per-user double is ever summed.
+CUPED_SPLIT_DAYS = 15
+_CUPED_ARM_SPARK = (
+    "cast(conv(substr(md5(cast(user_id AS STRING)), 9, 8), 16, 10) AS BIGINT)"
+    " % 2"
+)
+_CUPED_ARM_DUCK = (
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT % 2"
+)
+_CUPED_THETA_SQL = "(dsxy - dsx * dsy / n_all) / (dsxx - dsx * dsx / n_all)"
+_CUPED_ADJ_SQL = (
+    "dsy_a / n_a - ((dsxy - dsx * dsy / n_all) / (dsxx - dsx * dsx / n_all))"
+    " * (dsx_a / n_a - dsx / n_all)"
+)
+
+_CUPED_ORACLE = f"""
+WITH bounds AS (
+    SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+),
+per_user AS (
+    SELECT user_id, {_CUPED_ARM_DUCK} AS arm,
+           COALESCE(SUM(CAST(value AS DECIMAL(18, 2)))
+                    FILTER (CAST(ts AS TIMESTAMP)
+                            < t0 + INTERVAL {CUPED_SPLIT_DAYS} DAY), 0) AS x,
+           COALESCE(SUM(CAST(value AS DECIMAL(18, 2)))
+                    FILTER (CAST(ts AS TIMESTAMP)
+                            >= t0 + INTERVAL {CUPED_SPLIT_DAYS} DAY), 0) AS y
+    FROM events, bounds GROUP BY 1, 2
+),
+gmom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(x) AS DOUBLE) AS dsx,
+           CAST(SUM(y) AS DOUBLE) AS dsy,
+           CAST(SUM(x * x) AS DOUBLE) AS dsxx,
+           CAST(SUM(x * y) AS DOUBLE) AS dsxy
+    FROM per_user
+),
+arms AS (
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_a,
+           CAST(SUM(x) AS DOUBLE) AS dsx_a,
+           CAST(SUM(y) AS DOUBLE) AS dsy_a
+    FROM per_user GROUP BY 1
+)
+SELECT arm, n_a AS n_users,
+       ROUND(dsy_a / n_a, 6) AS mean_post,
+       ROUND(dsx_a / n_a, 6) AS mean_pre,
+       ROUND({_CUPED_THETA_SQL}, 6) AS theta,
+       ROUND({_CUPED_ADJ_SQL}, 6) AS mean_post_cuped
+FROM arms, gmom
+"""
+
+
+@query("cuped_experiment_readout", oracle=_CUPED_ORACLE)
+def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE-REDUCED EXPERIMENT READOUT (Deng et al., the
+    standard large-platform A/B device): users hash-split into two
+    arms (md5-derived, deterministic, no RNG state); the pre-period
+    spend X (first {CUPED_SPLIT_DAYS} days) is the covariate, the
+    post-period spend Y the outcome; theta = cov(X,Y)/var(X) pooled
+    across arms; the readout is each arm's CUPED-adjusted mean
+    Y - theta*(X - Xbar), whose variance shrinks by the squared
+    pre/post correlation — the difference of the adjusted means is
+    the lift estimate a platform would ship.
+
+    Determinism by LINEARITY: mean(Y - theta*(X - Xbar)) =
+    mean(Y) - theta*(mean(X) - Xbar), so every reported number
+    derives from exact BIGINT counts and exact DECIMAL sums
+    (x, y, x*x, x*y) cast once to double and combined in
+    shared-verbatim expressions — no per-user double accumulation
+    anywhere.
+
+    100 TB shape: one user_id shuffle to per-user (x, y); the global
+    moment row broadcasts back onto the 2-row arm aggregate.
+    Reference parity: none — experimentation-analytics extension of
+    the audit family (welch_ttest_value tests a mean difference;
+    CUPED is how platforms shrink its confidence interval)."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    cut = F.col("t0") + F.expr(f"INTERVAL {CUPED_SPLIT_DAYS} DAY")
+    v = F.col("value").cast("decimal(18,2)")
+    per_user = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy("user_id", F.expr(_CUPED_ARM_SPARK).alias("arm"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("ts") < cut, v)), F.lit(0)).alias(
+                "x"
+            ),
+            F.coalesce(F.sum(F.when(F.col("ts") >= cut, v)), F.lit(0)).alias(
+                "y"
+            ),
+        )
+    )
+    glob = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("x").cast("double").alias("dsx"),
+        F.sum("y").cast("double").alias("dsy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("dsxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("dsxy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum("x").cast("double").alias("dsx_a"),
+        F.sum("y").cast("double").alias("dsy_a"),
+    )
+    return arms.crossJoin(F.broadcast(glob)).select(
+        "arm",
+        F.col("n_a").alias("n_users"),
+        F.round(F.expr("dsy_a / n_a"), 6).alias("mean_post"),
+        F.round(F.expr("dsx_a / n_a"), 6).alias("mean_pre"),
+        F.round(F.expr(_CUPED_THETA_SQL), 6).alias("theta"),
+        F.round(F.expr(_CUPED_ADJ_SQL), 6).alias("mean_post_cuped"),
+    )

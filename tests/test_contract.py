@@ -48,6 +48,7 @@ def test_entry_module_contract():
         "kaplan_meier_waits",
         "group_kfold_assign",
         "hill_tail_index",
+        "cuped_experiment_readout",
         # oldest r1 greens (regression re-checks)
         "pricing_summary",
         "order_priority_counts",
