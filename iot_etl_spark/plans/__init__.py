@@ -68,6 +68,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "group_kfold_assign",
     "hill_tail_index",
     "cuped_experiment_readout",
+    "stream_full_outer_reconcile",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -87,7 +88,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q12_priority_by_status",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
     "q2_min_cost_supplier",
     "hourly_device_agg",
 ]

@@ -779,3 +779,149 @@ def stream_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.count("click_value") > 0).alias("attributed"),
         )
     )
+
+
+# ------------------------------- stream-stream FULL OUTER interval join
+# Two-tier tail cut makes the post-join classification equivalent to
+# cutting the batch INPUTS: clicks kept at CC = max - (wm 4h + window
+# + 8h slack) can only ever match purchases kept at CP = CC + window
+# (a click's match interval is [c, c+window] <= CC+window = CP), so
+# no kept click attaches to a dropped purchase; a kept purchase's
+# clicks in (CC, CP] are DEMOTED (not counted) on both engines, which
+# can flip it to purchase_only identically on both. Emission margins:
+# the drained global watermark sits ~max - 4h - side-lag (<= 3.9 h
+# measured); purchase flush needs watermark > p (= CP = max-12h,
+# margin >= 4.1 h), click flush needs watermark > c + window
+# (<= max-12h, same margin).
+FO_CLICK_CUT_S = 4 * 3600 + ATTRIBUTION_WINDOW_S + 8 * 3600
+FO_PURCHASE_CUT_S = FO_CLICK_CUT_S - ATTRIBUTION_WINDOW_S
+
+_FULL_OUTER_ORACLE = f"""
+WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events, m
+      WHERE event_type = 'purchase'
+        AND CAST(ts AS TIMESTAMP) <= mx - INTERVAL {FO_PURCHASE_CUT_S} SECONDS),
+c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DECIMAL(18, 2)) AS value
+      FROM events, m
+      WHERE event_type = 'click'
+        AND CAST(ts AS TIMESTAMP) <= mx - INTERVAL {FO_CLICK_CUT_S} SECONDS),
+fo AS (
+    SELECT p.user_id AS pu, c.user_id AS cu, c.value
+    FROM p FULL OUTER JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+)
+SELECT CASE WHEN pu IS NOT NULL AND cu IS NOT NULL THEN 'matched'
+            WHEN cu IS NULL THEN 'purchase_only'
+            ELSE 'click_only' END AS match_status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT COALESCE(pu, cu)) AS BIGINT) AS n_users,
+       ROUND(CAST(COALESCE(SUM(value), 0) AS DOUBLE), 6) AS sum_click_value
+FROM fo GROUP BY 1
+"""
+
+
+@query("stream_full_outer_reconcile", oracle=_FULL_OUTER_ORACLE)
+def stream_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join on the real
+    engine, completing the join-mode matrix (inner
+    stream_interval_join, LEFT OUTER stream_outer_join_attribution,
+    and now both unmatched sides at once): the funnel reconcile that
+    reports matched purchase-click pairs, purchases with no
+    attributable click, AND clicks that never converted — the last
+    being the rows only a full outer can surface from the stream.
+    Unmatched rows on either side emit NULL-padded once the
+    min-across-inputs watermark proves no partner can arrive (a
+    purchase flushes past its own ts; a click past ts + window).
+
+    Cross-engine membership: the two-tier tail cut (CC for clicks,
+    CP = CC + window for purchases, constants above) is chosen so a
+    kept click's whole match interval lies within kept purchases —
+    the ONLY cut pair for which post-join classification of the
+    stream output equals cutting the batch join's inputs; pairs whose
+    click falls in the demoted band (CC, CP] are uncounted on both
+    engines, flipping their purchase to purchase_only identically.
+
+    State story: identical to the inner/left flavors — key-hashed
+    state evicted past watermark + window on both sides; full outer
+    adds deferred emission on the right, no new state. Reference
+    parity: the reference's streaming layer joins nothing
+    (spark_streaming_consumer.py); T-family completion."""
+    from iot_etl_spark.sources.tables import load_table
+    from iot_etl_spark.streaming.joins import interval_join
+
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    purchases = (
+        read_stream_source(spark, "parquet", path=events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("on_key"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    clicks = (
+        read_stream_source(spark, "parquet", path=events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("on_key"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    joined = interval_join(
+        purchases, clicks, on="on_key",
+        window_seconds=ATTRIBUTION_WINDOW_S,
+        left_ts="purchase_ts", right_ts="click_ts",
+        how="full_outer",
+    )
+    # full outer drops the coalesced key: keep both sides' keys
+    _, out = run_stream_to_memory(
+        joined.select("on_key", "purchase_ts", "click_ts", "click_value"),
+        output_mode="append",
+    )
+    bound = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr(f"INTERVAL {FO_PURCHASE_CUT_S} SECONDS")).alias("cp"),
+        (F.max("ts") - F.expr(f"INTERVAL {FO_CLICK_CUT_S} SECONDS")).alias("cc"),
+    )
+    o = out.crossJoin(F.broadcast(bound))
+    kept_c = F.col("click_ts") <= F.col("cc")
+    kept_p = F.col("purchase_ts") <= F.col("cp")
+    v = F.col("click_value").cast("decimal(18,2)")
+
+    # purchase-bearing rows: demote clicks past CC, then classify
+    per_p = (
+        o.filter(F.col("purchase_ts").isNotNull() & kept_p)
+        .groupBy("on_key", "purchase_ts")
+        .agg(
+            F.count(F.when(kept_c, 1)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept_c, v)).alias("sum_v"),
+        )
+    )
+    matched = per_p.filter(F.col("n_kept") > 0).agg(
+        F.lit("matched").alias("match_status"),
+        F.sum("n_kept").cast("long").alias("n_rows"),
+        F.countDistinct("on_key").cast("long").alias("n_users"),
+        F.round(
+            F.coalesce(F.sum("sum_v"), F.lit(0)).cast("double"), 6
+        ).alias("sum_click_value"),
+    )
+    ponly = per_p.filter(F.col("n_kept") == 0).agg(
+        F.lit("purchase_only").alias("match_status"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("on_key").cast("long").alias("n_users"),
+        F.lit(0.0).alias("sum_click_value"),
+    )
+    conly = o.filter(F.col("purchase_ts").isNull() & kept_c).agg(
+        F.lit("click_only").alias("match_status"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("on_key").cast("long").alias("n_users"),
+        F.round(
+            F.coalesce(F.sum(v), F.lit(0)).cast("double"), 6
+        ).alias("sum_click_value"),
+    )
+    return (
+        matched.unionAll(ponly).unionAll(conly).filter(F.col("n_rows") > 0)
+    )

@@ -9,7 +9,10 @@ event falls inside a time interval ending at the left event
 request/response pairing, sensor cross-correlation. ``inner`` emits
 matches as they arrive; ``left_outer`` additionally emits unmatched
 left rows (NULL right side) once the watermark proves no match can
-still arrive — the "purchase with no attributable click" shape.
+still arrive — the "purchase with no attributable click" shape;
+``full_outer`` additionally flushes unmatched RIGHT rows once the
+watermark passes their whole match interval (``right_ts + window``) —
+the "click that never converted" side only a full outer can surface.
 
 Scale shape: both sides are watermarked, and the join carries BOTH a
 key equality (state is hash-partitioned by key) and a two-sided time
@@ -62,4 +65,14 @@ def interval_join(
         & (rw[right_ts] <= lw[left_ts])
         & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
     )
-    return lw.join(rw, cond, how).drop(rw[on])
+    joined = lw.join(rw, cond, how)
+    if how == "full_outer":
+        # right-only rows carry a NULL left key: surface the key as
+        # the coalesce of both sides instead of dropping one
+        return (
+            joined.withColumn("_k_", F.coalesce(lw[on], rw[on]))
+            .drop(lw[on])
+            .drop(rw[on])
+            .withColumnRenamed("_k_", on)
+        )
+    return joined.drop(rw[on])

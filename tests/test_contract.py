@@ -49,6 +49,7 @@ def test_entry_module_contract():
         "group_kfold_assign",
         "hill_tail_index",
         "cuped_experiment_readout",
+        "stream_full_outer_reconcile",
         # oldest r1 greens (regression re-checks)
         "pricing_summary",
         "order_priority_counts",

@@ -941,3 +941,107 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(spark):
         assert got == [(20, 1, 1.0), (21, 2, None)], rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_interval_join_full_outer_flushes_both_sides(spark):
+    """FULL OUTER interval join: an unmatched purchase flushes with
+    NULL click columns once the watermark passes purchase_ts; an
+    unmatched CLICK flushes with NULL purchase columns once the
+    watermark passes click_ts + window (its whole match interval);
+    both carry the COALESCED join key (the right-only row would
+    otherwise lose it); matched pairs emit normally, each side exactly
+    once."""
+    import uuid
+
+    from iot_etl_spark.streaming.joins import interval_join
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_ssfo_")
+    try:
+        base = datetime.datetime(2024, 1, 3, 9, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        sec = datetime.timedelta(seconds=1)
+        # user 1: matched pair; user 2: purchase, no click;
+        # user 3: click, no purchase
+        write_batch(
+            [
+                (10, base - 30 * sec, 1, "click", 1.0, None),
+                (20, base, 1, "purchase", 99.0, None),
+                (21, base, 2, "purchase", 77.0, None),
+                (11, base, 3, "click", 5.0, None),
+            ],
+            "b1",
+        )
+
+        purchases = (
+            read_stream_source(spark, "parquet", path=src_dir + "/*")
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("purchase_ts"))
+        )
+        clicks = (
+            read_stream_source(spark, "parquet", path=src_dir + "/*")
+            .filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"),
+                    F.col("value").alias("click_value"))
+        )
+        joined = interval_join(
+            purchases, clicks, on="user_id", window_seconds=60,
+            left_ts="purchase_ts", right_ts="click_ts",
+            watermark="10 seconds", how="full_outer",
+        )
+        name = f"ssfo_{uuid.uuid4().hex[:6]}"
+        q = (joined.writeStream.outputMode("append").format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            early = spark.table(name).collect()
+            # only the matched pair may be out before the watermark moves
+            assert all(
+                r.purchase_ts is not None and r.click_ts is not None
+                for r in early
+            ), early
+            # push the watermark far past both unmatched rows' horizons
+            # (click needs ts + window; eviction lands one batch after
+            # the watermark update — documented engine behavior)
+            write_batch(
+                [
+                    (30, base + 600 * sec, 9, "click", 0.5, None),
+                    (40, base + 600 * sec, 8, "purchase", 1.0, None),
+                ],
+                "b2",
+            )
+            q.processAllAvailable()
+            write_batch(
+                [
+                    (31, base + 601 * sec, 9, "click", 0.5, None),
+                    (41, base + 601 * sec, 8, "purchase", 1.0, None),
+                ],
+                "b3",
+            )
+            q.processAllAvailable()
+            rows = [r for r in spark.table(name).collect()
+                    if r.user_id in (1, 2, 3)]
+        finally:
+            q.stop()
+
+        got = sorted(
+            (r.user_id,
+             r.purchase_ts is not None,
+             r.click_ts is not None,
+             r.click_value)
+            for r in rows
+        )
+        assert got == [
+            (1, True, True, 1.0),    # matched, exactly once
+            (2, True, False, None),  # purchase flushed NULL-padded
+            (3, False, True, 5.0),   # click flushed with its key intact
+        ], rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
