@@ -69,6 +69,10 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "hill_tail_index",
     "cuped_experiment_readout",
     "stream_full_outer_reconcile",
+    "srm_arm_balance",
+    "calibration_bins",
+    "ndcg_label_retrieval",
+    "dedup_token_inflation",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -86,10 +90,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q9_product_type_profit",
     "q11_important_parts",
     "q12_priority_by_status",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q2_min_cost_supplier",
-    "hourly_device_agg",
 ]
 
 

@@ -3793,3 +3793,86 @@ def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_CUPED_THETA_SQL), 6).alias("theta"),
         F.round(F.expr(_CUPED_ADJ_SQL), 6).alias("mean_post_cuped"),
     )
+
+
+# --------------------- sample-ratio-mismatch (SRM) arm-balance check
+# The pre-flight every experiment platform runs BEFORE reading an A/B
+# test: if the hash-split allocation deviates from its design ratio,
+# the readout (welch_ttest_value, cuped_experiment_readout) is invalid
+# regardless of the metric movement. Chi-square against the uniform
+# k-arm design, integer-exact until one final division:
+# chi2 = sum_a (o_a - n/k)^2 / (n/k) = (k * sum(o^2) - n^2) / n.
+SRM_ARMS = 4
+SRM_CRIT_P001 = 16.266  # chi2 df=3, p=0.001 — the industry SRM alarm
+
+_SRM_ARM_SPARK = (
+    "cast(conv(substr(md5(cast(user_id AS STRING)), 17, 8), 16, 10) AS BIGINT)"
+    f" % {SRM_ARMS}"
+)
+_SRM_ARM_DUCK = (
+    f"('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 8))::BIGINT % {SRM_ARMS}"
+)
+_SRM_CHI2_SQL = (
+    f"({SRM_ARMS} * sum_o2 - CAST(n_all AS DOUBLE) * n_all) / n_all"
+)
+
+_SRM_ORACLE = f"""
+WITH arms AS (
+    SELECT {_SRM_ARM_DUCK} AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_users) AS BIGINT) AS n_all,
+           CAST(SUM(n_users * n_users) AS DOUBLE) AS sum_o2
+    FROM arms
+)
+SELECT arm, n_users,
+       ROUND(CAST(n_all AS DOUBLE) / {SRM_ARMS}, 6) AS expected,
+       ROUND({_SRM_CHI2_SQL}, 6) AS chi2,
+       {_SRM_CHI2_SQL} > {SRM_CRIT_P001} AS srm_alarm
+FROM arms, tot
+"""
+
+
+@query("srm_arm_balance", oracle=_SRM_ORACLE)
+def srm_arm_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check over a {SRM_ARMS}-arm md5 hash
+    split of the experiment population — the pre-flight gate for the
+    A/B family (welch_ttest_value, cuped_experiment_readout): a
+    chi-square of observed arm sizes against the uniform design,
+    alarming at p<0.001 (the standard platform threshold; a true SRM
+    means assignment or logging is broken, not that the treatment
+    worked).
+
+    INTEGER-EXACT algebra: with o_a the arm counts and n their sum,
+    chi2 = (k*sum(o^2) - n^2)/n — BIGINT products, one double
+    division at the end, the expression string shared VERBATIM with
+    the oracle. The arm hash reuses the md5 slice convention
+    (chars 17-24, disjoint from the CUPED arm slice at 9-16 and the
+    classifier weight slice at 1-8, so the splits are independent).
+
+    100 TB shape: one distinct-user shuffle (the same per-user frame
+    every experiment readout needs anyway) into a {SRM_ARMS}-row
+    aggregate; the total row broadcasts back onto the arms. Reference
+    parity: none — experimentation-analytics extension of the audit
+    family."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .select(F.expr(_SRM_ARM_SPARK).alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    tot = arms.agg(
+        F.sum("n_users").cast("long").alias("n_all"),
+        F.sum(F.col("n_users") * F.col("n_users")).cast("double").alias("sum_o2"),
+    )
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_users",
+        F.round(F.expr(f"CAST(n_all AS DOUBLE) / {SRM_ARMS}"), 6).alias("expected"),
+        F.round(F.expr(_SRM_CHI2_SQL), 6).alias("chi2"),
+        (F.expr(_SRM_CHI2_SQL) > SRM_CRIT_P001).alias("srm_alarm"),
+    )

@@ -1407,3 +1407,90 @@ def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("event_share"),
         )
     )
+
+
+# ------------------- classifier calibration (reliability bins + ECE)
+# Confidence from the classifier logit mapped to [0,1]; the "label"
+# is lang='en' — a held-out attribute the hash-derived weights never
+# saw, so the bins exercise the full calibration machinery
+# (reliability diagram + expected-calibration-error) with an honest
+# target. With trained weights the same query audits the real gate:
+# a miscalibrated keep-probability silently shifts the corpus mix.
+_CAL_BIN_SQL = "CAST(floor(quality_logit * 10) AS INT)"
+_CAL_PNANO_SQL = "CAST(round((quality_logit + 1) * 500000000) AS BIGINT)"
+
+_CAL_ORACLE = """
+WITH cls AS ({cls}),
+b AS (
+    SELECT {bin} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           CAST(SUM({pnano}) AS BIGINT) AS sum_pnano
+    FROM cls GROUP BY 1
+),
+t AS (SELECT b.*, SUM(n_docs) OVER () AS n_total FROM b)
+SELECT bin, n_docs, n_pos,
+       ROUND(sum_pnano / (n_docs * 1e9), 6) AS mean_conf,
+       ROUND(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+       ROUND(CAST(n_docs AS DOUBLE) / n_total
+             * abs(CAST(n_pos AS DOUBLE) / n_docs
+                   - sum_pnano / (n_docs * 1e9)), 6) AS ece_contrib
+FROM t
+"""
+
+
+def _calibration_oracle() -> str:
+    return _CAL_ORACLE.format(
+        cls=_CLASSIFIER_ORACLE, bin=_CAL_BIN_SQL, pnano=_CAL_PNANO_SQL
+    )
+
+
+@query("calibration_bins", oracle=_calibration_oracle())
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER CALIBRATION audit: reliability-diagram bins +
+    per-bin EXPECTED-CALIBRATION-ERROR contribution for the quality
+    classifier (quality_classifier_score). Confidence = the logit
+    mapped to [0,1]; bins = fixed 0.1-wide slices of the logit
+    (shared-verbatim floor expression, so the binning double is
+    engine-identical); label = lang='en' (see module note above on
+    why the held-out attribute is the honest target here).
+
+    Determinism: per-doc confidence is quantized to NANO-UNIT BIGINTs
+    before any summation (sum_pnano), so bin means come from exact
+    integer sums; pos_rate is a ratio of BIGINTs; the ECE contribution
+    is one shared-verbatim double expression over those exact
+    aggregates. ECE itself = SUM(ece_contrib) over the <= 21 bins.
+
+    100 TB shape: composes the classifier's ZERO-shuffle scan scoring,
+    then one shuffle to at most 21 bin cells; the global window for
+    n_total runs on the post-aggregate bin frame — the deliberate
+    tiny-frame pattern, not a scale risk. Reference parity: none —
+    ML-data-pipeline extension (model-based filtering QA, the
+    reliability check a CCNet-style keep gate ships with)."""
+    cls = quality_classifier_score(spark, sf_dir)
+    b = (
+        cls.select(
+            F.expr(_CAL_BIN_SQL).alias("bin"),
+            (F.col("lang") == "en").cast("int").alias("pos"),
+            F.expr(_CAL_PNANO_SQL).alias("pnano"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("pnano").cast("long").alias("sum_pnano"),
+        )
+    )
+    t = b.withColumn("n_total", F.sum("n_docs").over(Window.partitionBy()))
+    conf = F.col("sum_pnano") / (F.col("n_docs") * F.lit(1e9))
+    rate = F.col("n_pos").cast("double") / F.col("n_docs")
+    return t.select(
+        "bin", "n_docs", "n_pos",
+        F.round(conf, 6).alias("mean_conf"),
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_total") * F.abs(rate - conf),
+            6,
+        ).alias("ece_contrib"),
+    )

@@ -1374,3 +1374,82 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("nano") / F.lit(1e9), 6).alias("bm25_score"),
         )
     )
+
+
+# --------------------- duplication-weighted token budget (soft dedup)
+# The OTHER dedup resolution policy: dedup_keep_best drops mirrors
+# outright; large-corpus recipes often instead DOWN-WEIGHT duplicates
+# (each member of a size-c cluster sampled at 1/c), preserving
+# coverage while neutralizing over-represented content. This query
+# reports the resulting per-source token budget: raw tokens, the
+# duplication-weighted effective tokens, and the inflation ratio a
+# mixing plan must correct for.
+_TOKINF_EFF_SQL = "CAST(round(src_tokens * 1000000000.0 / csize) AS BIGINT)"
+
+_TOKINF_ORACLE = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM walk GROUP BY doc_id),
+toks AS (
+    SELECT d.doc_id, d.source, l.cluster_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+    FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+),
+csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+        FROM labels GROUP BY 1),
+sc AS (
+    SELECT t.source, t.cluster_id, csz.csize,
+           CAST(SUM(t.n_toks) AS BIGINT) AS src_tokens
+    FROM toks t JOIN csz ON csz.cluster_id = t.cluster_id
+    GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+       ROUND(SUM({_TOKINF_EFF_SQL}) / 1e9, 6) AS effective_tokens,
+       ROUND(SUM(src_tokens) * 1e9 / SUM({_TOKINF_EFF_SQL}), 6)
+           AS inflation_ratio
+FROM sc GROUP BY source
+"""
+
+
+@query("dedup_token_inflation", oracle=_TOKINF_ORACLE)
+def dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT-DEDUP TOKEN BUDGET per source (see module note above):
+    every doc in a size-c near-dup cluster contributes tokens/c to
+    the effective budget; inflation_ratio = raw / effective is the
+    factor by which duplication overstates a source's contribution.
+
+    Determinism: per-(source, cluster) token sums are BIGINTs; the
+    fractional 1/c weighting is quantized to nano-unit BIGINTs with a
+    shared-verbatim expression BEFORE the per-source sum, so both
+    engines sum the same integers; the two reported doubles are final
+    single divisions.
+
+    100 TB shape: composes the materialized cluster-label stage
+    (_cluster_labels_cached — the SAME artifact dedup_clusters /
+    dedup_keep_best consume, built once per corpus fingerprint); the
+    new work is one cluster-size aggregate over the labels frame
+    (bounded by n_docs) and one (source, cluster) shuffle — no pair
+    expansion anywhere. Reference parity: none — corpus-curation
+    extension (duplication-aware mixing, the WebText/CCNet weighting
+    shape)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks")
+    )
+    labels = _cluster_labels_cached(spark, sf_dir)
+    csz = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    sc = (
+        docs.join(labels, "doc_id")
+        .groupBy("source", "cluster_id")
+        .agg(F.sum("n_toks").cast("long").alias("src_tokens"))
+        .join(csz, "cluster_id")
+    )
+    eff = F.expr(_TOKINF_EFF_SQL)
+    return sc.groupBy("source").agg(
+        F.sum("src_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum(eff) / F.lit(1e9), 6).alias("effective_tokens"),
+        F.round(
+            F.sum("src_tokens") * F.lit(1e9) / F.sum(eff), 6
+        ).alias("inflation_ratio"),
+    )
