@@ -73,6 +73,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "calibration_bins",
     "ndcg_label_retrieval",
     "dedup_token_inflation",
+    "source_overlap_matrix",
+    "mutual_info_type_hour",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -88,8 +90,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_priority_by_status",
 ]
 
 

@@ -3876,3 +3876,74 @@ def srm_arm_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_SRM_CHI2_SQL), 6).alias("chi2"),
         (F.expr(_SRM_CHI2_SQL) > SRM_CRIT_P001).alias("srm_alarm"),
     )
+
+
+# ---------------- mutual information audit: event_type x hour-of-day
+# The info-theoretic sibling of chi2_type_dow: chi-square asks "is the
+# rhythm independent?"; MI measures HOW MANY BITS the hour carries
+# about the type — the quantity a feature-selection pass ranks by.
+_MI_TERM_SQL = (
+    "CAST(round((CAST(o AS DOUBLE) / n) "
+    "* log2(o * CAST(n AS DOUBLE) / (CAST(rt AS DOUBLE) * ct)) "
+    "* 1000000000) AS BIGINT)"
+)
+
+_MI_ORACLE = f"""
+WITH c AS (
+    SELECT event_type, extract(hour FROM {DUCK_TS}) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type, o,
+           SUM(o) OVER (PARTITION BY event_type) AS rt,
+           SUM(o) OVER (PARTITION BY hr) AS ct,
+           SUM(o) OVER () AS n
+    FROM c
+)
+SELECT event_type,
+       CAST(MAX(rt) AS BIGINT) AS n_rows,
+       ROUND(SUM({_MI_TERM_SQL}) / 1e9, 6) AS mi_bits_contrib
+FROM m GROUP BY 1
+"""
+
+
+@query("mutual_info_type_hour", oracle=_MI_ORACLE)
+def mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between event_type and hour-of-day, reported
+    as each type's contribution sum_h p(t,h) * log2(p(t,h)/(p(t)p(h)))
+    to the total MI in BITS (see note above; total MI = SUM over
+    types). Zero cells contribute exactly 0 (the p*log p limit), so
+    the SPARSE contingency table is correct here — no densification
+    needed, unlike chi2_type_dow where an absent cell still owes its
+    expected mass.
+
+    Determinism: marginals and cell counts are exact BIGINTs; each
+    cell's p*log2 term is quantized to nano-unit BIGINTs by a
+    shared-verbatim expression, so the per-type sum is an integer sum
+    with ONE double division at the end.
+
+    100 TB shape: one shuffle to at most |types|*24 cells; the
+    marginal windows run on the cell frame, not rows. Reference
+    parity: none — feature-screening extension of the audit family
+    (woe_iv_event_weekend ranks a binary split; MI ranks the full
+    categorical pair)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    wt = Window.partitionBy("event_type")
+    wh = Window.partitionBy("hr")
+    wn = Window.partitionBy()
+    m = c.select(
+        "event_type", "o",
+        F.sum("o").over(wt).alias("rt"),
+        F.sum("o").over(wh).alias("ct"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    return m.groupBy("event_type").agg(
+        F.max("rt").cast("long").alias("n_rows"),
+        F.round(F.sum(F.expr(_MI_TERM_SQL)) / F.lit(1e9), 6).alias(
+            "mi_bits_contrib"
+        ),
+    )

@@ -1453,3 +1453,93 @@ def dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("src_tokens") * F.lit(1e9) / F.sum(eff), 6
         ).alias("inflation_ratio"),
     )
+
+
+# ------------------------- cross-source near-dup overlap matrix
+# "Which sources mirror each other" — the curation audit that decides
+# whether two crawls/dumps should be deduplicated jointly or one
+# dropped wholesale. Cells are the Jaccard>=0.8 near-dup pairs
+# (the dedup_ngram_jaccard contract) bucketed by the UNORDERED source
+# pair; n_docs counts the distinct documents involved in the cell.
+_SRC_OVERLAP_ORACLE = f"""
+WITH {_MINHASH_CTES},
+jac AS (
+    SELECT doc_id_a, doc_id_b
+    FROM cand
+    JOIN sh x ON x.doc_id = doc_id_a
+    JOIN sh y ON y.doc_id = doc_id_b
+    WHERE len(list_intersect(x.s, y.s))::DOUBLE
+          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8
+),
+cells AS (
+    SELECT LEAST(da.source, db.source) AS src_lo,
+           GREATEST(da.source, db.source) AS src_hi,
+           j.doc_id_a, j.doc_id_b
+    FROM jac j
+    JOIN documents da ON da.doc_id = j.doc_id_a
+    JOIN documents db ON db.doc_id = j.doc_id_b
+)
+SELECT src_lo, src_hi,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+    SELECT src_lo, src_hi, doc_id_a AS doc_id, doc_id_b AS other
+    FROM cells
+    UNION ALL
+    SELECT src_lo, src_hi, doc_id_b, doc_id_a FROM cells
+)
+GROUP BY 1, 2
+"""
+
+
+@query("source_overlap_matrix", oracle=_SRC_OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE NEAR-DUP OVERLAP MATRIX (see note above): the
+    near-dup pairs of dedup_ngram_jaccard rolled up by unordered
+    source pair — diagonal cells are within-source duplication,
+    off-diagonal cells are mirrored content between sources.
+    n_pairs double-counts nothing (each pair lands in exactly one
+    unordered cell); n_docs is the distinct document count touched by
+    the cell's pairs. Counting convention is pinned by the UNION-ALL
+    doubling: COUNT(*) over the doubled frame is 2*n_pairs, so the
+    query counts pairs pre-doubling — both engines share the shape.
+
+    100 TB shape: composes the stage-cached shingle sets + LSH band
+    candidates (the SAME artifacts every dedup-family query reuses);
+    the source lookup is two joins back to the documents dim on
+    doc_id; the final aggregate has at most |sources|^2 cells.
+    Reference parity: none — corpus-curation extension."""
+    sh = _shingle_sets_cached(spark, sf_dir)
+    cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
+    jac = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb")), "doc_id_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .filter(
+            F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")) >= 0.8
+        )
+        .select("doc_id_a", "doc_id_b")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cells = (
+        jac.join(
+            docs.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("src_a")),
+            "doc_id_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("src_b")),
+            "doc_id_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+            "doc_id_a", "doc_id_b",
+        )
+    )
+    doubled = cells.select(
+        "src_lo", "src_hi", F.col("doc_id_a").alias("doc_id")
+    ).unionAll(cells.select("src_lo", "src_hi", F.col("doc_id_b").alias("doc_id")))
+    return doubled.groupBy("src_lo", "src_hi").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )

@@ -221,3 +221,64 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
         .collect()
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, expect))
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark, tmp_path):
+    """The row-level runtime-filtering capability (the shuffle-join
+    sibling of the DPP pin above): when a selective dim filter feeds a
+    shuffle join against an UNPARTITIONED fact, Spark injects a Bloom
+    filter built from the dim side into the fact scan
+    (bloom_filter_might_contain), discarding non-joining fact rows
+    BEFORE the shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice.
+    DPP needs a partition column; the Bloom filter is the answer when
+    the join key isn't the layout key.
+
+    Thresholds pinned here: injection compares the APPLICATION side's
+    scan size against applicationSideScanSizeThreshold (default 10GB —
+    far above any test fixture, hence 0 here) and the CREATION side
+    against creationSideThreshold; the join must be a shuffle join
+    (broadcast joins skip the filter — the broadcast hash set already
+    prunes)."""
+    fact = spark.range(0, 200_000).select(
+        F.col("id").alias("fk"), (F.col("id") * 2).alias("val")
+    )
+    fact_path = str(tmp_path / "fact_bloom")
+    fact.write.parquet(fact_path)
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("fk"), (F.col("id") % 5).alias("grp")
+    )
+    dim_path = str(tmp_path / "dim_bloom")
+    dim.write.parquet(dim_path)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        f = spark.read.parquet(fact_path)
+        d = spark.read.parquet(dim_path).filter(F.col("grp") == 3)
+        joined = f.join(d, "fk").groupBy("grp").agg(F.sum("val").alias("s"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        rows = joined.collect()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    expect = (
+        spark.read.parquet(fact_path)
+        .join(spark.read.parquet(dim_path).filter(F.col("grp") == 3).hint("broadcast"), "fk")
+        .groupBy("grp")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expect))
