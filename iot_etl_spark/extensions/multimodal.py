@@ -232,6 +232,9 @@ def _decode_png(payload: bytes) -> dict:
         else:
             return {"ok": False, "error": f"unknown PNG filter type {ftype}"}
     out["mean_pixel"] = float(recon.mean())
+    # private pixel handle for pixel-level transforms (resize_images);
+    # dropped by decode_and_featurize's fixed column projection
+    out["_pixels"] = recon.reshape(height, width, channels)
     return out
 
 
@@ -974,6 +977,10 @@ def _decode_bmp(payload: bytes) -> dict:
             px = np.frombuffer(payload, dtype=np.uint8, count=stride * height,
                                offset=data_offset).reshape(height, stride)
             out["mean_pixel"] = float(px[:, :row_len].mean())
+            arr = px[:, :row_len].reshape(height, width, 3)
+            # positive biHeight = bottom-up row order: normalize the
+            # private pixel handle to top-down for resize_images
+            out["_pixels"] = arr[::-1] if height_raw > 0 else arr
     return out
 
 
@@ -1124,3 +1131,115 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------- resize
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("mean_pixel", T.DoubleType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def _encode_bmp_pixels(arr: np.ndarray) -> bytes:
+    """Re-encode a top-down (h, w, 3) uint8 array as a standard
+    bottom-up uncompressed 24-bit BMP (the inverse of _decode_bmp's
+    pixel path, so resize output round-trips through the decoder)."""
+    height, width = arr.shape[:2]
+    row_len = width * 3
+    pad = b"\x00" * ((4 - row_len % 4) % 4)
+    body = b"".join(arr[y].tobytes() + pad for y in range(height - 1, -1, -1))
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + dib + body
+
+
+def _to_rgb3(arr: np.ndarray) -> np.ndarray:
+    """Normalize decoded channel layouts to 3 channels: grey -> repeat,
+    grey+alpha / RGBA -> drop alpha (compositing needs a background
+    policy; the transform stays a pure pixel op)."""
+    ch = arr.shape[2]
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    if ch == 2:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if ch == 4:
+        return arr[:, :, :3]
+    return arr
+
+
+def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFrame:
+    """Pixel-level image RESIZE over a MEDIA_SCHEMA frame: decode
+    (stdlib BMP/PNG pixel paths), nearest-neighbor index-map to
+    (out_width, out_height), re-encode as uncompressed BMP. The
+    standard thumbnail/normalize step before vision-model feature
+    extraction, expressed the same way as decode_and_featurize:
+    Arrow-batched mapInPandas, errors-as-rows (corrupt or
+    pixel-inaccessible payloads yield ok=false rows, never task
+    failures), deterministic output (index mapping has no filter
+    kernel ambiguity; digest is md5 of the resized BMP bytes).
+
+    Nearest-neighbor is the documented choice: it is exactly
+    reproducible across numpy versions (pure integer indexing —
+    src_index = floor(i * src / out)), and resize to the source's own
+    dimensions is the IDENTITY on pixels (pinned by test). Formats
+    with metadata-only decode (GIF/JPEG beyond the pixel paths,
+    fake video headers) report ok=false with a reason.
+
+    100 TB shape: per-row pixel work with bounded memory (one decoded
+    image per row in flight inside a batch), no shuffle, composes
+    with any downstream featurize over the `content` column."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                row = {"media_id": media_id, "ok": False, "error": None,
+                       "src_width": None, "src_height": None,
+                       "out_width": out_width, "out_height": out_height,
+                       "mean_pixel": None, "digest": None, "content": None}
+                try:
+                    payload = bytes(content) if content is not None else None
+                    meta = _decode_payload(payload)
+                    if not meta.get("ok"):
+                        row["error"] = meta.get("error") or "decode failed"
+                    else:
+                        row["src_width"] = meta.get("width")
+                        row["src_height"] = meta.get("height")
+                        pixels = meta.get("_pixels")
+                        if pixels is None:
+                            row["error"] = (
+                                "no pixel-level decode for this format"
+                            )
+                        else:
+                            arr = _to_rgb3(pixels)
+                            h, w = arr.shape[:2]
+                            yi = (np.arange(out_height) * h) // out_height
+                            xi = (np.arange(out_width) * w) // out_width
+                            res = np.ascontiguousarray(arr[yi][:, xi])
+                            bmp = _encode_bmp_pixels(res)
+                            row.update(
+                                ok=True,
+                                mean_pixel=float(res.mean()),
+                                digest=hashlib.md5(bmp).hexdigest(),
+                                content=bmp,
+                            )
+                except NotImplementedError as exc:
+                    row["error"] = f"NotImplementedError: {exc}"
+                except Exception as exc:  # noqa: BLE001 - errors become rows
+                    row["error"] = f"{type(exc).__name__}: {exc}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.mapInPandas(process, schema=RESIZED_SCHEMA)

@@ -317,3 +317,94 @@ def test_compressed_formats_still_error_as_rows(spark):
     )
     row = decode_and_featurize(df).collect()[0]
     assert not row.ok and "NotImplementedError" in row.error
+
+
+def test_resize_identity_on_bmp(spark):
+    """Resize to the source's own dims is the pixel identity: the
+    output BMP decodes to the same dimensions and the same mean pixel
+    as the input (nearest-neighbor index map i*src//out == i)."""
+    from iot_etl_spark.extensions.multimodal import (
+        RESIZED_SCHEMA,
+        make_bmp_bytes,
+        resize_images,
+    )
+
+    bmp = make_bmp_bytes(width=8, height=6, seed=3)
+    df = spark.createDataFrame(
+        [(21, "image", bmp, "image/bmp", 8, 6, None)], MEDIA_SCHEMA
+    )
+    out = resize_images(df, 8, 6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.ok and r.error is None
+    assert (r.src_width, r.src_height) == (8, 6)
+    assert (r.out_width, r.out_height) == (8, 6)
+    # identity: round-trip the produced BMP through the decoder
+    redecoded = decode_and_featurize(
+        spark.createDataFrame(
+            [(22, "image", bytes(r.content), "image/bmp", 8, 6, None)],
+            MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert redecoded.ok
+    assert (redecoded.width, redecoded.height) == (8, 6)
+    assert abs(redecoded.mean_pixel - r.mean_pixel) < 1e-9
+    # schema contract
+    assert [f.name for f in RESIZED_SCHEMA.fields] == list(out[0].asDict())
+
+
+def test_resize_downscale_png_and_errors_as_rows(spark):
+    """PNG pixels resize through the same path (channel-normalized to
+    RGB); a constant-color source stays constant after resize; formats
+    without pixel-level decode and corrupt payloads become ok=false
+    ROWS, never task failures."""
+    from iot_etl_spark.extensions.multimodal import (
+        make_fake_media_bytes,
+        make_png_bytes,
+        resize_images,
+    )
+
+    png = make_png_bytes(width=10, height=8, seed=5)
+    rows = [
+        (31, "image", png, "image/png", 10, 8, None),
+        (32, "video", make_fake_media_bytes("video", 64, 48, 1000, seed=1),
+         "video/fake", 64, 48, 1000),
+        (33, "image", b"\x89PNG\r\n\x1a\n corrupt", "image/png", None, None, None),
+    ]
+    out = {r.media_id: r for r in resize_images(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), 5, 4).collect()}
+    ok_row = out[31]
+    assert ok_row.ok and (ok_row.out_width, ok_row.out_height) == (5, 4)
+    assert ok_row.content is not None and bytes(ok_row.content)[:2] == b"BM"
+    assert not out[32].ok and "pixel-level" in out[32].error
+    assert not out[33].ok
+
+    # constant image invariant: every resized pixel equals the constant
+    import numpy as np
+    from iot_etl_spark.extensions.multimodal import _decode_payload
+
+    const = np.full((6, 6, 3), 77, dtype=np.uint8)
+    from iot_etl_spark.extensions.multimodal import _encode_bmp_pixels
+
+    cbmp = _encode_bmp_pixels(const)
+    cdf = spark.createDataFrame(
+        [(41, "image", cbmp, "image/bmp", 6, 6, None)], MEDIA_SCHEMA
+    )
+    cres = resize_images(cdf, 3, 2).collect()[0]
+    assert cres.ok and cres.mean_pixel == 77.0
+    meta = _decode_payload(bytes(cres.content))
+    assert meta["width"] == 3 and meta["height"] == 2 and meta["mean_pixel"] == 77.0
+
+
+def test_resize_is_deterministic(spark):
+    """Same input, same target dims -> byte-identical output digest
+    across invocations (no RNG, no kernel ambiguity)."""
+    from iot_etl_spark.extensions.multimodal import make_bmp_bytes, resize_images
+
+    bmp = make_bmp_bytes(width=9, height=7, seed=11)
+    df = spark.createDataFrame(
+        [(51, "image", bmp, "image/bmp", 9, 7, None)], MEDIA_SCHEMA
+    )
+    d1 = resize_images(df, 4, 3).collect()[0].digest
+    d2 = resize_images(df, 4, 3).collect()[0].digest
+    assert d1 == d2
