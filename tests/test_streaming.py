@@ -1045,3 +1045,64 @@ def test_interval_join_full_outer_flushes_both_sides(spark):
         ], rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_watermark_drop_metrics_observable(spark):
+    """OBSERVABILITY pin for the late-data story: the state-store
+    operator metrics expose the watermark drop as
+    numRowsDroppedByWatermark in StreamingQueryProgress — the signal a
+    production monitor alerts on (silent late-data loss is the classic
+    streaming-pipeline incident). Complements
+    test_watermark_drops_late_rows_in_append_mode, which pins the
+    RESULT; this pins the METRIC a 1000-executor operator watches."""
+    tmp = tempfile.mkdtemp(prefix="iot_etl_wmmetric_")
+    try:
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        schema = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
+                  "event_type STRING, value DOUBLE, props STRING")
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).write.parquet(os.path.join(src_dir, name))
+
+        write_batch(
+            [
+                (1, base, 1, "view", 1.0, None),
+                (2, base + datetime.timedelta(minutes=30), 1, "view", 3.0, None),
+            ],
+            "b1",
+        )
+        stream = read_stream_source(spark, "parquet", path=src_dir + "/*")
+        agg = windowed_aggregate(stream, window="1 minute", watermark="2 minutes")
+        import uuid
+
+        name = f"wmm_{uuid.uuid4().hex[:6]}"
+        q = (
+            agg.writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # event time far behind the advanced watermark -> dropped row
+            write_batch(
+                [(3, base + datetime.timedelta(seconds=30), 1, "view", 100.0, None)],
+                "b2",
+            )
+            q.processAllAvailable()
+            dropped = 0
+            for prog in q.recentProgress:
+                for op in prog.get("stateOperators", []):
+                    dropped += op.get("numRowsDroppedByWatermark", 0)
+            assert dropped >= 1, (
+                "watermark drop not surfaced in stateOperators metrics: "
+                f"{[p.get('stateOperators') for p in q.recentProgress]}"
+            )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
