@@ -75,6 +75,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "dedup_token_inflation",
     "source_overlap_matrix",
     "mutual_info_type_hour",
+    "stream_dedup_ttl",
+    "hard_negative_mining",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -88,8 +90,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q4_priority_with_returns",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
 ]
 
 

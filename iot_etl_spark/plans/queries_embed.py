@@ -967,3 +967,81 @@ def ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg_nano").cast("double") / F.col("idcg_nano"), 6),
         ).otherwise(F.lit(0.0)).alias("ndcg"),
     )
+
+
+# ---------------------- hard-negative mining (contrastive training)
+# The training-data leg of the retrieval family: contrastive losses
+# (InfoNCE/triplet) need, per anchor, negatives that are HARD —
+# maximally similar vectors with a different label. Random negatives
+# converge slowly; the standard pipeline mines the top-similar
+# cross-label vectors offline, exactly this query.
+HARDNEG_K = 5
+HARDNEG_QUERY_IDS = (0, 3, 7, 11, 19, 23, 42, 57)
+_HARDNEG_QIDS_SQL = ", ".join(str(q) for q in HARDNEG_QUERY_IDS)
+
+_HARDNEG_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb FROM v
+      WHERE vec_id IN ({_HARDNEG_QIDS_SQL}))
+SELECT query_id, neg_id, neg_label, rank, cosine FROM (
+    SELECT q.qid AS query_id, v.vec_id AS neg_id, v.label AS neg_label,
+           ROUND(list_inner_product(v.emb, q.qemb)
+                 / (sqrt(list_inner_product(v.emb, v.emb))
+                    * sqrt(list_inner_product(q.qemb, q.qemb))), 6) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(list_inner_product(v.emb, q.qemb)
+                              / (sqrt(list_inner_product(v.emb, v.emb))
+                                 * sqrt(list_inner_product(q.qemb, q.qemb))),
+                        6) DESC, v.vec_id) AS rank
+    FROM v JOIN q ON v.vec_id <> q.qid AND v.label <> q.qlabel
+) WHERE rank <= {HARDNEG_K}
+"""
+
+
+@query("hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training (see note above):
+    for each anchor vector, the top-{HARDNEG_K} most-cosine-similar
+    vectors whose label DIFFERS — the cross-label filter runs before
+    scoring, so the rank is over true negatives only. Rank contract is
+    the registry's usual rounded-cosine + vec_id tiebreak (the same
+    determinism embedding_cosine_topk pins).
+
+    100 TB shape: anchors broadcast as a tiny dim; scoring is
+    scan-and-score with the label inequality pushed into the join
+    condition (no post-filter over a bigger candidate set); per-anchor
+    top-k via the bounded ranking window. Production swaps the scan
+    for the IVF-pruned path and re-mines periodically as the model
+    trains (negatives harden as epochs progress). Reference parity:
+    none — embedding-training-pipeline extension."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("emb")
+    )
+    qv = emb.filter(F.col("vec_id").isin(*HARDNEG_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter((F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                _dot(F.col("emb"), F.col("qemb"))
+                / (_norm(F.col("emb")) * _norm(F.col("qemb"))), 6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select("query_id", "neg_id", "neg_label", "rank", "cosine")
+    )

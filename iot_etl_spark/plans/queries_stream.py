@@ -199,6 +199,41 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------- streaming TTL dedup (bare-key identity)
+_STREAM_DEDUP_TTL_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("stream_dedup_ttl", oracle=_STREAM_DEDUP_TTL_ORACLE)
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare-key streaming dedup via the native
+    ``dropDuplicatesWithinWatermark`` operator (Spark 3.5+;
+    streaming/pipeline.py:dedup_stream_within_watermark) — the dual of
+    stream_dedup: identity is (user_id, event_type) with NO time
+    bucket, so duplicates in different hours still collapse, and the
+    watermark delay acts as a state TTL instead of a bucket boundary.
+
+    Oracle equality to batch DISTINCT holds because the delay here
+    (40 days) exceeds the test corpus's 30-day span, so no key's state
+    expires while a later duplicate is still in flight. That is the
+    documented correctness condition, not a trick: at 100 TB you set
+    delay to the real duplicate horizon (producer-retry minutes) and
+    state stays O(keys-per-horizon); the test pins the semantics at a
+    horizon covering the whole corpus. Reference parity: no streaming
+    dedup in the reference (SURVEY §2.9); capability extension."""
+    from iot_etl_spark.streaming.pipeline import dedup_stream_within_watermark
+
+    src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
+    deduped = dedup_stream_within_watermark(
+        src, keys=("user_id", "event_type"), delay="40 days"
+    )
+    _, out = run_stream_to_memory(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
+    return out
+
+
 # ------------------------------------------ stream-stream interval join
 ATTRIBUTION_WINDOW_S = 7200
 

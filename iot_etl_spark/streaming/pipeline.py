@@ -305,6 +305,32 @@ def dedup_stream(
     return out.dropDuplicates([*keys, "window"])
 
 
+def dedup_stream_within_watermark(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    time_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup on BARE keys via Spark's native
+    ``dropDuplicatesWithinWatermark`` (3.5+): the first row per key
+    wins and its state entry lives until the watermark passes that
+    row's event time + ``delay`` — no bucketing column in the key, so
+    two duplicates in DIFFERENT hours still collapse (the case
+    ``dedup_stream``'s (keys, window) identity deliberately keeps).
+
+    The contract is the dual of ``dedup_stream``: there, the window
+    column makes dedup-identity time-bucketed and state drops with the
+    bucket; here, identity is the raw key and ``delay`` is a TTL —
+    duplicates farther apart in event time than ``delay`` may BOTH
+    survive. At 100 TB the operator is safe exactly when ``delay``
+    matches the real duplicate horizon (a replayed producer retries
+    within minutes, not days); state is O(|distinct keys seen within
+    the horizon|)."""
+    return df.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def start_txlog_sink(
     df: DataFrame,
     table,

@@ -1106,3 +1106,72 @@ def test_watermark_drop_metrics_observable(spark):
             q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_within_watermark_ttl_semantics(spark):
+    """dropDuplicatesWithinWatermark contract, both directions:
+    (a) duplicates in DIFFERENT hours collapse (bare-key identity —
+    exactly what dedup_stream's (keys, window) identity keeps apart);
+    (b) once the watermark passes first-arrival + delay, the key's
+    state expires and a much-later duplicate is emitted AGAIN — the
+    TTL tradeoff the operator's docstring documents."""
+    from iot_etl_spark.streaming.pipeline import dedup_stream_within_watermark
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    schema = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE, props STRING")
+
+    def run(delay, batches):
+        tmp = tempfile.mkdtemp(prefix="iot_etl_ddww_")
+        try:
+            src_dir = os.path.join(tmp, "src")
+            os.makedirs(src_dir)
+            import uuid
+
+            name = f"ddww_{uuid.uuid4().hex[:6]}"
+
+            def write_batch(rows, bname):
+                spark.createDataFrame(rows, schema).withColumn(
+                    "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+                ).write.parquet(os.path.join(src_dir, bname))
+
+            write_batch(batches[0], "b0")
+            src = read_stream_source(spark, "parquet", path=src_dir + "/*")
+            deduped = dedup_stream_within_watermark(
+                src, keys=("user_id", "event_type"), delay=delay
+            )
+            q = (
+                deduped.select("event_id", "user_id", "event_type")
+                .writeStream.outputMode("append").format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                for i, b in enumerate(batches[1:], 1):
+                    write_batch(b, f"b{i}")
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+            return spark.table(name).collect()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # (a) same key 5 hours apart, generous delay -> ONE survivor
+    rows = run("30 days", [
+        [(1, base, 7, "view", 1.0, None)],
+        [(2, base + datetime.timedelta(hours=5), 7, "view", 2.0, None)],
+    ])
+    assert [r.event_id for r in rows] == [1]
+
+    # (b) tight delay; a watermark-advancing row expires key 7's state,
+    # then the late duplicate is emitted again -> BOTH survive
+    rows = run("1 hour", [
+        [(1, base, 7, "view", 1.0, None)],
+        # other key, far ahead: advances watermark past base + 1h
+        [(9, base + datetime.timedelta(days=2), 8, "click", 0.0, None)],
+        [(2, base + datetime.timedelta(days=2, minutes=1), 7, "view", 2.0, None)],
+    ])
+    got = sorted(r.event_id for r in rows if r.user_id == 7)
+    assert got == [1, 2], f"expected TTL re-emission, got {got}"
