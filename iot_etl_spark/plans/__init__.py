@@ -77,6 +77,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "mutual_info_type_hour",
     "stream_dedup_ttl",
     "hard_negative_mining",
+    "target_encode_loo",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -89,7 +90,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q18_large_volume_customers",
     "q4_priority_with_returns",
     "q6_forecast_revenue",
-    "q7_volume_shipping",
 ]
 
 

@@ -1494,3 +1494,105 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece_contrib"),
     )
+
+
+# ------------- leakage-protected target encoding (leave-one-fold-out)
+# The categorical-feature workhorse: replace a category with the mean
+# of the target over TRAINING rows only. Naive target encoding leaks
+# (a row's own target is inside its category mean); the standard fix
+# is leave-one-fold-out — each fold's encoding is computed from the
+# other folds — composed here with group_kfold_assign's user-keyed
+# folds so a user's own rows never contribute to the encoding their
+# fold sees. Smoothing shrinks rare categories toward the (equally
+# fold-excluded) global mean.
+TENC_PRIOR_W = 20  # smoothing pseudo-count
+
+_TENC_EXPR = (
+    "(CAST(sc - scf AS DOUBLE) + "
+    f"{TENC_PRIOR_W} * (CAST(sa - saf AS DOUBLE) / (na - naf))) "
+    f"/ ((nc - ncf) + {TENC_PRIOR_W})"
+)
+
+_TENC_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type, {_FOLD_DUCK} AS fold,
+           CAST(value AS DECIMAL(18, 2)) AS v
+    FROM events
+),
+cf AS (
+    SELECT event_type, fold,
+           CAST(COUNT(*) AS BIGINT) AS ncf_cell,
+           SUM(v) AS scf_cell
+    FROM ev GROUP BY 1, 2
+),
+cat AS (
+    SELECT event_type,
+           CAST(SUM(ncf_cell) AS BIGINT) AS nc, SUM(scf_cell) AS sc
+    FROM cf GROUP BY 1
+),
+af AS (
+    SELECT fold, CAST(SUM(ncf_cell) AS BIGINT) AS naf, SUM(scf_cell) AS saf
+    FROM cf GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(ncf_cell) AS BIGINT) AS na, SUM(scf_cell) AS sa FROM cf)
+SELECT cf.event_type, cf.fold,
+       cf.ncf_cell AS n_in_fold,
+       ROUND({_TENC_EXPR.replace("ncf", "cf.ncf_cell").replace("scf", "cf.scf_cell")}, 6)
+           AS enc_value
+FROM cf
+JOIN cat ON cat.event_type = cf.event_type
+JOIN af ON af.fold = cf.fold
+CROSS JOIN tot
+"""
+
+
+@query("target_encode_loo", oracle=_TENC_ORACLE)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-FOLD-OUT TARGET ENCODING of event_type against the
+    numeric target ``value`` (module note above): for each
+    (category, fold) cell, enc = (sum_others + w * mean_others_global)
+    / (n_others + w), where "others" excludes the ENTIRE fold — both
+    the category slice and the global prior are fold-excluded, so no
+    row's target influences the encoding its own fold consumes.
+
+    Determinism: category/fold/global sums are exact DECIMALs, counts
+    BIGINTs; the encoding is ONE shared-verbatim double expression
+    over those aggregates (the CUPED convention). Fold id reuses the
+    group-k-fold md5 hash, so splits agree with group_kfold_assign
+    and split_leakage_audit.
+
+    100 TB shape: one shuffle to |types| x {KFOLD_K} cells; category,
+    fold, and global totals all derive from the SAME cell frame (no
+    second scan), then broadcast back onto it. Applying the encoding
+    to rows is a broadcast join of this tiny table onto the fact —
+    map-side, like every hash-derived feature here. Reference parity:
+    none — ML-prep extension (the scikit/CatBoost-style encoder as a
+    declarative plan)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(_FOLD_SPARK).alias("fold"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    cf = ev.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("ncf"),
+        F.sum("v").alias("scf"),
+    )
+    cat = cf.groupBy("event_type").agg(
+        F.sum("ncf").cast("long").alias("nc"), F.sum("scf").alias("sc")
+    )
+    af = cf.groupBy("fold").agg(
+        F.sum("ncf").cast("long").alias("naf"), F.sum("scf").alias("saf")
+    )
+    tot = cf.agg(
+        F.sum("ncf").cast("long").alias("na"), F.sum("scf").alias("sa")
+    )
+    return (
+        cf.join(F.broadcast(cat), "event_type")
+        .join(F.broadcast(af), "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "fold",
+            F.col("ncf").alias("n_in_fold"),
+            F.round(F.expr(_TENC_EXPR), 6).alias("enc_value"),
+        )
+    )
