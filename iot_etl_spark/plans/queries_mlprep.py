@@ -1561,13 +1561,15 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-k-fold md5 hash, so splits agree with group_kfold_assign
     and split_leakage_audit.
 
-    100 TB shape: one shuffle to |types| x {KFOLD_K} cells; category,
-    fold, and global totals all derive from the SAME cell frame (no
-    second scan), then broadcast back onto it. Applying the encoding
-    to rows is a broadcast join of this tiny table onto the fact —
-    map-side, like every hash-derived feature here. Reference parity:
-    none — ML-prep extension (the scikit/CatBoost-style encoder as a
-    declarative plan)."""
+    100 TB shape: ONE scan, ONE shuffle to |types| x {KFOLD_K} cells;
+    category, fold, and global totals are marginal WINDOW sums over
+    the post-aggregate cell frame (~|types| x {KFOLD_K} rows — the
+    chi2_type_dow pattern; a join-back formulation re-scans the fact
+    once per marginal, which the captured plan showed). Applying the
+    encoding to rows is a broadcast join of this tiny table onto the
+    fact — map-side, like every hash-derived feature here. Reference
+    parity: none — ML-prep extension (the scikit/CatBoost-style
+    encoder as a declarative plan)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr(_FOLD_SPARK).alias("fold"),
@@ -1577,22 +1579,20 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("ncf"),
         F.sum("v").alias("scf"),
     )
-    cat = cf.groupBy("event_type").agg(
-        F.sum("ncf").cast("long").alias("nc"), F.sum("scf").alias("sc")
+    wc = Window.partitionBy("event_type")
+    wf = Window.partitionBy("fold")
+    wg = Window.partitionBy()
+    m = cf.select(
+        "event_type", "fold", "ncf", "scf",
+        F.sum("ncf").over(wc).cast("long").alias("nc"),
+        F.sum("scf").over(wc).alias("sc"),
+        F.sum("ncf").over(wf).cast("long").alias("naf"),
+        F.sum("scf").over(wf).alias("saf"),
+        F.sum("ncf").over(wg).cast("long").alias("na"),
+        F.sum("scf").over(wg).alias("sa"),
     )
-    af = cf.groupBy("fold").agg(
-        F.sum("ncf").cast("long").alias("naf"), F.sum("scf").alias("saf")
-    )
-    tot = cf.agg(
-        F.sum("ncf").cast("long").alias("na"), F.sum("scf").alias("sa")
-    )
-    return (
-        cf.join(F.broadcast(cat), "event_type")
-        .join(F.broadcast(af), "fold")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type", "fold",
-            F.col("ncf").alias("n_in_fold"),
-            F.round(F.expr(_TENC_EXPR), 6).alias("enc_value"),
-        )
+    return m.select(
+        "event_type", "fold",
+        F.col("ncf").alias("n_in_fold"),
+        F.round(F.expr(_TENC_EXPR), 6).alias("enc_value"),
     )

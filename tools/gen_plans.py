@@ -84,6 +84,15 @@ PICKS = [
     ("kaplan_meier_waits",
      "one user_id shuffle for LEAD spells; KM product as an integer "
      "log-sum over duration cells (bounded by span minutes, not rows)"),
+    ("hard_negative_mining",
+     "contrastive mining: anchor dim broadcast, label inequality inside "
+     "the join condition, per-anchor top-k ranking window"),
+    ("target_encode_loo",
+     "leakage-free target encoder: ONE cell-frame shuffle; category/fold/"
+     "global totals derive from it and broadcast back, no second scan"),
+    ("calibration_bins",
+     "classifier reliability: zero-shuffle scan scoring into a <=21-cell "
+     "aggregate; the global window runs on the post-aggregate bin frame"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
