@@ -88,8 +88,8 @@ PICKS = [
      "contrastive mining: anchor dim broadcast, label inequality inside "
      "the join condition, per-anchor top-k ranking window"),
     ("target_encode_loo",
-     "leakage-free target encoder: ONE cell-frame shuffle; category/fold/"
-     "global totals derive from it and broadcast back, no second scan"),
+     "leakage-free target encoder: ONE scan, ONE cell-frame shuffle; the "
+     "category/fold/global marginals are windows over the ~25-row cells"),
     ("calibration_bins",
      "classifier reliability: zero-shuffle scan scoring into a <=21-cell "
      "aggregate; the global window runs on the post-aggregate bin frame"),
