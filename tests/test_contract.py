@@ -50,11 +50,21 @@ def test_entry_module_contract():
         "hill_tail_index",
         "cuped_experiment_readout",
         "stream_full_outer_reconcile",
-        # oldest r1 greens (regression re-checks)
+        "srm_arm_balance",
+        "calibration_bins",
+        "ndcg_label_retrieval",
+        "dedup_token_inflation",
+        "source_overlap_matrix",
+        "mutual_info_type_hour",
+        "stream_dedup_ttl",
+        "hard_negative_mining",
+        "target_encode_loo",
+        # oldest r1 greens (regression re-checks; late round-6
+        # registrations displaced the deepest TPC-H tail re-checks)
         "pricing_summary",
         "order_priority_counts",
-        "q2_min_cost_supplier",
-        "hourly_device_agg",
+        "sql_shipping_priority",
+        "q5_local_supplier_volume",
     ):
         assert must in first50, must
 
