@@ -3947,3 +3947,96 @@ def mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_bits_contrib"
         ),
     )
+
+
+# ----------------- time-decayed engagement score (feature-store shape)
+# The freshness-weighted activity feature every ranking/churn model
+# consumes: each event contributes 2^(-age/half_life), so yesterday
+# counts ~2x last week at a 7-day half-life. Anchored to the corpus
+# max timestamp (deterministic, replayable), not NOW().
+DECAY_HALF_LIFE_D = 7
+DECAY_TOP = 100
+# age in WHOLE DAYS (integer floor-div): the decay factor takes at
+# most ~31 distinct values, so the pow() evaluation count (and with it
+# any libm-ULP tie exposure in the nano rounding) is bounded by the
+# day span, not the row count — raw-seconds ages put ~0.1 expected
+# rounding ties in a 600k-row corpus (measured: one bit us at sf0.01).
+# Daily granularity is also the practical refresh cadence of the
+# incremental counter this models.
+# floor((a)/86400.0) rather than integer \`//\`: Spark SQL has no \`//\`
+# operator, and for nonnegative BIGINT differences < 2^53 the double
+# division is exact at multiples of 86400, so the floor equals integer
+# floor-division on BOTH engines.
+# CAST(2 AS DOUBLE): a bare 2.0 literal is DECIMAL in Spark SQL, and
+# decimal division truncates the exponent to 6 decimal places before
+# pow (measured: 2^(-1/7) off in the 7th digit) — the doc'd convention
+# is explicit DOUBLE casts in every shared-verbatim expression.
+_DECAY_TERM_SQL = (
+    "CAST(round(pow(CAST(2 AS DOUBLE), -floor((max_s - ev_s) / 86400.0) / "
+    f"CAST({DECAY_HALF_LIFE_D} AS DOUBLE)) * 1000000000) AS BIGINT)"
+)
+
+_DECAY_ORACLE = f"""
+WITH mx AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS max_s
+            FROM events),
+t AS (
+    SELECT user_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ev_s, max_s
+    FROM events, mx
+),
+s AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({_DECAY_TERM_SQL}) AS BIGINT) AS score_nano
+    FROM t GROUP BY 1
+)
+SELECT user_id, n_events,
+       ROUND(score_nano / 1e9, 6) AS decayed_score
+FROM s
+ORDER BY score_nano DESC, user_id
+LIMIT {DECAY_TOP}
+"""
+
+
+@query("decayed_engagement_score", oracle=_DECAY_ORACLE)
+def decayed_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL TIME-DECAY ENGAGEMENT SCORE, top {DECAY_TOP} users
+    (note above): score = sum over a user's events of
+    2^(-age_days/{DECAY_HALF_LIFE_D}), the standard recency-weighted
+    counter that RFM's hard recency cut approximates. A decayed
+    counter also UPDATES incrementally (multiply yesterday's score by
+    the day factor, add today's events) — the feature-store
+    maintenance property the docstring-level contract here mirrors.
+
+    Determinism: ages are exact BIGINT whole-day differences from the
+    corpus max (1-row broadcast) — integer floor-division, so the pow
+    expression evaluates on at most ~31 distinct exponents (see the
+    term comment: raw-seconds ages expose the nano rounding to libm
+    ULP ties at corpus row counts); each term is quantized to
+    nano-unit BIGINTs via the shared-verbatim expression before the
+    per-user sum (the bm25 convention — ordering compares integers);
+    the reported double is one final division.
+
+    100 TB shape: one user_id shuffle with map-side partial sums;
+    TakeOrderedAndProject on the integer score. Reference parity:
+    device_health_24h's hard 24h window is the reference's freshness
+    notion; this is its graded generalization."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.max(F.unix_timestamp("ts")).cast("long").alias("max_s")
+    )
+    t = ev.select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("ev_s")
+    ).crossJoin(F.broadcast(mx))
+    s = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr(_DECAY_TERM_SQL)).cast("long").alias("score_nano"),
+    )
+    return (
+        s.orderBy(F.col("score_nano").desc(), "user_id")
+        .limit(DECAY_TOP)
+        .select(
+            "user_id", "n_events",
+            F.round(F.col("score_nano") / F.lit(1e9), 6).alias("decayed_score"),
+        )
+    )
