@@ -282,3 +282,58 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark, tmp_path):
         .collect()
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, expect))
+
+
+def test_streaming_cdc_apply_end_to_end(spark, tmp_path):
+    """CDC stream -> foreachBatch MERGE -> transactional table: the
+    final table equals the batch application of the change log, the
+    in-batch insert-then-delete nets to absence, and cross-batch
+    update/delete ordering holds. Also pins idempotent-effect replay:
+    re-applying the last batch leaves the table unchanged."""
+    import iot_etl_spark.warehouse.txlog as txlog
+    from iot_etl_spark.warehouse.merge import apply_cdc_batch, start_cdc_merge_sink
+
+    table = txlog.TxTable(str(tmp_path / "cdc_tbl"))
+    table.overwrite(
+        spark.createDataFrame([(1, "one"), (2, "two")], "k LONG, v STRING")
+    )
+
+    schema = "k LONG, v STRING, op STRING, seq LONG"
+    src_dir = tmp_path / "cdc_src"
+    src_dir.mkdir()
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).write.parquet(str(src_dir / name))
+
+    # b0: update k=1, insert k=3, and k=9 insert-then-delete (nets out)
+    write_batch(
+        [(1, "ONE", "U", 10), (3, "three", "I", 11),
+         (9, "ghost", "I", 12), (9, "ghost", "D", 13)],
+        "b0",
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src_dir) + "/*")
+    q = start_cdc_merge_sink(
+        stream, table, str(tmp_path / "ckpt"), on=["k"]
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k: r.v for r in table.read(spark).collect()}
+        assert got == {1: "ONE", 2: "two", 3: "three"}
+        # b1: delete k=2, update k=3
+        write_batch([(2, "two", "D", 20), (3, "THREE", "U", 21)], "b1")
+        q.processAllAvailable()
+        got = {r.k: r.v for r in table.read(spark).collect()}
+        assert got == {1: "ONE", 3: "THREE"}
+    finally:
+        q.stop()
+
+    # idempotent-effect replay: re-apply b1 as a batch -> fixed point
+    v_before = table.latest_version()
+    apply_cdc_batch(
+        spark, table,
+        spark.createDataFrame([(2, "two", "D", 20), (3, "THREE", "U", 21)], schema),
+        on=["k"],
+    )
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: "ONE", 3: "THREE"}
+    assert table.latest_version() >= v_before  # commits ran, state unchanged
