@@ -39,6 +39,11 @@ Codec status (this container ships no PIL/torchaudio/ffmpeg):
 Everything around the codecs — schemas, Arrow batch iteration, feature
 math (vectorized numpy), error-as-row handling, frame fan-out — is the
 same code path real formats take.
+
+Pixel-level transforms: ``resize_images`` (nearest-neighbor index map
+over the BMP/PNG pixel paths, re-encoded as BMP so outputs round-trip
+through ``decode_and_featurize``) — the thumbnail/normalize step before
+vision-model feature extraction.
 """
 
 from __future__ import annotations
