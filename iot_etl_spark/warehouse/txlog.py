@@ -50,6 +50,47 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _file_column_stats(path: str) -> dict[str, list]:
+    """Per-file column [min, max] harvested from the parquet footer
+    row-group statistics — a metadata read, never a data scan. Only
+    JSON-stable primitive types are recorded (int/float/bool/str);
+    columns without stats (or with unsupported types) are simply
+    absent, which read_pruned treats as un-prunable (always read) —
+    missing stats can only cost I/O, never rows."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:  # noqa: BLE001 - stats are best-effort
+        # unreadable/absent footer -> no stats; read_pruned fails OPEN
+        return {}
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for c in range(row.num_columns):
+            col = row.column(c)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested — skip
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, bool, str)):
+                continue
+            if name in out:
+                out[name][0] = min(out[name][0], mn)
+                out[name][1] = max(out[name][1], mx)
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first; re-read and retry."""
 
@@ -115,6 +156,16 @@ class TxTable:
         if version is None:
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
+        if entry.get("added") and "stats" not in entry:
+            # per-file column min/max from the parquet FOOTERS (local
+            # metadata reads, no data scan) — the Delta-style skipping
+            # index read_pruned consumes. Computed at the single commit
+            # choke point so every writer (append, append_batch,
+            # overwrite, optimize, merge) gets stats for free.
+            entry["stats"] = {
+                n: _file_column_stats(os.path.join(self.data_dir, n))
+                for n in entry["added"]
+            }
         entry = {"version": version, **entry}
         target = os.path.join(self.log_dir, f"{version:08d}.json")
         try:
@@ -310,6 +361,60 @@ class TxTable:
         # mergeSchema: evolved tables (allow_evolution appends) read
         # with the union schema; pre-widening files NULL the new cols
         return spark.read.option("mergeSchema", "true").parquet(*files)
+
+    def snapshot_file_stats(
+        self, version: int | None = None
+    ) -> dict[str, dict[str, list]]:
+        """filename -> per-column [min, max] for the live files of a
+        snapshot, replayed from the commit entries (files committed
+        before the stats feature carry no stats and map to {})."""
+        live = {os.path.basename(p) for p in self.snapshot_files(version)}
+        stats: dict[str, dict[str, list]] = {}
+        latest = self.latest_version() if version is None else version
+        for v in range(latest + 1):
+            for name, s in self._entry(v).get("stats", {}).items():
+                if name in live:
+                    stats[name] = s
+        return {n: stats.get(n, {}) for n in live}
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """DATA-SKIPPING snapshot read (the Delta stats-pruning shape):
+        ``ranges`` maps column -> (lo, hi) — either end None for
+        half-open — and a file is SKIPPED only when its committed
+        footer stats PROVE the interval is disjoint from the file's
+        [min, max]. Files without stats for a referenced column are
+        always read (missing metadata costs I/O, never rows). Pruning
+        is planning-time (file-list construction) — on a 100 TB table
+        this is the difference between listing 10^6 files into the
+        scan and the handful a point-range touches, BEFORE parquet's
+        own row-group skipping sees anything. The caller still applies
+        the row-level filter; pruning is file-granular.
+
+        NOTE: the returned frame contains every row of the surviving
+        files — compose with ``.filter(...)`` for exact semantics (the
+        pytest pins result equality filter-on-pruned == filter-on-full)."""
+        stats = self.snapshot_file_stats(version)
+        keep = []
+        for name, s in stats.items():
+            skip = False
+            for col, (lo, hi) in ranges.items():
+                if col not in s:
+                    continue
+                mn, mx = s[col]
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    skip = True
+                    break
+            if not skip:
+                keep.append(os.path.join(self.data_dir, name))
+        if not keep:
+            # preserve schema for the empty result
+            return self.read(spark, version).limit(0)
+        return spark.read.option("mergeSchema", "true").parquet(*keep)
 
     def optimize(self, spark: SparkSession, target_files: int = 1) -> int | None:
         """OPTIMIZE: rewrite the current snapshot's files into

@@ -882,3 +882,47 @@ def test_cdf_driven_incremental_refresh(spark, tmp_path):
     assert canon(read_agg(spark, agg_path).drop("agg_date")) == canon(
         hourly_agg(t.read(spark))
     )
+
+
+def test_txlog_stats_pruning_skips_disjoint_files(spark, tmp_path):
+    """Delta-style data skipping on the transaction log: every commit
+    stamps per-file column [min, max] from the parquet footers, and
+    read_pruned plans only the files whose stats intersect the
+    predicate range — result equality with the full-scan filter, file
+    count strictly smaller, and missing stats fail OPEN (read)."""
+    import iot_etl_spark.warehouse.txlog as txlog
+
+    t = txlog.TxTable(str(tmp_path / "skiptbl"))
+    # three appends with disjoint k ranges -> three stats-bearing files
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 50).selectExpr(
+                "id AS k", "CAST(id * 2 AS DOUBLE) AS v",
+                "concat('u', CAST(id AS STRING)) AS s",
+            ).coalesce(1)
+        )
+    stats = t.snapshot_file_stats()
+    assert len(stats) == 3
+    assert all("k" in s and "v" in s and "s" in s for s in stats.values())
+
+    pruned = t.read_pruned(spark, {"k": (120, 130)})
+    n_in = pruned.inputFiles()
+    assert len(n_in) == 1, n_in  # only the [100,150) file survives
+    got = sorted(r.k for r in pruned.filter("k BETWEEN 120 AND 130").collect())
+    full = sorted(
+        r.k for r in t.read(spark).filter("k BETWEEN 120 AND 130").collect()
+    )
+    assert got == full == list(range(120, 131))
+
+    # half-open range + string column stats
+    assert len(t.read_pruned(spark, {"k": (None, 40)}).inputFiles()) == 1
+    assert len(t.read_pruned(spark, {"k": (500, None)}).inputFiles()) == 0
+    # disjoint range -> empty frame with intact schema
+    empty = t.read_pruned(spark, {"k": (500, None)})
+    assert empty.columns == t.read(spark).columns and empty.count() == 0
+
+    # optimize rewrites carry fresh stats; pruning still correct
+    t.optimize(spark, target_files=1)
+    assert len(t.read_pruned(spark, {"k": (120, 130)}).inputFiles()) == 1
+    # un-stat'd column in the predicate -> fail open (all files read)
+    assert t.read_pruned(spark, {"nosuchcol": (0, 1)}).count() == 150
