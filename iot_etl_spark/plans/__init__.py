@@ -79,6 +79,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "hard_negative_mining",
     "target_encode_loo",
     "decayed_engagement_score",
+    "js_divergence_sources",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -89,7 +90,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q10_returned_items",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q4_priority_with_returns",
 ]
 
 

@@ -1029,3 +1029,136 @@ def pps_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+# --------------- Jensen-Shannon divergence between source token mixes
+# The corpus-mix drift audit in BITS: PSI (psi_value_drift) is
+# bin-dependent and asymmetric-unstable at zero cells; JS is bounded
+# [0,1] (log2), symmetric, and defined wherever either side has mass —
+# the measure mixture-rebalance recipes actually threshold on.
+JS_VOCAB = 500
+
+_JS_HALF = (
+    "CASE WHEN {c} > 0 THEN CAST(0.5 AS DOUBLE) * (CAST({c} AS DOUBLE) / {n}) "
+    "* log2(CAST(2 AS DOUBLE) * (CAST({c} AS DOUBLE) / {n}) "
+    "/ ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb))) "
+    "ELSE CAST(0 AS DOUBLE) END"
+)
+_JS_TERM_SQL = (
+    "CAST(round(("
+    + _JS_HALF.format(c="ca", n="na")
+    + " + "
+    + _JS_HALF.format(c="cb", n="nb")
+    + ") * 1000000000) AS BIGINT)"
+)
+
+_JS_ORACLE = f"""
+WITH tok AS (
+    SELECT source, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents
+),
+tk AS (SELECT source, t FROM tok WHERE t <> ''),
+vocab AS (
+    SELECT t FROM (
+        SELECT t, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+        FROM tk GROUP BY t
+    ) WHERE rk <= {JS_VOCAB}
+),
+mapped AS (
+    SELECT tk.source,
+           CASE WHEN vocab.t IS NULL THEN '<oov>' ELSE tk.t END AS t
+    FROM tk LEFT JOIN vocab ON vocab.t = tk.t
+),
+cnt AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM mapped GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+grid AS (
+    SELECT s.source, v.t, COALESCE(cnt.c, 0) AS c, tot.n
+    FROM (SELECT DISTINCT source FROM cnt) s
+    CROSS JOIN (SELECT DISTINCT t FROM cnt) v
+    LEFT JOIN cnt ON cnt.source = s.source AND cnt.t = v.t
+    JOIN tot ON tot.source = s.source
+),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+    FROM grid a JOIN grid b ON a.t = b.t AND a.source < b.source
+)
+SELECT src_a, src_b,
+       CAST(MAX(na) AS BIGINT) AS n_tokens_a,
+       CAST(MAX(nb) AS BIGINT) AS n_tokens_b,
+       ROUND(SUM({_JS_TERM_SQL}) / 1e9, 6) AS js_bits
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@query("js_divergence_sources", oracle=_JS_ORACLE)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JENSEN-SHANNON DIVERGENCE between the sources' token
+    distributions over the global top-{JS_VOCAB} vocabulary (all rarer
+    tokens pooled into one '<oov>' cell — the bounded-support device
+    that keeps the statistic's cell table at |sources| x {JS_VOCAB}+1
+    regardless of corpus size). JS = 0 identical mixes, 1 disjoint;
+    the number a mixture-rebalancing recipe thresholds on before
+    reweighting sources (mixture_sampling_weights).
+
+    Determinism: counts and totals are exact BIGINTs; each cell's
+    contribution is ONE shared-verbatim double expression (explicit
+    DOUBLE casts everywhere per the SCALE.md trap-#7 convention)
+    quantized to nano-unit BIGINTs before the per-pair sum; zero cells
+    contribute exactly 0 through the CASE guards.
+
+    100 TB shape: one token-keyed count shuffle (map-side combined),
+    vocabulary = top-k of the token counts (TakeOrdered, broadcast
+    back), then all work happens on the dense |sources| x vocab grid —
+    pair expansion is over SOURCES (a handful), never documents or
+    tokens. Reference parity: none — corpus-curation extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    vocab = (
+        tk.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.col("c").desc(), "t")
+            ),
+        )
+        .filter(F.col("rk") <= JS_VOCAB)
+        .select("t", F.lit(True).alias("_inv"))
+    )
+    mapped = tk.join(F.broadcast(vocab), "t", "left").select(
+        "source",
+        F.when(F.col("_inv").isNull(), F.lit("<oov>")).otherwise(F.col("t")).alias("t"),
+    )
+    cnt = mapped.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        cnt.select("source").distinct()
+        .crossJoin(cnt.select("t").distinct())
+        .join(cnt, ["source", "t"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .join(F.broadcast(tot), "source")
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), "t",
+        F.col("c").alias("ca"), F.col("n").alias("na"),
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"), F.col("t").alias("tb"),
+        F.col("c").alias("cb"), F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, (a.t == b.tb) & (a.src_a < b.src_b))
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.max("na").cast("long").alias("n_tokens_a"),
+        F.max("nb").cast("long").alias("n_tokens_b"),
+        F.round(F.sum(F.expr(_JS_TERM_SQL)) / F.lit(1e9), 6).alias("js_bits"),
+    )
