@@ -80,6 +80,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "target_encode_loo",
     "decayed_engagement_score",
     "js_divergence_sources",
+    "markov_prediction_accuracy",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",
@@ -89,7 +90,6 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
 ]
 
 

@@ -1282,3 +1282,73 @@ def kaplan_meier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr(_KM_SURV_SQL))
         .alias("survival"),
     )
+
+
+# --------------------- Markov backtest: top-1 next-event accuracy
+_MARKOV_ACC_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id {_EVT_ORDER}) AS prev_type
+    FROM events
+),
+cnt AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+                                 ORDER BY c DESC, next_type) AS rk
+    FROM cnt
+)
+SELECT r.prev_type,
+       CAST(SUM(r.c) AS BIGINT) AS n_transitions,
+       MAX(CASE WHEN r.rk = 1 THEN r.next_type END) AS predicted_next,
+       ROUND(SUM(CASE WHEN r.rk = 1 THEN r.c ELSE 0 END)::DOUBLE
+             / SUM(r.c), 6) AS top1_accuracy
+FROM ranked r GROUP BY 1
+"""
+
+
+@query("markov_prediction_accuracy", oracle=_MARKOV_ACC_ORACLE)
+def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKTEST of the first-order Markov model: for each context
+    (prev_type), predict the argmax next type from the transition
+    counts (count DESC, type tiebreak) and report the in-sample top-1
+    accuracy — the evaluation leg markov_event_transitions was
+    missing, and the number that says whether sequential structure
+    exists at all (accuracy ≈ the majority-class rate means it
+    doesn't). In-sample by design (the model IS the count matrix);
+    a held-out variant splits by the group-k-fold hash first.
+
+    Determinism: pure integer counts; the argmax is a row_number with
+    a total tiebreak; accuracy is one final division.
+
+    100 TB shape: identical to markov_event_transitions — one user_id
+    window shuffle, then every later step runs on the |types|^2
+    transition matrix. Reference parity: none — sequence-analytics
+    extension."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.lag("event_type").over(_evt_window()).alias("prev_type"),
+    )
+    cnt = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = cnt.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("prev_type").orderBy(F.col("c").desc(), "next_type")
+        ),
+    )
+    return ranked.groupBy("prev_type").agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.max(F.when(F.col("rk") == 1, F.col("next_type"))).alias("predicted_next"),
+        F.round(
+            F.sum(F.when(F.col("rk") == 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("top1_accuracy"),
+    )
