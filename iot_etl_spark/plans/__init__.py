@@ -30,12 +30,14 @@ from iot_etl_spark.plans import queries_audit  # noqa: F401
 # The correctness driver checks the FIRST 50 registry entries, so the
 # window is curated per round for maximum fresh evidence. Round-6
 # rotation (VERDICT r5 item 5): union driver coverage reached the full
-# registry in r5, so this round begins REGRESSION re-rotation — the 25
+# registry in r5, so this round begins REGRESSION re-rotation — the 45
 # round-6 registrations (capped co-activity twins, audit/statistics,
-# graph/sketch/retrieval/stream/survival additions) plus the 25 OLDEST greens (the
-# round-1 batch, in original registration order: TPC-H core,
-# SQL-surface, and the first events-analytics block),
-# which have not been driver-checked since 5 rounds of refactors.
+# graph/sketch/retrieval/stream/survival/eval additions) plus the
+# OLDEST greens (the round-1 batch, in original registration order:
+# TPC-H core, SQL-surface, and the first events-analytics block),
+# which have not been driver-checked since 5 rounds of refactors; the
+# driver reads the first 50, so late list entries past 50 stay in the
+# regular rotation pool.
 # Names listed here but not (yet) registered are ignored; registered
 # names absent from the list keep their original relative order after
 # the prioritized block.
@@ -81,6 +83,10 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "decayed_engagement_score",
     "js_divergence_sources",
     "markov_prediction_accuracy",
+    "anomaly_ensemble_vote",
+    "seasonal_naive_backtest",
+    "readability_grade",
+    "heaps_law_curve",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

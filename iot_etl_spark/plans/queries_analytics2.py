@@ -1352,3 +1352,109 @@ def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top1_accuracy"),
     )
+
+
+# --------------------------- seasonal-naive backtest (forecast eval)
+# Hour-of-week seasonal profile as the predictor, per-type mean as the
+# baseline; in-sample MAE of both and the resulting skill score. All
+# accumulation is micro-unit BIGINT (value quantized once), so no
+# cross-engine summation order can move a digit; the only doubles are
+# one division per reported number.
+_SEASONAL_BT_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type,
+           dayofweek({DUCK_TS}) AS dow, hour({DUCK_TS}) AS hr,
+           CAST(round(value * 1e6) AS BIGINT) AS vmic
+    FROM events WHERE value IS NOT NULL
+),
+cells AS (
+    SELECT event_type, dow, hr,
+           CAST(SUM(vmic) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2, 3
+),
+types AS (
+    SELECT event_type,
+           CAST(round(SUM(s)::DOUBLE / SUM(c)) AS BIGINT) AS pred_type
+    FROM cells GROUP BY 1
+),
+scored AS (
+    SELECT e.event_type,
+           abs(e.vmic - CAST(round(cl.s::DOUBLE / cl.c) AS BIGINT)) AS err_s,
+           abs(e.vmic - t.pred_type) AS err_n
+    FROM ev e
+    JOIN cells cl USING (event_type, dow, hr)
+    JOIN types t USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(err_s)::DOUBLE / COUNT(*) / 1e6, 6) AS mae_seasonal,
+       ROUND(SUM(err_n)::DOUBLE / COUNT(*) / 1e6, 6) AS mae_naive,
+       ROUND(1.0 - SUM(err_s)::DOUBLE / SUM(err_n), 6) AS skill_score
+FROM scored GROUP BY event_type
+"""
+
+
+@query("seasonal_naive_backtest", oracle=_SEASONAL_BT_ORACLE)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST-EVAL leg for the profile family: score the hour-of-week
+    seasonal profile (the A10/A11 analytics everyone dashboards) as a
+    PREDICTOR — in-sample MAE of the (type, dow, hour) cell mean vs the
+    per-type global mean baseline, and the skill score 1 - MAE_s/MAE_n.
+    Skill ~ 0 says the seasonal profile adds nothing over a flat mean
+    (don't ship the fancier model); this is the same eval-leg pattern
+    as markov_prediction_accuracy for sequences and holt_forecast's
+    residuals for trends.
+
+    Determinism: `value` is quantized to micro-unit BIGINT once; cell
+    sums, predictions (one rounded division each) and absolute errors
+    stay integers, so cross-engine float accumulation order cannot
+    matter. Spark/DuckDB dayofweek encodings differ by a bijection —
+    cells are identical sets either way, and the output rolls up over
+    cells, so the encoding never leaks into the result.
+
+    100 TB shape: ONE map-side-combined hash aggregation over the fact
+    builds the cell frame (|types| x 168 rows); predictions derive from
+    cells alone; the fact then takes two BROADCAST joins (cells, type
+    totals) and a final per-type rollup — no window sort, no second
+    fact shuffle. Reference parity: none — forecast-eval extension."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hr"),
+            F.round(F.col("value") * 1e6).cast("long").alias("vmic"),
+        )
+    )
+    cells = ev.groupBy("event_type", "dow", "hr").agg(
+        F.sum("vmic").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    types = cells.groupBy("event_type").agg(
+        F.round(F.sum("s").cast("double") / F.sum("c")).cast("long").alias("pred_type")
+    )
+    scored = (
+        ev.join(F.broadcast(cells), ["event_type", "dow", "hr"])
+        .join(F.broadcast(types), "event_type")
+        .select(
+            "event_type",
+            F.abs(
+                F.col("vmic")
+                - F.round(F.col("s").cast("double") / F.col("c")).cast("long")
+            ).alias("err_s"),
+            F.abs(F.col("vmic") - F.col("pred_type")).alias("err_n"),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("err_s").cast("double") / F.count(F.lit(1)) / 1e6, 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(F.sum("err_n").cast("double") / F.count(F.lit(1)) / 1e6, 6).alias(
+            "mae_naive"
+        ),
+        F.round(
+            1.0 - F.sum("err_s").cast("double") / F.sum("err_n"), 6
+        ).alias("skill_score"),
+    )

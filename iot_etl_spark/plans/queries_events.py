@@ -2425,3 +2425,132 @@ def user_event_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "listagg(event_type, '>') WITHIN GROUP (ORDER BY ts_us, event_id)"
         ).alias("event_signature"),
     )
+
+
+# ------------------------------------- detector-ensemble majority vote
+# Thresholds: z-score 3.0 (config.py:127), Tukey k = 1.5 (config.py:128),
+# modified z-score 3.5 with the 0.6745 normal-consistency constant
+# (Iglewicz & Hoaglin 1993) — the three detectors this module already
+# ships, now voting as an ensemble.
+_ENSEMBLE_ORACLE = """
+WITH s1 AS (
+    SELECT user_id,
+           AVG(value)    AS mn,
+           STDDEV(value) AS sd,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+           percentile_cont(0.50) WITHIN GROUP (ORDER BY value) AS med,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id,
+           percentile_cont(0.50) WITHIN GROUP (ORDER BY abs(e.value - s1.med))
+               AS mad
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.value IS NOT NULL GROUP BY e.user_id
+),
+v AS (
+    SELECT e.user_id,
+           (CASE WHEN s1.sd > 0 AND abs((e.value - s1.mn) / s1.sd) > 3.0
+                 THEN 1 ELSE 0 END) AS f_z,
+           (CASE WHEN e.value < s1.q1 - 1.5 * (s1.q3 - s1.q1)
+                   OR e.value > s1.q3 + 1.5 * (s1.q3 - s1.q1)
+                 THEN 1 ELSE 0 END) AS f_iqr,
+           (CASE WHEN s2.mad > 0
+                   AND abs(0.6745 * (e.value - s1.med) / s2.mad) > 3.5
+                 THEN 1 ELSE 0 END) AS f_mad
+    FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+    WHERE e.value IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)          AS n_events,
+       CAST(SUM(f_z) AS BIGINT)          AS n_zscore,
+       CAST(SUM(f_iqr) AS BIGINT)        AS n_iqr,
+       CAST(SUM(f_mad) AS BIGINT)        AS n_mad,
+       CAST(SUM(CASE WHEN f_z + f_iqr + f_mad >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT)                   AS n_majority,
+       CAST(SUM(CASE WHEN f_z + f_iqr + f_mad = 3 THEN 1 ELSE 0 END)
+            AS BIGINT)                   AS n_unanimous,
+       ROUND(100.0 * SUM(CASE WHEN f_z + f_iqr + f_mad >= 2 THEN 1 ELSE 0 END)
+             / COUNT(*), 6)              AS majority_rate_pct
+FROM v GROUP BY user_id
+"""
+
+
+@query("anomaly_ensemble_vote", oracle=_ENSEMBLE_ORACLE)
+def anomaly_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE anomaly detection: the module's three per-device
+    detectors (z-score W5/W6, Tukey-IQR fence, modified-z MAD) vote
+    per event; a device's report counts each detector's flags plus the
+    majority (>= 2 of 3) and unanimous rates. Majority voting is the
+    standard robustness upgrade over any single detector — the mean/
+    stddev pair is skew-fragile exactly where the median/MAD pair is
+    not, so disagreement rows are the interesting ones (the reference
+    configures z and IQR, config.py:127-128, but never composes them).
+
+    Determinism: every flag is a strict inequality on doubles that are
+    pure per-row functions of exact per-group statistics; both engines
+    evaluate the identical expression tree (shared thresholds, same
+    guard structure), so the integer vote counts hash-match.
+
+    100 TB shape: two hash aggregations on the SAME user_id key (stats,
+    then MAD of deviations) with broadcast join-backs of the tiny
+    per-device stats frames — no window sort over the fact, no second
+    fact shuffle: the final per-device rollup rides the join's existing
+    partitioning. Device-cardinality frames broadcast (~1e6 devices x
+    48B); past the threshold AQE degrades to a shuffle join on the key
+    the rollup reuses anyway."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value")
+    )
+    s1 = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mn"),
+        F.stddev("value").alias("sd"),
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.50)).alias("med"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    s2 = (
+        ev.join(F.broadcast(s1.select("user_id", "med")), "user_id")
+        .groupBy("user_id")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    j = ev.join(F.broadcast(s1), "user_id").join(F.broadcast(s2), "user_id")
+    f_z = F.when(
+        (F.col("sd") > 0) & (F.abs((F.col("value") - F.col("mn")) / F.col("sd")) > 3.0),
+        1,
+    ).otherwise(0)
+    iqr = F.col("q3") - F.col("q1")
+    f_iqr = F.when(
+        (F.col("value") < F.col("q1") - 1.5 * iqr)
+        | (F.col("value") > F.col("q3") + 1.5 * iqr),
+        1,
+    ).otherwise(0)
+    f_mad = F.when(
+        (F.col("mad") > 0)
+        & (F.abs(0.6745 * (F.col("value") - F.col("med")) / F.col("mad")) > 3.5),
+        1,
+    ).otherwise(0)
+    votes = j.select(
+        "user_id",
+        f_z.alias("f_z"),
+        f_iqr.alias("f_iqr"),
+        f_mad.alias("f_mad"),
+    )
+    total = F.col("f_z") + F.col("f_iqr") + F.col("f_mad")
+    return votes.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("f_z").cast("long").alias("n_zscore"),
+        F.sum("f_iqr").cast("long").alias("n_iqr"),
+        F.sum("f_mad").cast("long").alias("n_mad"),
+        F.sum(F.when(total >= 2, 1).otherwise(0)).cast("long").alias("n_majority"),
+        F.sum(F.when(total == 3, 1).otherwise(0)).cast("long").alias("n_unanimous"),
+        F.round(
+            100.0
+            * F.sum(F.when(total >= 2, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("majority_rate_pct"),
+    )

@@ -1543,3 +1543,253 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+# ------------------------------- readability grading (Flesch family)
+# Shared-verbatim double expressions over the three per-doc integer
+# counts (words, sentences, syllable groups). Literals are explicitly
+# CAST to DOUBLE: bare decimal literals are DECIMAL in Spark's parser
+# and decimal arithmetic truncates (SCALE.md Catalyst trap #7).
+_WPS_SQL = "(CAST(w AS DOUBLE) / CAST(s AS DOUBLE))"
+_SPW_SQL = "(CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))"
+_FRE_SQL = (
+    f"CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * {_WPS_SQL}"
+    f" - CAST(84.6 AS DOUBLE) * {_SPW_SQL}"
+)
+_FKG_SQL = (
+    f"CAST(0.39 AS DOUBLE) * {_WPS_SQL}"
+    f" + CAST(11.8 AS DOUBLE) * {_SPW_SQL} - CAST(15.59 AS DOUBLE)"
+)
+
+_READABILITY_ORACLE = f"""
+WITH c AS (
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS w0,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS s,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS syl0
+    FROM documents
+),
+d AS (
+    SELECT lang, w0 AS w, s, greatest(syl0, w0) AS syl FROM c
+),
+q AS (
+    SELECT lang, w, s,
+           CAST(round(({_FRE_SQL}) * 1e6) AS BIGINT) AS fre_mic,
+           CAST(round(({_FKG_SQL}) * 1e6) AS BIGINT) AS fkg_mic,
+           CAST(round({_WPS_SQL} * 1e6) AS BIGINT) AS wps_mic
+    FROM d
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_words,
+       ROUND(SUM(wps_mic)::DOUBLE / COUNT(*) / 1e6, 6) AS avg_words_per_sentence,
+       ROUND(SUM(fre_mic)::DOUBLE / COUNT(*) / 1e6, 6) AS avg_flesch_ease,
+       ROUND(SUM(fkg_mic)::DOUBLE / COUNT(*) / 1e6, 6) AS avg_fk_grade
+FROM q GROUP BY lang
+"""
+
+
+@query("readability_grade", oracle=_READABILITY_ORACLE)
+def readability_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY scoring per language: Flesch reading ease and
+    Flesch-Kincaid grade level from three per-doc integer counts —
+    space-split words (the module's token convention), sentence count
+    as [.!?]+ runs (min 1), syllables as [aeiouy]+ vowel groups
+    clamped to >= words (every word has at least one syllable). The
+    classic pretraining-corpus quality facet the Gopher-style
+    text_quality_stats rules don't capture: reading-grade mix drives
+    curriculum and mixture decisions alongside quality scores.
+
+    Determinism: counts are integers from identical regexes (both
+    engines' dialects treat '[.!?]+'/'[aeiouy]+' identically); the
+    Flesch formulas are shared-verbatim double expressions with every
+    literal CAST to DOUBLE, quantized to micro-units per doc before
+    summation, so accumulation order cannot move a digit.
+
+    100 TB shape: pure per-row map work (regex counts + arithmetic,
+    whole-stage codegen) into one map-side-combined hash aggregate on
+    lang — the cheapest possible distributed shape; no window, no
+    join, no Python. Reference parity: none — LLM-pipeline
+    extension."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("w0"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+        ).cast("long").alias("s"),
+        F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+        .cast("long")
+        .alias("syl0"),
+    )
+    d = d.select(
+        "lang",
+        F.col("w0").alias("w"),
+        "s",
+        F.greatest(F.col("syl0"), F.col("w0")).alias("syl"),
+    )
+    q = d.select(
+        "lang",
+        "w",
+        F.expr(f"CAST(round(({_FRE_SQL}) * 1e6) AS BIGINT)").alias("fre_mic"),
+        F.expr(f"CAST(round(({_FKG_SQL}) * 1e6) AS BIGINT)").alias("fkg_mic"),
+        F.expr(f"CAST(round({_WPS_SQL} * 1e6) AS BIGINT)").alias("wps_mic"),
+    )
+    n = F.count(F.lit(1))
+    return q.groupBy("lang").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("total_words"),
+        F.round(F.sum("wps_mic").cast("double") / n / 1e6, 6).alias(
+            "avg_words_per_sentence"
+        ),
+        F.round(F.sum("fre_mic").cast("double") / n / 1e6, 6).alias(
+            "avg_flesch_ease"
+        ),
+        F.round(F.sum("fkg_mic").cast("double") / n / 1e6, 6).alias(
+            "avg_fk_grade"
+        ),
+    )
+
+
+# ----------------------------------- Heaps' law vocabulary-growth curve
+# Incremental log-log slope between adjacent checkpoints, shared
+# verbatim so the IEEE tree is engine-identical.
+_HEAPS_BETA_SQL = (
+    "CASE WHEN pv IS NOT NULL"
+    " AND ln(CAST(cum_tokens AS DOUBLE)) > ln(CAST(pn AS DOUBLE))"
+    " THEN round((ln(CAST(vocab_size AS DOUBLE)) - ln(CAST(pv AS DOUBLE)))"
+    " / (ln(CAST(cum_tokens AS DOUBLE)) - ln(CAST(pn AS DOUBLE))), 6)"
+    " END"
+)
+
+_HEAPS_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+    ) WHERE tok <> ''
+),
+firstseen AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok),
+dt AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS BIGINT) AS n_toks
+    FROM documents
+),
+b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+chk AS (
+    SELECT i, mn + CAST(floor(CAST((mx - mn) * i AS DOUBLE)
+                              / CAST(10 AS DOUBLE)) AS BIGINT) AS th
+    FROM b, generate_series(1, 10) AS g(i)
+),
+cum AS (
+    SELECT chk.i, chk.th,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_cum,
+           CAST(SUM(dt.n_toks) AS BIGINT) AS cum_tokens
+    FROM dt JOIN chk ON dt.doc_id <= chk.th GROUP BY 1, 2
+),
+voc AS (
+    SELECT chk.i, CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM firstseen JOIN chk ON firstseen.first_doc <= chk.th GROUP BY 1
+),
+curve AS (
+    SELECT cum.i AS checkpoint, cum.th AS doc_id_threshold,
+           cum.n_docs_cum, cum.cum_tokens, voc.vocab_size,
+           LAG(voc.vocab_size) OVER (ORDER BY cum.i) AS pv,
+           LAG(cum.cum_tokens) OVER (ORDER BY cum.i) AS pn
+    FROM cum JOIN voc ON cum.i = voc.i
+)
+SELECT checkpoint, doc_id_threshold, n_docs_cum, cum_tokens, vocab_size,
+       {_HEAPS_BETA_SQL} AS heaps_beta
+FROM curve
+"""
+
+
+@query("heaps_law_curve", oracle=_HEAPS_ORACLE)
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary-growth curve: V(n) ~ K * n^beta — how fast
+    the distinct-token vocabulary grows as the corpus is consumed in
+    doc_id order, sampled at 10 id-range checkpoints, with the
+    incremental log-log slope (the empirical beta, typically 0.4-0.6
+    for natural text) between adjacent checkpoints. The corpus-scaling
+    dual of zipf_slope_audit's frequency law: beta near 1 means the
+    corpus keeps minting novel tokens (OCR noise, ids, boilerplate
+    churn — tokenizer-hostile); beta collapsing toward 0 means new data
+    is lexically exhausted (diminishing returns for vocab building).
+
+    Cumulative-distinct without a global window: each token's FIRST
+    doc_id (one hash aggregate on the token key) turns "distinct seen
+    by checkpoint" into a plain count of first_doc <= threshold — no
+    running set, no global ordering structure.
+
+    Determinism: checkpoints are exact integer id-range cuts from
+    min/max; all counts/sums are BIGINT; the only doubles are the
+    shared-verbatim log-ratio with its guard.
+
+    100 TB shape: one token-keyed hash aggregate (the vocabulary
+    frame) and one per-doc map-side count; both then join a BROADCAST
+    10-row checkpoint frame (bounded <= 10x expansion of the small
+    frames, never the raw token stream) into tiny rollups. The final
+    lag window orders 10 rows. Reference parity: none — corpus-
+    analytics extension."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    firstseen = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    dt = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).cast("long").alias("n_toks"),
+    )
+    b = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    chk = b.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"), "mn", "mx"
+    ).select(
+        "i",
+        F.expr(
+            "mn + CAST(floor(CAST((mx - mn) * i AS DOUBLE)"
+            " / CAST(10 AS DOUBLE)) AS BIGINT)"
+        ).alias("th"),
+    )
+    cum = (
+        dt.join(F.broadcast(chk), dt.doc_id <= chk.th)
+        .groupBy("i", "th")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_cum"),
+            F.sum("n_toks").cast("long").alias("cum_tokens"),
+        )
+    )
+    voc = (
+        firstseen.join(F.broadcast(chk), firstseen.first_doc <= chk.th)
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    curve = (
+        cum.join(voc, "i")
+        .select(
+            F.col("i").alias("checkpoint"),
+            F.col("th").alias("doc_id_threshold"),
+            "n_docs_cum", "cum_tokens", "vocab_size",
+            F.lag("vocab_size").over(
+                Window.orderBy("i")
+            ).alias("pv"),
+            F.lag("cum_tokens").over(
+                Window.orderBy("i")
+            ).alias("pn"),
+        )
+    )
+    return curve.select(
+        "checkpoint", "doc_id_threshold", "n_docs_cum", "cum_tokens",
+        "vocab_size",
+        F.expr(_HEAPS_BETA_SQL).alias("heaps_beta"),
+    )

@@ -93,3 +93,65 @@ def test_source_overlap_matrix_consistency(spark):
     for r in rows:
         assert r.src_lo <= r.src_hi
         assert 1 <= r.n_docs <= 2 * r.n_pairs
+
+
+def test_anomaly_ensemble_vote_invariants(spark):
+    rows = P.QUERIES["anomaly_ensemble_vote"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # unanimity implies majority implies a per-detector lower bound
+        assert r.n_unanimous <= r.n_majority
+        assert r.n_majority <= r.n_zscore + r.n_iqr + r.n_mad
+        for c in (r.n_zscore, r.n_iqr, r.n_mad):
+            assert 0 <= c <= r.n_events
+            assert r.n_unanimous <= c  # all-3 rows flagged by each
+        assert abs(r.majority_rate_pct - 100.0 * r.n_majority / r.n_events) < 1e-4
+    # covers every device with a non-null value
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    assert len(rows) == ev.select("user_id").distinct().count()
+
+
+def test_seasonal_backtest_invariants(spark):
+    rows = P.QUERIES["seasonal_naive_backtest"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mae_seasonal >= 0 and r.mae_naive >= 0
+        # the per-cell mean minimizes squared error, not MAE, so the
+        # seasonal MAE may exceed the naive MAE in principle — but the
+        # skill score must be the exact ratio of the two
+        if r.mae_naive > 0:
+            assert abs(r.skill_score - (1.0 - r.mae_seasonal / r.mae_naive)) < 1e-4
+
+
+def test_readability_bounds(spark):
+    rows = P.QUERIES["readability_grade"](spark, SF_DIR).collect()
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        # >= 1 word per sentence by construction (s <= w is not forced,
+        # but wps must be positive and finite)
+        assert r.avg_words_per_sentence > 0
+        # Flesch ease for syl==w, wps=k is bounded above by 206.835-84.6
+        assert r.avg_flesch_ease <= 206.835 - 84.6 + 1e-6
+
+
+def test_heaps_curve_monotone(spark):
+    rows = sorted(
+        P.QUERIES["heaps_law_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.checkpoint,
+    )
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        # cumulative token count and vocabulary are non-decreasing in
+        # the checkpoint; vocabulary never exceeds tokens seen
+        assert b.cum_tokens >= a.cum_tokens
+        assert b.vocab_size >= a.vocab_size
+        assert b.doc_id_threshold >= a.doc_id_threshold
+    for r in rows:
+        assert r.vocab_size <= r.cum_tokens
+        if r.heaps_beta is not None:
+            assert r.heaps_beta >= 0.0
+    # final checkpoint covers the whole corpus
+    docs = load_table(spark, SF_DIR, "documents")
+    assert rows[-1].n_docs_cum == docs.count()
