@@ -95,6 +95,10 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first; re-read and retry."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write contains rows that fail a table CHECK constraint."""
+
+
 class SchemaMismatchError(ValueError):
     """Appended frame's schema conflicts with the table schema."""
 
@@ -234,6 +238,102 @@ class TxTable:
             )
         return sig
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one summary dict per commit (version, op,
+        file delta, streaming batch key, constraint touched) — the
+        audit surface for "who did what to this table", without
+        exposing raw log internals."""
+        out = []
+        for v in self.versions():
+            e = self._entry(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": e.get("op"),
+                    "n_added": len(e.get("added", ())),
+                    "n_removed": len(e.get("removed", ())),
+                    "batch_id": e.get("batch_id"),
+                    "ledger_id": e.get("ledger_id"),
+                    "constraint": e.get("constraint"),
+                }
+            )
+        return out
+
+    # ----------------------------------------------- CHECK constraints
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints (name -> SQL predicate), replayed
+        from the log. Constraints are TABLE METADATA: an overwrite
+        replaces the data and may redefine the schema, but the
+        constraints persist until an explicit drop — same as Delta."""
+        active: dict[str, str] = {}
+        for v in self.versions():
+            e = self._entry(v)
+            if e.get("op") == "add_constraint":
+                active[e["constraint"]] = e["expr"]
+            elif e.get("op") == "drop_constraint":
+                active.pop(e["constraint"], None)
+        return active
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the
+        CURRENT snapshot first (a constraint the existing data already
+        violates must fail here, not at some future writer), then
+        commits a metadata-only log entry. Delta NULL semantics: a row
+        violates only when the predicate evaluates to FALSE — NULL
+        passes (add an IS NOT NULL conjunct to forbid it)."""
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        files = self.snapshot_files()
+        if files:
+            bad = (
+                spark.read.parquet(*files)
+                .filter(f"NOT coalesce(({expr}), true)")
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"existing rows violate CHECK {name!r} ({expr}): {bad[0]}"
+                )
+        return self._commit(
+            {"op": "add_constraint", "constraint": name, "expr": expr,
+             "added": [], "removed": []}
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        if name not in self.constraints():
+            raise ValueError(f"constraint {name!r} does not exist")
+        return self._commit(
+            {"op": "drop_constraint", "constraint": name,
+             "added": [], "removed": []}
+        )
+
+    def _enforce_constraints(self, spark: SparkSession, added: list[str]) -> None:
+        """Write-path CHECK enforcement, run on the STAGED files after
+        ``_stage`` and before the commit: re-reading the just-written
+        parquet costs one local scan of the new files only (never a
+        recompute of the upstream plan) and checks exactly the bytes
+        the commit would publish. On violation the invisible staged
+        files are deleted and the write raises — the table never
+        exposes a state that fails its contract."""
+        cons = self.constraints()
+        if not cons or not added:
+            return
+        staged = spark.read.parquet(
+            *(os.path.join(self.data_dir, n) for n in added)
+        )
+        for name, expr in cons.items():
+            bad = staged.filter(f"NOT coalesce(({expr}), true)").limit(1).collect()
+            if bad:
+                import contextlib
+
+                for f in added:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(os.path.join(self.data_dir, f))
+                raise ConstraintViolationError(
+                    f"write violates CHECK {name!r} ({expr}): {bad[0]}"
+                )
+
     def append(
         self, df: DataFrame, max_retries: int = 3, allow_evolution: bool = False
     ) -> int:
@@ -247,6 +347,7 @@ class TxTable:
         (the staged parts stay invisible; vacuum sweeps them)."""
         sig = self._check_schema(df, allow_evolution)
         added = self._stage(df)
+        self._enforce_constraints(df.sparkSession, added)
         for _ in range(max_retries + 1):
             self._check_sig(sig, allow_evolution)
             latest = self.latest_version()
@@ -307,6 +408,7 @@ class TxTable:
             return None
         sig = self._check_schema(df, allow_evolution=False)
         added = self._stage(df)
+        self._enforce_constraints(df.sparkSession, added)
         for _ in range(max_retries + 1):
             self._check_sig(sig, allow_evolution=False)
             latest = self.latest_version()
@@ -344,6 +446,7 @@ class TxTable:
         planned = 0 if latest is None else latest + 1
         live = [os.path.basename(f) for f in self.snapshot_files()]
         added = self._stage(df)
+        self._enforce_constraints(df.sparkSession, added)
         return self._commit(
             {"op": "overwrite", "added": added, "removed": live,
              "schema": _schema_sig(df)},  # overwrite may redefine the schema

@@ -926,3 +926,80 @@ def test_txlog_stats_pruning_skips_disjoint_files(spark, tmp_path):
     assert len(t.read_pruned(spark, {"k": (120, 130)}).inputFiles()) == 1
     # un-stat'd column in the predicate -> fail open (all files read)
     assert t.read_pruned(spark, {"nosuchcol": (0, 1)}).count() == 150
+
+
+def test_txlog_check_constraints_enforced_on_writes(spark, tmp_path):
+    """Delta-style CHECK constraints: validated against existing data
+    at ADD time, enforced on every write path (append, append_batch,
+    overwrite) against the STAGED files, with Delta NULL semantics
+    (only FALSE violates). A rejected write leaves no new data, no new
+    version, and no orphan files visible to any snapshot."""
+    import pytest
+
+    from iot_etl_spark.warehouse.txlog import ConstraintViolationError, TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING"))
+    t.add_constraint(spark, "k_positive", "k > 0")
+    assert t.constraints() == {"k_positive": "k > 0"}
+
+    # adding a constraint the existing data violates must fail
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint(spark, "k_big", "k > 5")
+    assert "k_big" not in t.constraints()
+
+    # append of a violating row is rejected pre-commit
+    head = t.latest_version()
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(-1, "x")], "k INT, v STRING"))
+    assert t.latest_version() == head
+    assert sorted(_tx_rows(t.read(spark))) == [(1, "a"), (2, "b")]
+    # the rejected write's staged files were cleaned up, not orphaned
+    import os
+
+    live = {os.path.basename(f) for f in t.snapshot_files()}
+    assert {f for f in os.listdir(t.data_dir) if f.endswith(".parquet")} == live
+
+    # NULL passes (Delta semantics): only explicit FALSE violates
+    t.append(spark.createDataFrame([(None, "n")], "k INT, v STRING"))
+
+    # overwrite and append_batch enforce too
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(spark.createDataFrame([(0, "z")], "k INT, v STRING"))
+    with pytest.raises(ConstraintViolationError):
+        t.append_batch(
+            spark.createDataFrame([(-7, "s")], "k INT, v STRING"), batch_id=0
+        )
+    # the rejected batch did NOT claim its ledger slot
+    assert t.committed_batch_ids() == set()
+
+    # drop, then the same write succeeds; constraints survive overwrite
+    t.drop_constraint("k_positive")
+    assert t.constraints() == {}
+    t.add_constraint(spark, "v_nonempty", "length(v) > 0")
+    t.overwrite(spark.createDataFrame([(0, "z")], "k INT, v STRING"))
+    assert t.constraints() == {"v_nonempty": "length(v) > 0"}
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(1, "")], "k INT, v STRING"))
+
+
+def test_txlog_history_summarizes_commits(spark, tmp_path):
+    """DESCRIBE HISTORY: one summary row per commit, covering data,
+    streaming and constraint-metadata operations."""
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    t.append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    t.append_batch(
+        spark.createDataFrame([(2, "b")], "k INT, v STRING"),
+        batch_id=7, ledger_id="led",
+    )
+    t.add_constraint(spark, "k_pos", "k > 0")
+    t.overwrite(spark.createDataFrame([(3, "c")], "k INT, v STRING"))
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2, 3]
+    assert [e["op"] for e in h] == ["append", "append", "add_constraint", "overwrite"]
+    assert h[1]["batch_id"] == 7 and h[1]["ledger_id"] == "led"
+    assert h[2]["constraint"] == "k_pos" and h[2]["n_added"] == 0
+    # overwrite logically removes every file the two appends added
+    assert h[3]["n_removed"] == h[0]["n_added"] + h[1]["n_added"] > 0
