@@ -408,3 +408,86 @@ def test_resize_is_deterministic(spark):
     d1 = resize_images(df, 4, 3).collect()[0].digest
     d2 = resize_images(df, 4, 3).collect()[0].digest
     assert d1 == d2
+
+
+def _ramp_bmp(width=32, height=24, reverse=False, perturb=None):
+    """Deterministic smooth horizontal-ramp BMP via the module's own
+    encoder; optional single-pixel perturbation for near-dup tests."""
+    import numpy as np
+
+    from iot_etl_spark.extensions.multimodal import _encode_bmp_pixels
+
+    x = (np.arange(width) * 255) // (width - 1)
+    if reverse:
+        x = x[::-1]
+    arr = np.repeat(x[None, :], height, axis=0).astype(np.uint8)
+    arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if perturb:
+        y0, x0, delta = perturb
+        arr[y0, x0] = np.clip(arr[y0, x0].astype(int) + delta, 0, 255)
+    return _encode_bmp_pixels(np.ascontiguousarray(arr))
+
+
+def test_dhash_perceptual_properties(spark):
+    """dHash is stable under small edits and under resize, and far for
+    structurally different images; errors are rows."""
+    from iot_etl_spark.extensions.multimodal import dhash_images, resize_images
+
+    rows = [
+        (1, "image", _ramp_bmp(), "image/bmp", 32, 24, None),
+        (2, "image", _ramp_bmp(perturb=(3, 5, 40)), "image/bmp", 32, 24, None),
+        (3, "image", _ramp_bmp(reverse=True), "image/bmp", 32, 24, None),
+        (4, "image", b"not an image", "image/bmp", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in dhash_images(df).collect()}
+    assert out[4].ok is False and out[4].error
+    h1, h2, h3 = out[1].dhash, out[2].dhash, out[3].dhash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h1, h2) <= 4          # near-dup: one perturbed pixel
+    assert ham(h1, h3) >= 32         # reversed ramp flips every gradient
+    # resize invariance on smooth content: hash the 2x upscale
+    up = resize_images(df.filter("media_id = 1"), 64, 48).select(
+        "media_id", F.col("content").alias("content"),
+        F.lit("image").alias("kind"), F.lit("image/bmp").alias("mime"),
+        F.lit(64).alias("width"), F.lit(48).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    hup = dhash_images(up).collect()[0]
+    assert hup.ok and ham(h1, hup.dhash) == 0
+
+
+def test_dhash_near_pairs_banding_lossless(spark):
+    """Block-banded candidate join + exact rescore finds exactly the
+    pairs an all-pairs scan would, and refuses an unsound radius."""
+    import itertools
+
+    import pytest
+
+    from iot_etl_spark.extensions.multimodal import dhash_images, dhash_near_pairs
+
+    rows = [
+        (1, "image", _ramp_bmp(), "image/bmp", 32, 24, None),
+        (2, "image", _ramp_bmp(perturb=(3, 5, 40)), "image/bmp", 32, 24, None),
+        (3, "image", _ramp_bmp(perturb=(10, 20, -35)), "image/bmp", 32, 24, None),
+        (4, "image", _ramp_bmp(reverse=True), "image/bmp", 32, 24, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashed = dhash_images(df).filter("ok").select("media_id", "dhash")
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in dhash_near_pairs(hashed, max_hamming=4).collect()
+    }
+    # brute-force oracle
+    hs = {r.media_id: r.dhash for r in hashed.collect()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 4:
+            expected[(a, b)] = d
+    assert got == expected and (1, 2) in got
+    with pytest.raises(ValueError):
+        dhash_near_pairs(hashed, max_hamming=5)
