@@ -87,6 +87,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "seasonal_naive_backtest",
     "readability_grade",
     "heaps_law_curve",
+    "funnel_step_timing",
+    "centroid_separation_audit",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

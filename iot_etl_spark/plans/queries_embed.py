@@ -1045,3 +1045,111 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HARDNEG_K)
         .select("query_id", "neg_id", "neg_label", "rank", "cosine")
     )
+
+
+# ------------------------------- label-centroid separation audit
+_CENTROID_SEP_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+cent AS (
+    SELECT label, i, ROUND(SUM(x) / COUNT(*), 6) AS c
+    FROM v GROUP BY label, i
+),
+counts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+           FROM embeddings GROUP BY label),
+norms AS (SELECT label, ROUND(SUM(c * c), 6) AS centroid_norm2
+          FROM cent GROUP BY label),
+pairs AS (
+    SELECT a.label AS la, b.label AS lb,
+           ROUND(SUM((a.c - b.c) * (a.c - b.c)), 6) AS d2
+    FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+    GROUP BY 1, 2
+),
+nearest AS (
+    SELECT la AS label, lb AS nearest_label, d2 AS nearest_dist2
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY la
+                                       ORDER BY d2, lb) AS rk
+          FROM pairs)
+    WHERE rk = 1
+)
+SELECT c.label, c.n_vectors, n.centroid_norm2,
+       ne.nearest_label, ne.nearest_dist2
+FROM counts c JOIN norms n USING (label) JOIN nearest ne USING (label)
+"""
+
+
+@query("centroid_separation_audit", oracle=_CENTROID_SEP_ORACLE)
+def centroid_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-GEOMETRY audit of the embedding space: per label, its
+    centroid's squared norm and the nearest OTHER label's centroid
+    (identity + squared distance) — collapsing centroids (tiny
+    nearest_dist2 relative to norms) are the classic symptom of
+    label leakage, dead features, or an encoder that never separated
+    the classes; the pairwise view is the confusion-matrix prior you
+    get before training any probe. Complements
+    embedding_label_centroids (marginal moments) with the
+    BETWEEN-label structure.
+
+    Determinism: per-dimension centroid components are ROUND(6)
+    quantized in BOTH engines before any distance math, so the
+    pairwise sums run over identical inputs; nearest selection
+    tie-breaks on (distance, label).
+
+    100 TB shape: one explode + (label, dim) hash aggregate over the
+    vectors (map-side combinable), then every later step runs on the
+    |labels| x dims centroid frame (~640 rows) — self-join, norms and
+    the nearest-pick window all operate on post-aggregate data, never
+    the vector table. Reference parity: none — embedding-diagnostics
+    extension."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    )
+    cent = (
+        v.groupBy("label", (F.col("i0") + 1).alias("i"))
+        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("c"))
+    )
+    counts = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.round(F.sum(F.col("c") * F.col("c")), 6).alias("centroid_norm2")
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "i", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "i", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, (a.i == b.i) & (F.col("la") != F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(
+            F.round(
+                F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    nearest = (
+        pairs.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("la").orderBy(F.col("d2"), F.col("lb"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("nearest_label"),
+            F.col("d2").alias("nearest_dist2"),
+        )
+    )
+    return counts.join(norms, "label").join(nearest, "label")

@@ -59,12 +59,19 @@ def test_entry_module_contract():
         "stream_dedup_ttl",
         "hard_negative_mining",
         "target_encode_loo",
+        # latest round-6 registrations (freshest code needs driver
+        # evidence most)
+        "anomaly_ensemble_vote",
+        "seasonal_naive_backtest",
+        "readability_grade",
+        "heaps_law_curve",
+        "funnel_step_timing",
+        "centroid_separation_audit",
         # oldest r1 greens (regression re-checks; late round-6
-        # registrations displaced the deepest TPC-H tail re-checks)
+        # registrations displaced the deeper TPC-H tail re-checks)
         "pricing_summary",
-        "order_priority_counts",
-        "sql_shipping_priority",
-        "q5_local_supplier_volume",
+        "enriched_lineitem_topk",
+        "revenue_by_nation",
     ):
         assert must in first50, must
 

@@ -155,3 +155,31 @@ def test_heaps_curve_monotone(spark):
     # final checkpoint covers the whole corpus
     docs = load_table(spark, SF_DIR, "documents")
     assert rows[-1].n_docs_cum == docs.count()
+
+
+def test_funnel_timing_consistent_with_funnel_conversion(spark):
+    rows = {r.step: r for r in P.QUERIES["funnel_step_timing"](spark, SF_DIR).collect()}
+    assert set(rows) == {"view_to_click", "click_to_purchase"}
+    for r in rows.values():
+        # latencies are positive (strict-inequality chain) and ordered
+        assert 0 < r.median_latency_s <= r.p90_latency_s
+        assert r.mean_latency_s > 0
+    # stage populations shrink monotonically and match the funnel
+    # query's staged counts exactly (same strict-inequality chain)
+    fc = P.QUERIES["funnel_conversion"](spark, SF_DIR).collect()[0]
+    assert rows["view_to_click"].n_users == fc.n_view_click
+    assert rows["click_to_purchase"].n_users == fc.n_full_funnel
+    assert rows["click_to_purchase"].n_users <= rows["view_to_click"].n_users
+
+
+def test_centroid_separation_symmetric_and_positive(spark):
+    rows = P.QUERIES["centroid_separation_audit"](spark, SF_DIR).collect()
+    labels = {r.label for r in rows}
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert labels == {r.label for r in emb.select("label").distinct().collect()}
+    for r in rows:
+        assert r.nearest_label in labels and r.nearest_label != r.label
+        assert r.nearest_dist2 >= 0
+        assert r.centroid_norm2 >= 0
+        assert r.n_vectors > 0
+    assert sum(r.n_vectors for r in rows) == emb.count()
