@@ -41,6 +41,7 @@ boundary, same code shape.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -89,6 +90,68 @@ def _file_column_stats(path: str) -> dict[str, list]:
             else:
                 out[name] = [mn, mx]
     return out
+
+
+_BLOOM_BITS_PER_KEY = 10  # ~1% false-positive rate with k = 7
+_BLOOM_HASHES = 7
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Two 64-bit hashes of the CANONICAL string form (md5 split in
+    half; double hashing h1 + i*h2 generates the k probe positions).
+    Build side and probe side must both route through here — the
+    canonicalization IS the equality contract of the index."""
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big")
+
+
+def _file_bloom(path: str, cols: tuple[str, ...]) -> dict[str, dict]:
+    """Per-file Bloom bitsets over the DISTINCT values of the indexed
+    columns — one local columnar read of the new file (the same
+    O(delta) cost class as constraint enforcement; never a table
+    scan). Best-effort like footer stats: unreadable files or absent
+    columns contribute nothing and the reader fails OPEN."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    try:
+        pf = pq.ParquetFile(path)
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        if not present:
+            return out
+        tbl = pq.read_table(path, columns=present)
+    except Exception:  # noqa: BLE001 - index is best-effort
+        return out
+    for c in present:
+        distinct = {str(v) for v in tbl.column(c).to_pylist() if v is not None}
+        m = max(64, len(distinct) * _BLOOM_BITS_PER_KEY)
+        bits = bytearray((m + 7) // 8)
+        for s in distinct:
+            h1, h2 = _bloom_hashes(s)
+            for i in range(_BLOOM_HASHES):
+                idx = (h1 + i * h2) % m
+                bits[idx >> 3] |= 1 << (idx & 7)
+        out[c] = {
+            "m": m,
+            "k": _BLOOM_HASHES,
+            "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return out
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    import base64
+
+    m, k = bloom["m"], bloom["k"]
+    bits = base64.b64decode(bloom["bits"])
+    h1, h2 = _bloom_hashes(value)
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not bits[idx >> 3] & (1 << (idx & 7)):
+            return False
+    return True
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -168,6 +231,15 @@ class TxTable:
             # overwrite, optimize, merge) gets stats for free.
             entry["stats"] = {
                 n: _file_column_stats(os.path.join(self.data_dir, n))
+                for n in entry["added"]
+            }
+        bloom_cols = tuple(self.bloom_columns())
+        if entry.get("added") and bloom_cols and "bloom" not in entry:
+            # per-file Bloom index over the declared point-lookup
+            # columns — same commit choke point as footer stats, so
+            # every write path gets the index for free
+            entry["bloom"] = {
+                n: _file_bloom(os.path.join(self.data_dir, n), bloom_cols)
                 for n in entry["added"]
             }
         entry = {"version": version, **entry}
@@ -258,6 +330,71 @@ class TxTable:
                 }
             )
         return out
+
+    # ------------------------------------------------ Bloom file index
+    def bloom_columns(self) -> list[str]:
+        """Columns declared for per-file Bloom indexing (latest
+        ``set_bloom_columns`` wins; empty until one is committed)."""
+        cols: list[str] = []
+        for v in self.versions():
+            e = self._entry(v)
+            if e.get("op") == "set_bloom_columns":
+                cols = list(e.get("columns", ()))
+        return cols
+
+    def set_bloom_columns(self, cols: list[str]) -> int:
+        """Declare point-lookup columns: every FUTURE commit stamps a
+        per-file Bloom bitset over each column's distinct values (the
+        skipping index for high-cardinality keys, where min/max stats
+        prune nothing because every file spans the whole key range —
+        the classic "find one user in a 10^6-file table" problem).
+        Existing files stay un-indexed and fail OPEN, exactly like
+        pre-stats files; OPTIMIZE rewrites them with the index."""
+        return self._commit(
+            {"op": "set_bloom_columns", "columns": list(cols),
+             "added": [], "removed": []}
+        )
+
+    def snapshot_file_blooms(
+        self, version: int | None = None
+    ) -> dict[str, dict[str, dict]]:
+        """filename -> per-column Bloom entries for a snapshot's live
+        files (files committed before indexing map to {})."""
+        live = {os.path.basename(p) for p in self.snapshot_files(version)}
+        blooms: dict[str, dict[str, dict]] = {}
+        latest = self.latest_version() if version is None else version
+        for v in range(latest + 1):
+            for name, b in self._entry(v).get("bloom", {}).items():
+                if name in live:
+                    blooms[name] = b
+        return {n: blooms.get(n, {}) for n in live}
+
+    def read_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> DataFrame:
+        """POINT-LOOKUP snapshot read through the Bloom file index: a
+        file is skipped only when its committed bitset PROVES ``col =
+        value`` matches no row (no false negatives by construction;
+        ~1% of files survive as false positives at the default 10
+        bits/key). Files without an index for ``col`` are always read.
+        Planning-time file-list pruning, same contract as
+        ``read_pruned`` — compose with ``.filter(col = value)`` for
+        exact semantics. The two indexes stack: min/max prunes range
+        predicates, Bloom prunes equality on keys min/max can't help
+        with."""
+        blooms = self.snapshot_file_blooms(version)
+        keep = []
+        for name, b in blooms.items():
+            entry = b.get(col)
+            if entry is None or _bloom_maybe_contains(entry, value):
+                keep.append(os.path.join(self.data_dir, name))
+        if not keep:
+            return self.read(spark, version).limit(0)
+        return spark.read.option("mergeSchema", "true").parquet(*keep)
 
     # ----------------------------------------------- CHECK constraints
     def constraints(self) -> dict[str, str]:

@@ -1003,3 +1003,64 @@ def test_txlog_history_summarizes_commits(spark, tmp_path):
     assert h[2]["constraint"] == "k_pos" and h[2]["n_added"] == 0
     # overwrite logically removes every file the two appends added
     assert h[3]["n_removed"] == h[0]["n_added"] + h[1]["n_added"] > 0
+
+
+def test_txlog_bloom_point_lookup_prunes_files(spark, tmp_path):
+    """Per-file Bloom index: a point lookup on a high-cardinality key
+    plans only the file(s) whose bitset might contain it (min/max
+    stats cannot prune here — every append spans a disjoint id SET,
+    not a disjoint range); no false negatives; pre-index files fail
+    open; results equal the full-scan filter."""
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    # file committed BEFORE the index exists -> always read (fail open)
+    t.append(
+        spark.createDataFrame(
+            [(f"legacy-{i}", i) for i in range(50)], "uid STRING, v INT"
+        ).coalesce(1)
+    )
+    t.set_bloom_columns(["uid"])
+    for gen in range(3):
+        rows = [(f"u{gen}-{i}", gen * 1000 + i) for i in range(200)]
+        t.append(spark.createDataFrame(rows, "uid STRING, v INT").coalesce(1))
+
+    blooms = t.snapshot_file_blooms()
+    indexed = [n for n, b in blooms.items() if "uid" in b]
+    unindexed = [n for n, b in blooms.items() if "uid" not in b]
+    assert len(indexed) == 3 and len(unindexed) == 1
+
+    # point lookup: the legacy file (fail-open) + exactly the one
+    # indexed file holding the key survive planning
+    import os
+
+    target = "u1-137"
+    keep = []
+    from iot_etl_spark.warehouse.txlog import _bloom_maybe_contains
+
+    for n, b in blooms.items():
+        if "uid" not in b or _bloom_maybe_contains(b["uid"], target):
+            keep.append(n)
+    assert len(keep) <= 2  # legacy + 1 (false positives would add more)
+
+    got = t.read_point(spark, "uid", target).filter(f"uid = '{target}'")
+    full = t.read(spark).filter(f"uid = '{target}'")
+    assert [(r.uid, r.v) for r in got.collect()] == [(target, 1137)]
+    assert got.collect() == full.collect()
+
+    # no false negatives across every committed key
+    for gen in range(3):
+        probe = f"u{gen}-0"
+        assert t.read_point(spark, "uid", probe).filter(
+            f"uid = '{probe}'"
+        ).count() == 1
+
+    # absent key: bloom planning may drop every indexed file
+    assert t.read_point(spark, "uid", "nope").filter("uid = 'nope'").count() == 0
+
+    # OPTIMIZE rewrites with the index: the legacy rows become indexed
+    t.optimize(spark, target_files=1)
+    blooms2 = t.snapshot_file_blooms()
+    assert all("uid" in b for b in blooms2.values())
+    got2 = t.read_point(spark, "uid", "legacy-3").filter("uid = 'legacy-3'")
+    assert got2.count() == 1
