@@ -289,3 +289,12 @@ def test_round6_additions_plan_shapes(spark):
         plan, _ = _plans(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """The round-6 sorted-run rewrite computes the whole per-doc
+    repetition profile inside one map stage: ZERO exchanges — the
+    previous explode -> two-level aggregate shuffled the full bigram
+    stream to regroup what each row already contained."""
+    plan, _ = _plans(spark, "repetition_stats")
+    assert plan.count("Exchange") == 0, plan.count("Exchange")
