@@ -125,3 +125,58 @@ def capped_coactivity_edges(spark, sf_dir: str):
         spark, "coact_capped_edges", sf_dir, ("events",), build,
         code_deps=(capped_minute_activity, cap_bucket_activity),
     )
+
+
+def exact_minute_activity(spark, sf_dir: str):
+    """UNCAPPED distinct (minute, user) activity — the exact family's
+    shared root (triangle / PageRank / cooccurrence), materialized via
+    the stage cache with the same argument as the capped twin's:
+    several consumers, each of whose lineage would otherwise re-run
+    the distinct per read."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+    from iot_etl_spark.sources.tables import load_table
+
+    def build():
+        return (
+            load_table(spark, sf_dir, "events")
+            .select(
+                F.unix_timestamp(F.date_trunc("minute", F.col("ts")))
+                .cast("long")
+                .alias("b"),
+                "user_id",
+            )
+            .distinct()
+        )
+
+    return cached_stage(spark, "coact_exact_act", sf_dir, ("events",), build)
+
+
+def exact_coactivity_edges(spark, sf_dir: str):
+    """UNCAPPED distinct id-ordered co-activity edge list,
+    materialized once per (source, builder code) — the exact twins'
+    adjacency artifact. The triangle query's lineage reads the edge
+    list FOUR times (degree, orientation, wedge legs, closure);
+    without materialization each read re-runs the bucket pair
+    expansion (the measured cache-vs-recompute note that used to live
+    inline now favors the parquet stage: the expansion runs once per
+    fingerprint instead of 4x per query run). The capped twin
+    (capped_coactivity_edges) carries the hot-bucket guard; THIS
+    stage is the exact-semantics sibling and scales with true
+    occupancy² — at 100 TB route consumers to the capped artifact."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    def build():
+        act = exact_minute_activity(spark, sf_dir)
+        other = act.select(F.col("b").alias("b2"), F.col("user_id").alias("u2"))
+        return (
+            act.join(
+                other, (F.col("b") == F.col("b2")) & (F.col("user_id") < F.col("u2"))
+            )
+            .select(F.col("user_id").alias("ua"), F.col("u2").alias("ub"))
+            .distinct()
+        )
+
+    return cached_stage(
+        spark, "coact_exact_edges", sf_dir, ("events",), build,
+        code_deps=(exact_minute_activity,),
+    )

@@ -331,15 +331,11 @@ FROM p WHERE c >= {COOCCUR_MIN}
 def minute_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (minute-bucket, user) activity — the shared root of
     the co-activity graph family (cooccurrence / triangles /
-    pagerank)."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .select(
-            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).cast("long").alias("b"),
-            "user_id",
-        )
-        .distinct()
-    )
+    pagerank), served from the materialized stage
+    (graphedges.exact_minute_activity)."""
+    from iot_etl_spark.plans.graphedges import exact_minute_activity
+
+    return exact_minute_activity(spark, sf_dir)
 
 
 def _cooccurrence_from_activity(a: DataFrame) -> DataFrame:

@@ -1228,20 +1228,16 @@ WHERE d.degree >= 2
 """
 
 
-def _triangle_from_activity(act: DataFrame) -> DataFrame:
-    other = act.select(F.col("b").alias("b2"), F.col("user_id").alias("u2"))
-    # NOTE: the edge list has several consumers (degree, orientation,
-    # wedge legs, closure), so .cache() looks attractive — measured at
-    # sf0.1 local[32] the recompute is FASTER: the lineage is narrow
-    # and parallel, while cache materialization serializes it through
-    # the memory store. On a cluster with an expensive upstream scan,
-    # persist() earns its keep; left uncached here by measurement,
-    # not oversight.
-    e = (
-        act.join(other, (F.col("b") == F.col("b2")) & (F.col("user_id") < F.col("u2")))
-        .select(F.col("user_id").alias("ua"), F.col("u2").alias("ub"))
-        .distinct()
-    )
+def _triangle_from_edges(e: DataFrame) -> DataFrame:
+    """Degree-oriented triangle core over a distinct id-ordered
+    (ua < ub) edge list. Callers pass a MATERIALIZED stage
+    (graphedges.exact_coactivity_edges / capped_coactivity_edges):
+    this lineage reads the edges four times (degree, orientation,
+    wedge legs, closure) — a non-materialized edge build would re-run
+    its bucket pair expansion per read (the r6 stage-routing measured
+    5.8 s -> ~2 s warm at sf0.1; an earlier inline note had found
+    .cache() SLOWER than recompute, but the parquet stage beats
+    both: scan-parallel and shared across the graph family)."""
     deg = (
         e.select(F.col("ua").alias("u"))
         .unionAll(e.select(F.col("ub").alias("u")))
@@ -1294,13 +1290,6 @@ def _triangle_from_activity(act: DataFrame) -> DataFrame:
     )
 
 
-def _minute_act(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("b"), "user_id"
-    ).distinct()
-
-
 @query("triangle_count_graph", oracle=_TRIANGLE_ORACLE)
 def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient over
@@ -1323,8 +1312,12 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The EDGE BUILD (same-minute-bucket pair expansion) is still
     quadratic in a hot bucket's occupancy — the bounded variant is
-    triangle_count_graph_capped (plans/graphedges.py)."""
-    return _triangle_from_activity(_minute_act(spark, sf_dir))
+    triangle_count_graph_capped (plans/graphedges.py). Edges come
+    from the materialized shared stage
+    (graphedges.exact_coactivity_edges — see _triangle_from_edges)."""
+    from iot_etl_spark.plans.graphedges import exact_coactivity_edges
+
+    return _triangle_from_edges(exact_coactivity_edges(spark, sf_dir))
 
 
 from iot_etl_spark.plans.graphedges import (  # noqa: E402 - grouped section import
@@ -1359,12 +1352,11 @@ def triangle_count_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     test SF (max observed occupancy 12 at sf0.1 → output == exact
     twin; pinned by tests/test_graph_caps.py); the degree-oriented
     wedge join downstream is unchanged. Oracle applies the identical
-    min-id cap. The capped activity frame is the stage-cached root
-    shared with the other two capped twins
-    (graphedges.capped_minute_activity)."""
-    from iot_etl_spark.plans.graphedges import capped_minute_activity
+    min-id cap. Edges come from the materialized capped stage shared
+    with adamic_adar_linkpred (graphedges.capped_coactivity_edges)."""
+    from iot_etl_spark.plans.graphedges import capped_coactivity_edges
 
-    return _triangle_from_activity(capped_minute_activity(spark, sf_dir))
+    return _triangle_from_edges(capped_coactivity_edges(spark, sf_dir))
 
 
 # ------------------------------------------- rolling 7-day active users
@@ -2837,14 +2829,9 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     the triangle family (hot-bucket guard: graphedges.py applies);
     every round touches only surviving edges, so work is
     monotonically non-increasing across rounds."""
-    act = _minute_act(spark, sf_dir)
-    other = act.select(F.col("b").alias("b2"), F.col("user_id").alias("u2"))
-    e = (
-        act.join(other, (F.col("b") == F.col("b2")) & (F.col("user_id") < F.col("u2")))
-        .select(F.col("user_id").alias("ua"), F.col("u2").alias("ub"))
-        .distinct()
-        .cache()
-    )
+    from iot_etl_spark.plans.graphedges import exact_coactivity_edges
+
+    e = exact_coactivity_edges(spark, sf_dir)
     nodes = e.select(F.col("ua").alias("u")).union(e.select("ub")).distinct()
 
     def survivors_degree(alive: DataFrame) -> DataFrame:
@@ -3246,14 +3233,21 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(deg z) is never 0: a common neighbor of two distinct nodes has
     degree >= 2 by construction.
 
-    Distributed shape: the same wedge join as triangle_count_graph
-    (pairs of neighbors grouped by the shared vertex z), an aggregate
-    on (a, b), and one LEFT ANTI join against the edge list to keep
-    only predicted-new links; TakeOrderedAndProject closes it. The
-    edge list is the shared stage-cached
-    graphedges.capped_coactivity_edges artifact (hot-bucket guard
-    bounds the pair expansion; materialization matters here because
-    this query's lineage reads the edge list 6x). Reference parity:
+    Distributed shape (r6 rewrite, measured 11 s -> ~3.5 s warm at
+    sf0.1): the wedge join (pairs of neighbors sharing vertex z) with
+    the 1/ln(deg z) weight BROADCAST-attached to the left leg BEFORE
+    expansion — the degree join rides 2|E| rows instead of the 16M-row
+    wedge stream — then one (a, b) aggregate, one LEFT ANTI join
+    against the edge list, TakeOrderedAndProject. Two array
+    formulations measured SLOWER here (adjacency-array pair expansion
+    10.8 s — per-row O(deg²) struct materialization; double-explode
+    5.8 s): the row-level wedge join keeps whole-stage codegen
+    streaming and is also the hub-safe shape (no per-vertex neighbor
+    array in one row). Most of the win came from the stage-cache
+    layout fix (stagecache._STAGE_FILES): the materialized edge list
+    used to read back as 2 files, capping every downstream map stage
+    at 2-way parallelism. The edge list is the shared stage-cached
+    graphedges.capped_coactivity_edges artifact. Reference parity:
     extends the reference's co-occurrence analytics family
     (device correlation) to edge prediction."""
     from iot_etl_spark.plans.graphedges import capped_coactivity_edges
@@ -3262,19 +3256,25 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.select(F.col("ua").alias("z"), F.col("ub").alias("x")).unionAll(
         e.select(F.col("ub").alias("z"), F.col("ua").alias("x"))
     )
-    deg = n.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
-    n1 = n.select("z", F.col("x").alias("wa"))
-    n2 = n.select(F.col("z").alias("z2"), F.col("x").alias("wb"))
-    wedge = n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("wa") < F.col("wb"))).select(
-        "z", F.col("wa").alias("ua"), F.col("wb").alias("ub")
+    # degree-1 vertices anchor no wedge and would make ln(deg) = 0:
+    # drop them BEFORE the weight (the inner join below then also
+    # drops their useless n1 rows)
+    deg = (
+        n.groupBy("z")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        .filter(F.col("d") >= 2)
+        .select("z", (1.0 / F.log(F.col("d"))).alias("invlog"))
     )
-    aa = (
-        wedge.join(deg, "z")
-        .groupBy("ua", "ub")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
-            F.sum(1.0 / F.log(F.col("d"))).alias("score"),
-        )
+    n1 = n.join(F.broadcast(deg), "z").select(
+        "z", F.col("x").alias("wa"), "invlog"
+    )
+    n2 = n.select(F.col("z").alias("z2"), F.col("x").alias("wb"))
+    wedge = n1.join(
+        n2, (F.col("z") == F.col("z2")) & (F.col("wa") < F.col("wb"))
+    ).select(F.col("wa").alias("ua"), F.col("wb").alias("ub"), "invlog")
+    aa = wedge.groupBy("ua", "ub").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("invlog").alias("score"),
     )
     return (
         aa.join(e, ["ua", "ub"], "left_anti")

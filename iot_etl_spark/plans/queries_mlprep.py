@@ -117,32 +117,21 @@ def pagerank_device_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAG. The edge build's per-bucket pair expansion is quadratic in a
     hot bucket's occupancy — the bounded variant is
     pagerank_device_graph_capped (plans/graphedges.py)."""
+    from iot_etl_spark.plans.graphedges import exact_coactivity_edges
+
     ev = load_table(spark, sf_dir, "events")
-    act = (
-        ev.select(
-            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).cast("long").alias("b"),
-            "user_id",
-        )
-        .distinct()
+    und = exact_coactivity_edges(spark, sf_dir).select(
+        F.col("ua").alias("a"), F.col("ub").alias("b")
     )
-    return _pagerank_from_activity(ev, act)
+    return _pagerank_from_edges(ev, und)
 
 
-def _pagerank_from_activity(ev: DataFrame, act: DataFrame) -> DataFrame:
-    buckets = (
-        act.groupBy("b")
-        .agg(F.array_sort(F.collect_list("user_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    und = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(ids) - 2), i -> "
-                "transform(sequence(i + 1, size(ids) - 1), j -> "
-                "struct(ids[i] AS a, ids[j] AS b))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").distinct()
+def _pagerank_from_edges(ev: DataFrame, und: DataFrame) -> DataFrame:
+    """PageRank core over a distinct id-ordered (a, b) edge frame —
+    callers pass one of the MATERIALIZED graph-family stages
+    (graphedges.exact_coactivity_edges / capped_coactivity_edges), so
+    the bucket pair expansion is paid once per (source, code)
+    fingerprint, not once per query run."""
     # adjacency-list form: ONE row per node carrying its neighbor
     # array + degree — each sweep joins |V| rank rows against |V|
     # adjacency rows (not 2|E| edge rows) and fans out contributions
@@ -234,13 +223,16 @@ def pagerank_device_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bucket keep their node row; they just gain no edges from that
     bucket). Non-binding at every test SF (max occupancy 12 at sf0.1
     → output == exact twin; pinned by tests/test_graph_caps.py).
-    Oracle applies the identical min-id cap. The capped activity
-    frame is the stage-cached root shared with the other two capped
-    twins (graphedges.capped_minute_activity)."""
-    from iot_etl_spark.plans.graphedges import capped_minute_activity
+    Oracle applies the identical min-id cap. Edges come from the
+    materialized capped stage shared with the triangle twin and
+    adamic_adar_linkpred (graphedges.capped_coactivity_edges)."""
+    from iot_etl_spark.plans.graphedges import capped_coactivity_edges
 
     ev = load_table(spark, sf_dir, "events")
-    return _pagerank_from_activity(ev, capped_minute_activity(spark, sf_dir))
+    und = capped_coactivity_edges(spark, sf_dir).select(
+        F.col("ua").alias("a"), F.col("ub").alias("b")
+    )
+    return _pagerank_from_edges(ev, und)
 
 
 # ------------------------------------------- hashed linear classifier

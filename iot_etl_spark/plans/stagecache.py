@@ -35,6 +35,19 @@ from pyspark.sql import DataFrame, SparkSession
 _CACHE_ROOT = "/tmp/iot_etl_stages"
 _TAG_LEN = 12
 
+# Stages are written in a FIXED 32-file layout: a materialized stage's
+# natural file count is whatever the build plan's last shuffle left
+# (often 1-2 small files), and every consumer then inherits 1-2-task
+# parallelism for all map work until its first exchange — measured as
+# the dominant cost of the wedge-expansion queries (adamic-adar ran
+# its 16M-row expansion on 2 of 32 cores: 11 s warm; 32-file layout
+# ~3 s). A constant (not defaultParallelism) keeps the cache tag and
+# layout session-independent — pytest on local[2] and the bench on
+# local[32] must share entries. At 100 TB stages are sized in files
+# of ~128 MB by the same principle: reader parallelism is a property
+# of the LAYOUT, decided at write time.
+_STAGE_FILES = 32
+
 
 def evict_stale_tags(
     root: str,
@@ -123,7 +136,7 @@ def cached_stage(
     path = os.path.join(_CACHE_ROOT, f"{name}_{tag}")
     marker = os.path.join(path, "_READY")
     if not os.path.exists(marker):
-        build().write.mode("overwrite").parquet(path)
+        build().repartition(_STAGE_FILES).write.mode("overwrite").parquet(path)
         with open(marker, "w") as fh:
             fh.write(tag)
         evict_stale_tags(_CACHE_ROOT, name, tag)
