@@ -89,6 +89,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "heaps_law_curve",
     "funnel_step_timing",
     "centroid_separation_audit",
+    "pr_curve_bins",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

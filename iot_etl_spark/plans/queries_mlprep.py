@@ -1588,3 +1588,101 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ncf").alias("n_in_fold"),
         F.round(F.expr(_TENC_EXPR), 6).alias("enc_value"),
     )
+
+
+# -------------------- precision-recall curve at bin thresholds
+# Shared-verbatim ratio expressions so the IEEE tree is identical.
+_PR_PREC_SQL = "CAST(tp AS DOUBLE) / n_pred_pos"
+_PR_REC_SQL = "CAST(tp AS DOUBLE) / total_pos"
+_PR_F1_SQL = (
+    "CASE WHEN tp > 0 THEN 2.0 * CAST(tp AS DOUBLE)"
+    " / (n_pred_pos + total_pos) ELSE CAST(0 AS DOUBLE) END"
+)
+
+_PR_ORACLE = """
+WITH cls AS ({cls}),
+b AS (
+    SELECT {bin} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+    FROM cls GROUP BY 1
+),
+c AS (
+    SELECT bin,
+           CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_pred_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY bin DESC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+           CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
+    FROM b
+)
+SELECT bin AS threshold_bin, n_pred_pos, tp, total_pos,
+       ROUND({prec}, 6) AS precision,
+       ROUND({rec}, 6) AS recall,
+       ROUND({f1}, 6) AS f1
+FROM c
+""".format(
+    cls="{cls}", bin="{bin}", prec=_PR_PREC_SQL, rec=_PR_REC_SQL,
+    f1=_PR_F1_SQL,
+)
+
+
+def _pr_curve_oracle() -> str:
+    return _PR_ORACLE.format(cls=_CLASSIFIER_ORACLE, bin=_CAL_BIN_SQL)
+
+
+@query("pr_curve_bins", oracle=_pr_curve_oracle())
+def pr_curve_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION-RECALL curve of the quality classifier at the
+    calibration-bin thresholds: for each logit bin, predict positive
+    when the logit lands in that bin OR HIGHER and report precision,
+    recall and F1 (label = lang='en', the held-out target the
+    hash-derived weights never saw — see calibration_bins). The
+    imbalanced-class complement to classifier_lang_auc's ROC view:
+    ROC-AUC can look healthy while precision collapses at usable
+    recall, which is exactly the operating question for a corpus
+    keep-gate ("what purity do I get at the threshold that keeps
+    X%?"). Together the three queries are the standard model-QA
+    triptych: discrimination (AUC), calibration (ECE), operating
+    points (this).
+
+    Determinism: bins and counts are exact integers on both engines
+    (the bin floor is the shared-verbatim calibration expression);
+    cumulative sums run bin-DESC over the <= 21-row bin frame;
+    precision/recall/F1 are shared-verbatim double ratios of BIGINTs.
+
+    100 TB shape: zero-shuffle scan scoring into a <= 21-cell
+    aggregate (same as calibration_bins), then windows over the tiny
+    bin frame. Reference parity: none — ML-data-pipeline extension."""
+    cls = quality_classifier_score(spark, sf_dir)
+    b = (
+        cls.select(
+            F.expr(_CAL_BIN_SQL).alias("bin"),
+            (F.col("lang") == "en").cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    wdesc = (
+        Window.partitionBy()
+        .orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.select(
+        "bin",
+        F.sum("n_docs").over(wdesc).cast("long").alias("n_pred_pos"),
+        F.sum("n_pos").over(wdesc).cast("long").alias("tp"),
+        F.sum("n_pos").over(Window.partitionBy()).cast("long").alias("total_pos"),
+    )
+    return c.select(
+        F.col("bin").alias("threshold_bin"),
+        "n_pred_pos", "tp", "total_pos",
+        F.round(F.expr(_PR_PREC_SQL), 6).alias("precision"),
+        F.round(F.expr(_PR_REC_SQL), 6).alias("recall"),
+        F.round(F.expr(_PR_F1_SQL), 6).alias("f1"),
+    )

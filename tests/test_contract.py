@@ -67,11 +67,11 @@ def test_entry_module_contract():
         "heaps_law_curve",
         "funnel_step_timing",
         "centroid_separation_audit",
+        "pr_curve_bins",
         # oldest r1 greens (regression re-checks; late round-6
         # registrations displaced the deeper TPC-H tail re-checks)
         "pricing_summary",
         "enriched_lineitem_topk",
-        "revenue_by_nation",
     ):
         assert must in first50, must
 

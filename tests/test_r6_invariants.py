@@ -183,3 +183,26 @@ def test_centroid_separation_symmetric_and_positive(spark):
         assert r.centroid_norm2 >= 0
         assert r.n_vectors > 0
     assert sum(r.n_vectors for r in rows) == emb.count()
+
+
+def test_pr_curve_monotone_and_consistent(spark):
+    rows = sorted(
+        P.QUERIES["pr_curve_bins"](spark, SF_DIR).collect(),
+        key=lambda r: -r.threshold_bin,
+    )
+    assert rows
+    total_pos = rows[0].total_pos
+    prev_pred = prev_tp = 0
+    for r in rows:
+        # cumulative counts grow as the threshold loosens; recall is
+        # non-decreasing and ends at 1
+        assert r.n_pred_pos >= prev_pred and r.tp >= prev_tp
+        prev_pred, prev_tp = r.n_pred_pos, r.tp
+        assert 0 <= r.tp <= r.n_pred_pos
+        assert abs(r.recall - r.tp / total_pos) < 1e-4
+        if r.n_pred_pos:
+            assert abs(r.precision - r.tp / r.n_pred_pos) < 1e-4
+    assert rows[-1].recall == 1.0
+    # loosest threshold predicts everything positive -> precision = base rate
+    n_cls = P.QUERIES["quality_classifier_score"](spark, SF_DIR).count()
+    assert rows[-1].n_pred_pos == n_cls
