@@ -25,6 +25,7 @@ from iot_etl_spark.plans import queries_warehouse  # noqa: F401
 from iot_etl_spark.plans import queries_analytics2  # noqa: F401
 from iot_etl_spark.plans import queries_mlprep  # noqa: F401
 from iot_etl_spark.plans import queries_audit  # noqa: F401
+from iot_etl_spark.plans import queries_analytics3  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
@@ -90,6 +91,11 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "funnel_step_timing",
     "centroid_separation_audit",
     "pr_curve_bins",
+    "dft_periodogram",
+    "skyline_supplier_frontier",
+    "weighted_median_price",
+    "fifo_click_purchase_match",
+    "mrr_recall_retrieval",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

@@ -206,3 +206,86 @@ def test_pr_curve_monotone_and_consistent(spark):
     # loosest threshold predicts everything positive -> precision = base rate
     n_cls = P.QUERIES["quality_classifier_score"](spark, SF_DIR).count()
     assert rows[-1].n_pred_pos == n_cls
+
+
+def test_dft_periodogram_invariants(spark):
+    rows = P.QUERIES["dft_periodogram"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    n_hours = {r.n_hours for r in rows}
+    assert len(n_hours) == 1 and n_hours.pop() > 0
+    for r in rows:
+        assert r.spec_power >= 0.0
+        assert r.amplitude >= 0.0
+        # amplitude = 2*sqrt(power) by construction (both rounded at 6)
+        assert abs(r.amplitude - 2.0 * r.spec_power ** 0.5) < 1e-4
+
+
+def test_skyline_mutual_nondominance_and_extremes(spark):
+    rows = P.QUERIES["skyline_supplier_frontier"](spark, SF_DIR).collect()
+    assert rows
+    pts = [(r.revenue, r.acctbal) for r in rows]
+    for i, (xr, xb) in enumerate(pts):
+        for j, (or_, ob) in enumerate(pts):
+            if i == j:
+                continue
+            dominated = or_ >= xr and ob >= xb and (or_ > xr or ob > xb)
+            assert not dominated, f"frontier row {i} dominated by {j}"
+    # the extreme points of each axis are always on the frontier
+    li = load_table(spark, SF_DIR, "lineitem")
+    sup = load_table(spark, SF_DIR, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).cast("double"),
+            2,
+        ).alias("rev")
+    ).join(sup.select("s_suppkey", "s_acctbal"), "s_suppkey")
+    max_rev = rev.agg(F.max("rev")).first()[0]
+    max_bal = rev.agg(F.max(F.round("s_acctbal", 2))).first()[0]
+    assert any(abs(r.revenue - max_rev) < 1e-6 for r in rows)
+    assert any(abs(r.acctbal - max_bal) < 1e-6 for r in rows)
+
+
+def test_weighted_median_cumweight_property(spark):
+    rows = P.QUERIES["weighted_median_price"](spark, SF_DIR).collect()
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    for r in rows:
+        part = li.filter(F.col("l_returnflag") == r.l_returnflag)
+        below = part.filter(
+            F.round("l_extendedprice", 2) < r.weighted_median_price
+        ).agg(F.sum("l_quantity")).first()[0] or 0.0
+        at_or_below = part.filter(
+            F.round("l_extendedprice", 2) <= r.weighted_median_price
+        ).agg(F.sum("l_quantity")).first()[0]
+        # lower weighted median: strictly-below mass < half <= mass at-or-below
+        assert 2 * below < r.total_weight + 1e-6
+        assert 2 * at_or_below >= r.total_weight - 1e-6
+
+
+def test_fifo_match_counts(spark):
+    rows = P.QUERIES["fifo_click_purchase_match"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_matched == min(r.n_clicks, r.n_purchases)
+        assert 0 <= r.n_causal_matches <= r.n_matched
+        if r.n_matched == 0:
+            assert r.avg_wait_s is None and r.max_wait_s is None
+        else:
+            assert r.avg_wait_s is not None and r.max_wait_s is not None
+
+
+def test_mrr_recall_bounds(spark):
+    rows = P.QUERIES["mrr_recall_retrieval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_rel_topk <= 10
+        assert 0.0 <= r.reciprocal_rank <= 1.0
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert abs(r.precision_at_k - r.n_rel_topk / 10.0) < 1e-9
+        if r.first_rel_rank == 1:
+            assert r.reciprocal_rank == 1.0
+        assert (r.first_rel_rank > 0) == (r.n_rel_topk > 0)
+        assert (r.reciprocal_rank > 0) == (r.n_rel_topk > 0)
