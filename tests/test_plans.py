@@ -298,3 +298,25 @@ def test_repetition_stats_is_shuffle_free(spark):
     stream to regroup what each row already contained."""
     plan, _ = _plans(spark, "repetition_stats")
     assert plan.count("Exchange") == 0, plan.count("Exchange")
+
+def test_analytics3_plan_shapes(spark):
+    """Analytics batch 3: the periodogram reads events ONCE (series
+    stats are windows over the post-aggregate hour frame, not a
+    re-scan) and keeps the term fold in two exchanges; the FIFO match
+    never self-joins the ranked stream (pair fold is a group-by);
+    the skyline's only unpartitioned window runs AFTER the bucket-
+    local prune."""
+    plan, _ = _plans(spark, "dft_periodogram")
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+
+    plan, _ = _plans(spark, "fifo_click_purchase_match")
+    # one scan for the matched leg, one for the counts leg
+    assert plan.count("FileScan") <= 2, plan.count("FileScan")
+    assert "CartesianProduct" not in plan
+
+    plan, _ = _plans(spark, "skyline_supplier_frontier")
+    assert "CartesianProduct" not in plan
+    # phase-1 windows are bucket-partitioned; exactly one global
+    # frontier pass may run single-partition (on the pruned union)
+    assert plan.count("Exchange SinglePartition") <= 1

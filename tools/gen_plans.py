@@ -93,6 +93,17 @@ PICKS = [
     ("calibration_bins",
      "classifier reliability: zero-shuffle scan scoring into a <=21-cell "
      "aggregate; the global window runs on the post-aggregate bin frame"),
+    ("dft_periodogram",
+     "spectral analysis: ONE scan into the hourly rollup; series stats "
+     "are windows over the post-aggregate hour frame; nano-quantized "
+     "cos/sin terms fold as BIGINTs in two exchanges"),
+    ("skyline_supplier_frontier",
+     "distributed 2-D skyline: bucket-partitioned local frontier prune, "
+     "then ONE single-partition pass over the pruned union; point set "
+     "checkpointed so the dominance double-read costs one lineitem scan"),
+    ("fifo_click_purchase_match",
+     "FIFO rank matching: one rank window over both queues, pair fold "
+     "as a (user, rank) group-by conditional min - no ranked self-join"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
