@@ -29,12 +29,19 @@ Codec status (this container ships no PIL/torchaudio/ffmpeg):
   (growing dictionary, variable code width, Clear/End, KwKwK case,
   interlace reorder), palette mapping, mean pixel — first frame. The
   generator compresses with real LZW too, so round-trips are exact.
-- Audio/video entropy codecs (MP3/AAC/MP4/...) still raise
-  ``NotImplementedError`` — swap ``_decode_payload``'s fallthrough for
-  soundfile/pyav in production.
+- **MP3 / ADTS-AAC / MP4 container metadata parses FOR REAL**: the
+  MPEG audio frame-header walk (version/layer/bitrate/samplerate
+  tables, ID3v2 skip, per-frame length arithmetic) yields exact frame
+  counts, duration, channels and sample rate; the ADTS walk does the
+  same for AAC (1024 samples/frame); the ISO-BMFF box walk (ftyp/
+  moov/mvhd/trak/tkhd/mdia/hdlr, 32/64-bit sizes) yields duration,
+  track kinds and video dimensions — so frame-sampling fan-out and
+  corpus audits run on REAL MP4/MP3 payloads. SAMPLE decode of these
+  formats (Huffman/MDCT entropy codecs) is the one remaining
+  ``NotImplementedError`` — swap ``_decode_payload``'s fallthrough
+  for soundfile/pyav in production to also populate rms/mean_pixel.
 - The deterministic ``FAKE`` header (``make_fake_media_bytes``) remains
-  for exercising the video frame-sampling fan-out, which has no
-  stdlib-decodable container format.
+  for exercising plumbing with arbitrary metadata combinations.
 
 Everything around the codecs — schemas, Arrow batch iteration, feature
 math (vectorized numpy), error-as-row handling, frame fan-out — is the
@@ -95,6 +102,104 @@ def make_wav_bytes(
         w.setframerate(rate)
         w.writeframes(samples.tobytes())
     return buf.getvalue()
+
+
+# MPEG audio (MP3) tables — public format constants (ISO/IEC 11172-3 /
+# 13818-3): bitrate kbps by (version-group, layer, index) and sample
+# rate Hz by (version, index).
+_MP3_BITRATES = {
+    # MPEG-1
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    # MPEG-2 / 2.5 share tables
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              25: (11025, 12000, 8000)}
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000)
+
+
+def make_mp3_bytes(duration_ms: int = 1000, rate: int = 44100,
+                   bitrate_kbps: int = 128, mono: bool = True) -> bytes:
+    """A REAL MPEG-1 Layer III frame sequence (valid headers + zeroed
+    main data — the header walk in ``_parse_mp3`` reads it exactly as
+    an encoder's output; only entropy decode would notice the zeros).
+    Prefixed with a minimal ID3v2 tag so the tag-skip path runs."""
+    sr_idx = _MP3_RATES[1].index(rate)
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    hdr = bytes([
+        0xFF,
+        0xFB,  # sync + MPEG-1 + Layer III + no CRC
+        (br_idx << 4) | (sr_idx << 2),  # bitrate, samplerate, no padding
+        0xC0 if mono else 0x00,  # channel mode
+    ])
+    frame_len = 144 * bitrate_kbps * 1000 // rate
+    frame = hdr + b"\x00" * (frame_len - 4)
+    n_frames = max(1, round(duration_ms * rate / (1152 * 1000)))
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    return id3 + frame * n_frames
+
+
+def make_aac_adts_bytes(duration_ms: int = 1000, rate: int = 44100,
+                        channels: int = 2) -> bytes:
+    """A REAL ADTS-AAC frame sequence (valid 7-byte headers, zeroed
+    raw data blocks): AAC-LC profile, 1024 samples per frame."""
+    sr_idx = _ADTS_RATES.index(rate)
+    payload_len = 64
+    frame_len = 7 + payload_len
+    hdr = bytes([
+        0xFF, 0xF1,  # sync, MPEG-4, layer 00, no CRC
+        (1 << 6) | (sr_idx << 2) | ((channels >> 2) & 0x1),  # AAC-LC profile
+        ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x3),
+        (frame_len >> 3) & 0xFF,
+        ((frame_len & 0x7) << 5) | 0x1F,  # buffer fullness hi (VBR)
+        0xFC,  # fullness lo + 1 raw data block
+    ])
+    frame = hdr + b"\x00" * payload_len
+    n_frames = max(1, round(duration_ms * rate / (1024 * 1000)))
+    return frame * n_frames
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_mp4_bytes(duration_ms: int = 5000, width: int = 640,
+                   height: int = 360, kind: str = "video") -> bytes:
+    """A REAL minimal ISO-BMFF (MP4) container: ftyp + moov holding
+    mvhd (timescale 1000, so duration IS milliseconds) and one trak
+    with tkhd (16.16 fixed-point dimensions) and mdia/mdhd + hdlr
+    ('vide' or 'soun'). No mdat — the box walk never needs samples."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1000, duration_ms)
+        + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">B3BIIII", 0, 0, 0, 7, 0, 0, 1, 0)
+        + struct.pack(">I8x", duration_ms)
+        + struct.pack(">HHHH", 0, 0, 0 if kind == "video" else 0x0100, 0)
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_box(
+        b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, 1000, duration_ms, 0x55C4, 0)
+    )
+    handler = b"vide" if kind == "video" else b"soun"
+    hdlr = _mp4_box(b"hdlr", struct.pack(">B3xI", 0, 0) + handler
+                    + b"\x00" * 12 + b"h\x00")
+    mdia = _mp4_box(b"mdia", mdhd + hdlr)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + moov
 
 
 def make_bmp_bytes(width: int = 8, height: int = 6, seed: int = 0) -> bytes:
@@ -989,11 +1094,151 @@ def _decode_bmp(payload: bytes) -> dict:
     return out
 
 
+def _parse_mp3(payload: bytes) -> dict:
+    """Real MPEG audio (MP3) frame-header walk: skip an optional ID3v2
+    tag, then parse every frame header (version/layer/bitrate/sample-
+    rate tables, per-frame length arithmetic) to exact frame count and
+    duration. Sample (entropy) decode is deliberately out of scope —
+    rms stays null; see the module docstring."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        ss = payload[6:10]
+        pos = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    n_frames = 0
+    duration_us = 0
+    rate = channels = None
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        vbits, lbits = (b1 >> 3) & 0x3, (b1 >> 1) & 0x3
+        if vbits == 1 or lbits == 0:
+            break  # reserved version/layer
+        version = {0: 25, 2: 2, 3: 1}[vbits]
+        layer = 4 - lbits  # 11->I, 10->II, 01->III
+        br_idx, sr_idx, padding = (b2 >> 4) & 0xF, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break  # free/bad bitrate or reserved rate: can't walk
+        bitrate = _MP3_BITRATES[(1 if version == 1 else 2, layer)][br_idx] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        channels = 1 if ((b3 >> 6) & 0x3) == 0x3 else 2
+        if layer == 1:
+            samples, frame_len = 384, (12 * bitrate // rate + padding) * 4
+        else:
+            samples = 1152 if (layer == 2 or version == 1) else 576
+            frame_len = samples // 8 * bitrate // rate + padding
+        if frame_len <= 4:
+            break
+        n_frames += 1
+        duration_us += samples * 1_000_000 // rate
+        pos += frame_len
+    if not n_frames:
+        return {"ok": False, "error": "no valid MPEG audio frames"}
+    return {
+        "ok": True, "error": None, "decoded_kind": "audio",
+        "duration_ms": duration_us // 1000,
+        "sample_rate_hz": int(rate), "n_channels": int(channels),
+    }
+
+
+def _parse_adts_aac(payload: bytes) -> dict:
+    """Real ADTS (AAC) frame-header walk: 1024 samples per raw data
+    block; frame length is the 13-bit header field."""
+    pos = 0
+    n_frames = 0
+    rate = channels = None
+    while pos + 7 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xF6) != 0xF0:
+            break
+        sr_idx = (payload[pos + 2] >> 2) & 0xF
+        if sr_idx >= len(_ADTS_RATES):
+            break
+        rate = _ADTS_RATES[sr_idx]
+        channels = ((payload[pos + 2] & 0x1) << 2) | (payload[pos + 3] >> 6)
+        frame_len = ((payload[pos + 3] & 0x3) << 11) | (payload[pos + 4] << 3) \
+            | (payload[pos + 5] >> 5)
+        if frame_len < 7:
+            break
+        n_frames += 1
+        pos += frame_len
+    if not n_frames:
+        return {"ok": False, "error": "no valid ADTS frames"}
+    return {
+        "ok": True, "error": None, "decoded_kind": "audio",
+        "duration_ms": n_frames * 1024 * 1000 // rate,
+        "sample_rate_hz": int(rate), "n_channels": int(channels),
+    }
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_walk(buf: bytes, start: int, end: int, out: dict) -> None:
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        btype = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1 and pos + 16 <= end:
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            break
+        if btype in _MP4_CONTAINERS:
+            if btype == b"trak":
+                out["n_tracks"] = out.get("n_tracks", 0) + 1
+            _mp4_walk(buf, body, pos + size, out)
+        elif btype == b"mvhd" and body + 20 <= end:
+            version = buf[body]
+            if version == 1 and body + 32 <= end:
+                ts = struct.unpack_from(">I", buf, body + 20)[0]
+                dur = struct.unpack_from(">Q", buf, body + 24)[0]
+            else:
+                ts = struct.unpack_from(">I", buf, body + 12)[0]
+                dur = struct.unpack_from(">I", buf, body + 16)[0]
+            if ts:
+                out["duration_ms"] = int(dur * 1000 // ts)
+        elif btype == b"tkhd" and pos + size <= end:
+            version = buf[body]
+            off = body + (88 if version == 1 else 76)
+            if off + 8 <= pos + size:
+                w = struct.unpack_from(">I", buf, off)[0] >> 16
+                h = struct.unpack_from(">I", buf, off + 4)[0] >> 16
+                if w and h:
+                    out.setdefault("width", int(w))
+                    out.setdefault("height", int(h))
+        elif btype == b"hdlr" and body + 12 <= end:
+            out.setdefault("handlers", set()).add(buf[body + 8:body + 12])
+        pos += size
+
+
+def _parse_mp4(payload: bytes) -> dict:
+    """Real ISO-BMFF (MP4/M4A/MOV) box walk: duration from mvhd,
+    dimensions from the video tkhd, media kind from the hdlr handler
+    types. Sample decode (the codec inside mdat) stays out of scope."""
+    out: dict = {}
+    _mp4_walk(payload, 0, len(payload), out)
+    handlers = out.pop("handlers", set())
+    if "duration_ms" not in out and not handlers:
+        return {"ok": False, "error": "no moov metadata found"}
+    kind = "video" if b"vide" in handlers else (
+        "audio" if b"soun" in handlers else "video")
+    res = {"ok": True, "error": None, "decoded_kind": kind,
+           "duration_ms": out.get("duration_ms")}
+    if kind == "video":
+        res["width"] = out.get("width")
+        res["height"] = out.get("height")
+    return res
+
+
 def _decode_payload(payload: bytes) -> dict:
-    """Dispatch decode: real WAV (RIFF/WAVE) and uncompressed BMP parse
-    natively; the deterministic FAKE header drives the video plumbing;
-    compressed formats raise (a real deployment adds PIL.Image.open /
-    soundfile / pyav branches returning the same dict shape)."""
+    """Dispatch decode: WAV/BMP/PNG/JPEG/GIF decode samples natively;
+    MP3/ADTS-AAC/MP4 parse container metadata natively (duration,
+    rate, channels, dimensions — rms/mean_pixel stay null until a
+    real deployment adds soundfile/pyav sample decode); unrecognized
+    bytes raise (errors-as-rows upstream)."""
     if payload is None or len(payload) < 14:
         return {"ok": False, "error": "payload too short"}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -1006,6 +1251,16 @@ def _decode_payload(payload: bytes) -> dict:
         return _decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _parse_mp4(payload)
+    # ADTS before MP3: both sync on 0xFF, but ADTS has layer bits 00
+    # ((b1 & 0xF6) == 0xF0), which _parse_mp3 treats as reserved
+    if payload[0] == 0xFF and (payload[1] & 0xF6) == 0xF0:
+        return _parse_adts_aac(payload)
+    if payload[:3] == b"ID3" or (
+        payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return _parse_mp3(payload)
     if len(payload) >= _HEADER.size:
         magic, kind_b, width, height, duration_ms = _HEADER.unpack_from(payload)
         if magic == _MAGIC:
@@ -1018,9 +1273,9 @@ def _decode_payload(payload: bytes) -> dict:
                 "duration_ms": duration_ms,
             }
     raise NotImplementedError(
-        "audio/video entropy codecs (MP3/AAC/MP4/...) are not available in "
-        "this environment; RIFF/WAVE, uncompressed BMP, PNG, and baseline "
-        "JPEG decode natively"
+        "unrecognized media container; WAV/BMP/PNG/JPEG/GIF decode "
+        "natively, MP3/ADTS-AAC/MP4 parse container metadata natively "
+        "(sample decode of their entropy codecs needs soundfile/pyav)"
     )
 
 

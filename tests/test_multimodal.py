@@ -307,16 +307,20 @@ def test_gif_lzw_dictionary_overflow_roundtrip():
 
 
 def test_compressed_formats_still_error_as_rows(spark):
-    """Formats with no in-sandbox codec (MP3) still land in the
-    documented NotImplementedError path — as rows, never task
-    failures."""
+    """Unparseable payloads land as error ROWS, never task failures:
+    an ID3 tag with no MPEG frames behind it is a parse error from
+    the real MP3 walk; a genuinely unknown container still takes the
+    documented NotImplementedError path."""
     df = spark.createDataFrame(
         [(12, "audio", b"ID3\x04\x00\x00\x00\x00\x00\x00 not decodable mp3",
-          "audio/mpeg", None, None, None)],
+          "audio/mpeg", None, None, None),
+         (13, "video", b"\x00unknown-container" + b"\x00" * 32,
+          "video/x-unknown", None, None, None)],
         MEDIA_SCHEMA,
     )
-    row = decode_and_featurize(df).collect()[0]
-    assert not row.ok and "NotImplementedError" in row.error
+    rows = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    assert not rows[12].ok and "no valid MPEG audio frames" in rows[12].error
+    assert not rows[13].ok and "NotImplementedError" in rows[13].error
 
 
 def test_resize_identity_on_bmp(spark):
@@ -491,3 +495,71 @@ def test_dhash_near_pairs_banding_lossless(spark):
     assert got == expected and (1, 2) in got
     with pytest.raises(ValueError):
         dhash_near_pairs(hashed, max_hamming=5)
+
+
+def test_mp3_container_metadata_real_parse(spark):
+    """MPEG-audio frame walk: exact frame count drives the duration,
+    mode/rate come from the header tables, and the ID3v2 tag skip
+    runs. rms stays null (sample decode is the documented gate)."""
+    from iot_etl_spark.extensions.multimodal import make_mp3_bytes
+
+    mp3 = make_mp3_bytes(duration_ms=2000, rate=44100, bitrate_kbps=128)
+    df = spark.createDataFrame([(20, "audio", mp3, "audio/mpeg", None, None, None)],
+                               MEDIA_SCHEMA)
+    row = decode_and_featurize(df).collect()[0]
+    assert row.ok and row.decoded_kind == "audio"
+    assert row.sample_rate_hz == 44100 and row.n_channels == 1
+    # duration quantizes to whole 1152-sample frames
+    assert abs(row.duration_ms - 2000) <= 27
+    assert row.rms is None
+    assert row.n_bytes == len(mp3)
+
+
+def test_aac_adts_metadata_real_parse(spark):
+    from iot_etl_spark.extensions.multimodal import make_aac_adts_bytes
+
+    aac = make_aac_adts_bytes(duration_ms=1500, rate=48000, channels=2)
+    df = spark.createDataFrame([(21, "audio", aac, "audio/aac", None, None, None)],
+                               MEDIA_SCHEMA)
+    row = decode_and_featurize(df).collect()[0]
+    assert row.ok and row.decoded_kind == "audio"
+    assert row.sample_rate_hz == 48000 and row.n_channels == 2
+    assert abs(row.duration_ms - 1500) <= 22  # whole 1024-sample frames
+
+
+def test_mp4_box_walk_and_frame_sampling(spark):
+    """ISO-BMFF box walk feeds the SAME frame-sampling fan-out the
+    fake header drives — real MP4 payloads now fan out too."""
+    from iot_etl_spark.extensions.multimodal import make_mp4_bytes
+
+    mp4 = make_mp4_bytes(duration_ms=5500, width=1280, height=720)
+    m4a = make_mp4_bytes(duration_ms=3000, kind="audio")
+    df = spark.createDataFrame(
+        [(22, "video", mp4, "video/mp4", 1280, 720, 5500),
+         (23, "audio", m4a, "audio/mp4", None, None, 3000)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    assert rows[22].ok and rows[22].decoded_kind == "video"
+    assert (rows[22].width, rows[22].height) == (1280, 720)
+    assert rows[22].duration_ms == 5500
+    assert rows[23].ok and rows[23].decoded_kind == "audio"
+    assert rows[23].duration_ms == 3000
+    frames = sample_frames(df, every_ms=1000).collect()
+    # only the video row fans out: offsets 0..5000
+    assert sorted(f.offset_ms for f in frames) == [0, 1000, 2000, 3000, 4000, 5000]
+    assert {f.media_id for f in frames} == {22}
+
+
+def test_mp3_mp4_corrupt_payloads_become_error_rows(spark):
+    from iot_etl_spark.extensions.multimodal import make_mp4_bytes
+
+    bad_mp4 = make_mp4_bytes()[:20]
+    bad_mp3 = b"\xff\xfb" + b"\x01"  # truncated mid-header
+    df = spark.createDataFrame(
+        [(30, "video", bad_mp4, "video/mp4", None, None, None),
+         (31, "audio", bad_mp3, "audio/mpeg", None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = decode_and_featurize(df).collect()
+    assert all(not r.ok and r.error for r in rows)

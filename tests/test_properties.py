@@ -222,3 +222,45 @@ def test_jpeg_roundtrip_property(w, h, seed, mode):
     # smooth source -> quantization error small; edge-padded partial
     # MCUs and 4:2:0 chroma averaging widen the bound for tiny images
     assert abs(out["mean_pixel"] - float(img.mean())) < 8.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=30, max_value=20_000),           # duration_ms
+    st.sampled_from([44100, 48000, 32000]),                # MPEG-1 rates
+    st.sampled_from([64, 128, 192, 320]),                  # bitrates
+    st.booleans(),                                         # mono
+)
+def test_mp3_header_walk_roundtrip_property(duration_ms, rate, kbps, mono):
+    """The MP3 frame walk recovers rate/channels exactly and duration
+    to within one 1152-sample frame of what the generator packed, for
+    arbitrary durations/rates/bitrates."""
+    from iot_etl_spark.extensions.multimodal import make_mp3_bytes, _parse_mp3
+
+    out = _parse_mp3(make_mp3_bytes(duration_ms, rate, kbps, mono))
+    assert out["ok"], out.get("error")
+    assert out["sample_rate_hz"] == rate
+    assert out["n_channels"] == (1 if mono else 2)
+    frame_ms = 1152 * 1000 / rate
+    assert abs(out["duration_ms"] - duration_ms) <= frame_ms + 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3_600_000),         # duration_ms
+    st.integers(min_value=1, max_value=8192),              # width
+    st.integers(min_value=1, max_value=8192),              # height
+    st.sampled_from(["video", "audio"]),
+)
+def test_mp4_box_walk_roundtrip_property(duration_ms, w, h, kind):
+    """The ISO-BMFF box walk recovers mvhd duration exactly (the
+    generator's timescale is 1000) and the video track's 16.16
+    dimensions exactly, for arbitrary values."""
+    from iot_etl_spark.extensions.multimodal import make_mp4_bytes, _parse_mp4
+
+    out = _parse_mp4(make_mp4_bytes(duration_ms, w, h, kind))
+    assert out["ok"], out.get("error")
+    assert out["duration_ms"] == duration_ms
+    assert out["decoded_kind"] == kind
+    if kind == "video":
+        assert (out["width"], out["height"]) == (w, h)
