@@ -96,6 +96,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "weighted_median_price",
     "fifo_click_purchase_match",
     "mrr_recall_retrieval",
+    "spearman_value_time",
+    "markov_entropy_rate",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

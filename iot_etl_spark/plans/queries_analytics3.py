@@ -628,3 +628,155 @@ def mrr_recall_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)).alias("recall_at_k"),
     )
+
+
+# ---------------------------------- Spearman rank correlation
+# True Spearman tie handling on the VALUE axis: fractional average
+# ranks, computed as RANK() + (tie-group size - 1)/2 — identical for
+# every member of a tie group and exactly the mean of the positions
+# the group occupies. The TIME axis is made a total order by the
+# (ts, event_id) tiebreak (the registry's event-order convention), so
+# its ranks are a permutation.
+_SPEARMAN_ORACLE = f"""
+WITH r AS (
+    SELECT user_id,
+           RANK() OVER (PARTITION BY user_id ORDER BY value)
+             + (COUNT(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 AS rv,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY {DUCK_TS}, event_id) AS DOUBLE) AS rt
+    FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CORR(rv, rt), 6) AS spearman_rho
+FROM r GROUP BY 1
+"""
+
+
+@query("spearman_value_time", oracle=_SPEARMAN_ORACLE)
+def spearman_value_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between reading value and event order
+    per device — the rank leg of the correlation family (Pearson =
+    value_time_correlation / value_autocorr, robust-slope = theilsen_
+    trend_recent): monotone drift shows as |rho| near 1 even when the
+    drift is nonlinear, and rho is immune to the outliers that drag
+    Pearson around. Ties in value get true fractional AVERAGE ranks
+    (RANK() + (tie size - 1)/2); the time axis is totally ordered by
+    the (ts, event_id) convention.
+
+    Determinism: ranks are exact integers / half-integers (identical
+    inputs cross-engine); CORR runs on those exact doubles and is
+    rounded at 6 (the value_autocorr convention).
+
+    100 TB shape: both rank windows and the final aggregate ride ONE
+    shuffle on user_id (the tie-group COUNT partitions by (user,
+    value) — a subpartition of the same key space); frames are
+    device-activity-sized. Reference parity: none — statistics
+    extension of the correlation family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wu = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        (
+            F.rank().over(wu.orderBy("value"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("user_id", "value")) - 1)
+            / 2.0
+        ).alias("rv"),
+        F.row_number().over(wu.orderBy("ts", "event_id")).cast("double").alias("rt"),
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.corr("rv", "rt"), 6).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------- Markov entropy rate
+# H = -(1/N) * sum_ij c_ij * log2(c_ij / c_i), the empirical entropy
+# rate of the event-type process: per-transition terms are quantized
+# to nano-unit BIGINTs before summation (the registry's fixed-point
+# device), so the only doubles are one shared log2 per CELL (bounded
+# by |types|^2 cells) and the final division.
+_ENTROPY_TERM = "CAST(round(cij * log2(CAST(cij AS DOUBLE) / ci) * 1e9) AS BIGINT)"
+
+_ENTROPY_RATE_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY {DUCK_TS}, event_id) AS next_type
+    FROM events
+),
+cells AS (
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS cij
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+rows_ AS (
+    SELECT event_type, next_type, cij,
+           CAST(SUM(cij) OVER (PARTITION BY event_type) AS BIGINT) AS ci
+    FROM cells
+),
+agg AS (
+    SELECT CAST(SUM(cij) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_states,
+           CAST(SUM({_ENTROPY_TERM}) AS BIGINT) AS sum_nano
+    FROM rows_
+)
+SELECT n_transitions, n_states,
+       ROUND(-CAST(sum_nano AS DOUBLE) / 1e9 / n_transitions, 6)
+           AS entropy_rate_bits,
+       ROUND(-CAST(sum_nano AS DOUBLE) / 1e9 / n_transitions
+             / log2(CAST(n_states AS DOUBLE)), 6) AS entropy_ratio
+FROM agg
+"""
+
+
+@query("markov_entropy_rate", oracle=_ENTROPY_RATE_ORACLE)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL ENTROPY RATE of the per-user event-type process —
+    the information-theoretic summary completing the Markov family
+    (markov_event_transitions estimates the matrix, markov_prediction_
+    accuracy grades its top-1 forecasts; this says how predictable the
+    process IS AT ALL): H = -(1/N) sum c_ij log2(c_ij/c_i) bits per
+    transition, and the ratio against the log2(k) ceiling (1.0 = the
+    process is i.i.d.-uniform noise; near 0 = nearly deterministic
+    sequences, a leakage/bot signal in training data).
+
+    Determinism: transition counts are exact BIGINTs; each cell's
+    term takes one shared-verbatim log2 and is nano-quantized BEFORE
+    the sum; H and the ratio are single shared expressions over the
+    integer sum.
+
+    100 TB shape: the LEAD window rides one user_id shuffle (the same
+    sequence pass every per-user operator shares); cells are a
+    |types|^2-bounded aggregate (map-side combinable), and everything
+    after runs on that tiny cell table. Reference parity: none —
+    information-theoretic extension of the sequence family."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    cells = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cij")
+    )
+    rows_ = cells.withColumn(
+        "ci", F.sum("cij").over(Window.partitionBy("event_type")).cast("long")
+    )
+    agg = rows_.agg(
+        F.sum("cij").cast("long").alias("n_transitions"),
+        F.countDistinct("event_type").cast("long").alias("n_states"),
+        F.sum(F.expr(_ENTROPY_TERM)).cast("long").alias("sum_nano"),
+    )
+    return agg.select(
+        "n_transitions",
+        "n_states",
+        F.round(
+            -F.col("sum_nano").cast("double") / 1e9 / F.col("n_transitions"), 6
+        ).alias("entropy_rate_bits"),
+        F.round(
+            -F.col("sum_nano").cast("double") / 1e9 / F.col("n_transitions")
+            / F.log2(F.col("n_states").cast("double")),
+            6,
+        ).alias("entropy_ratio"),
+    )

@@ -289,3 +289,23 @@ def test_mrr_recall_bounds(spark):
             assert r.reciprocal_rank == 1.0
         assert (r.first_rel_rank > 0) == (r.n_rel_topk > 0)
         assert (r.reciprocal_rank > 0) == (r.n_rel_topk > 0)
+
+
+def test_spearman_bounds_and_population(spark):
+    rows = P.QUERIES["spearman_value_time"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    per_user = {u: n for u, n in ev.groupBy("user_id").count().collect()}
+    assert {r.user_id: r.n_events for r in rows} == per_user
+
+
+def test_entropy_rate_bounds(spark):
+    import math
+
+    r = P.QUERIES["markov_entropy_rate"](spark, SF_DIR).collect()[0]
+    assert r.n_states >= 2 and r.n_transitions > 0
+    ceiling = math.log2(r.n_states)
+    assert 0.0 <= r.entropy_rate_bits <= ceiling + 1e-6
+    assert abs(r.entropy_ratio - r.entropy_rate_bits / ceiling) < 1e-4
