@@ -98,6 +98,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "mrr_recall_retrieval",
     "spearman_value_time",
     "markov_entropy_rate",
+    "crosscorr_click_purchase",
+    "seasonal_decomposition_hourly",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

@@ -780,3 +780,202 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_ratio"),
     )
+
+
+# ---------------------------------- cross-correlation (lead-lag)
+# Which series LEADS: corr(clicks_t, purchases_{t+L}) over the
+# zero-filled hourly grid for L in [-6, +6]. A peak at L > 0 means
+# clicks lead purchases by L hours. Zero fill matters: silent hours
+# are real zeros in a counting process, and they keep both inputs
+# exact integers.
+XCORR_LAGS = tuple(range(-6, 7))
+_XCORR_VALUES = ", ".join(f"({lag})" for lag in XCORR_LAGS)
+
+_XCORR_ORACLE = f"""
+WITH h AS (
+    SELECT {DUCK_TS_EPOCH} // 3600 AS hr,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+),
+ext AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM h),
+grid AS (
+    SELECT t.hr FROM ext CROSS JOIN
+        unnest(generate_series(ext.mn, ext.mx, 1)) AS t(hr)
+),
+s AS (
+    SELECT g.hr, COALESCE(h.x, 0) AS x, COALESCE(h.y, 0) AS y
+    FROM grid g LEFT JOIN h USING (hr)
+),
+pairs AS (
+    SELECT l.lag, a.x, b.y
+    FROM (VALUES {_XCORR_VALUES}) AS l(lag)
+    JOIN s a ON TRUE
+    JOIN s b ON b.hr = a.hr + l.lag
+)
+SELECT CAST(lag AS BIGINT) AS lag_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CORR(x, y), 6) AS crosscorr
+FROM pairs GROUP BY 1
+"""
+
+
+@query("crosscorr_click_purchase", oracle=_XCORR_ORACLE)
+def crosscorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION FUNCTION between the hourly click and
+    purchase series at lags {XCORR_LAGS[0]}..{XCORR_LAGS[-1]} h — the
+    lead-lag detector the correlation family lacked (value_autocorr is
+    one series against itself at lag 1; this is two series against
+    each other across a lag sweep; the argmax lag is the click→
+    purchase conversion delay at the population level).
+
+    Determinism: hourly counts on the zero-filled grid are exact
+    BIGINTs on both engines; CORR runs on those exact inputs and is
+    rounded at 6 (the value_autocorr convention).
+
+    100 TB shape: one pushed-filter scan into a map-side-combinable
+    hourly rollup; the grid fill, the 13-lag dim and every pair join
+    live on the post-aggregate hour frame (720 rows/month — a decade
+    is 87k). Reference parity: none — time-series extension of the
+    correlation family."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = ev.groupBy(
+        F.expr("unix_timestamp(ts) div 3600").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    grid = h.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx")).select(
+        F.explode(F.sequence("mn", "mx", F.lit(1).cast("long"))).alias("hr")
+    )
+    s = grid.join(h, "hr", "left").select(
+        "hr",
+        F.coalesce("x", F.lit(0).cast("long")).alias("x"),
+        F.coalesce("y", F.lit(0).cast("long")).alias("y"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(lag).cast("long") for lag in XCORR_LAGS])
+    ).alias("lag")
+    a = s.select(lags, "hr", "x")
+    b = s.select(F.col("hr").alias("bhr"), "y")
+    pairs = a.join(b, F.col("bhr") == F.col("hr") + F.col("lag"))
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr("x", "y"), 6).alias("crosscorr"),
+    ).select(F.col("lag").alias("lag_hours"), "n_pairs", "crosscorr")
+
+
+# ---------------------------------- seasonal decomposition
+# Classical additive decomposition of the hourly count series:
+# trend = 24-row centered moving average (frame [-11, +12], defined
+# only where all 24 rows exist), detrended = x - trend, seasonal
+# index = mean detrended per hour-of-day. The whole pipeline stays
+# INTEGER-EXACT in units of 24ths: d24 = 24*x - sum24 is a BIGINT,
+# so per-cell sums/squares never see a double until the final shared
+# divisions.
+_SEASONAL_IDX = "ROUND(CAST(sum_d AS DOUBLE) / 24 / n_obs, 6)"
+_SEASONAL_STD = (
+    "ROUND(SQRT(CAST(sum_d2 AS DOUBLE) / 576 / n_obs "
+    "- POW(CAST(sum_d AS DOUBLE) / 24 / n_obs, 2)), 6)"
+)
+
+_SEASONAL_ORACLE = f"""
+WITH h AS (
+    SELECT {DUCK_TS_EPOCH} // 3600 AS hr, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+ext AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM h),
+grid AS (
+    SELECT t.hr FROM ext CROSS JOIN
+        unnest(generate_series(ext.mn, ext.mx, 1)) AS t(hr)
+),
+s AS (
+    SELECT g.hr, COALESCE(h.cnt, 0) AS cnt FROM grid g LEFT JOIN h USING (hr)
+),
+ma AS (
+    SELECT hr, cnt,
+           CAST(SUM(cnt) OVER w AS BIGINT) AS sum24,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n24
+    FROM s
+    WINDOW w AS (ORDER BY hr ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+),
+d AS (
+    SELECT hr % 24 AS hour_of_day, 24 * cnt - sum24 AS d24
+    FROM ma WHERE n24 = 24
+),
+agg AS (
+    SELECT hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(d24) AS BIGINT) AS sum_d,
+           CAST(SUM(d24 * d24) AS BIGINT) AS sum_d2
+    FROM d GROUP BY 1
+)
+SELECT CAST(hour_of_day AS BIGINT) AS hour_of_day, n_obs,
+       {_SEASONAL_IDX} AS seasonal_index,
+       {_SEASONAL_STD} AS residual_std
+FROM agg
+"""
+
+
+@query("seasonal_decomposition_hourly", oracle=_SEASONAL_ORACLE)
+def seasonal_decomposition_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL ADDITIVE SEASONAL DECOMPOSITION of the hourly event
+    series: a 24-row centered moving average estimates the trend,
+    and the mean detrended value per hour-of-day is the seasonal
+    index (sums to ~0 across the 24 cells); the within-cell std is
+    the residual scale once trend AND season are removed. This is the
+    model-based twin of hour_of_day_profile (raw profile) and the
+    additive complement of dft_periodogram (which TESTS for the cycle
+    this query MEASURES cell by cell).
+
+    Determinism: the decomposition runs in integer 24ths — d24 =
+    24*x - sum24 is a BIGINT wherever the 24-row frame is complete —
+    so per-cell sums and sum-of-squares are exact integer aggregates
+    with the only doubles in the final shared index/std expressions.
+
+    100 TB shape: one scan into the map-side hourly rollup; grid
+    fill, the centered-MA window and the 24-cell aggregate all run on
+    the post-aggregate hour frame (single-partition window over
+    thousands of rows, the documented post-aggregate shape).
+    Reference parity: none — time-series extension of the profile
+    family."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.expr("unix_timestamp(ts) div 3600").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    grid = h.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx")).select(
+        F.explode(F.sequence("mn", "mx", F.lit(1).cast("long"))).alias("hr")
+    )
+    s = grid.join(h, "hr", "left").select(
+        "hr", F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt")
+    )
+    w = Window.partitionBy().orderBy("hr").rowsBetween(-11, 12)
+    ma = s.select(
+        "hr",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("sum24"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n24"),
+    )
+    d = ma.filter(F.col("n24") == 24).select(
+        (F.col("hr") % 24).alias("hour_of_day"),
+        (F.lit(24) * F.col("cnt") - F.col("sum24")).alias("d24"),
+    )
+    agg = d.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("d24").cast("long").alias("sum_d"),
+        F.sum(F.col("d24") * F.col("d24")).cast("long").alias("sum_d2"),
+    )
+    return agg.select(
+        F.col("hour_of_day").cast("long").alias("hour_of_day"),
+        "n_obs",
+        F.expr(_SEASONAL_IDX).alias("seasonal_index"),
+        F.expr(_SEASONAL_STD).alias("residual_std"),
+    )

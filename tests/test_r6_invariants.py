@@ -309,3 +309,30 @@ def test_entropy_rate_bounds(spark):
     ceiling = math.log2(r.n_states)
     assert 0.0 <= r.entropy_rate_bits <= ceiling + 1e-6
     assert abs(r.entropy_ratio - r.entropy_rate_bits / ceiling) < 1e-4
+
+
+def test_crosscorr_bounds_and_symmetric_pair_counts(spark):
+    rows = {r.lag_hours: r for r in
+            P.QUERIES["crosscorr_click_purchase"](spark, SF_DIR).collect()}
+    assert len(rows) == 13
+    for r in rows.values():
+        assert -1.0 - 1e-9 <= r.crosscorr <= 1.0 + 1e-9
+    # lag L and -L overlap the grid identically: n_pairs symmetric,
+    # and lag 0 has the full grid
+    for lag in (1, 2, 3, 4, 5, 6):
+        assert rows[lag].n_pairs == rows[-lag].n_pairs
+        assert rows[lag].n_pairs == rows[0].n_pairs - lag
+
+
+def test_seasonal_indices_sum_near_zero(spark):
+    rows = P.QUERIES["seasonal_decomposition_hourly"](spark, SF_DIR).collect()
+    assert len(rows) == 24
+    assert {r.hour_of_day for r in rows} == set(range(24))
+    for r in rows:
+        assert r.residual_std >= 0.0
+    # additive decomposition: detrended means nearly cancel across the
+    # cycle (exactly iff every hour-of-day appears equally often in
+    # the complete-frame region; allow the edge imbalance)
+    total_obs = sum(r.n_obs for r in rows)
+    weighted = sum(r.seasonal_index * r.n_obs for r in rows)
+    assert abs(weighted / total_obs) < 1.0
