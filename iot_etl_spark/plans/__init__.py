@@ -100,6 +100,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "markov_entropy_rate",
     "crosscorr_click_purchase",
     "seasonal_decomposition_hourly",
+    "wilcoxon_signed_rank_weekend",
+    "median_ci_order_stats",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

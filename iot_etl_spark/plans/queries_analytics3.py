@@ -979,3 +979,238 @@ def seasonal_decomposition_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(_SEASONAL_IDX).alias("seasonal_index"),
         F.expr(_SEASONAL_STD).alias("residual_std"),
     )
+
+
+# ---------------------------------- Wilcoxon signed-rank test
+# Paired twin of mannwhitney_weekend_value: each device is its own
+# control (weekend mean vs weekday mean of the SAME device), so
+# between-device variance cancels. Diffs are micro-unit BIGINTs, ranks
+# of |diff| use fractional average ranks doubled into integers
+# (rank2 = 2*avg_rank is always integral), and the normal
+# approximation carries the exact tie correction.
+_WSR_Z = (
+    "ROUND((CAST(w2_plus AS DOUBLE) / 2 - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4)"
+    " / SQRT(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (2 * n_pairs + 1) / 24"
+    "        - CAST(tie_adj AS DOUBLE) / 48), 6)"
+)
+
+_WSR_ORACLE = f"""
+WITH per_dev AS (
+    SELECT user_id,
+           SUM(CASE WHEN EXTRACT(dow FROM {DUCK_TS}) IN (0, 6)
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS we_sum,
+           COUNT(CASE WHEN EXTRACT(dow FROM {DUCK_TS}) IN (0, 6)
+                      THEN 1 END) AS we_n,
+           SUM(CASE WHEN EXTRACT(dow FROM {DUCK_TS}) NOT IN (0, 6)
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS wd_sum,
+           COUNT(CASE WHEN EXTRACT(dow FROM {DUCK_TS}) NOT IN (0, 6)
+                      THEN 1 END) AS wd_n
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+diffs AS (
+    SELECT CAST(ROUND((CAST(we_sum AS DOUBLE) / we_n
+                       - CAST(wd_sum AS DOUBLE) / wd_n) * 1e6) AS BIGINT) AS du
+    FROM per_dev WHERE we_n > 0 AND wd_n > 0
+),
+nz AS (SELECT du FROM diffs WHERE du <> 0),
+ranked AS (
+    SELECT du,
+           2 * RANK() OVER (ORDER BY ABS(du))
+             + (COUNT(*) OVER (PARTITION BY ABS(du)) - 1) AS rank2,
+           CAST(COUNT(*) OVER (PARTITION BY ABS(du)) AS BIGINT) AS tsize
+    FROM nz
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN du > 0 THEN rank2 ELSE 0 END) AS BIGINT) AS w2_plus,
+           CAST(SUM(CASE WHEN du < 0 THEN rank2 ELSE 0 END) AS BIGINT) AS w2_minus,
+           CAST(SUM(CASE WHEN rn = 1 THEN tsize * tsize * tsize - tsize
+                         ELSE 0 END) AS BIGINT) AS tie_adj
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ABS(du)
+                                       ORDER BY du) AS rn FROM ranked)
+)
+SELECT n_pairs,
+       ROUND(CAST(w2_plus AS DOUBLE) / 2, 6) AS w_plus,
+       ROUND(CAST(w2_minus AS DOUBLE) / 2, 6) AS w_minus,
+       {_WSR_Z} AS z_score
+FROM agg
+"""
+
+
+@query("wilcoxon_signed_rank_weekend", oracle=_WSR_ORACLE)
+def wilcoxon_signed_rank_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test of weekend-vs-weekday reading levels,
+    PAIRED WITHIN DEVICE — the paired twin of mannwhitney_weekend_value
+    (each device is its own control, so between-device level variance
+    cancels; the unpaired test asks a different, weaker question).
+    Zero diffs drop (standard Wilcoxon), |diff| ties get fractional
+    average ranks, and the normal approximation carries the exact tie
+    correction sum(t^3 - t)/48 in its variance.
+
+    Determinism: per-device means come from exact DECIMAL sums through
+    one shared division; diffs are micro-unit BIGINTs; doubled average
+    ranks (2*RANK + tiecount - 1) are exact integers, so W+ and W- are
+    integer sums halved once at the end; z is one shared expression.
+
+    100 TB shape: the per-device conditional aggregate is one
+    map-side-combinable pass; everything after (ranking, tie groups,
+    the test statistic) runs on the per-device frame (|devices| rows —
+    the documented post-aggregate shape). Reference parity: none —
+    statistics extension of the shift-audit family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    is_we = F.dayofweek("ts").isin(1, 7)
+    dec = F.col("value").cast("decimal(18,2)")
+    per_dev = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_we, dec)).alias("we_sum"),
+        F.count(F.when(is_we, 1)).alias("we_n"),
+        F.sum(F.when(~is_we, dec)).alias("wd_sum"),
+        F.count(F.when(~is_we, 1)).alias("wd_n"),
+    )
+    diffs = per_dev.filter((F.col("we_n") > 0) & (F.col("wd_n") > 0)).select(
+        F.round(
+            (
+                F.col("we_sum").cast("double") / F.col("we_n")
+                - F.col("wd_sum").cast("double") / F.col("wd_n")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("du")
+    )
+    nz = diffs.filter(F.col("du") != 0)
+    w_abs = Window.partitionBy(F.abs(F.col("du")))
+    ranked = nz.select(
+        "du",
+        (
+            F.lit(2) * F.rank().over(Window.partitionBy().orderBy(F.abs(F.col("du"))))
+            + F.count(F.lit(1)).over(w_abs)
+            - 1
+        ).alias("rank2"),
+        F.count(F.lit(1)).over(w_abs).cast("long").alias("tsize"),
+        F.row_number().over(w_abs.orderBy("du")).alias("rn"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("du") > 0, F.col("rank2")).otherwise(0))
+        .cast("long")
+        .alias("w2_plus"),
+        F.sum(F.when(F.col("du") < 0, F.col("rank2")).otherwise(0))
+        .cast("long")
+        .alias("w2_minus"),
+        F.sum(
+            F.when(
+                F.col("rn") == 1,
+                F.col("tsize") * F.col("tsize") * F.col("tsize") - F.col("tsize"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tie_adj"),
+    )
+    return agg.select(
+        "n_pairs",
+        F.round(F.col("w2_plus").cast("double") / 2, 6).alias("w_plus"),
+        F.round(F.col("w2_minus").cast("double") / 2, 6).alias("w_minus"),
+        F.expr(_WSR_Z).alias("z_score"),
+    )
+
+
+# ---------------------------------- order-statistic median CI
+# Nonparametric CI for the median via order statistics: the
+# (k_lo, k_hi) order statistics bracket the true median with ~95%
+# coverage, k = n/2 -+ z*sqrt(n)/2 (normal approximation to the
+# binomial(n, 1/2) counts). Selection runs on the (type, value)
+# GRID — cumulative counts over the bounded 2-decimal value domain —
+# never a per-row global rank.
+MEDIAN_CI_Z = 1.959964
+_K_LO = f"CAST(GREATEST(FLOOR(n / 2.0 - {MEDIAN_CI_Z} * SQRT(n) / 2), 1) AS BIGINT)"
+_K_HI = f"CAST(LEAST(CEIL(n / 2.0 + {MEDIAN_CI_Z} * SQRT(n) / 2) + 1, n) AS BIGINT)"
+
+_MEDIAN_CI_ORACLE = f"""
+WITH g AS (
+    SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+    SELECT event_type, v, c,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM g
+),
+k AS (
+    SELECT event_type, v, cum, n,
+           {_K_LO} AS k_lo, {_K_HI} AS k_hi,
+           CAST(CEIL(n / 2.0) AS BIGINT) AS k_med
+    FROM c
+),
+pick AS (
+    SELECT event_type, n, k_lo, k_hi,
+        MIN(CASE WHEN cum >= k_med THEN v END) AS median_value,
+        MIN(CASE WHEN cum >= k_lo THEN v END) AS ci_lo,
+        MIN(CASE WHEN cum >= k_hi THEN v END) AS ci_hi
+    FROM k GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, n AS n_values, k_lo, k_hi,
+       ROUND(CAST(median_value AS DOUBLE), 2) AS median_value,
+       ROUND(CAST(ci_lo AS DOUBLE), 2) AS ci_lo,
+       ROUND(CAST(ci_hi AS DOUBLE), 2) AS ci_hi
+FROM pick
+"""
+
+
+@query("median_ci_order_stats", oracle=_MEDIAN_CI_ORACLE)
+def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NONPARAMETRIC MEDIAN CONFIDENCE INTERVAL per event type via
+    order statistics: the (k_lo, k_hi) = n/2 -+ z*sqrt(n)/2 order
+    statistics bracket the population median with ~95% coverage, no
+    distributional assumption — the uncertainty-quantification leg
+    the quantile family lacked (value_deciles/weighted_median report
+    points; bootstrap_mean_ci covers the MEAN). Median here is the
+    lower median (cum >= ceil(n/2)), consistent with
+    weighted_median_price's convention.
+
+    Determinism: counts and cut ranks are exact BIGINTs (the z-cut
+    floors/ceils integer-valued expressions of n); the selected
+    values are DECIMAL grid points; MIN-over-CASE selection is
+    order-free.
+
+    100 TB shape: one scan into the map-side (type, value) grid; the
+    cumulative window runs per type over the DISTINCT VALUE domain
+    (2-decimal readings — domain-sized, not data-sized, the
+    weighted_median_price argument); selection is a tiny-key
+    aggregate. Reference parity: none — statistics extension of the
+    quantile family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+        F.sum("c").over(wp).cast("long").alias("n"),
+    )
+    k = c.select(
+        "event_type", "v", "cum", "n",
+        F.expr(_K_LO).alias("k_lo"),
+        F.expr(_K_HI).alias("k_hi"),
+        F.ceil(F.col("n") / 2.0).cast("long").alias("k_med"),
+    )
+    pick = k.groupBy("event_type", "n", "k_lo", "k_hi").agg(
+        F.min(F.when(F.col("cum") >= F.col("k_med"), F.col("v"))).alias("median_value"),
+        F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("v"))).alias("ci_lo"),
+        F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("v"))).alias("ci_hi"),
+    )
+    return pick.select(
+        "event_type",
+        F.col("n").alias("n_values"),
+        "k_lo",
+        "k_hi",
+        F.round(F.col("median_value").cast("double"), 2).alias("median_value"),
+        F.round(F.col("ci_lo").cast("double"), 2).alias("ci_lo"),
+        F.round(F.col("ci_hi").cast("double"), 2).alias("ci_hi"),
+    )

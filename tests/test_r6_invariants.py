@@ -336,3 +336,20 @@ def test_seasonal_indices_sum_near_zero(spark):
     total_obs = sum(r.n_obs for r in rows)
     weighted = sum(r.seasonal_index * r.n_obs for r in rows)
     assert abs(weighted / total_obs) < 1.0
+
+
+def test_wilcoxon_rank_sum_identity(spark):
+    r = P.QUERIES["wilcoxon_signed_rank_weekend"](spark, SF_DIR).collect()[0]
+    n = r.n_pairs
+    assert n > 0
+    # W+ + W- = n(n+1)/2 exactly (every nonzero diff is ranked once)
+    assert abs((r.w_plus + r.w_minus) - n * (n + 1) / 2) < 1e-6
+    assert r.w_plus >= 0 and r.w_minus >= 0
+
+
+def test_median_ci_brackets_median(spark):
+    rows = P.QUERIES["median_ci_order_stats"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.k_lo <= r.k_hi <= r.n_values
+        assert r.ci_lo <= r.median_value <= r.ci_hi
