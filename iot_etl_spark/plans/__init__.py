@@ -102,6 +102,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "seasonal_decomposition_hourly",
     "wilcoxon_signed_rank_weekend",
     "median_ci_order_stats",
+    "runs_test_randomness",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

@@ -1214,3 +1214,138 @@ def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ci_lo").cast("double"), 2).alias("ci_lo"),
         F.round(F.col("ci_hi").cast("double"), 2).alias("ci_hi"),
     )
+
+
+# ---------------------------------- runs test (randomness audit)
+# Wald-Wolfowitz: is a device's above/below-median sign sequence
+# random, trending (too few runs), or oscillating (too many)?
+# Median = per-device lower median off the (user, value) grid
+# (weighted_median_price convention); ties with the median drop
+# (standard); R counts sign changes + 1; z uses the exact run-count
+# moments. n1, n2, R are integers; mu/sigma/z are shared expressions.
+# mu and z are emitted UNROUNDED (time_grid_gapfill convention): the
+# inputs are integers and every IEEE op below is shared verbatim, so
+# both engines produce bit-identical doubles — ROUND(.., 6) would
+# INTRODUCE divergence on decimal ties (one z at sf0.001 lands on
+# ...45 exactly: Spark HALF_UP vs DuckDB binary rounding disagree).
+# Exponent-notation literals (2e0, not 2.0): non-exponent decimal
+# literals parse as DECIMAL in BOTH engines but with different
+# division-scale promotion (Spark's decimal division pins scale 6 —
+# a 1e-7-level divergence), while e-notation is DOUBLE in both.
+_RUNS_MU = "1e0 + 2e0 * n1 * n2 / (n1 + n2)"
+_RUNS_Z = (
+    f"(r_runs - ({_RUNS_MU}))"
+    " / SQRT(2e0 * n1 * n2 * (2e0 * n1 * n2 - n1 - n2)"
+    "        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1e0)))"
+)
+
+_RUNS_ORACLE = f"""
+WITH g AS (
+    SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+    SELECT user_id, v,
+           SUM(c) OVER (PARTITION BY user_id ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+           SUM(c) OVER (PARTITION BY user_id) AS tw
+    FROM g
+),
+med AS (
+    SELECT user_id, MIN(v) AS median_v
+    FROM cum WHERE 2 * cw >= tw GROUP BY 1
+),
+signs AS (
+    SELECT e.user_id, (CAST(e.value AS DECIMAL(18,2)) > m.median_v) AS s,
+           LAG(CAST(e.value AS DECIMAL(18,2)) > m.median_v) OVER (
+               PARTITION BY e.user_id ORDER BY {DUCK_TS}, e.event_id) AS ps
+    FROM events e JOIN med m ON e.user_id = m.user_id
+    WHERE e.value IS NOT NULL
+      AND CAST(e.value AS DECIMAL(18,2)) <> m.median_v
+),
+agg AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+           CAST(1 + SUM(CASE WHEN ps IS NOT NULL AND s <> ps
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_runs
+    FROM signs GROUP BY 1
+)
+SELECT user_id, n1 AS n_above, n2 AS n_below, r_runs,
+       {_RUNS_MU} AS expected_runs,
+       {_RUNS_Z} AS z_score
+FROM agg WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+"""
+
+
+@query("runs_test_randomness", oracle=_RUNS_ORACLE)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST per device: is the above/below-median
+    sign sequence of readings RANDOM? Too few runs (z << 0) means the
+    series trends or sticks (autocorrelation); too many (z >> 0)
+    means oscillation — the model-free randomness audit beside
+    value_autocorr's linear lag-1 view and spearman_value_time's
+    monotone-drift view. Exact-median ties drop (standard test).
+
+    Determinism: the per-device lower median comes off the DECIMAL
+    (user, value) grid (weighted_median_price convention); signs and
+    run counts are integers from DECIMAL comparisons; the z moments
+    are one shared expression over (n1, n2, R).
+
+    100 TB shape: the value-grid median, the sign/LAG window, and the
+    run aggregate all ride the user_id key (one shuffle reused); the
+    grid collapses frames to distinct values per device. Reference
+    parity: none — statistics extension of the randomness/drift
+    family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("user_id", dec.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    cum = g.select(
+        "user_id", "v",
+        F.sum("c").over(wu.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("c").over(wu).alias("tw"),
+    )
+    med = (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("user_id")
+        .agg(F.min("v").alias("median_v"))
+    )
+    signs = (
+        ev.join(med, "user_id")
+        .filter(dec != F.col("median_v"))
+        .select(
+            "user_id",
+            (dec > F.col("median_v")).alias("s"),
+            "ts", "event_id",
+        )
+        .withColumn(
+            "ps", F.lag("s").over(wu.orderBy("ts", "event_id"))
+        )
+    )
+    agg = signs.groupBy("user_id").agg(
+        F.sum(F.when(F.col("s"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s"), 0).otherwise(1)).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1
+                ).otherwise(0)
+            )
+        ).cast("long").alias("r_runs"),
+    )
+    return agg.filter(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") > 1)
+    ).select(
+        "user_id",
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "r_runs",
+        F.expr(_RUNS_MU).alias("expected_runs"),
+        F.expr(_RUNS_Z).alias("z_score"),
+    )

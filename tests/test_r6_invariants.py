@@ -353,3 +353,13 @@ def test_median_ci_brackets_median(spark):
     for r in rows:
         assert 1 <= r.k_lo <= r.k_hi <= r.n_values
         assert r.ci_lo <= r.median_value <= r.ci_hi
+
+
+def test_runs_test_counts_and_bounds(spark):
+    rows = P.QUERIES["runs_test_randomness"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # runs are bounded by 1..n1+n2 and can't exceed 2*min+1
+        assert 1 <= r.r_runs <= r.n_above + r.n_below
+        assert r.r_runs <= 2 * min(r.n_above, r.n_below) + 1
+        assert 1.0 <= r.expected_runs <= r.n_above + r.n_below
