@@ -103,6 +103,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "wilcoxon_signed_rank_weekend",
     "median_ci_order_stats",
     "runs_test_randomness",
+    "allan_variance_per_device",
+    "hurst_rs_exponent",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

@@ -1349,3 +1349,292 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_RUNS_MU).alias("expected_runs"),
         F.expr(_RUNS_Z).alias("z_score"),
     )
+
+
+# ---------------------------------- Allan variance (sensor stability)
+# AVAR(tau) = mean((m_{k+1} - m_k)^2) / 2 over CONSECUTIVE tau-bucket
+# means of a device's readings — the clock/sensor-stability metric
+# (white noise falls as 1/tau; flicker floors; rate drift rises).
+# Bucket means are one shared division of exact DECIMAL sums; each
+# squared-difference term is nano-quantized BEFORE the sum.
+ALLAN_TAUS_H = (1, 2, 4, 8)
+_ALLAN_TERM = (
+    "CAST(round(POW(CAST(s2 AS DOUBLE) / c2 - CAST(s1 AS DOUBLE) / c1, 2)"
+    " * 1e9) AS BIGINT)"
+)
+_ALLAN_AVAR = "CAST(sum_nano AS DOUBLE) / 1e9 / (2e0 * n_pairs)"
+_ALLAN_TAU_VALUES = ", ".join(f"({t})" for t in ALLAN_TAUS_H)
+
+_ALLAN_ORACLE = f"""
+WITH taus AS (SELECT tau FROM (VALUES {_ALLAN_TAU_VALUES}) AS t(tau)),
+b AS (
+    SELECT t.tau, e.user_id,
+           ({DUCK_TS_EPOCH}) // (3600 * t.tau) AS bk,
+           SUM(CAST(e.value AS DECIMAL(18,2))) AS s,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events e CROSS JOIN taus t
+    WHERE e.value IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+pairs AS (
+    SELECT tau, user_id, s AS s2, c AS c2,
+           LAG(s) OVER w AS s1, LAG(c) OVER w AS c1,
+           bk - LAG(bk) OVER w AS gap
+    FROM b
+    WINDOW w AS (PARTITION BY tau, user_id ORDER BY bk)
+),
+terms AS (
+    SELECT tau, user_id, {_ALLAN_TERM} AS t_nano
+    FROM pairs WHERE gap = 1
+),
+agg AS (
+    SELECT tau, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(t_nano) AS BIGINT) AS sum_nano
+    FROM terms GROUP BY 1, 2
+)
+SELECT CAST(tau AS BIGINT) AS tau_hours, user_id, n_pairs,
+       {_ALLAN_AVAR} AS allan_var
+FROM agg
+"""
+
+
+@query("allan_variance_per_device", oracle=_ALLAN_ORACLE)
+def allan_variance_per_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLAN VARIANCE of each device's reading series at averaging
+    times tau = {ALLAN_TAUS_H} h — THE sensor/clock stability metric
+    (IEEE 1139): how much does the tau-bucket mean move between
+    CONSECUTIVE buckets? White measurement noise falls as 1/tau,
+    flicker noise floors, and rate drift RISES with tau — the
+    log-log AVAR(tau) shape classifies a sensor's noise regime, which
+    no single stddev can (the deviation-family twin of sensor_drift's
+    trend view). Non-adjacent buckets (device silent) contribute no
+    pair, per the definition.
+
+    Determinism: bucket sums are exact DECIMALs with BIGINT counts;
+    each mean is one shared division; each squared difference is
+    nano-quantized BEFORE the per-(tau, device) integer sum; AVAR is
+    one shared expression (2e0 — exponent literal per SCALE.md
+    rule 3).
+
+    100 TB shape: the (tau, device, bucket) rollup is one map-side-
+    combinable aggregate over a {len(ALLAN_TAUS_H)}x fan-out of the
+    scan (tau dim broadcast); the LAG window and the final aggregate
+    ride the same (tau, user) keys; frames are bucket-count-sized.
+    Reference parity: none — IoT sensor-QA extension of the
+    deviation/drift family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    taus = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in ALLAN_TAUS_H])
+    ).alias("tau")
+    b = (
+        ev.select(
+            "user_id",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+            F.unix_timestamp("ts").alias("es"),
+        )
+        .select("user_id", "v", "es", taus)
+        .groupBy(
+            "tau",
+            "user_id",
+            F.expr("es div (3600 * tau)").alias("bk"),
+        )
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    w = Window.partitionBy("tau", "user_id").orderBy("bk")
+    pairs = b.select(
+        "tau",
+        "user_id",
+        F.col("s").alias("s2"),
+        F.col("c").alias("c2"),
+        F.lag("s").over(w).alias("s1"),
+        F.lag("c").over(w).alias("c1"),
+        (F.col("bk") - F.lag("bk").over(w)).alias("gap"),
+    )
+    terms = pairs.filter(F.col("gap") == 1).select(
+        "tau", "user_id", F.expr(_ALLAN_TERM).alias("t_nano")
+    )
+    agg = terms.groupBy("tau", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("t_nano").cast("long").alias("sum_nano"),
+    )
+    return agg.select(
+        F.col("tau").alias("tau_hours"),
+        "user_id",
+        "n_pairs",
+        F.expr(_ALLAN_AVAR).alias("allan_var"),
+    )
+
+
+# ---------------------------------- Hurst exponent (R/S analysis)
+# Long-range dependence of the hourly event series: split into
+# complete blocks of S hours, compute each block's rescaled range
+# R/S = (max_k Z_k - min_k Z_k) / sigma with Z_k the cumulative
+# mean-deviations, and regress mean log2(R/S) on log2(S). H ~ 0.5 is
+# memoryless; H -> 1 means bursts cluster at EVERY horizon (hot-spot
+# pressure that grows with scale, not away).
+#
+# Exactness: within a block everything lives in integer S-ths —
+# Zs_k = S*prefix_k - k*sum_S and S*sumsq - sum^2 are BIGINTs — so
+# R/S is ONE shared double per block, log2-nano-quantized before the
+# per-S mean. The 4-point regression uses hardcoded centered weights
+# (x = log2 S in {4,5,6,7}, sum of squared deviations = 5) spelled in
+# exponent literals, evaluated in explicit expression order (no
+# multi-row double sum whose association order an engine could pick).
+HURST_BLOCK_SIZES = (16, 32, 64, 128)
+_HURST_RS = (
+    "(CAST(mx AS DOUBLE) - mn) / SQRT(CAST(s_sq AS DOUBLE) * s_len - s_sum * s_sum)"
+)
+_HURST_Y = "CAST(sum_nano AS DOUBLE) / 1e9 / n_blocks"
+# centered weights (x - 5.5)/5 for x = log2 S in {4,5,6,7}: the /5
+# (= sum of squared x-deviations) is already inside the weights
+_HURST_SLOPE = "-3e-1 * y16 - 1e-1 * y32 + 1e-1 * y64 + 3e-1 * y128"
+_HURST_S_VALUES = ", ".join(f"({s})" for s in HURST_BLOCK_SIZES)
+
+_HURST_ORACLE = f"""
+WITH hourly AS (
+    SELECT {DUCK_TS_EPOCH} // 3600 AS hr, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+ext AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hourly),
+s AS (
+    SELECT g.hr - ext.mn AS t, COALESCE(h.cnt, 0) AS cnt
+    FROM ext CROSS JOIN unnest(generate_series(ext.mn, ext.mx, 1)) AS g(hr)
+    LEFT JOIN hourly h ON h.hr = g.hr
+),
+blocks AS (
+    SELECT z.s_len, s.t // z.s_len AS blk, (s.t % z.s_len) + 1 AS k, s.cnt
+    FROM s CROSS JOIN (VALUES {_HURST_S_VALUES}) AS z(s_len)
+),
+pref AS (
+    SELECT s_len, blk, k, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY s_len, blk ORDER BY k
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+           CAST(SUM(cnt) OVER (PARTITION BY s_len, blk) AS BIGINT) AS s_sum,
+           CAST(SUM(cnt * cnt) OVER (PARTITION BY s_len, blk) AS BIGINT) AS s_sq,
+           CAST(COUNT(*) OVER (PARTITION BY s_len, blk) AS BIGINT) AS nb
+    FROM blocks
+),
+z AS (
+    SELECT s_len, blk, s_sum, s_sq,
+           CAST(MAX(s_len * prefix - k * s_sum) AS BIGINT) AS mx,
+           CAST(MIN(s_len * prefix - k * s_sum) AS BIGINT) AS mn
+    FROM pref WHERE nb = s_len
+    GROUP BY 1, 2, 3, 4
+),
+terms AS (
+    SELECT s_len,
+           CAST(round(log2({_HURST_RS}) * 1e9) AS BIGINT) AS y_nano
+    FROM z WHERE s_sq * s_len > s_sum * s_sum
+),
+per_s AS (
+    SELECT s_len, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(y_nano) AS BIGINT) AS sum_nano
+    FROM terms GROUP BY 1
+),
+wide AS (
+    SELECT MAX(CASE WHEN s_len = 16 THEN {_HURST_Y} END) AS y16,
+           MAX(CASE WHEN s_len = 32 THEN {_HURST_Y} END) AS y32,
+           MAX(CASE WHEN s_len = 64 THEN {_HURST_Y} END) AS y64,
+           MAX(CASE WHEN s_len = 128 THEN {_HURST_Y} END) AS y128
+    FROM per_s
+)
+SELECT CAST(p.s_len AS BIGINT) AS block_size_hours, p.n_blocks,
+       {_HURST_Y} AS mean_log2_rs,
+       {_HURST_SLOPE} AS hurst_exponent
+FROM per_s p CROSS JOIN wide
+"""
+
+
+@query("hurst_rs_exponent", oracle=_HURST_ORACLE)
+def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT of the hourly event series by classical R/S
+    analysis at block sizes {HURST_BLOCK_SIZES} hours — the
+    long-range-dependence diagnostic completing the burstiness family
+    (burst_detection flags WHERE bursts are; dft_periodogram finds
+    PERIODIC load; H says whether burstiness persists across
+    AGGREGATION HORIZONS — H near 1 means a 100x-bigger cluster still
+    sees the same hot-window clustering, so capacity planning cannot
+    average it away; H near 0.5 means load smooths like coin flips).
+
+    Determinism: within a block all cumulative-deviation math is
+    integer (Zs_k = S*prefix_k - k*sum in S-ths; the variance radicand
+    S*sumsq - sum^2 likewise); each block contributes ONE shared
+    double R/S, log2-nano-quantized before the per-S integer mean; the
+    4-point slope uses hardcoded centered regression weights in
+    exponent literals with explicit evaluation order.
+
+    100 TB shape: one scan into the map-side hourly rollup; the grid,
+    block windows and per-S means run on the post-aggregate hour
+    frame (a decade = 87k rows); the slope is a 4-value expression.
+    Reference parity: none — time-series extension of the capacity/
+    skew audit family."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.expr("unix_timestamp(ts) div 3600").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    grid = hourly.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx")).select(
+        F.explode(F.sequence("mn", "mx", F.lit(1).cast("long"))).alias("hr"),
+        F.col("mn"),
+    )
+    s = grid.join(hourly, "hr", "left").select(
+        (F.col("hr") - F.col("mn")).alias("t"),
+        F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt"),
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(z).cast("long") for z in HURST_BLOCK_SIZES])
+    ).alias("s_len")
+    blocks = s.select("t", "cnt", sizes).select(
+        "s_len",
+        F.expr("t div s_len").alias("blk"),
+        (F.col("t") % F.col("s_len") + 1).alias("k"),
+        "cnt",
+    )
+    wb = Window.partitionBy("s_len", "blk")
+    pref = blocks.select(
+        "s_len", "blk", "k", "cnt",
+        F.sum("cnt").over(wb.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("prefix"),
+        F.sum("cnt").over(wb).cast("long").alias("s_sum"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wb).cast("long").alias("s_sq"),
+        F.count(F.lit(1)).over(wb).cast("long").alias("nb"),
+    )
+    z = (
+        pref.filter(F.col("nb") == F.col("s_len"))
+        .groupBy("s_len", "blk", "s_sum", "s_sq")
+        .agg(
+            F.max(
+                F.col("s_len") * F.col("prefix") - F.col("k") * F.col("s_sum")
+            ).cast("long").alias("mx"),
+            F.min(
+                F.col("s_len") * F.col("prefix") - F.col("k") * F.col("s_sum")
+            ).cast("long").alias("mn"),
+        )
+    )
+    terms = z.filter(
+        F.col("s_sq") * F.col("s_len") > F.col("s_sum") * F.col("s_sum")
+    ).select(
+        "s_len",
+        F.round(F.log2(F.expr(_HURST_RS)) * F.lit(1e9)).cast("long").alias("y_nano"),
+    )
+    per_s = terms.groupBy("s_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("y_nano").cast("long").alias("sum_nano"),
+    )
+    wide = per_s.agg(
+        *[
+            F.max(
+                F.when(F.col("s_len") == z_, F.expr(_HURST_Y))
+            ).alias(f"y{z_}")
+            for z_ in HURST_BLOCK_SIZES
+        ]
+    )
+    return per_s.crossJoin(F.broadcast(wide)).select(
+        F.col("s_len").alias("block_size_hours"),
+        "n_blocks",
+        F.expr(_HURST_Y).alias("mean_log2_rs"),
+        F.expr(_HURST_SLOPE).alias("hurst_exponent"),
+    )

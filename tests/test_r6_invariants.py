@@ -363,3 +363,34 @@ def test_runs_test_counts_and_bounds(spark):
         assert 1 <= r.r_runs <= r.n_above + r.n_below
         assert r.r_runs <= 2 * min(r.n_above, r.n_below) + 1
         assert 1.0 <= r.expected_runs <= r.n_above + r.n_below
+
+
+def test_allan_variance_nonneg_and_tau_coverage(spark):
+    rows = P.QUERIES["allan_variance_per_device"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.allan_var >= 0.0
+        assert r.n_pairs >= 1
+    assert {r.tau_hours for r in rows} == {1, 2, 4, 8}
+
+
+def test_hurst_block_counts_and_independent_slope(spark):
+    import numpy as np
+
+    rows = sorted(
+        P.QUERIES["hurst_rs_exponent"](spark, SF_DIR).collect(),
+        key=lambda r: r.block_size_hours,
+    )
+    assert [r.block_size_hours for r in rows] == [16, 32, 64, 128]
+    n_hours = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr("unix_timestamp(ts) div 3600 AS hr")
+        .agg(F.max("hr") - F.min("hr") + 1)
+        .first()[0]
+    )
+    for r in rows:
+        assert r.n_blocks == n_hours // r.block_size_hours
+    x = np.log2([r.block_size_hours for r in rows])
+    y = [r.mean_log2_rs for r in rows]
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(rows[0].hurst_exponent - slope) < 1e-6
