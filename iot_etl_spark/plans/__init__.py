@@ -105,6 +105,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "runs_test_randomness",
     "allan_variance_per_device",
     "hurst_rs_exponent",
+    "poisson_dispersion_test",
+    "extreme_value_gumbel_fit",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

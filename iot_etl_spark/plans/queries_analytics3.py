@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from iot_etl_spark.plans.registry import (
     DUCK_TS,
     DUCK_TS_EPOCH,
+    duck_bucket_epoch,
     query,
 )
 from iot_etl_spark.sources.tables import load_table
@@ -1637,4 +1638,176 @@ def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_blocks",
         F.expr(_HURST_Y).alias("mean_log2_rs"),
         F.expr(_HURST_SLOPE).alias("hurst_exponent"),
+    )
+
+
+# ---------------------------------- Poisson dispersion test
+# Index of dispersion D = var/mean of hourly arrival counts on the
+# zero-filled grid, per event type: D ~ 1 is Poisson (memoryless
+# arrivals), D >> 1 is clumped (bursty), D << 1 is regularized. The
+# chi-square form (n-1)*D is the classic test statistic. All moments
+# come from integer sums; D and chi2 are shared expressions.
+_DISP_VAR = (
+    "(CAST(n AS DOUBLE) * sum_c2 - CAST(sum_c AS DOUBLE) * sum_c)"
+    " / (CAST(n AS DOUBLE) * (n - 1e0))"
+)
+_DISP_MEAN = "CAST(sum_c AS DOUBLE) / n"
+_DISP_D = f"({_DISP_VAR}) / ({_DISP_MEAN})"
+
+_DISPERSION_ORACLE = f"""
+WITH h AS (
+    SELECT event_type, {DUCK_TS_EPOCH} // 3600 AS hr,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+ext AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM h),
+types AS (SELECT DISTINCT event_type FROM h),
+grid AS (
+    SELECT t.event_type, g.hr
+    FROM types t CROSS JOIN ext
+    CROSS JOIN unnest(generate_series(ext.mn, ext.mx, 1)) AS g(hr)
+),
+s AS (
+    SELECT g.event_type, COALESCE(h.c, 0) AS c
+    FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
+),
+agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS sum_c,
+           CAST(SUM(c * c) AS BIGINT) AS sum_c2
+    FROM s GROUP BY 1
+)
+SELECT event_type, n AS n_hours,
+       {_DISP_MEAN} AS mean_per_hour,
+       {_DISP_D} AS dispersion_index,
+       (n - 1e0) * ({_DISP_D}) AS chi2_stat
+FROM agg
+"""
+
+
+@query("poisson_dispersion_test", oracle=_DISPERSION_ORACLE)
+def poisson_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON DISPERSION TEST of the hourly arrival process per event
+    type: index of dispersion D = var/mean over the zero-filled hour
+    grid (D ~ 1 memoryless Poisson arrivals, D >> 1 clumped/bursty,
+    D << 1 regularized) with the classic (n-1)*D chi-square statistic
+    — the arrival-process leg of the randomness family (runs_test
+    audits a VALUE sequence; this audits the COUNTING process that
+    capacity planning assumes Poisson).
+
+    Determinism: counts on the grid are exact BIGINTs; all moments
+    are integer sums; D/chi2 are shared expressions in exponent
+    literals, emitted unrounded (bit-identical doubles).
+
+    100 TB shape: one scan into the map-side (type, hour) rollup;
+    grid fill and moments run on the post-aggregate frame
+    (|types| x |hours|). Reference parity: none — statistics
+    extension of the arrival/burstiness family."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 3600").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ext = h.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = (
+        h.select("event_type").distinct()
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.lit(1).cast("long"))).alias("hr"),
+        )
+    )
+    s = grid.join(h, ["event_type", "hr"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0).cast("long")).alias("c")
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.expr(_DISP_MEAN).alias("mean_per_hour"),
+        F.expr(_DISP_D).alias("dispersion_index"),
+        F.expr(f"(n - 1e0) * ({_DISP_D})").alias("chi2_stat"),
+    )
+
+
+# ---------------------------------- Gumbel extreme-value fit
+# Block-maxima EVT: daily maxima of the reading per event type,
+# Gumbel fit by method of moments (scale = std*sqrt(6)/pi, loc =
+# mean - gamma*scale), and the fitted 99% return level
+# loc - scale*ln(-ln(0.99)) — "the daily max you exceed once per 100
+# days". Daily maxima are exact DECIMALs; moments are DECIMAL sums;
+# everything after is shared expressions with e-notation constants.
+_EULER_GAMMA = "5.772156649015329e-1"
+_GUM_MEAN = "CAST(sum_m AS DOUBLE) / n"
+_GUM_STD = (
+    "SQRT((CAST(n AS DOUBLE) * CAST(sum_m2 AS DOUBLE)"
+    " - CAST(sum_m AS DOUBLE) * CAST(sum_m AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * (n - 1e0)))"
+)
+_GUM_SCALE = f"({_GUM_STD}) * SQRT(6e0) / PI()"
+_GUM_LOC = f"({_GUM_MEAN}) - {_EULER_GAMMA} * ({_GUM_SCALE})"
+_GUM_RL99 = f"({_GUM_LOC}) - ({_GUM_SCALE}) * LN(-LN(99e-2))"
+
+_GUMBEL_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type,
+           {duck_bucket_epoch('day')} AS d,
+           MAX(CAST(value AS DECIMAL(18,2))) AS m
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(m) AS sum_m,
+           SUM(m * m) AS sum_m2
+    FROM daily GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       {_GUM_LOC} AS gumbel_loc,
+       {_GUM_SCALE} AS gumbel_scale,
+       {_GUM_RL99} AS return_level_99
+FROM agg WHERE n > 1
+"""
+
+
+@query("extreme_value_gumbel_fit", oracle=_GUMBEL_ORACLE)
+def extreme_value_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREME-VALUE (Gumbel) FIT of daily reading maxima per event
+    type, by method of moments, with the fitted 99% RETURN LEVEL —
+    the EVT answer to "what daily peak should the SLA budget for",
+    which no empirical percentile of a 30-day window can give (the
+    tail beyond the observed maxima is exactly what EVT extrapolates;
+    Fisher-Tippett says block maxima converge to Gumbel for
+    light-tailed readings). Complements hill_tail_index (frequency
+    tails) and winsorized_stats (tail-robust centers).
+
+    Determinism: daily maxima are exact DECIMAL comparisons; moment
+    sums are DECIMAL; loc/scale/return-level are shared expressions
+    (sqrt(6)/pi, Euler gamma and ln(-ln(0.99)) all spelled in
+    e-notation), emitted unrounded.
+
+    100 TB shape: the (type, day) max is one map-side-combinable
+    aggregate; moments and the fit run on the |types| x |days| frame.
+    Reference parity: none — statistics extension of the tail-risk
+    family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("long").alias("d"),
+    ).agg(F.max(F.col("value").cast("decimal(18,2)")).alias("m"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").alias("sum_m"),
+        F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
+    )
+    return agg.filter(F.col("n") > 1).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(_GUM_LOC).alias("gumbel_loc"),
+        F.expr(_GUM_SCALE).alias("gumbel_scale"),
+        F.expr(_GUM_RL99).alias("return_level_99"),
     )

@@ -394,3 +394,22 @@ def test_hurst_block_counts_and_independent_slope(spark):
     y = [r.mean_log2_rs for r in rows]
     slope = np.polyfit(x, y, 1)[0]
     assert abs(rows[0].hurst_exponent - slope) < 1e-6
+
+
+def test_dispersion_identity_and_positivity(spark):
+    rows = P.QUERIES["poisson_dispersion_test"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_per_hour > 0 and r.dispersion_index > 0
+        assert abs(r.chi2_stat - (r.n_hours - 1) * r.dispersion_index) < 1e-6
+    # all types share one global grid
+    assert len({r.n_hours for r in rows}) == 1
+
+
+def test_gumbel_fit_ordering(spark):
+    rows = P.QUERIES["extreme_value_gumbel_fit"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.gumbel_scale > 0
+        # -ln(-ln(0.99)) > 0, so the 99% return level sits above loc
+        assert r.return_level_99 > r.gumbel_loc
