@@ -107,6 +107,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "hurst_rs_exponent",
     "poisson_dispersion_test",
     "extreme_value_gumbel_fit",
+    "mcnemar_weekend_conversion",
+    "cohens_kappa_quality",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

@@ -1811,3 +1811,213 @@ def extreme_value_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_GUM_SCALE).alias("gumbel_scale"),
         F.expr(_GUM_RL99).alias("return_level_99"),
     )
+
+
+# ---------------------------------- McNemar paired-binary test
+# Paired binary complement of the Wilcoxon leg: per user, "converted
+# on a weekend" vs "converted on a weekday" are paired yes/no
+# outcomes; only the DISCORDANT users (b = weekend-only, c =
+# weekday-only) carry information, chi2 = (b-c)^2/(b+c).
+_MCNEMAR_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase'
+                     AND EXTRACT(dow FROM {DUCK_TS}) IN (0, 6)
+                    THEN 1 ELSE 0 END) AS we,
+           MAX(CASE WHEN event_type = 'purchase'
+                     AND EXTRACT(dow FROM {DUCK_TS}) NOT IN (0, 6)
+                    THEN 1 ELSE 0 END) AS wd
+    FROM events GROUP BY 1
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN we = 1 AND wd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN we = 1 AND wd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend_only,
+           CAST(SUM(CASE WHEN we = 0 AND wd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekday_only,
+           CAST(SUM(CASE WHEN we = 0 AND wd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+    FROM per_user
+)
+SELECT n_users, n_both, n_weekend_only, n_weekday_only, n_neither,
+       CASE WHEN n_weekend_only + n_weekday_only > 0
+            THEN POW(CAST(n_weekend_only AS DOUBLE) - n_weekday_only, 2)
+                 / (CAST(n_weekend_only AS DOUBLE) + n_weekday_only)
+       END AS mcnemar_chi2
+FROM agg
+"""
+
+
+@query("mcnemar_weekend_conversion", oracle=_MCNEMAR_ORACLE)
+def mcnemar_weekend_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST of weekend-vs-weekday conversion, PAIRED WITHIN
+    USER — the paired-BINARY leg completing the shift-test family
+    (Wilcoxon = paired continuous, Mann-Whitney = unpaired continuous,
+    chi2_type_dow = unpaired categorical): does the same user convert
+    on weekends but not weekdays more often than the reverse? Only
+    discordant users carry information; concordant ones cancel.
+
+    Determinism: everything is integer counts until one shared chi2
+    expression (NULL when no discordant pairs).
+
+    100 TB shape: one map-side-combinable conditional MAX per user,
+    then a single 1-row aggregate. Reference parity: none —
+    statistics extension of the experiment family."""
+    ev = load_table(spark, sf_dir, "events")
+    is_we = F.dayofweek("ts").isin(1, 7)
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(is_p & is_we, 1).otherwise(0)).alias("we"),
+        F.max(F.when(is_p & ~is_we, 1).otherwise(0)).alias("wd"),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when((F.col("we") == 1) & (F.col("wd") == 1), 1).otherwise(0))
+        .cast("long").alias("n_both"),
+        F.sum(F.when((F.col("we") == 1) & (F.col("wd") == 0), 1).otherwise(0))
+        .cast("long").alias("n_weekend_only"),
+        F.sum(F.when((F.col("we") == 0) & (F.col("wd") == 1), 1).otherwise(0))
+        .cast("long").alias("n_weekday_only"),
+        F.sum(F.when((F.col("we") == 0) & (F.col("wd") == 0), 1).otherwise(0))
+        .cast("long").alias("n_neither"),
+    )
+    return agg.select(
+        "n_users", "n_both", "n_weekend_only", "n_weekday_only", "n_neither",
+        F.when(
+            F.col("n_weekend_only") + F.col("n_weekday_only") > 0,
+            F.pow(
+                F.col("n_weekend_only").cast("double") - F.col("n_weekday_only"), 2
+            )
+            / (
+                F.col("n_weekend_only").cast("double") + F.col("n_weekday_only")
+            ),
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------- Cohen's kappa (quality systems)
+# Chance-corrected agreement between the engine's TWO independent
+# quality gates: the hashed linear classifier's keep (logit > 0) and
+# the rule pipeline's keep (not duplicate, not repetitive, boilerplate
+# <= threshold). kappa near 1: the cheap rules mimic the model; near
+# 0: they gate different documents and a pipeline needs both. The
+# oracle composes the SAME oracle texts as CTEs (corpus_keep_verdict
+# convention), so the composition is hash-verified end to end.
+_KAPPA_PO = "(CAST(a AS DOUBLE) + d) / n"
+_KAPPA_PE = (
+    "((CAST(a AS DOUBLE) + b) * (a + c) + (CAST(c AS DOUBLE) + d) * (b + d))"
+    " / (CAST(n AS DOUBLE) * n)"
+)
+_KAPPA = f"(({_KAPPA_PO}) - ({_KAPPA_PE})) / (1e0 - ({_KAPPA_PE}))"
+
+
+def _kappa_oracle() -> str:
+    from iot_etl_spark.plans.queries_corpus import (
+        BOILERPLATE_MAX_FRACTION,
+        _BOILERPLATE_ORACLE,
+        _REPETITION_ORACLE,
+    )
+    from iot_etl_spark.plans.queries_mlprep import _CLASSIFIER_ORACLE
+    from iot_etl_spark.plans.queries_text import _DEDUP_EXACT_ORACLE
+
+    return f"""
+WITH cls AS ({_CLASSIFIER_ORACLE}),
+dup AS ({_DEDUP_EXACT_ORACLE}),
+rep AS ({_REPETITION_ORACLE}),
+bp AS ({_BOILERPLATE_ORACLE}),
+pairs AS (
+    SELECT cls.keep AS k_model,
+           (NOT dup.is_duplicate
+            AND NOT COALESCE(rep.is_repetitive, FALSE)
+            AND COALESCE(bp.boilerplate_fraction, 0)
+                <= {BOILERPLATE_MAX_FRACTION}) AS k_rules
+    FROM cls
+    JOIN dup ON dup.doc_id = cls.doc_id
+    LEFT JOIN rep ON rep.doc_id = cls.doc_id
+    LEFT JOIN bp ON bp.doc_id = cls.doc_id
+),
+agg AS (
+    SELECT CAST(SUM(CASE WHEN k_model AND k_rules THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN k_model AND NOT k_rules THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN NOT k_model AND k_rules THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN NOT k_model AND NOT k_rules THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+)
+SELECT n AS n_docs, a AS n_both_keep, b AS n_model_only,
+       c AS n_rules_only, d AS n_both_drop,
+       {_KAPPA_PO} AS observed_agreement,
+       {_KAPPA} AS cohens_kappa
+FROM agg
+"""
+
+
+@query("cohens_kappa_quality", oracle=_kappa_oracle())
+def cohens_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the engine's two document-quality gates —
+    the hashed linear classifier (quality_classifier_score's keep) and
+    the rule pipeline (corpus_keep_verdict's not-duplicate /
+    not-repetitive / low-boilerplate keep): chance-corrected
+    agreement. High kappa means the cheap rules can pre-filter for
+    the model at 100 TB; kappa near 0 means the two gates remove
+    DIFFERENT documents and the pipeline needs both. Composes the
+    SAME registry builders users run standalone; the oracle composes
+    their oracle texts as CTEs, so composition is hash-verified.
+
+    Determinism: the contingency table is four integer counts;
+    observed/expected agreement and kappa are shared unrounded
+    expressions of them.
+
+    100 TB shape: all four signal frames key on doc_id — after the
+    first shuffle the joins are co-partitioned (corpus_keep_verdict's
+    argument); the kappa itself is a 1-row aggregate. Restricted to
+    classifier-scorable docs (non-empty token stream), the join being
+    inner on cls."""
+    from iot_etl_spark.plans.queries_corpus import (
+        BOILERPLATE_MAX_FRACTION,
+        boilerplate_stats,
+        repetition_stats,
+    )
+    from iot_etl_spark.plans.queries_mlprep import quality_classifier_score
+    from iot_etl_spark.plans.queries_text import dedup_exact
+
+    cls = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_model")
+    )
+    dup = dedup_exact(spark, sf_dir).select("doc_id", "is_duplicate")
+    rep = repetition_stats(spark, sf_dir).select("doc_id", "is_repetitive")
+    bp = boilerplate_stats(spark, sf_dir).select("doc_id", "boilerplate_fraction")
+    pairs = (
+        cls.join(dup, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(bp, "doc_id", "left")
+        .select(
+            "k_model",
+            (
+                ~F.col("is_duplicate")
+                & ~F.coalesce("is_repetitive", F.lit(False))
+                & (
+                    F.coalesce("boilerplate_fraction", F.lit(0.0))
+                    <= BOILERPLATE_MAX_FRACTION
+                )
+            ).alias("k_rules"),
+        )
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("k_model") & F.col("k_rules"), 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("k_model") & ~F.col("k_rules"), 1).otherwise(0))
+        .cast("long").alias("b"),
+        F.sum(F.when(~F.col("k_model") & F.col("k_rules"), 1).otherwise(0))
+        .cast("long").alias("c"),
+        F.sum(F.when(~F.col("k_model") & ~F.col("k_rules"), 1).otherwise(0))
+        .cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("a").alias("n_both_keep"),
+        F.col("b").alias("n_model_only"),
+        F.col("c").alias("n_rules_only"),
+        F.col("d").alias("n_both_drop"),
+        F.expr(_KAPPA_PO).alias("observed_agreement"),
+        F.expr(_KAPPA).alias("cohens_kappa"),
+    )

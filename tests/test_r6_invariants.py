@@ -413,3 +413,21 @@ def test_gumbel_fit_ordering(spark):
         assert r.gumbel_scale > 0
         # -ln(-ln(0.99)) > 0, so the 99% return level sits above loc
         assert r.return_level_99 > r.gumbel_loc
+
+
+def test_mcnemar_partition_of_users(spark):
+    r = P.QUERIES["mcnemar_weekend_conversion"](spark, SF_DIR).collect()[0]
+    assert (r.n_both + r.n_weekend_only + r.n_weekday_only + r.n_neither
+            == r.n_users)
+    ev = load_table(spark, SF_DIR, "events")
+    assert r.n_users == ev.select("user_id").distinct().count()
+    if r.n_weekend_only + r.n_weekday_only > 0:
+        assert r.mcnemar_chi2 >= 0
+
+
+def test_kappa_contingency_identities(spark):
+    r = P.QUERIES["cohens_kappa_quality"](spark, SF_DIR).collect()[0]
+    assert (r.n_both_keep + r.n_model_only + r.n_rules_only + r.n_both_drop
+            == r.n_docs)
+    assert 0.0 <= r.observed_agreement <= 1.0
+    assert r.cohens_kappa <= 1.0 + 1e-9
