@@ -109,6 +109,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "extreme_value_gumbel_fit",
     "mcnemar_weekend_conversion",
     "cohens_kappa_quality",
+    "price_volume_bridge",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

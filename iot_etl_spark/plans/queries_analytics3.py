@@ -2021,3 +2021,100 @@ def cohens_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KAPPA_PO).alias("observed_agreement"),
         F.expr(_KAPPA).alias("cohens_kappa"),
     )
+
+
+# ---------------------------------- price-volume bridge
+# FP&A revenue-change decomposition between two fixed fiscal years:
+# with Q = total quantity and Pbar = revenue/Q (average realized unit
+# price), dRev = dQ*Pbar0 (volume effect) + Q1*dPbar (price effect)
+# EXACTLY — the two effects sum to the revenue delta by construction,
+# and the invariant test pins that additivity. Grouped by return
+# flag; revenue is the exact DECIMAL discounted convention.
+PV_YEAR0, PV_YEAR1 = 1996, 1997
+_PV_P0 = "CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)"
+_PV_P1 = "CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE)"
+_PV_VOLUME = f"(CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE)) * ({_PV_P0})"
+_PV_PRICE = f"CAST(q1 AS DOUBLE) * (({_PV_P1}) - ({_PV_P0}))"
+
+_PV_ORACLE = f"""
+WITH base AS (
+    SELECT l_returnflag,
+           EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS yr,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+    FROM lineitem
+    WHERE EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP))
+          IN ({PV_YEAR0}, {PV_YEAR1})
+    GROUP BY 1, 2
+),
+wide AS (
+    SELECT l_returnflag,
+           MAX(CASE WHEN yr = {PV_YEAR0} THEN q END) AS q0,
+           MAX(CASE WHEN yr = {PV_YEAR1} THEN q END) AS q1,
+           MAX(CASE WHEN yr = {PV_YEAR0} THEN rev END) AS rev0,
+           MAX(CASE WHEN yr = {PV_YEAR1} THEN rev END) AS rev1
+    FROM base GROUP BY 1
+)
+SELECT l_returnflag,
+       ROUND(CAST(rev0 AS DOUBLE), 2) AS revenue_y0,
+       ROUND(CAST(rev1 AS DOUBLE), 2) AS revenue_y1,
+       ROUND(CAST(q0 AS DOUBLE), 2) AS qty_y0,
+       ROUND(CAST(q1 AS DOUBLE), 2) AS qty_y1,
+       {_PV_VOLUME} AS volume_effect,
+       {_PV_PRICE} AS price_effect
+FROM wide
+WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0
+"""
+
+
+@query("price_volume_bridge", oracle=_PV_ORACLE)
+def price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-VOLUME BRIDGE of discounted revenue between fiscal
+    {PV_YEAR0} and {PV_YEAR1}, per return flag — the FP&A
+    decomposition ("how much of the revenue change is selling MORE
+    vs selling DEARER"): with average realized price Pbar = rev/qty,
+    volume_effect = dQ*Pbar0 and price_effect = Q1*dPbar sum EXACTLY
+    to rev1 - rev0 (Laspeyres volume / Paasche price split; the
+    invariant test pins the additivity). The BI-family leg beside
+    wow_percent_change (how much) and segment_weekly_share (whose
+    share): WHY revenue moved.
+
+    Determinism: quantities and revenue accumulate as exact DECIMALs;
+    the two effects are shared unrounded expressions of the four
+    exact aggregates.
+
+    100 TB shape: one pushed-filter scan (year predicate reaches the
+    parquet scan) into a map-side (flag, year) rollup; the pivot and
+    effects run on a |flags| x 2 frame. Reference parity: none — BI
+    extension of the revenue family."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(PV_YEAR0, PV_YEAR1)
+    )
+    base = li.groupBy(
+        "l_returnflag", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("rev"),
+    )
+    wide = base.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("yr") == PV_YEAR0, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("yr") == PV_YEAR1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == PV_YEAR0, F.col("rev"))).alias("rev0"),
+        F.max(F.when(F.col("yr") == PV_YEAR1, F.col("rev"))).alias("rev1"),
+    )
+    return wide.filter(
+        F.col("q0").isNotNull() & F.col("q1").isNotNull()
+        & (F.col("q0") > 0) & (F.col("q1") > 0)
+    ).select(
+        "l_returnflag",
+        F.round(F.col("rev0").cast("double"), 2).alias("revenue_y0"),
+        F.round(F.col("rev1").cast("double"), 2).alias("revenue_y1"),
+        F.round(F.col("q0").cast("double"), 2).alias("qty_y0"),
+        F.round(F.col("q1").cast("double"), 2).alias("qty_y1"),
+        F.expr(_PV_VOLUME).alias("volume_effect"),
+        F.expr(_PV_PRICE).alias("price_effect"),
+    )

@@ -431,3 +431,14 @@ def test_kappa_contingency_identities(spark):
             == r.n_docs)
     assert 0.0 <= r.observed_agreement <= 1.0
     assert r.cohens_kappa <= 1.0 + 1e-9
+
+
+def test_price_volume_bridge_additivity(spark):
+    rows = P.QUERIES["price_volume_bridge"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # exact on the unrounded decimals; the reported revenue columns
+        # are ROUND(.., 2), so allow two half-cent display roundings
+        assert abs(
+            (r.volume_effect + r.price_effect) - (r.revenue_y1 - r.revenue_y0)
+        ) < 0.02
