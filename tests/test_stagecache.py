@@ -157,3 +157,46 @@ def test_half_write_is_not_served(spark, tmp_path, cache_root):
     again = cached_stage(spark, "s", sf, ("documents",), build)
     assert again.count() == 5
     assert os.path.exists(marker)
+
+
+def test_concurrent_sweepers_tolerate_lost_races(cache_root, tmp_path, spark):
+    """ADVICE r5: two sweepers racing on the same stale entries must
+    both complete — the loser's marker unlink hits FileNotFoundError,
+    which evict_stale_tags treats as already-evicted. Simulated with
+    threads calling the sweep over a fan of stale entries
+    simultaneously; no exception may escape and the kept tag must
+    survive."""
+    import threading
+
+    from iot_etl_spark.plans.stagecache import evict_stale_tags
+
+    keep = "a" * 12
+    os.makedirs(os.path.join(cache_root, f"s_{keep}"), exist_ok=True)
+    with open(os.path.join(cache_root, f"s_{keep}", "_READY"), "w") as fh:
+        fh.write(keep)
+    for i in range(24):
+        tag = f"{i:012x}"
+        d = os.path.join(cache_root, f"s_{tag}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_READY"), "w") as fh:
+            fh.write(tag)
+        with open(os.path.join(d, "part-0"), "w") as fh:
+            fh.write("x")
+
+    errors: list[BaseException] = []
+
+    def sweep():
+        try:
+            evict_stale_tags(cache_root, "s", keep)
+        except BaseException as exc:  # noqa: BLE001 - the test's assertion
+            errors.append(exc)
+
+    threads = [threading.Thread(target=sweep) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    left = os.listdir(cache_root)
+    assert left == [f"s_{keep}"]
+    assert os.path.exists(os.path.join(cache_root, f"s_{keep}", "_READY"))
