@@ -20,6 +20,20 @@ registry still lacked a leg of —
 - **Retrieval eval completion**: `mrr_recall_retrieval` — MRR,
   precision@k and recall@k over the same judged retriever that
   ndcg_label_retrieval grades (operating metrics vs list quality).
+- **Rank/sequence statistics**: `spearman_value_time` (fractional
+  average ranks), `markov_entropy_rate`, `runs_test_randomness`
+  (Wald-Wolfowitz), `wilcoxon_signed_rank_weekend` (paired
+  continuous), `mcnemar_weekend_conversion` (paired binary),
+  `median_ci_order_stats` (order-statistic CI on the value grid),
+  `cohens_kappa_quality` (agreement between the two quality gates).
+- **Time-series / sensor QA**: `crosscorr_click_purchase` (lead-lag
+  CCF), `seasonal_decomposition_hourly` (integer-24ths additive
+  decomposition), `allan_variance_per_device` (IEEE 1139),
+  `hurst_rs_exponent` (rescaled-range long memory),
+  `poisson_dispersion_test`, `extreme_value_gumbel_fit` (block-maxima
+  EVT with return levels).
+- **BI decomposition**: `price_volume_bridge` (volume/price effects
+  summing exactly to the revenue delta).
 
 Registry conventions apply (registry.py): exact DECIMAL/BIGINT
 accumulation with nano-unit quantization before any double sum,
