@@ -110,6 +110,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "mcnemar_weekend_conversion",
     "cohens_kappa_quality",
     "price_volume_bridge",
+    "covariate_balance_smd",
+    "process_capability_cpk",
+    "odds_ratio_weekend_error",
     "pricing_summary",
     "enriched_lineitem_topk",
     "revenue_by_nation",

@@ -2132,3 +2132,263 @@ def price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PV_VOLUME).alias("volume_effect"),
         F.expr(_PV_PRICE).alias("price_effect"),
     )
+
+
+# ---------------------------------- covariate balance (SMD)
+# Pre-experiment balance audit: standardized mean difference of each
+# covariate across the md5 hash-split arms (the cuped_experiment_
+# readout split, reused verbatim). |SMD| < 0.1 is the standard "arms
+# are comparable" bar; srm_arm_balance checks COUNTS, this checks
+# the covariate DISTRIBUTIONS those counts carry.
+_SMD_ARM_SPARK = (
+    "cast(conv(substr(md5(cast(user_id AS STRING)), 9, 8), 16, 10) AS BIGINT)"
+    " % 2"
+)
+_SMD_ARM_DUCK = (
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT % 2"
+)
+# per-arm mean/var from exact sums; SMD = (m1 - m0)/sqrt((v1 + v0)/2)
+_SMD_MEAN = "CAST(s{a} AS DOUBLE) / n{a}"
+_SMD_VAR = (
+    "(CAST(n{a} AS DOUBLE) * CAST(q{a} AS DOUBLE)"
+    " - CAST(s{a} AS DOUBLE) * CAST(s{a} AS DOUBLE))"
+    " / (CAST(n{a} AS DOUBLE) * (n{a} - 1e0))"
+)
+_SMD = (
+    f"(({_SMD_MEAN.format(a=1)}) - ({_SMD_MEAN.format(a=0)}))"
+    f" / SQRT((({_SMD_VAR.format(a=1)}) + ({_SMD_VAR.format(a=0)})) / 2e0)"
+)
+
+_SMD_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id, {_SMD_ARM_DUCK} AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN EXTRACT(dow FROM {DUCK_TS}) IN (0, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+           SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS sum_value
+    FROM events GROUP BY 1, 2
+),
+cov AS (
+    SELECT arm, 'n_events' AS covariate,
+           CAST(n_events AS DECIMAL(18,2)) AS x FROM per_user
+    UNION ALL
+    SELECT arm, 'n_weekend', CAST(n_weekend AS DECIMAL(18,2)) FROM per_user
+    UNION ALL
+    SELECT arm, 'sum_value', sum_value FROM per_user
+),
+agg AS (
+    SELECT covariate,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           SUM(CASE WHEN arm = 0 THEN x END) AS s0,
+           SUM(CASE WHEN arm = 1 THEN x END) AS s1,
+           SUM(CASE WHEN arm = 0 THEN x * x END) AS q0,
+           SUM(CASE WHEN arm = 1 THEN x * x END) AS q1
+    FROM cov GROUP BY 1
+)
+SELECT covariate, n0 AS n_control, n1 AS n_treatment,
+       {_SMD_MEAN.format(a=0)} AS mean_control,
+       {_SMD_MEAN.format(a=1)} AS mean_treatment,
+       {_SMD} AS smd
+FROM agg WHERE n0 > 1 AND n1 > 1
+"""
+
+
+@query("covariate_balance_smd", oracle=_SMD_ORACLE)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVARIATE BALANCE audit of the hash-split experiment arms:
+    standardized mean difference (Cohen's d with pooled variance) of
+    per-user activity covariates (event count, weekend-event count,
+    total reading) across the SAME md5 split cuped_experiment_readout
+    uses — |SMD| < 0.1 is the standard comparability bar. The
+    distributional complement of srm_arm_balance's count check: a
+    split can pass SRM yet assign all heavy users to one arm; SMD
+    catches that.
+
+    Determinism: per-user covariates are exact BIGINT/DECIMAL; per-arm
+    sums and sums of squares are exact; means/variances/SMD are shared
+    unrounded expressions (e-notation literals).
+
+    100 TB shape: one map-side per-user rollup, a 3x covariate
+    unpivot of the per-user frame, and a |covariates|-row aggregate.
+    Reference parity: none — experimentation extension."""
+    ev = load_table(spark, sf_dir, "events")
+    is_we = F.dayofweek("ts").isin(1, 7)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(is_we, 1).otherwise(0)).cast("long").alias("n_weekend"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,2)")).alias(
+            "sum_value"
+        ),
+    ).withColumn("arm", F.expr(_SMD_ARM_SPARK))
+    cov = per_user.select(
+        "arm",
+        F.explode(
+            F.create_map(
+                F.lit("n_events"), F.col("n_events").cast("decimal(18,2)"),
+                F.lit("n_weekend"), F.col("n_weekend").cast("decimal(18,2)"),
+                F.lit("sum_value"), F.col("sum_value"),
+            )
+        ).alias("covariate", "x"),
+    )
+    agg = cov.groupBy("covariate").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x") * F.col("x"))).alias("q0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x") * F.col("x"))).alias("q1"),
+    )
+    return agg.filter((F.col("n0") > 1) & (F.col("n1") > 1)).select(
+        "covariate",
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.expr(_SMD_MEAN.format(a=0)).alias("mean_control"),
+        F.expr(_SMD_MEAN.format(a=1)).alias("mean_treatment"),
+        F.expr(_SMD).alias("smd"),
+    )
+
+
+# ---------------------------------- process capability (Cpk)
+# Manufacturing/IoT QA: how comfortably does each device's reading
+# distribution sit inside the spec band [LSL, USL]? Cpk = min(USL-mu,
+# mu-LSL)/(3*sigma); Cpk >= 1.33 is the classic "capable process"
+# bar, Cpk < 1 means spec violations are routine.
+CPK_LSL, CPK_USL = 0.0, 100.0
+_CPK_MU = "CAST(s AS DOUBLE) / n"
+_CPK_SIGMA = (
+    "SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * (n - 1e0)))"
+)
+_CPK = (
+    f"LEAST({CPK_USL}e0 - ({_CPK_MU}), ({_CPK_MU}) - {CPK_LSL}e0)"
+    f" / (3e0 * ({_CPK_SIGMA}))"
+)
+
+_CPK_ORACLE = f"""
+WITH agg AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS s,
+           SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q,
+           CAST(SUM(CASE WHEN value < {CPK_LSL} OR value > {CPK_USL}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_spec
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n AS n_readings, n_out_of_spec,
+       {_CPK_MU} AS mean_value,
+       {_CPK_SIGMA} AS stddev_value,
+       {_CPK} AS cpk
+FROM agg WHERE n > 1
+"""
+
+
+@query("process_capability_cpk", oracle=_CPK_ORACLE)
+def process_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS CAPABILITY INDEX (Cpk) per device against the spec band
+    [{CPK_LSL}, {CPK_USL}] — the manufacturing-QA summary of "how many
+    sigmas of headroom does this sensor have before it violates spec"
+    (>= 1.33 capable, < 1 routinely out of spec), reported beside the
+    OBSERVED out-of-spec count so the parametric index and the
+    empirical rate cross-check each other. Complements zscore/IQR
+    anomaly detection (per-reading flags) with a per-device capability
+    VERDICT.
+
+    Determinism: moments from exact DECIMAL sums; mu/sigma/Cpk are
+    shared unrounded expressions with e-notation spec literals.
+
+    100 TB shape: one map-side-combinable aggregate per device;
+    everything after is per-device arithmetic. Reference parity:
+    none — IoT QA extension of the anomaly family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("q"),
+        F.sum(
+            F.when((F.col("value") < CPK_LSL) | (F.col("value") > CPK_USL), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_out_of_spec"),
+    )
+    return agg.filter(F.col("n") > 1).select(
+        "user_id",
+        F.col("n").alias("n_readings"),
+        "n_out_of_spec",
+        F.expr(_CPK_MU).alias("mean_value"),
+        F.expr(_CPK_SIGMA).alias("stddev_value"),
+        F.expr(_CPK).alias("cpk"),
+    )
+
+
+# ---------------------------------- odds ratio with Woolf CI
+# Unpaired 2x2 association: does weekend activity change the odds of
+# an error event? OR = (a*d)/(b*c) over the (weekend, error) event
+# table, with the Woolf log-interval ln(OR) +- z*sqrt(1/a+1/b+1/c+1/d)
+# — the epidemiology leg beside chi2 (which tests, but does not SIZE,
+# the association).
+_OR = "(CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)"
+_OR_SE = "SQRT(1e0 / a + 1e0 / b + 1e0 / c + 1e0 / d)"
+_OR_LO = f"EXP(LN({_OR}) - 1.959964e0 * {_OR_SE})"
+_OR_HI = f"EXP(LN({_OR}) + 1.959964e0 * {_OR_SE})"
+
+_ODDS_ORACLE = f"""
+WITH flags AS (
+    SELECT (EXTRACT(dow FROM {DUCK_TS}) IN (0, 6)) AS is_weekend,
+           (event_type = 'error') AS is_error
+    FROM events
+),
+agg AS (
+    SELECT CAST(SUM(CASE WHEN is_weekend AND is_error THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN is_weekend AND NOT is_error THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN NOT is_weekend AND is_error THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN NOT is_weekend AND NOT is_error THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM flags
+)
+SELECT a AS n_weekend_error, b AS n_weekend_other,
+       c AS n_weekday_error, d AS n_weekday_other,
+       {_OR} AS odds_ratio,
+       {_OR_LO} AS ci_lo,
+       {_OR_HI} AS ci_hi
+FROM agg WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+"""
+
+
+@query("odds_ratio_weekend_error", oracle=_ODDS_ORACLE)
+def odds_ratio_weekend_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODDS RATIO of error events on weekends vs weekdays with the
+    Woolf 95% CI — the effect-SIZE leg of the categorical-association
+    family (chi2_type_dow tests whether type and day-of-week are
+    associated; this says HOW MUCH for the one cell pair operations
+    actually act on, with the uncertainty that decides whether to
+    act). OR = ad/bc over the 2x2 (weekend, error) table; CI from the
+    log-scale standard error sqrt(1/a + 1/b + 1/c + 1/d).
+
+    Determinism: the 2x2 table is four integer counts from one
+    conditional aggregate; OR and CI bounds are shared unrounded
+    expressions (z in e-notation).
+
+    100 TB shape: ONE map-side-combinable scan aggregate; everything
+    after is constant arithmetic. Reference parity: none —
+    statistics extension of the association family."""
+    ev = load_table(spark, sf_dir, "events")
+    is_we = F.dayofweek("ts").isin(1, 7)
+    is_err = F.col("event_type") == "error"
+    agg = ev.agg(
+        F.sum(F.when(is_we & is_err, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(is_we & ~is_err, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~is_we & is_err, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~is_we & ~is_err, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    return agg.filter(
+        (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+    ).select(
+        F.col("a").alias("n_weekend_error"),
+        F.col("b").alias("n_weekend_other"),
+        F.col("c").alias("n_weekday_error"),
+        F.col("d").alias("n_weekday_other"),
+        F.expr(_OR).alias("odds_ratio"),
+        F.expr(_OR_LO).alias("ci_lo"),
+        F.expr(_OR_HI).alias("ci_hi"),
+    )

@@ -442,3 +442,34 @@ def test_price_volume_bridge_additivity(spark):
         assert abs(
             (r.volume_effect + r.price_effect) - (r.revenue_y1 - r.revenue_y0)
         ) < 0.02
+
+
+def test_smd_three_covariates_and_population(spark):
+    rows = P.QUERIES["covariate_balance_smd"](spark, SF_DIR).collect()
+    assert {r.covariate for r in rows} == {"n_events", "n_weekend", "sum_value"}
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r.n_control + r.n_treatment == n_users
+        assert r.n_control > 1 and r.n_treatment > 1
+
+
+def test_cpk_sign_vs_out_of_spec(spark):
+    rows = P.QUERIES["process_capability_cpk"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.stddev_value > 0
+        # a mean outside the spec band forces a negative index
+        if r.mean_value < 0.0 or r.mean_value > 100.0:
+            assert r.cpk < 0
+
+
+def test_odds_ratio_ci_brackets_point(spark):
+    r = P.QUERIES["odds_ratio_weekend_error"](spark, SF_DIR).collect()[0]
+    assert r.ci_lo <= r.odds_ratio <= r.ci_hi
+    assert r.ci_lo > 0
+    # OR identity vs the raw counts
+    direct = (r.n_weekend_error * r.n_weekday_other) / (
+        r.n_weekend_other * r.n_weekday_error
+    )
+    assert abs(direct - r.odds_ratio) < 1e-9
