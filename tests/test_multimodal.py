@@ -563,3 +563,30 @@ def test_mp3_mp4_corrupt_payloads_become_error_rows(spark):
     )
     rows = decode_and_featurize(df).collect()
     assert all(not r.ok and r.error for r in rows)
+
+
+def test_audio_container_dispatch_order():
+    """ADTS and MP3 both sync on 0xFF: layer bits 00 must route to the
+    ADTS parser and never to the MPEG-audio walk (which treats layer
+    00 as reserved), and ID3-prefixed payloads route to MP3."""
+    from iot_etl_spark.extensions.multimodal import (
+        _decode_payload,
+        make_aac_adts_bytes,
+        make_mp3_bytes,
+    )
+
+    aac = make_aac_adts_bytes(duration_ms=200, rate=44100, channels=1)
+    assert aac[0] == 0xFF and (aac[1] & 0xF6) == 0xF0
+    out = _decode_payload(aac)
+    assert out["ok"] and out["duration_ms"] > 0 and out["n_channels"] == 1
+
+    mp3 = make_mp3_bytes(duration_ms=200)
+    assert mp3[:3] == b"ID3"
+    out = _decode_payload(mp3)
+    assert out["ok"] and out["sample_rate_hz"] == 44100
+
+    # bare MP3 frames (no ID3) still route via the 0xFF sync
+    bare = mp3[20:]
+    assert bare[0] == 0xFF and (bare[1] & 0xE0) == 0xE0
+    out = _decode_payload(bare)
+    assert out["ok"] and out["decoded_kind"] == "audio"
