@@ -104,6 +104,16 @@ PICKS = [
     ("fifo_click_purchase_match",
      "FIFO rank matching: one rank window over both queues, pair fold "
      "as a (user, rank) group-by conditional min - no ranked self-join"),
+    ("hurst_rs_exponent",
+     "R/S analysis: one scan into the hourly rollup; block windows and "
+     "the 4-point slope all run on the post-aggregate hour frame"),
+    ("allan_variance_per_device",
+     "sensor stability: 4x tau fan-out of one scan into a map-side "
+     "(tau, device, bucket) rollup; LAG + aggregate reuse the same keys"),
+    ("weighted_median_price",
+     "exact weighted median: cumulative DECIMAL weight over the "
+     "(flag, price) pre-aggregate - frame is the distinct-price domain, "
+     "not the row count"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
