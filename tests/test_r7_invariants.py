@@ -1,0 +1,100 @@
+"""Semantic invariants for the round-7 analytics batch — properties
+the oracle-equality gate can't see (it would be equally green if both
+engines computed the same wrong thing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_etl_spark.plans import QUERIES
+from iot_etl_spark.plans.queries_analytics4 import BFS_MAX_HOPS
+from iot_etl_spark.plans.graphedges import capped_coactivity_edges
+from iot_etl_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The bitmap popcount path must equal Spark's own COUNT(DISTINCT)
+    — an independent algorithm WITHIN the engine (the oracle already
+    checks DuckDB; this pins the bitmap bucket/bit mapping as
+    injective over the real id range, including user_id = 0)."""
+    got = {
+        r["event_type"]: (r["distinct_users"], r["n_events"])
+        for r in QUERIES["bitmap_exact_distinct"](spark, SF_DIR).collect()
+    }
+    want = {
+        r["event_type"]: (r["d"], r["n"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_k_anonymity_accounting(spark):
+    row = QUERIES["k_anonymity_audit"](spark, SF_DIR).collect()[0]
+    assert row["n_rows"] > 0 and row["n_groups"] > 0
+    assert 1 <= row["min_k"] <= row["avg_k"]
+    assert row["rows_at_risk"] <= row["n_rows"]
+    assert row["groups_k_violating"] <= row["n_groups"]
+    assert row["groups_l_violating"] <= row["n_groups"]
+    assert 1 <= row["min_l"] <= row["avg_l"]
+    # rows_at_risk counts k<5 groups, so it is < 5 * groups_k_violating
+    assert row["rows_at_risk"] <= 5 * row["groups_k_violating"]
+
+
+def test_ridge_fit_beats_mean_only_model(spark):
+    """Training MSE of the 2-feature ridge fit must be below the
+    variance of y (the mean-only model's MSE): with n >> lambda the
+    ridge solution is essentially OLS, which always weakly improves on
+    the intercept-only fit and strictly so whenever the slopes are
+    nonzero. (No sign assertion: this generator draws extendedprice
+    independent of quantity — corr ~ -0.01 — unlike real TPC-H.)"""
+    row = QUERIES["ridge_normal_equations"](spark, SF_DIR).collect()[0]
+    assert row["train_mse"] >= 0.0
+    assert row["beta_quantity"] != 0.0
+    var_y = (
+        load_table(spark, SF_DIR, "lineitem")
+        .agg(F.var_pop("l_extendedprice").alias("v"))
+        .collect()[0]["v"]
+    )
+    assert row["train_mse"] < var_y
+
+
+def test_conformal_coverage_near_target(spark):
+    """Split-conformal guarantees coverage >= 1 - alpha in expectation
+    over splits; with the fixed md5 split, allow finite-sample slack
+    below 0.9 but fail on gross miscoverage."""
+    rows = QUERIES["conformal_prediction_interval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_calib"] > 0 and r["n_test"] > 0
+        assert r["interval_radius"] > 0.0
+        assert 0.80 <= r["coverage"] <= 1.0, r
+
+
+def test_bfs_seed_and_first_hop_degree(spark):
+    """Hop 0 is exactly the seed (the lowest active user); hop 1 is
+    exactly the seed's undirected degree in the capped edge list —
+    checked against the edge frame directly, independent of the BFS
+    loop."""
+    hops = {
+        r["hop"]: r for r in QUERIES["bfs_hop_distance"](spark, SF_DIR).collect()
+    }
+    assert set(hops) <= set(range(BFS_MAX_HOPS + 1))
+    h0 = hops[0]
+    assert h0["n_users"] == 1 and h0["min_user"] == h0["max_user"]
+    seed = h0["min_user"]
+    edges = capped_coactivity_edges(spark, SF_DIR)
+    deg = edges.filter(
+        (F.col("ua") == seed) | (F.col("ub") == seed)
+    ).count()
+    if 1 in hops:
+        assert hops[1]["n_users"] == deg
+        assert hops[1]["min_user"] > seed  # seed is the global min id
+    else:
+        assert deg == 0
