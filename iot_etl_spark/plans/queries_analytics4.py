@@ -561,3 +561,345 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("u").cast("long").alias("min_user"),
         F.max("u").cast("long").alias("max_user"),
     )
+
+
+# ------------------------------------------------ SCD2 point-in-time join
+_SCD2_DIM_TYPES = "('view', 'click', 'signup')"
+
+_SCD2_PIT_ORACLE = f"""
+WITH dim_src AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+    FROM events WHERE event_type IN {_SCD2_DIM_TYPES}
+),
+runs AS (
+    SELECT *,
+           CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM dim_src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT *,
+           SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run_id
+    FROM runs
+),
+regimes AS (
+    SELECT user_id, run_id, MIN(event_type) AS regime_type,
+           MIN(ts) AS valid_from
+    FROM numbered GROUP BY 1, 2
+),
+scd2 AS (
+    SELECT *,
+           LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, run_id
+           ) AS valid_to
+    FROM regimes
+),
+facts AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(ROUND(value * 1e6) AS BIGINT) AS vq
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT regime_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(vq) AS DOUBLE) / 1e6, 6) AS sum_value
+FROM facts f
+JOIN scd2 d ON d.user_id = f.user_id
+           AND f.ts >= d.valid_from
+           AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+GROUP BY regime_type
+"""
+
+
+@query("scd2_point_in_time", oracle=_SCD2_PIT_ORACLE)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time (as-of) attribution: run-length-encode each
+    user's browsing events (view/click/signup) into type-2 validity
+    regimes [valid_from, valid_to), then assign every purchase to the
+    regime active at its timestamp — the query shape behind "which
+    engagement state converts". Complements the warehouse SCD2 writer
+    (warehouse/scd2.py, pytest-pinned): THIS is the read side, built
+    from raw history in one pass, oracle-gated.
+
+    Run construction is the canonical gaps-and-islands pattern: a
+    change flag off lag(), a cumulative-sum run id, then one
+    group-per-run — all windows PARTITIONED BY user (never global).
+    The PIT join is an equi-join on user plus a range predicate: the
+    shuffle is keyed by user, per-user regime lists are small, and
+    Catalyst evaluates the range as a post-join filter, so no
+    interval explosion.
+
+    100 TB shape: two scans of events (dim slice + fact slice — AQE
+    can even reuse the exchange), one user-keyed shuffle for the
+    windows, one for the join. Purchases before a user's first regime
+    are dropped by both engines alike (inner join semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim_src = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = dim_src.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    regimes = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("regime_type"),
+        F.min("ts").alias("valid_from"),
+    )
+    scd2 = regimes.withColumn(
+        "valid_to",
+        F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from", "run_id")
+        ),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("f_ts"),
+        F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("vq"),
+    )
+    j = facts.join(scd2, "user_id").filter(
+        (F.col("f_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("f_ts") < F.col("valid_to")))
+    )
+    return j.groupBy("regime_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("vq").cast("double") / F.lit(1e6), 6).alias("sum_value"),
+    )
+
+
+# ------------------------------------------------ Shapley channel attribution
+# Coalition-rate Shapley over the 3 pre-purchase channels. Weights are
+# |S|!(n-|S|-1)!/n! for n=3: 1/3 (|S| in {0,2}) and 1/6 (|S|=1).
+_SHAP_W1 = "(CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))"
+_SHAP_W2 = "(CAST(1.0 AS DOUBLE) / CAST(6.0 AS DOUBLE))"
+
+
+def _shap_phi(i: str, a: str, b: str) -> str:
+    """Shapley value of channel i given the other two channels a<b,
+    over coalition-rate columns r_<sorted flags>: r_000 .. r_111 where
+    the three flag positions are (click, signup, view) in that order."""
+
+    def r(*chans: str) -> str:
+        flags = ["1" if c in chans else "0" for c in ("c", "s", "v")]
+        return f"r_{''.join(flags)}"
+
+    return (
+        f"({_SHAP_W1} * ({r(i)} - {r()})"
+        f" + {_SHAP_W2} * ({r(i, a)} - {r(a)})"
+        f" + {_SHAP_W2} * ({r(i, b)} - {r(b)})"
+        f" + {_SHAP_W1} * ({r(i, a, b)} - {r(a, b)}))"
+    )
+
+
+_SHAP_RATE_CELLS = """
+    SELECT has_c, has_s, has_v,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conv) AS BIGINT) AS n_conv
+    FROM (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_s,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    )
+    GROUP BY 1, 2, 3
+"""
+
+# r_<c><s><v>: conversion rate of users exposed to exactly that
+# coalition; absent coalitions contribute rate 0 (documented).
+_SHAP_PIVOT = ", ".join(
+    f"COALESCE(MAX(CASE WHEN has_c = {c} AND has_s = {s} AND has_v = {v} "
+    f"THEN CAST(n_conv AS DOUBLE) / n END), CAST(0.0 AS DOUBLE)) AS r_{c}{s}{v}"
+    for c in (0, 1)
+    for s in (0, 1)
+    for v in (0, 1)
+)
+
+_SHAP_ORACLE = f"""
+WITH cells AS ({_SHAP_RATE_CELLS}),
+p AS (SELECT {_SHAP_PIVOT} FROM cells)
+SELECT 'click' AS channel, ROUND({_shap_phi("c", "s", "v")}, 6) AS shapley
+FROM p
+UNION ALL
+SELECT 'signup' AS channel, ROUND({_shap_phi("s", "c", "v")}, 6) AS shapley
+FROM p
+UNION ALL
+SELECT 'view' AS channel, ROUND({_shap_phi("v", "c", "s")}, 6) AS shapley
+FROM p
+"""
+
+
+@query("shapley_channel_attribution", oracle=_SHAP_ORACLE)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (Shapley 1953; the
+    data-driven attribution model GA4 popularized): each channel's
+    credit for conversion is its average marginal contribution across
+    all orderings of the 3-channel coalition, with v(S) = conversion
+    rate of users exposed to EXACTLY coalition S. Completes the
+    attribution family: linear_attribution splits credit by touch
+    count, fifo_click_purchase_match by queue order — Shapley is the
+    order-free game-theoretic answer.
+
+    Efficiency identity (pinned in tests): the three values sum to
+    v(full) - v(empty).
+
+    100 TB shape: one per-user aggregate (map-side combine over the
+    user-keyed shuffle), then the 8-coalition cell frame — the
+    combinatorial pivot and the weighted-difference formula run on
+    ONE row regardless of data size. Coalition count is 2^n in
+    channel count; past n~10 you'd sample permutations instead."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "has_c"
+        ),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+            "has_s"
+        ),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "has_v"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    cells = per_user.groupBy("has_c", "has_s", "has_v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    p = cells.groupBy().agg(
+        *[
+            F.expr(
+                f"COALESCE(MAX(CASE WHEN has_c = {c} AND has_s = {s} "
+                f"AND has_v = {v} THEN CAST(n_conv AS DOUBLE) / n END), "
+                f"CAST(0.0 AS DOUBLE))"
+            ).alias(f"r_{c}{s}{v}")
+            for c in (0, 1)
+            for s in (0, 1)
+            for v in (0, 1)
+        ]
+    )
+    return p.selectExpr(
+        f"stack(3, 'click', ROUND({_shap_phi('c', 's', 'v')}, 6), "
+        f"'signup', ROUND({_shap_phi('s', 'c', 'v')}, 6), "
+        f"'view', ROUND({_shap_phi('v', 'c', 's')}, 6)) "
+        "AS (channel, shapley)"
+    )
+
+
+# ------------------------------------------------ SPRT sequential monitor
+# H0: p = 0.20 vs H1: p = 0.25 on arm B's daily conversion; alpha =
+# beta = 0.05. The log-likelihood-ratio increments are inlined as
+# Python float literals so neither engine calls libm on its own.
+SPRT_LLR_SUCC = "CAST(0.22314355131420976 AS DOUBLE)"  # ln(0.25/0.20)
+SPRT_LLR_FAIL = "CAST(-0.06453852113757118 AS DOUBLE)"  # ln(0.75/0.80)
+SPRT_UPPER = "CAST(2.9444389791664403 AS DOUBLE)"  # ln((1-b)/a)
+SPRT_LOWER = "CAST(-2.9444389791664403 AS DOUBLE)"  # ln(b/(1-a))
+
+_SPRT_ARM = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2"
+
+_SPRT_ORACLE = f"""
+WITH daily AS (
+    SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 1000000
+               AS day_epoch,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS trials,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT) AS succ
+    FROM events
+    WHERE {_SPRT_ARM} = 1
+    GROUP BY 1
+),
+cum AS (
+    SELECT day_epoch, trials, succ,
+           SUM(trials) OVER w AS cum_trials,
+           SUM(succ) OVER w AS cum_succ
+    FROM daily
+    WINDOW w AS (ORDER BY day_epoch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day_epoch,
+       CAST(cum_trials AS BIGINT) AS cum_trials,
+       CAST(cum_succ AS BIGINT) AS cum_succ,
+       ROUND(cum_succ * {SPRT_LLR_SUCC}
+             + (cum_trials - cum_succ) * {SPRT_LLR_FAIL}, 6) AS llr,
+       CASE WHEN cum_succ * {SPRT_LLR_SUCC}
+                 + (cum_trials - cum_succ) * {SPRT_LLR_FAIL} >= {SPRT_UPPER}
+            THEN 'accept_h1'
+            WHEN cum_succ * {SPRT_LLR_SUCC}
+                 + (cum_trials - cum_succ) * {SPRT_LLR_FAIL} <= {SPRT_LOWER}
+            THEN 'accept_h0'
+            ELSE 'continue' END AS boundary_state
+FROM cum
+"""
+
+
+@query("sprt_sequential_monitor", oracle=_SPRT_ORACLE)
+def sprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test as a daily experiment
+    monitor: cumulative binomial LLR of arm-B conversion against
+    H0 p=0.20 / H1 p=0.25, with the +-ln((1-b)/a) decision boundaries
+    — the always-valid "peek every day" discipline the fixed-horizon
+    tests (welch_ttest_value, cuped_experiment_readout) cannot give.
+    Completes the experimentation family: srm_arm_balance pre-flights
+    the split, CUPED reduces variance, SPRT decides WHEN to stop.
+
+    LLR increments are inlined float literals (no libm on either
+    engine), counts are exact distinct users, and the cumulative
+    window runs over the per-DAY pre-aggregate — bounded by calendar
+    length, never row count (same discipline as the trend family).
+
+    100 TB shape: one user+day-keyed distinct aggregate with map-side
+    combine, then a ~30-row window. The daily pre-aggregate is
+    exactly what a continuous aggregate (warehouse/lifecycle.py)
+    maintains incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.expr(
+        "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 2"
+    )
+    daily = (
+        ev.filter(arm == 1)
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+            .cast("long")
+            .alias("day_epoch")
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("trials"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            )
+            .cast("long")
+            .alias("succ"),
+        )
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day_epoch",
+        F.sum("trials").over(w).cast("long").alias("cum_trials"),
+        F.sum("succ").over(w).cast("long").alias("cum_succ"),
+    )
+    llr = (
+        f"cum_succ * {SPRT_LLR_SUCC}"
+        f" + (cum_trials - cum_succ) * {SPRT_LLR_FAIL}"
+    )
+    return cum.selectExpr(
+        "day_epoch",
+        "cum_trials",
+        "cum_succ",
+        f"ROUND({llr}, 6) AS llr",
+        f"CASE WHEN {llr} >= {SPRT_UPPER} THEN 'accept_h1' "
+        f"WHEN {llr} <= {SPRT_LOWER} THEN 'accept_h0' "
+        "ELSE 'continue' END AS boundary_state",
+    )

@@ -960,3 +960,108 @@ def stream_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         matched.unionAll(ponly).unionAll(conly).filter(F.col("n_rows") > 0)
     )
+
+
+# ------------------------------------------------ streaming CDC apply
+_CDC_APPLY_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, event_type,
+           CAST(ROUND(value * 1e6) AS BIGINT) AS vq,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type AS last_type,
+       ROUND(CAST(vq AS DOUBLE) / 1e6, 6) AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("stream_cdc_apply", oracle=_CDC_APPLY_ORACLE)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY under the oracle gate: the events feed is
+    recast as a change stream (op = DELETE on 'error', else UPSERT;
+    seq = event_id, the feed's LSN) and drained through
+    start_cdc_merge_sink (warehouse/merge.py) — foreachBatch MERGE
+    with last-op-per-key netting into the transactional table. The
+    oracle computes the same final state from the batch side (latest
+    op per key, deletes absent), so the whole
+    netting -> MERGE routing -> atomic-commit path must reproduce it
+    exactly. The replay fixed-point and per-batch netting semantics
+    are pytest-pinned in tests/test_merge.py; THIS query is the
+    driver-visible end-to-end.
+
+    Cross-batch ordering note: the file source delivers the single
+    source parquet file as one micro-batch, so last-op-per-key
+    netting by seq decides every key; a multi-file feed would need
+    the seq-guarded update condition instead (merge_into's
+    update_condition) — documented, not needed here.
+
+    Table + checkpoint live under a fingerprint-keyed dir with
+    stale-tag eviction (the stream_txlog_ingest convention): re-runs
+    find the checkpoint complete and REUSE the merged table.
+
+    100 TB shape: per batch, one key-shuffle for the netting window
+    and two atomic MERGE commits; state lives in the table itself
+    (no unbounded stream state). The serving read is a plain
+    snapshot scan."""
+    import hashlib
+    import inspect
+    import os
+
+    from iot_etl_spark.plans.stagecache import (
+        _CACHE_ROOT,
+        _source_fingerprint,
+        evict_stale_tags,
+    )
+    from iot_etl_spark.streaming import pipeline as _pl
+    from iot_etl_spark.warehouse import merge as _mg
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    code = (
+        inspect.getsource(stream_cdc_apply)
+        + inspect.getsource(_mg.apply_cdc_batch)
+        + inspect.getsource(_pl.read_stream_source)
+    )
+    tag = hashlib.md5(
+        f"cdc_apply|{_source_fingerprint(sf_dir, ('events',))}|{code}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(_CACHE_ROOT, f"cdc_apply_{tag}")
+    os.makedirs(d, exist_ok=True)
+    t = TxTable(os.path.join(d, "tx"))
+    if t.latest_version() is None:  # seed the empty target (version 0)
+        t.overwrite(
+            spark.createDataFrame(
+                [], "user_id LONG, event_type STRING, vq LONG"
+            )
+        )
+    src = read_stream_source(
+        spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet"
+    )
+    changes = src.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("vq"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    q = _mg.start_cdc_merge_sink(
+        changes, t, os.path.join(d, "ck"), ["user_id"], trigger_seconds=1
+    )
+    q.processAllAvailable()
+    q.stop()
+    marker = os.path.join(d, "_READY")
+    if not os.path.exists(marker):
+        with open(marker, "w") as fh:
+            fh.write(tag)
+    evict_stale_tags(_CACHE_ROOT, "cdc_apply", tag)
+    return t.read(spark).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("last_type"),
+        F.round(F.col("vq").cast("double") / F.lit(1e6), 6).alias("last_value"),
+    )

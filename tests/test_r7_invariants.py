@@ -98,3 +98,110 @@ def test_bfs_seed_and_first_hop_degree(spark):
         assert hops[1]["min_user"] > seed  # seed is the global min id
     else:
         assert deg == 0
+
+
+def test_scd2_pit_accounts_for_attributable_purchases(spark):
+    """Every purchase at-or-after its user's first browsing event is
+    attributed to exactly one regime (validity windows partition
+    [first_browse, inf)); purchases before any browse are dropped.
+    Checked against an independent count off the raw table."""
+    out = QUERIES["scd2_point_in_time"](spark, SF_DIR)
+    total_attributed = out.agg(F.sum("n_purchases")).collect()[0][0]
+    ev = load_table(spark, SF_DIR, "events")
+    first_browse = (
+        ev.filter(F.col("event_type").isin("view", "click", "signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    want = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_browse, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .count()
+    )
+    assert total_attributed == want > 0
+
+
+def test_shapley_efficiency_identity(spark):
+    """Shapley values must sum to v(full) - v(empty) (efficiency
+    axiom), with v computed independently off the raw table."""
+    rows = QUERIES["shapley_channel_attribution"](spark, SF_DIR).collect()
+    assert {r["channel"] for r in rows} == {"click", "signup", "view"}
+    total = sum(r["shapley"] for r in rows)
+    per_user = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.max((F.col("event_type") == "signup").cast("int")).alias("s"),
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "conv"
+            ),
+        )
+    )
+    def rate(c, s, v):
+        g = per_user.filter(
+            (F.col("c") == c) & (F.col("s") == s) & (F.col("v") == v)
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")).collect()[0]
+        return (g["k"] or 0) / g["n"] if g["n"] else 0.0
+    want = rate(1, 1, 1) - rate(0, 0, 0)
+    assert abs(total - want) < 5e-6
+
+
+def test_sprt_cumulative_and_boundaries(spark):
+    rows = sorted(
+        QUERIES["sprt_sequential_monitor"](spark, SF_DIR).collect(),
+        key=lambda r: r["day_epoch"],
+    )
+    assert rows
+    prev_t = prev_s = 0
+    for r in rows:
+        assert r["cum_trials"] >= prev_t and r["cum_succ"] >= prev_s
+        assert r["cum_succ"] <= r["cum_trials"]
+        prev_t, prev_s = r["cum_trials"], r["cum_succ"]
+        llr = r["cum_succ"] * 0.22314355131420976 + (
+            r["cum_trials"] - r["cum_succ"]
+        ) * -0.06453852113757118
+        assert abs(llr - r["llr"]) < 1e-5
+        want_state = (
+            "accept_h1"
+            if llr >= 2.9444389791664403
+            else "accept_h0" if llr <= -2.9444389791664403 else "continue"
+        )
+        assert r["boundary_state"] == want_state
+
+
+def test_stream_cdc_apply_matches_batch_and_is_idempotent(spark):
+    """The CDC-merged table equals the batch last-op-per-key state
+    computed independently, and a second invocation (checkpoint
+    complete, no new files) returns identical rows."""
+    from pyspark.sql import Window
+
+    got1 = sorted(
+        map(tuple, QUERIES["stream_cdc_apply"](spark, SF_DIR).collect())
+    )
+    got2 = sorted(
+        map(tuple, QUERIES["stream_cdc_apply"](spark, SF_DIR).collect())
+    )
+    assert got1 == got2 and got1
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    want = sorted(
+        map(
+            tuple,
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select(
+                F.col("user_id").cast("long"),
+                F.col("event_type"),
+                F.round(
+                    F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").cast("double")
+                    / F.lit(1e6),
+                    6,
+                ),
+            )
+            .collect(),
+        )
+    )
+    assert got1 == want
