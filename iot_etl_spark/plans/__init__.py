@@ -30,20 +30,28 @@ from iot_etl_spark.plans import queries_analytics4  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
-# window is curated per round for maximum fresh evidence. Round-6
-# rotation (VERDICT r5 item 5): union driver coverage reached the full
-# registry in r5, so this round begins REGRESSION re-rotation — the 45
-# round-6 registrations (capped co-activity twins, audit/statistics,
-# graph/sketch/retrieval/stream/survival/eval additions) plus the
-# OLDEST greens (the round-1 batch, in original registration order:
-# TPC-H core, SQL-surface, and the first events-analytics block),
-# which have not been driver-checked since 5 rounds of refactors; the
-# driver reads the first 50, so late list entries past 50 stay in the
-# regular rotation pool.
+# window is curated per round for maximum fresh evidence. Round-7
+# rotation: no CORRECTNESS_r06 was recorded, so the round-6
+# registrations below are still never-driver-checked — the window is
+# the 9 round-7 registrations (analytics4 batch + stream_cdc_apply)
+# followed by the round-6 registrations in their r6 order; the oldest
+# r1 re-checks (TPC-H core et al.) stay queued after them and rotate
+# in as the window drains in later rounds.
 # Names listed here but not (yet) registered are ignored; registered
 # names absent from the list keep their original relative order after
 # the prioritized block.
 _DRIVER_WINDOW_FIRST: list[str] = [
+    # ---- round-7 registrations (never driver-checked)
+    "bitmap_exact_distinct",
+    "k_anonymity_audit",
+    "ridge_normal_equations",
+    "conformal_prediction_interval",
+    "bfs_hop_distance",
+    "scd2_point_in_time",
+    "shapley_channel_attribution",
+    "sprt_sequential_monitor",
+    "stream_cdc_apply",
+    # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",
     "pagerank_device_graph_capped",
