@@ -903,3 +903,324 @@ def sprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHEN {llr} <= {SPRT_LOWER} THEN 'accept_h0' "
         "ELSE 'continue' END AS boundary_state",
     )
+
+
+# ------------------------------------------------ clamped running balance
+_BALANCE_ORACLE = """
+WITH RECURSIVE deltas AS (
+    SELECT user_id,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(ROUND(value * 1e6) AS BIGINT)
+                ELSE -CAST(ROUND(value * 1e6) AS BIGINT) END AS d,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS rn
+    FROM events WHERE event_type IN ('purchase', 'error')
+),
+walk(user_id, rn, bal, mx, clamps) AS (
+    SELECT user_id, rn, GREATEST(CAST(0 AS BIGINT), d), 
+           GREATEST(CAST(0 AS BIGINT), d),
+           CASE WHEN d < 0 THEN 1 ELSE 0 END
+    FROM deltas WHERE rn = 1
+    UNION ALL
+    SELECT w.user_id, d.rn,
+           GREATEST(CAST(0 AS BIGINT), w.bal + d.d),
+           GREATEST(w.mx, GREATEST(CAST(0 AS BIGINT), w.bal + d.d)),
+           w.clamps + CASE WHEN w.bal + d.d < 0 THEN 1 ELSE 0 END
+    FROM walk w JOIN deltas d ON d.user_id = w.user_id AND d.rn = w.rn + 1
+),
+last AS (
+    SELECT user_id, bal, mx, clamps,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS r
+    FROM walk
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       ROUND(CAST(bal AS DOUBLE) / 1e6, 6) AS final_balance,
+       ROUND(CAST(mx AS DOUBLE) / 1e6, 6) AS max_balance,
+       CAST(clamps AS BIGINT) AS n_clamps
+FROM last WHERE r = 1
+"""
+
+
+@query("clamped_running_balance", oracle=_BALANCE_ORACLE)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance clamped at zero per user (purchases credit,
+    errors debit; balance can never go negative) — inventory /
+    prepaid-wallet semantics. The clamp makes the fold GENUINELY
+    non-associative: max(0, b + d) cannot be expressed by any Spark
+    window or aggregate (unlike plain cumsum), so this is the
+    principled use of the grouped-map escape hatch the UDF ladder
+    reserves for exactly this case (SURVEY §2.10): applyInPandas
+    folds each user's ordered deltas in one Arrow batch. The oracle
+    is a DuckDB RECURSIVE CTE walking rn -> rn+1 — an independent
+    sequential implementation that must agree exactly.
+
+    Integer micro-unit arithmetic end to end (BIGINT in the fold,
+    one division at the very end), so the two engines' folds are
+    exact, not IEEE-summation-ordered.
+
+    100 TB shape: one shuffle on user_id; per-group state is the
+    user's purchase/error history in one Arrow batch (per-human ->
+    bounded). The streaming sibling is applyInPandasWithState
+    (streaming/tws.py); a pathological million-event key would want
+    the txlog's per-key compaction first."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        bal = mx = clamps = 0
+        for d in pdf["d"].to_numpy():
+            nb = bal + int(d)
+            if nb < 0:
+                clamps += 1
+                nb = 0
+            bal = nb
+            if bal > mx:
+                mx = bal
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_balance_micro": [bal],
+                "max_balance_micro": [mx],
+                "n_clamps": [clamps],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    deltas = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"),
+        )
+        .otherwise(-F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+        .alias("d"),
+    )
+    out = deltas.groupBy("user_id").applyInPandas(
+        fold,
+        schema=(
+            "user_id long, final_balance_micro long, "
+            "max_balance_micro long, n_clamps long"
+        ),
+    )
+    return out.select(
+        "user_id",
+        F.round(F.col("final_balance_micro").cast("double") / F.lit(1e6), 6)
+        .alias("final_balance"),
+        F.round(F.col("max_balance_micro").cast("double") / F.lit(1e6), 6)
+        .alias("max_balance"),
+        "n_clamps",
+    )
+
+
+# ------------------------------------------------ negative binomial MoM fit
+_NB_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+mom AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS ss
+    FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       ROUND(CAST(s AS DOUBLE) / n_days, 6) AS mean_daily,
+       ROUND((ss - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1), 6)
+           AS var_daily,
+       ROUND((CAST(s AS DOUBLE) / n_days)
+             / ((ss - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1)), 6)
+           AS nb_p,
+       ROUND(CASE WHEN (ss - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1)
+                       > CAST(s AS DOUBLE) / n_days
+                  THEN (CAST(s AS DOUBLE) / n_days)
+                       * (CAST(s AS DOUBLE) / n_days)
+                       / ((ss - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1)
+                          - CAST(s AS DOUBLE) / n_days)
+             END, 6) AS nb_r,
+       ROUND(((ss - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1))
+             / (CAST(s AS DOUBLE) / n_days), 6) AS dispersion_index
+FROM mom
+"""
+
+
+@query("negative_binomial_fit", oracle=_NB_ORACLE)
+def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of daily event counts
+    per type — the overdispersion MODEL the poisson_dispersion_test
+    only tests for: p = mean/var, r = mean^2/(var - mean) (NULL when
+    the data is not overdispersed, i.e. var <= mean, where the NB
+    degenerates to Poisson). Event-count data is almost always
+    overdispersed (bursts, daily cycles); r is the burstiness
+    parameter capacity planning actually wants.
+
+    Moments are exact BIGINT sums over the per-day pre-aggregate;
+    every double is a shared-verbatim expression off those integers.
+
+    100 TB shape: the daily pre-aggregate is the same continuous-
+    aggregate shape as the trend family; the moment pass is ~30 rows
+    per type."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    mean = "CAST(s AS DOUBLE) / n_days"
+    var = f"(ss - {mean} * s / n_days) / (n_days - 1)"
+    # NOTE: oracle spells var with the same tree: (ss - CAST(s)*s/n)/(n-1)
+    var = "(ss - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1)"
+    return mom.selectExpr(
+        "event_type",
+        "n_days",
+        f"ROUND({mean}, 6) AS mean_daily",
+        f"ROUND({var}, 6) AS var_daily",
+        f"ROUND(({mean}) / ({var}), 6) AS nb_p",
+        f"ROUND(CASE WHEN {var} > {mean} "
+        f"THEN ({mean}) * ({mean}) / ({var} - {mean}) END, 6) AS nb_r",
+        f"ROUND(({var}) / ({mean}), 6) AS dispersion_index",
+    )
+
+
+# ------------------------------------------------ Benjamini-Hochberg FDR
+BH_Q = "CAST(0.10 AS DOUBLE)"  # target false-discovery rate
+# Logistic approximation to the standard normal CDF (Bowling et al.
+# 2009), max abs error 1.4e-4 — a screening-grade p-value that both
+# engines compute from the SAME exp() argument. Two-sided:
+# p = 2 * (1 - Phi(|z|)) with Phi(x) ~ 1/(1+exp(-1.702x)).
+_BH_P = (
+    "(CAST(2.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + exp(CAST(1.702 AS DOUBLE) * ABS(z))))"
+)
+
+_BH_ORACLE = f"""
+WITH daily AS (
+    SELECT user_id,
+           date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+stat AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS ss
+    FROM daily GROUP BY 1 HAVING COUNT(*) >= 2
+),
+z AS (
+    SELECT user_id,
+           ((n - 1) * ((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)
+                       / (CAST(s AS DOUBLE) / n)) - (n - 1))
+           / sqrt(CAST(2.0 AS DOUBLE) * (n - 1)) AS z
+    FROM stat
+),
+p AS (
+    SELECT user_id,
+           CAST(ROUND({_BH_P} * 1e6) AS BIGINT) AS p_cell
+    FROM z
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+cells AS (SELECT p_cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+cum AS (
+    SELECT p_cell,
+           SUM(cnt) OVER (ORDER BY p_cell
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM cells
+),
+k AS (
+    SELECT MAX(cum) AS n_rejected, MAX(p_cell) AS thresh_cell
+    FROM cum, m
+    WHERE CAST(p_cell AS DOUBLE) / 1e6 <= CAST(cum AS DOUBLE) / m * {BH_Q}
+)
+SELECT m.m AS n_tests,
+       COALESCE(k.n_rejected, 0) AS n_rejected,
+       ROUND(CAST(k.thresh_cell AS DOUBLE) / 1e6, 6) AS reject_threshold_p
+FROM m LEFT JOIN k ON TRUE
+"""
+
+
+@query("benjamini_hochberg_fdr", oracle=_BH_ORACLE)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over per-user overdispersion
+    tests — the multiple-testing discipline the per-entity audit
+    family (poisson_dispersion_test is ONE global test) needs when it
+    screens millions of entities: each user's daily-count dispersion
+    becomes a z (chi-square normal approximation), a two-sided
+    screening p (logistic-CDF approximation, documented 1.4e-4 error,
+    same exp() tree on both engines), and BH rejects the largest
+    prefix of sorted p-values with p_(i) <= (i/m) q.
+
+    Scale-safe BH: p-values are quantized to 1e-6 cells and the rank
+    scan is a cumulative count over the per-cell PRE-AGGREGATE (the
+    conformal/weighted-median device) — the window is bounded by p
+    resolution (<= 1e6 cells), never by the number of entities, so
+    "BH over a million devices" does not become a global row sort.
+    Quantization is part of the declared semantics, applied
+    identically in both engines.
+
+    100 TB shape: per-(user, day) count -> per-user moments (map-side
+    combine), then the bounded cell scan; the m count is a 1-row
+    broadcast."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stat = (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    z = stat.selectExpr(
+        "user_id",
+        "((n - 1) * ((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)"
+        " / (CAST(s AS DOUBLE) / n)) - (n - 1))"
+        " / sqrt(CAST(2.0 AS DOUBLE) * (n - 1)) AS z",
+    )
+    p = z.selectExpr(f"CAST(ROUND({_BH_P} * 1e6) AS BIGINT) AS p_cell")
+    m = p.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    cells = p.groupBy("p_cell").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("p_cell").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.withColumn("cum", F.sum("cnt").over(w))
+    k = (
+        cum.crossJoin(F.broadcast(m))
+        .filter(
+            F.expr(
+                f"CAST(p_cell AS DOUBLE) / 1e6"
+                f" <= CAST(cum AS DOUBLE) / m * {BH_Q}"
+            )
+        )
+        .agg(
+            F.max("cum").alias("n_rejected"),
+            F.max("p_cell").alias("thresh_cell"),
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(k))
+        .select(
+            F.col("m").alias("n_tests"),
+            F.coalesce(F.col("n_rejected"), F.lit(0))
+            .cast("long")
+            .alias("n_rejected"),
+            F.round(F.col("thresh_cell").cast("double") / F.lit(1e6), 6).alias(
+                "reject_threshold_p"
+            ),
+        )
+    )

@@ -205,3 +205,71 @@ def test_stream_cdc_apply_matches_batch_and_is_idempotent(spark):
         )
     )
     assert got1 == want
+
+
+def test_clamped_balance_nonnegative_and_bounded(spark):
+    """Clamp semantics: balances are nonnegative, max >= final, and
+    the final balance is bounded above by the plain (unclamped)
+    positive inflow per user. A user with zero debits must show
+    final == credits sum and zero clamps."""
+    out = {
+        r["user_id"]: r
+        for r in QUERIES["clamped_running_balance"](spark, SF_DIR).collect()
+    }
+    assert out
+    ev = load_table(spark, SF_DIR, "events")
+    flows = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"),
+                ).otherwise(0)
+            ).alias("credit"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "error",
+                    F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"),
+                ).otherwise(0)
+            ).alias("debit"),
+        )
+        .collect()
+    )
+    for f in flows:
+        r = out[f["user_id"]]
+        assert 0.0 <= r["final_balance"] <= r["max_balance"] + 1e-9
+        assert r["final_balance"] <= f["credit"] / 1e6 + 1e-9
+        if f["debit"] == 0:
+            assert r["n_clamps"] == 0
+            assert abs(r["final_balance"] - f["credit"] / 1e6) < 1e-6
+
+
+def test_negative_binomial_moment_identities(spark):
+    rows = QUERIES["negative_binomial_fit"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_days"] >= 2
+        assert r["mean_daily"] > 0 and r["var_daily"] >= 0
+        # dispersion_index == var/mean (rounded)
+        assert abs(r["dispersion_index"] - r["var_daily"] / r["mean_daily"]) < 1e-4
+        if r["nb_r"] is not None:
+            assert r["var_daily"] > r["mean_daily"]
+            assert r["nb_r"] > 0
+            # NB mean = r(1-p)/p identity at the MoM solution
+            p, nbr = r["nb_p"], r["nb_r"]
+            assert abs(nbr * (1 - p) / p - r["mean_daily"]) < 1e-2 * r["mean_daily"]
+
+
+def test_bh_rejection_consistency(spark):
+    row = QUERIES["benjamini_hochberg_fdr"](spark, SF_DIR).collect()[0]
+    assert row["n_tests"] > 0
+    assert 0 <= row["n_rejected"] <= row["n_tests"]
+    if row["n_rejected"] > 0:
+        # the threshold p must satisfy the BH inequality at rank k
+        assert row["reject_threshold_p"] <= (
+            row["n_rejected"] / row["n_tests"]
+        ) * 0.10 + 1e-9
+    else:
+        assert row["reject_threshold_p"] is None
