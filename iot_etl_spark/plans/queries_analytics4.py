@@ -422,58 +422,66 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("pred_micro")
         )
     )
-    scored = ev.join(F.broadcast(pred), "event_type").withColumn(
-        "cell",
-        F.expr("CAST(ROUND(ABS(CAST(vq AS DOUBLE) - pred_micro)) AS BIGINT)"),
+    # ONE pass scores calib AND test rows into the bounded
+    # (type, fold, cell) frame; localCheckpoint cuts the downstream
+    # calib/test lineage fan-out (it would otherwise re-run the scan
+    # + broadcast join per consumer — measured 8 scans before).
+    cells = (
+        ev.filter(F.col("fold").isin(3, 4))
+        .join(F.broadcast(pred), "event_type")
+        .withColumn(
+            "cell",
+            F.expr(
+                "CAST(ROUND(ABS(CAST(vq AS DOUBLE) - pred_micro)) AS BIGINT)"
+            ),
+        )
+        .groupBy("event_type", "fold", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
-    calib = scored.filter(F.col("fold") == 3)
-    nc = calib.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_calib"),
-        F.expr(
-            f"CAST(CEIL((COUNT(*) + 1) * {CONFORMAL_ALPHA_COMPL}) AS BIGINT)"
-        ).alias("k"),
-    )
-    cells = calib.groupBy("event_type", "cell").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = (
+    calib = cells.filter(F.col("fold") == 3)
+    wcum = (
         Window.partitionBy("event_type")
         .orderBy("cell")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = cells.withColumn("cum", F.sum("cnt").over(w))
+    wall = Window.partitionBy("event_type")
+    ranked = calib.select(
+        "event_type",
+        "cell",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("n_calib"),
+    )
     q = (
-        cum.join(F.broadcast(nc), "event_type")
-        .filter(F.col("cum") >= F.col("k"))
+        ranked.filter(
+            F.col("cum")
+            >= F.expr(
+                f"CAST(CEIL((n_calib + 1) * {CONFORMAL_ALPHA_COMPL}) AS BIGINT)"
+            )
+        )
         .groupBy("event_type")
-        .agg(F.min("cell").alias("q_cell"))
-    )
-    test = (
-        scored.filter(F.col("fold") == 4)
-        .join(F.broadcast(q), "event_type")
-        .withColumn(
-            "covered",
-            F.when(F.col("cell") <= F.col("q_cell"), 1).otherwise(0),
-        )
-    )
-    return (
-        test.groupBy("event_type", "q_cell")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_test"),
-            F.sum("covered").alias("n_covered"),
+            F.min("cell").alias("q_cell"),
+            F.max("n_calib").alias("n_calib"),
         )
-        .join(F.broadcast(nc.select("event_type", "n_calib")), "event_type")
-        .select(
-            "event_type",
-            "n_calib",
-            "n_test",
-            F.round(F.col("q_cell").cast("double") / F.lit(1e6), 6).alias(
-                "interval_radius"
-            ),
-            F.round(
-                F.col("n_covered").cast("double") / F.col("n_test"), 6
-            ).alias("coverage"),
-        )
+    )
+    test = cells.filter(F.col("fold") == 4).join(F.broadcast(q), "event_type")
+    return test.groupBy("event_type", "q_cell", "n_calib").agg(
+        F.sum("cnt").cast("long").alias("n_test"),
+        F.round(
+            F.sum(F.when(F.col("cell") <= F.col("q_cell"), F.col("cnt"))
+                  .otherwise(0)).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("coverage"),
+    ).select(
+        "event_type",
+        "n_calib",
+        "n_test",
+        F.round(F.col("q_cell").cast("double") / F.lit(1e6), 6).alias(
+            "interval_radius"
+        ),
+        "coverage",
     )
 
 
@@ -1195,32 +1203,27 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt(CAST(2.0 AS DOUBLE) * (n - 1)) AS z",
     )
     p = z.selectExpr(f"CAST(ROUND({_BH_P} * 1e6) AS BIGINT) AS p_cell")
-    m = p.agg(F.count(F.lit(1)).cast("long").alias("m"))
     cells = p.groupBy("p_cell").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w = Window.orderBy("p_cell").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cells.withColumn("cum", F.sum("cnt").over(w))
-    k = (
-        cum.crossJoin(F.broadcast(m))
-        .filter(
-            F.expr(
-                f"CAST(p_cell AS DOUBLE) / 1e6"
-                f" <= CAST(cum AS DOUBLE) / m * {BH_Q}"
-            )
-        )
-        .agg(
-            F.max("cum").alias("n_rejected"),
-            F.max("p_cell").alias("thresh_cell"),
-        )
+    # m rides along as a second window over the SAME bounded cell
+    # frame (one consumption, one scan) instead of a separate count
+    # branch + cross join — the BH decision is then ONE conditional
+    # aggregate over the cum frame.
+    wcum = Window.orderBy("p_cell").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "p_cell",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("m"),
     )
-    return (
-        m.crossJoin(F.broadcast(k))
-        .select(
-            F.col("m").alias("n_tests"),
-            F.coalesce(F.col("n_rejected"), F.lit(0))
-            .cast("long")
-            .alias("n_rejected"),
-            F.round(F.col("thresh_cell").cast("double") / F.lit(1e6), 6).alias(
-                "reject_threshold_p"
-            ),
-        )
+    cond = F.expr(
+        f"CAST(p_cell AS DOUBLE) / 1e6 <= CAST(cum AS DOUBLE) / m * {BH_Q}"
+    )
+    return cum.agg(
+        F.max("m").alias("n_tests"),
+        F.coalesce(F.max(F.when(cond, F.col("cum"))), F.lit(0))
+        .cast("long")
+        .alias("n_rejected"),
+        F.round(
+            F.max(F.when(cond, F.col("p_cell"))).cast("double") / F.lit(1e6), 6
+        ).alias("reject_threshold_p"),
     )

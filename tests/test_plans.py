@@ -320,3 +320,40 @@ def test_analytics3_plan_shapes(spark):
     # phase-1 windows are bucket-partitioned; exactly one global
     # frontier pass may run single-partition (on the pruned union)
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_round7_plan_shapes(spark):
+    """Round-7 additions: the ridge fit is ONE scan + ONE global
+    aggregate exchange (training as aggregation); the bitmap distinct
+    never falls back to an Expand-based COUNT(DISTINCT); the clamped
+    balance shuffles once onto the Arrow grouped-map; BH's only
+    single-partition exchange is the bounded p-cell window (one scan
+    total); the SCD2 PIT join is user-keyed, never a cartesian; BFS
+    stays equi-join shaped across all unrolled hops."""
+    plan, _ = _plans(spark, "ridge_normal_equations")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1
+
+    plan, _ = _plans(spark, "bitmap_exact_distinct")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Expand") == 0
+    assert plan.count("Exchange") == 2
+
+    plan, _ = _plans(spark, "clamped_running_balance")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Exchange") == 1
+
+    plan, _ = _plans(spark, "benjamini_hochberg_fdr")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange SinglePartition") <= 1
+
+    plan, _ = _plans(spark, "scd2_point_in_time")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan, _ = _plans(spark, "bfs_hop_distance")
+    assert "CartesianProduct" not in plan
+
+    plan, _ = _plans(spark, "sprt_sequential_monitor")
+    # the only global window runs over the ~30-row daily pre-aggregate
+    assert plan.count("FileScan") == 1

@@ -114,6 +114,18 @@ PICKS = [
      "exact weighted median: cumulative DECIMAL weight over the "
      "(flag, price) pre-aggregate - frame is the distinct-price domain, "
      "not the row count"),
+    ("ridge_normal_equations",
+     "training as aggregation: ONE scan, ONE exchange - ten exact "
+     "DECIMAL moments fold map-side, the Cramer solve runs on 1 row"),
+    ("bitmap_exact_distinct",
+     "exact mergeable distinct: (type, bucket) bitmaps fold map-side "
+     "with constant 4KB state, no Expand-based COUNT(DISTINCT) rewrite"),
+    ("clamped_running_balance",
+     "non-associative fold: one user_id shuffle onto the Arrow "
+     "grouped-map; integer micro-units end to end"),
+    ("benjamini_hochberg_fdr",
+     "FDR over quantized p-cells: one scan; the only single-partition "
+     "exchange is the window over the bounded cell pre-aggregate"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
