@@ -1227,3 +1227,360 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(cond, F.col("p_cell"))).cast("double") / F.lit(1e6), 6
         ).alias("reject_threshold_p"),
     )
+
+
+# ------------------------------------------------ difference-in-differences
+_DID_SPLIT_DAYS = 15
+
+_DID_CELLS = f"""
+    SELECT arm, period,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS ss
+    FROM (
+        SELECT user_id, arm, period, CAST(SUM(conv) AS BIGINT) AS c
+        FROM (
+            SELECT user_id,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 AS arm,
+                   CASE WHEN date_trunc('day', CAST(ts AS TIMESTAMP))
+                             < (SELECT MIN(date_trunc('day',
+                                           CAST(ts AS TIMESTAMP)))
+                                FROM events) + INTERVAL {_DID_SPLIT_DAYS} DAY
+                        THEN 0 ELSE 1 END AS period,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+            FROM events
+        )
+        GROUP BY 1, 2, 3
+    )
+    GROUP BY 1, 2
+"""
+
+# Metric: purchases per active user (a continuous outcome; a binary
+# conversion flag is degenerate here — every user converts in every
+# period, making the SE exactly 0).
+_DID_RATE = "(CAST(s AS DOUBLE) / n)"
+_DID_VAR = (
+    "((ss - CAST(s AS DOUBLE) * s / n) / (n - 1) / n)"
+)
+# One pivot expression per (arm, period) cell: the mean and its
+# squared standard error, shared verbatim between both engines.
+_DID_PIVOT_EXPRS = [
+    f"MAX(CASE WHEN arm = {a} AND period = {p} THEN {src} END) AS {tag}_{ab}_{pp}"
+    for a, ab in ((0, "a"), (1, "b"))
+    for p, pp in ((0, "pre"), (1, "post"))
+    for src, tag in ((_DID_RATE, "r"), (_DID_VAR, "v"))
+]
+_DID_PIVOT = ", ".join(_DID_PIVOT_EXPRS)
+_DID_EST = "((r_b_post - r_b_pre) - (r_a_post - r_a_pre))"
+_DID_SE = "sqrt(v_a_pre + v_a_post + v_b_pre + v_b_post)"
+
+_DID_ORACLE = f"""
+WITH cells AS ({_DID_CELLS}),
+p AS (SELECT {_DID_PIVOT} FROM cells)
+SELECT ROUND(r_a_pre, 6) AS r_a_pre,
+       ROUND(r_a_post, 6) AS r_a_post,
+       ROUND(r_b_pre, 6) AS r_b_pre,
+       ROUND(r_b_post, 6) AS r_b_post,
+       ROUND({_DID_EST}, 6) AS did,
+       ROUND({_DID_SE}, 6) AS se,
+       ROUND({_DID_EST} / {_DID_SE}, 6) AS z
+FROM p
+"""
+
+
+@query("diff_in_diff_readout", oracle=_DID_ORACLE)
+def diff_in_diff_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences causal readout: md5-split arms, the
+    observation span split pre/post at day 15, the purchases-per-
+    active-user mean per (arm, period) cell, and
+    DiD = (B_post - B_pre) - (A_post - A_pre) with the delta-method
+    SE from the per-cell sample variances — the parallel-trends
+    workhorse when treatment turns on mid-stream and a plain
+    post-only A/B would absorb the secular trend. Completes the
+    causal family (srm pre-flight, CUPED variance reduction, SPRT
+    stopping, DiD identification). (The metric is a count, not a
+    conversion flag: in this data every user converts in every
+    period, which would make a binary DiD's SE exactly zero.)
+
+    The period split derives from MIN(day) (one 1-row broadcast);
+    means and variances pivot out of ONE 4-cell moment aggregate, and
+    every double is a shared-verbatim expression over exact BIGINTs.
+
+    100 TB shape: one (user, arm, period)-grained count aggregate
+    with map-side combine, one 4-cell moment pass; everything after
+    is 4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.agg(
+        F.date_trunc("day", F.min(F.date_trunc("day", F.col("ts")))).alias(
+            "d0"
+        )
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(first_day))
+        .select(
+            "user_id",
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 2"
+            ).alias("arm"),
+            F.when(
+                F.date_trunc("day", F.col("ts"))
+                < F.expr(f"d0 + INTERVAL {_DID_SPLIT_DAYS} DAYS"),
+                0,
+            )
+            .otherwise(1)
+            .alias("period"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+        .groupBy("user_id", "arm", "period")
+        .agg(F.sum("conv").cast("long").alias("c"))
+    )
+    cells = per_user.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    p = cells.groupBy().agg(
+        *[F.expr(frag) for frag in _DID_PIVOT_EXPRS]
+    )
+    return p.selectExpr(
+        "ROUND(r_a_pre, 6) AS r_a_pre",
+        "ROUND(r_a_post, 6) AS r_a_post",
+        "ROUND(r_b_pre, 6) AS r_b_pre",
+        "ROUND(r_b_post, 6) AS r_b_post",
+        f"ROUND({_DID_EST}, 6) AS did",
+        f"ROUND({_DID_SE}, 6) AS se",
+        f"ROUND({_DID_EST} / {_DID_SE}, 6) AS z",
+    )
+
+
+# ------------------------------------------------ Nelson-Aalen hazard
+_NA_SURV = "ROUND(exp(-(CAST(cum_nano AS DOUBLE) / 1e9)), 6)"
+
+_NA_ORACLE = f"""
+WITH ts_ AS (
+    SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+    FROM events
+),
+obs AS (SELECT CAST(max(us) AS BIGINT) AS obs_end FROM ts_),
+spells AS (
+    SELECT user_id,
+           CAST((COALESCE(next_us, obs_end) - us) // 60000000 AS BIGINT)
+               AS t_min,
+           CASE WHEN next_us IS NULL THEN 0 ELSE 1 END AS observed
+    FROM (
+        SELECT user_id, us,
+               LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS next_us
+        FROM ts_
+    ), obs
+),
+cells AS (
+    SELECT t_min,
+           CAST(SUM(observed) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM spells GROUP BY 1
+),
+risk AS (
+    SELECT *,
+           CAST(SUM(c) OVER (ORDER BY t_min DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+    FROM cells
+),
+terms AS (
+    SELECT t_min, d, n,
+           CAST(ROUND(CAST(d AS DOUBLE) / n * 1e9) AS BIGINT) AS nano
+    FROM risk
+),
+cum AS (
+    SELECT *,
+           CAST(SUM(nano) OVER (ORDER BY t_min ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_nano
+    FROM terms
+)
+SELECT t_min, n AS n_at_risk, d AS n_ended,
+       ROUND(CAST(cum_nano AS DOUBLE) / 1e9, 6) AS cum_hazard,
+       {_NA_SURV} AS fh_survival
+FROM cum
+WHERE d > 0 AND t_min % 60 = 0
+"""
+
+
+@query("nelson_aalen_hazard", oracle=_NA_ORACLE)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard over the same right-censored
+    inter-event spells as kaplan_meier_waits: H(t) = sum of d/n over
+    ended-spell durations <= t, plus the Fleming-Harrington survival
+    exp(-H) — the estimator of choice when hazard (instantaneous
+    risk), not survival probability, is the modeled quantity, and the
+    standard KM cross-check (FH >= KM pointwise, both -> same curve
+    as cells thin out; pinned in tests). Curve sampled at whole-hour
+    durations.
+
+    Determinism: identical cell/risk-set construction to KM (exact
+    BIGINTs), each d/n increment nano-quantized BEFORE the running
+    sum, so H is an integer in duration order and the only unshared
+    float op is the final shared-verbatim exp.
+
+    100 TB shape: identical to KM — one user_id shuffle for LEAD
+    spells, a duration-bounded cell aggregate, windows over cells."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ = ev.select("user_id", F.unix_micros("ts").cast("long").alias("us"))
+    obs = ts_.agg(F.max("us").cast("long").alias("obs_end"))
+    w_u = Window.partitionBy("user_id").orderBy("us")
+    spells = (
+        ts_.withColumn("next_us", F.lead("us").over(w_u))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.expr("(coalesce(next_us, obs_end) - us) div 60000000")
+            .cast("long")
+            .alias("t_min"),
+            F.col("next_us").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    cells = spells.groupBy("t_min").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.col("t_min").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = cells.withColumn("n", F.sum("c").over(w_desc).cast("long"))
+    terms = risk.withColumn(
+        "nano",
+        F.round(F.col("d").cast("double") / F.col("n") * F.lit(1e9)).cast(
+            "long"
+        ),
+    )
+    w_asc = (
+        Window.partitionBy()
+        .orderBy("t_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = terms.withColumn(
+        "cum_nano", F.sum("nano").over(w_asc).cast("long")
+    )
+    return cum.filter((F.col("d") > 0) & (F.col("t_min") % 60 == 0)).select(
+        "t_min",
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_ended"),
+        F.round(F.col("cum_nano").cast("double") / F.lit(1e9), 6).alias(
+            "cum_hazard"
+        ),
+        F.expr(_NA_SURV).alias("fh_survival"),
+    )
+
+
+# ------------------------------------------------ grid-density clustering
+GRID_BAND_WIDTH = "CAST(5.0 AS DOUBLE)"  # value-band width
+GRID_CORE_FACTOR = 3  # core cell: cnt * n_cells >= factor * total
+
+_GRID_CELLS = f"""
+    SELECT CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+           CAST(FLOOR(value / {GRID_BAND_WIDTH}) AS BIGINT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+"""
+
+_GRID_ORACLE = f"""
+WITH RECURSIVE cells AS ({_GRID_CELLS}),
+tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cells
+),
+core AS (
+    SELECT h, b, cnt, h * 1000 + b AS id
+    FROM cells, tot
+    WHERE cnt * n_cells >= {GRID_CORE_FACTOR} * total
+),
+e AS (
+    SELECT x.id AS u, y.id AS v
+    FROM core x JOIN core y
+      ON (x.h = y.h AND y.b = x.b + 1) OR (y.h = x.h + 1 AND x.b = y.b)
+),
+und AS (
+    SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+),
+walk(s, r) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT walk.s, und.v FROM walk JOIN und ON und.u = walk.r
+),
+lbl AS (SELECT s AS id, MIN(r) AS label FROM walk GROUP BY 1)
+SELECT label AS cluster_label,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cnt) AS BIGINT) AS n_points,
+       CAST(MIN(h) AS BIGINT) AS hour_min,
+       CAST(MAX(h) AS BIGINT) AS hour_max,
+       CAST(MIN(b) AS BIGINT) AS band_min,
+       CAST(MAX(b) AS BIGINT) AS band_max
+FROM core JOIN lbl USING (id)
+GROUP BY 1
+"""
+
+
+@query("grid_density_clusters", oracle=_GRID_ORACLE)
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (the DBSCAN/CLIQUE shape made
+    distributed-friendly): bin events into a BOUNDED (hour x value
+    band) grid, keep cells at >= {GRID_CORE_FACTOR}x the mean cell
+    density (the threshold is a cross-multiplied integer inequality,
+    so it adapts to scale with zero float ops), and cluster core
+    cells by 4-neighbor connectivity via the shared min-label CC loop
+    (pointer jumping, O(log diameter) rounds). Density clustering
+    over raw points is quadratic; over a resolution-bounded grid the
+    hard part collapses to counts + a CC over <= |grid| nodes — the
+    same resolution-bounding move as the conformal/BH cell device,
+    applied to clustering. The oracle labels components independently
+    by recursive reachability (min reachable id).
+
+    100 TB shape: one scan into the grid aggregate (map-side
+    combine); everything downstream (core filter, adjacency join, CC
+    rounds) runs on the grid, whose size is fixed by resolution
+    (24 x ~100 cells), not by data volume."""
+    from iot_etl_spark.plans.queries_text import _min_label_components
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.hour("ts").cast("long").alias("h"),
+        F.expr(f"CAST(FLOOR(value / {GRID_BAND_WIDTH}) AS BIGINT)").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = cells.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    core = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cnt") * F.col("n_cells")
+            >= F.lit(GRID_CORE_FACTOR) * F.col("total")
+        )
+        .select("h", "b", "cnt", (F.col("h") * 1000 + F.col("b")).alias("id"))
+        .localCheckpoint()  # tiny bounded frame, consumed 3x below
+    )
+    right = core.select(
+        F.col("h").alias("h2"), F.col("b").alias("b2"), F.col("id").alias("id2")
+    )
+    e = core.join(
+        right,
+        ((F.col("h") == F.col("h2")) & (F.col("b2") == F.col("b") + 1))
+        | ((F.col("h2") == F.col("h") + 1) & (F.col("b") == F.col("b2"))),
+    ).select(F.col("id").alias("a"), F.col("id2").alias("b"))
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = _min_label_components(sym)
+    out = core.join(
+        labels.withColumnRenamed("doc_id", "id"), "id", "left"
+    ).withColumn("label", F.coalesce(F.col("label"), F.col("id")))
+    return out.groupBy(F.col("label").alias("cluster_label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("cnt").cast("long").alias("n_points"),
+        F.min("h").cast("long").alias("hour_min"),
+        F.max("h").cast("long").alias("hour_max"),
+        F.min(F.col("b")).cast("long").alias("band_min"),
+        F.max(F.col("b")).cast("long").alias("band_max"),
+    )

@@ -703,10 +703,18 @@ def _min_label_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         parent = stepped.select(
             F.col("doc_id").alias("label"), F.col("label").alias("_plabel")
         )
+        # localCheckpoint, not cache: each round references labels 4x
+        # and edges 2x, so an un-truncated logical plan grows 4^k —
+        # rendering its tree string for the cache name OOMs a
+        # default-heap driver by ~round 7 (hit by grid_density_
+        # clusters in the vanilla driver session). Checkpointing
+        # truncates lineage to a LogicalRDD: plan size stays O(1) per
+        # round, and the loop materializes every round anyway via the
+        # convergence witness.
         new_labels = (
             stepped.join(parent, "label", "left")
             .select("doc_id", F.least("label", "_plabel").alias("label"))
-        ).cache()
+        ).localCheckpoint()
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -273,3 +273,62 @@ def test_bh_rejection_consistency(spark):
         ) * 0.10 + 1e-9
     else:
         assert row["reject_threshold_p"] is None
+
+
+def test_did_algebra_and_se(spark):
+    r = QUERIES["diff_in_diff_readout"](spark, SF_DIR).collect()[0]
+    want = (r["r_b_post"] - r["r_b_pre"]) - (r["r_a_post"] - r["r_a_pre"])
+    assert abs(r["did"] - want) < 5e-6
+    assert r["se"] > 0
+    assert abs(r["z"] - r["did"] / r["se"]) < 1e-3
+
+
+def test_nelson_aalen_vs_kaplan_meier(spark):
+    """Classic estimator inequality: Fleming-Harrington survival
+    exp(-H) >= Kaplan-Meier survival pointwise, and H is
+    nondecreasing in duration."""
+    na = {
+        r["t_min"]: r
+        for r in QUERIES["nelson_aalen_hazard"](spark, SF_DIR).collect()
+    }
+    km = {
+        r["t_min"]: r
+        for r in QUERIES["kaplan_meier_waits"](spark, SF_DIR).collect()
+    }
+    assert na and set(na) == set(km)
+    prev_h = -1.0
+    for t in sorted(na):
+        assert na[t]["cum_hazard"] >= prev_h
+        prev_h = na[t]["cum_hazard"]
+        assert na[t]["fh_survival"] >= km[t]["survival"] - 1e-6, t
+        assert na[t]["n_at_risk"] == km[t]["n_at_risk"]
+
+
+def test_grid_clusters_partition_core_cells(spark):
+    """Cluster rows partition the core-cell set: label count and cell
+    totals must match an independent computation of the core cells,
+    and each cluster's bounding box must be internally consistent."""
+    rows = QUERIES["grid_density_clusters"](spark, SF_DIR).collect()
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    cells = ev.groupBy(
+        F.hour("ts").cast("long").alias("h"),
+        F.expr("CAST(FLOOR(value / CAST(5.0 AS DOUBLE)) AS BIGINT)").alias(
+            "b"
+        ),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cells.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    ).collect()[0]
+    core = cells.filter(
+        F.col("cnt") * tot["n_cells"] >= 3 * tot["total"]
+    ).collect()
+    assert sum(r["n_cells"] for r in rows) == len(core)
+    assert sum(r["n_points"] for r in rows) == sum(c["cnt"] for c in core)
+    for r in rows:
+        assert r["hour_min"] <= r["hour_max"]
+        assert r["band_min"] <= r["band_max"]
+        # the label is a member cell id: h*1000+b within the box
+        h, b = divmod(r["cluster_label"], 1000)
+        assert r["hour_min"] <= h <= r["hour_max"]
+        assert r["band_min"] <= b <= r["band_max"]
