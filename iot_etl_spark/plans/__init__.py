@@ -51,6 +51,12 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "shapley_channel_attribution",
     "sprt_sequential_monitor",
     "stream_cdc_apply",
+    "clamped_running_balance",
+    "negative_binomial_fit",
+    "benjamini_hochberg_fdr",
+    "diff_in_diff_readout",
+    "nelson_aalen_hazard",
+    "grid_density_clusters",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

@@ -375,6 +375,46 @@ def start_txlog_sink(
 UPSERT_SEQ_COL = "_upsert_seq"
 
 
+def start_txlog_fanout_sink(
+    df: DataFrame,
+    tables,
+    checkpoint: str,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    ledger_id: str | None = None,
+):
+    """Exactly-once streaming fan-out into SEVERAL transactional
+    tables from one stream (the serving-table + audit-table shape):
+    foreachBatch appends the micro-batch to every table via
+    ``append_batch``, each keyed by the same (ledger scope, epoch id).
+
+    The multi-sink failure window — crash AFTER table k committed but
+    BEFORE table k+1 — heals on replay because idempotence is
+    PER TABLE: the re-delivered epoch is recognized and skipped by the
+    tables that already hold it and applied by the ones that do not,
+    converging every table to exactly-once (pinned in
+    tests/test_streaming.py with a simulated partial failure). There
+    is deliberately no cross-table transaction: between crash and
+    replay the tables may expose different epochs (eventual
+    consistency across sinks, exact consistency within each), the
+    same contract Delta/Iceberg multi-sink pipelines settle for.
+
+    ``tables``: iterable of ``TxTable`` (duck-typed)."""
+    tables = list(tables)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        for t in tables:
+            t.append_batch(batch_df, int(epoch_id), ledger_id=ledger_id)
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+
 def start_txlog_upsert_sink(
     df: DataFrame,
     table,

@@ -1175,3 +1175,65 @@ def test_dedup_within_watermark_ttl_semantics(spark):
     ])
     got = sorted(r.event_id for r in rows if r.user_id == 7)
     assert got == [1, 2], f"expected TTL re-emission, got {got}"
+
+
+def test_txlog_fanout_sink_heals_partial_multi_sink_failure(spark):
+    """Exactly-once fan-out into TWO transactional tables: the
+    multi-sink failure window (crash after table A committed epoch 0
+    but before table B) is simulated by pre-applying the batch to A
+    only; the streamed fan-out replay then skips A (ledger hit) and
+    applies B, converging BOTH tables to exactly one copy. A second
+    full replay through a fresh checkpoint changes nothing."""
+    from iot_etl_spark.streaming.pipeline import start_txlog_fanout_sink
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_fan_")
+    try:
+        base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        schema = (
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+        rows = [
+            (1, base + datetime.timedelta(seconds=10), 1, "view", 1.0, None),
+            (2, base + datetime.timedelta(seconds=20), 2, "click", 2.0, None),
+        ]
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+        ).write.parquet(os.path.join(src_dir, "b0"))
+
+        ta = TxTable(os.path.join(tmp, "serve_a"))
+        tb = TxTable(os.path.join(tmp, "serve_b"))
+
+        # simulate the partial failure: epoch 0 already landed in A
+        batch0 = spark.read.parquet(src_dir + "/*").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "event_type", "value")
+        assert ta.append_batch(batch0, 0, ledger_id="fan") is not None
+
+        for i in range(2):  # run 2 = full replay via fresh checkpoint
+            stream = read_stream_source(
+                spark, "parquet", path=src_dir + "/*"
+            ).select("event_id", "event_type", "value")
+            q = start_txlog_fanout_sink(
+                stream,
+                [ta, tb],
+                os.path.join(tmp, f"ck{i}"),
+                trigger_seconds=1,
+                ledger_id="fan",
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        for t, name in ((ta, "A"), (tb, "B")):
+            got = sorted(
+                (r.event_id, r.event_type, r.value)
+                for r in t.read(spark).collect()
+            )
+            assert got == [(1, "view", 1.0), (2, "click", 2.0)], name
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
