@@ -57,6 +57,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "diff_in_diff_readout",
     "nelson_aalen_hazard",
     "grid_density_clusters",
+    "anova_oneway_value",
+    "cramers_v_type_dow",
+    "ucb1_bandit_replay",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

@@ -1584,3 +1584,369 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("b")).cast("long").alias("band_min"),
         F.max(F.col("b")).cast("long").alias("band_max"),
     )
+
+
+# ------------------------------------------------ one-way ANOVA
+_ANOVA_MOMENTS = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(vq) AS s,
+           SUM(vq * vq) AS ss
+    FROM (
+        SELECT event_type,
+               CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS DECIMAL(18,0))
+                   AS vq
+        FROM events
+    )
+    GROUP BY 1
+"""
+
+# Micro-unit values accumulate as exact DECIMALs (vq^2 sums overflow
+# BIGINT past ~4e7 rows; DECIMAL(38) holds to 1e38). SS terms convert
+# once and share the same tree on both engines.
+# Between = sum(s_g^2/n_g) - S^2/N; within = sum(ss_g) -
+# sum(s_g^2/n_g); F = (between/(k-1)) / (within/(N-k)). The 1e12
+# unit factor cancels in F and eta^2, so no fixups.
+_ANOVA_FINAL = """
+SELECT k, n_total,
+       ROUND((btw / (k - 1)) / (win / (n_total - k)), 6) AS f_stat,
+       ROUND(btw / (btw + win), 6) AS eta_squared
+FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           SUM(CAST(s AS DOUBLE) * s / n)
+               - CAST(SUM(s) AS DOUBLE) * SUM(s) / SUM(n) AS btw,
+           CAST(SUM(ss) AS DOUBLE)
+               - SUM(CAST(s AS DOUBLE) * s / n) AS win
+    FROM g
+)
+"""
+
+_ANOVA_ORACLE = f"WITH g AS ({_ANOVA_MOMENTS})\n{_ANOVA_FINAL}"
+
+
+@query("anova_oneway_value", oracle=_ANOVA_ORACLE)
+def anova_oneway_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of value across the k event types — the k-group
+    generalization of welch_ttest_value's two-group shift test, with
+    eta-squared as the effect size (share of variance explained by
+    the grouping). Between/within sums of squares come from per-group
+    micro-unit BIGINT moments (one scan, map-side combine), so the
+    only doubles are the shared-verbatim SS expressions; the unit
+    factor cancels in both F and eta^2.
+
+    100 TB shape: one grouped moment aggregate (k rows), then O(k)
+    arithmetic. The same moments frame could feed Welch corrections
+    or Levene screens without another scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS DECIMAL(18,0))"
+        ).alias("vq"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).alias("ss"),
+    )
+    inner = g.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("k"),
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("n_total"),
+        F.expr(
+            "SUM(CAST(s AS DOUBLE) * s / n)"
+            " - CAST(SUM(s) AS DOUBLE) * SUM(s) / SUM(n)"
+        ).alias("btw"),
+        F.expr("CAST(SUM(ss) AS DOUBLE) - SUM(CAST(s AS DOUBLE) * s / n)")
+        .alias("win"),
+    )
+    return inner.selectExpr(
+        "k",
+        "n_total",
+        "ROUND((btw / (k - 1)) / (win / (n_total - k)), 6) AS f_stat",
+        "ROUND(btw / (btw + win), 6) AS eta_squared",
+    )
+
+
+# ------------------------------------------------ Cramer's V effect size
+_CRAMV_CELLS = """
+    SELECT event_type,
+           CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM (
+        SELECT event_type,
+               dayofweek(CAST(ts AS TIMESTAMP)) AS dow
+        FROM events
+    )
+    GROUP BY 1, 2
+"""
+
+# chi2 from dense margins: sum over cells of (o - e)^2 / e with
+# e = row_total * col_total / n. V = sqrt(chi2 / (n * (min(r,c)-1))).
+_CRAMV_FINAL = """
+SELECT r, c, n_total,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(sqrt(chi2 / (n_total * (CASE WHEN r < c THEN r ELSE c END - 1))),
+             6) AS cramers_v
+FROM (
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+           CAST(COUNT(DISTINCT dow) AS BIGINT) AS c,
+           CAST(SUM(o) AS BIGINT) AS n_total,
+           SUM((o - CAST(rt AS DOUBLE) * ct / CAST(nt AS DOUBLE))
+               * (o - CAST(rt AS DOUBLE) * ct / CAST(nt AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * ct / CAST(nt AS DOUBLE))) AS chi2
+    FROM cells_m
+)
+"""
+
+_CRAMV_ORACLE = f"""
+WITH cells AS ({_CRAMV_CELLS}),
+cells_m AS (
+    SELECT event_type, dow, o,
+           SUM(o) OVER (PARTITION BY event_type) AS rt,
+           SUM(o) OVER (PARTITION BY dow) AS ct,
+           SUM(o) OVER () AS nt
+    FROM cells
+)
+{_CRAMV_FINAL}
+"""
+
+
+@query("cramers_v_type_dow", oracle=_CRAMV_ORACLE)
+def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the (event_type x day-of-week)
+    association — the magnitude companion to chi2_type_dow's
+    significance test (a 100 TB chi2 is always "significant"; V is
+    what tells you whether the association matters). Margins are
+    windows over the dense cell table (35 cells), chi2 and V are
+    shared-verbatim expressions over exact BIGINT counts.
+
+    NOTE the dialect trap: Spark dayofweek is 1=Sunday, DuckDB 0=
+    Sunday — V is invariant to column RELABELING, so both engines use
+    their native numbering and only r/c/chi2/V are compared.
+
+    100 TB shape: one scan into the 35-cell aggregate; everything
+    after is windows over cells."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells_m = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("nt"),
+    )
+    _e = "CAST(rt AS DOUBLE) * ct / CAST(nt AS DOUBLE)"
+    inner = cells_m.agg(
+        F.expr("CAST(COUNT(DISTINCT event_type) AS BIGINT)").alias("r"),
+        F.expr("CAST(COUNT(DISTINCT dow) AS BIGINT)").alias("c"),
+        F.expr("CAST(SUM(o) AS BIGINT)").alias("n_total"),
+        F.expr(f"SUM((o - {_e}) * (o - {_e}) / ({_e}))").alias("chi2"),
+    )
+    return inner.selectExpr(
+        "r",
+        "c",
+        "n_total",
+        "ROUND(chi2, 6) AS chi2",
+        "ROUND(sqrt(chi2 / (n_total * (CASE WHEN r < c THEN r ELSE c END"
+        " - 1))), 6) AS cramers_v",
+    )
+
+
+# ------------------------------------------------ UCB1 bandit replay
+# Offline policy replay of UCB1 (Auer et al. 2002) over daily arm
+# rewards. Rewards are micro-unit integers; the UCB score is
+# quantized to 1e-3 micro units before the argmax so the pick
+# comparison is integer-exact on both engines (a last-ulp ln()
+# divergence can never flip a pick). Ties pick the lowest arm id,
+# matching the deterministic CASE order. GREATEST guards keep the
+# score branch total even when CASE branches are evaluated eagerly
+# (vectorized engines compute unselected branches).
+UCB_ARMS = 3
+
+
+def _ucb_score(s: str, n: str, t: str) -> str:
+    return (
+        f"CAST(ROUND((CAST({s} AS DOUBLE)"
+        f" / GREATEST({n}, CAST(1 AS BIGINT))"
+        f" + CAST(1e6 AS DOUBLE) * sqrt(CAST(2.0 AS DOUBLE)"
+        f" * ln(CAST(GREATEST({t} - 1, CAST(1 AS BIGINT)) AS DOUBLE))"
+        f" / GREATEST({n}, CAST(1 AS BIGINT))))"
+        f" * CAST(1000.0 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _ucb_pick(prefix: str, t: str) -> str:
+    """Pick expression over state fields ``{prefix}n0..s2`` at day t."""
+    u = [
+        _ucb_score(f"{prefix}s{i}", f"{prefix}n{i}", t) for i in range(3)
+    ]
+    return (
+        f"(CASE WHEN {t} <= {UCB_ARMS} THEN CAST({t} - 1 AS BIGINT) "
+        f"WHEN {u[0]} >= {u[1]} AND {u[0]} >= {u[2]} THEN CAST(0 AS BIGINT) "
+        f"WHEN {u[1]} >= {u[2]} THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(2 AS BIGINT) END)"
+    )
+
+
+_UCB_DAILY = """
+    SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+           COALESCE(MAX(CASE WHEN arm = 0 THEN rw END), 0) AS rw0,
+           COALESCE(MAX(CASE WHEN arm = 1 THEN rw END), 0) AS rw1,
+           COALESCE(MAX(CASE WHEN arm = 2 THEN rw END), 0) AS rw2
+    FROM (
+        SELECT day, arm,
+               CAST(ROUND(CAST(1e6 AS DOUBLE) * purchasers / actives)
+                    AS BIGINT) AS rw
+        FROM (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 3 AS arm,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS actives,
+                   CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                            THEN user_id END) AS BIGINT)
+                       AS purchasers
+            FROM events
+            GROUP BY 1, 2
+        )
+    )
+    GROUP BY day
+"""
+
+_UCB_FINAL_EXPRS = (
+    "arm",
+    "n_picks",
+    "ROUND(CAST(s_micro AS DOUBLE) / 1e6, 6) AS total_reward",
+    "ROUND(CAST(s_micro AS DOUBLE)"
+    " / GREATEST(n_picks, CAST(1 AS BIGINT)) / 1e6, 6) AS avg_reward",
+)
+
+_UCB_ORACLE = f"""
+WITH RECURSIVE daily AS ({_UCB_DAILY}),
+horizon AS (SELECT CAST(MAX(t) AS BIGINT) AS tmax FROM daily),
+walk(t, n0, n1, n2, s0, s1, s2) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT dt,
+           n0 + CASE WHEN pick = 0 THEN 1 ELSE 0 END,
+           n1 + CASE WHEN pick = 1 THEN 1 ELSE 0 END,
+           n2 + CASE WHEN pick = 2 THEN 1 ELSE 0 END,
+           s0 + CASE WHEN pick = 0 THEN rw0 ELSE 0 END,
+           s1 + CASE WHEN pick = 1 THEN rw1 ELSE 0 END,
+           s2 + CASE WHEN pick = 2 THEN rw2 ELSE 0 END
+    FROM (
+        SELECT d.t AS dt, w.n0, w.n1, w.n2, w.s0, w.s1, w.s2,
+               d.rw0, d.rw1, d.rw2,
+               {_ucb_pick("w.", "d.t")} AS pick
+        FROM walk w JOIN daily d ON d.t = w.t + 1
+    )
+),
+final AS (
+    SELECT w.* FROM walk w, horizon WHERE w.t = tmax
+),
+arms AS (
+    SELECT CAST(0 AS BIGINT) AS arm, n0 AS n_picks, s0 AS s_micro FROM final
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), n1, s1 FROM final
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), n2, s2 FROM final
+)
+SELECT {", ".join(_UCB_FINAL_EXPRS)} FROM arms
+"""
+
+
+@query("ucb1_bandit_replay", oracle=_UCB_ORACLE)
+def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 multi-armed-bandit OFFLINE REPLAY over daily arm rewards —
+    the decision-systems leg the experiment family lacked: SPRT
+    decides when a fixed test stops, the bandit decides what to SERVE
+    while learning. Arms are md5 user splits; each day's reward is
+    that arm's conversion (micro-unit integer); the replayed policy
+    initializes each arm once, then picks
+    argmax(mean + sqrt(2 ln t / n)) with the score quantized to an
+    integer before comparison so both engines' argmax agrees exactly.
+
+    The day-by-day dependence (each pick updates the state the next
+    pick reads) is sequential by nature, so it folds over the
+    SORTED 30-element day array with one aggregate() HOF on a 1-row
+    frame — same discipline as the funnel/Holt folds: the heavy part
+    (daily arm rewards) is distributed, the irreducibly-sequential
+    part is O(days), not O(rows). The oracle replays the identical
+    policy in a DuckDB recursive CTE.
+
+    100 TB shape: one (day, arm)-grained distinct aggregate
+    (map-side combine), a ~30-row pivot, then the O(days) fold."""
+    ev = load_table(spark, sf_dir, "events")
+    per_arm = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 3"
+            ).alias("arm"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("actives"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            )
+            .cast("long")
+            .alias("purchasers"),
+        )
+        .selectExpr(
+            "day",
+            "arm",
+            "CAST(ROUND(CAST(1e6 AS DOUBLE) * purchasers / actives)"
+            " AS BIGINT) AS rw",
+        )
+    )
+    daily = (
+        per_arm.groupBy("day")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("arm") == i, F.col("rw"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"rw{i}")
+                for i in range(3)
+            ]
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+    )
+    arr = daily.agg(
+        F.expr(
+            "sort_array(collect_list(named_struct("
+            "'t', t, 'rw0', rw0, 'rw1', rw1, 'rw2', rw2)))"
+        ).alias("days")
+    )
+    pick = _ucb_pick("acc.", "x.t")
+    zero = "CAST(0 AS BIGINT)"
+    upd_n = ", ".join(
+        f"'n{i}', acc.n{i} + IF({pick} = {i}, CAST(1 AS BIGINT), {zero})"
+        for i in range(3)
+    )
+    upd_s = ", ".join(
+        f"'s{i}', acc.s{i} + IF({pick} = {i}, x.rw{i}, {zero})"
+        for i in range(3)
+    )
+    init = ", ".join(
+        f"'{f}{i}', {zero}" for f in ("n", "s") for i in range(3)
+    )
+    st = arr.selectExpr(
+        f"aggregate(days, named_struct({init}),"
+        f" (acc, x) -> named_struct({upd_n}, {upd_s})) AS st"
+    )
+    arms = st.selectExpr(
+        "stack(3, CAST(0 AS BIGINT), st.n0, st.s0,"
+        " CAST(1 AS BIGINT), st.n1, st.s1,"
+        " CAST(2 AS BIGINT), st.n2, st.s2)"
+        " AS (arm, n_picks, s_micro)"
+    )
+    return arms.selectExpr(*_UCB_FINAL_EXPRS)

@@ -332,3 +332,44 @@ def test_grid_clusters_partition_core_cells(spark):
         h, b = divmod(r["cluster_label"], 1000)
         assert r["hour_min"] <= h <= r["hour_max"]
         assert r["band_min"] <= b <= r["band_max"]
+
+
+def test_anova_eta_squared_matches_variance_decomposition(spark):
+    row = QUERIES["anova_oneway_value"](spark, SF_DIR).collect()[0]
+    assert row["k"] == 5 and row["f_stat"] > 0
+    assert 0.0 <= row["eta_squared"] <= 1.0
+    ev = load_table(spark, SF_DIR, "events")
+    g = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.var_pop("value").alias("v"))
+        .collect()
+    )
+    ssw = sum(r["n"] * r["v"] for r in g)
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.var_pop("value").alias("v")
+    ).collect()[0]
+    sst = tot["n"] * tot["v"]
+    assert abs(row["eta_squared"] - (1 - ssw / sst)) < 1e-4
+
+
+def test_cramers_v_bounds(spark):
+    row = QUERIES["cramers_v_type_dow"](spark, SF_DIR).collect()[0]
+    assert row["r"] == 5 and row["c"] == 7
+    assert row["chi2"] >= 0
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_ucb1_replay_accounting(spark):
+    rows = {r["arm"]: r for r in QUERIES["ucb1_bandit_replay"](spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1, 2}
+    n_days = (
+        load_table(spark, SF_DIR, "events")
+        .select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_picks"] for r in rows.values()) == n_days
+    for r in rows.values():
+        assert r["n_picks"] >= 1  # init phase plays every arm once
+        assert 0.0 <= r["avg_reward"] <= 1.0 + 1e-9
+        assert abs(r["total_reward"] - r["avg_reward"] * r["n_picks"]) < 1e-3
