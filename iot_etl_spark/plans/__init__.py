@@ -60,6 +60,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "anova_oneway_value",
     "cramers_v_type_dow",
     "ucb1_bandit_replay",
+    "wasserstein_weekend_value",
+    "graph_modularity_components",
+    "brier_decomposition",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

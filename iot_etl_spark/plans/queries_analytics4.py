@@ -1950,3 +1950,343 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (arm, n_picks, s_micro)"
     )
     return arms.selectExpr(*_UCB_FINAL_EXPRS)
+
+
+# ------------------------------------------------ 1-D Wasserstein distance
+# Value quantized to CENTS: the cell table is bounded by value range x
+# 100 (~49k cells), not row count. W1 = sum over consecutive cells of
+# |F_we - F_wd| * gap, with the CDF difference kept as an INTEGER
+# cross-product |c1*N2 - c2*N1| until the single final division.
+_W1_CELLS = """
+    SELECT cell,
+           CAST(SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+    FROM (
+        SELECT CAST(ROUND(value * 1e2) AS BIGINT) AS cell,
+               CASE WHEN {we_pred} THEN 1 ELSE 0 END AS we
+        FROM events
+    )
+    GROUP BY 1
+"""
+
+_W1_FINAL = """
+SELECT tot1 AS n_weekend, tot2 AS n_weekday,
+       ROUND(CAST(num AS DOUBLE)
+             / (CAST(tot1 AS DOUBLE) * tot2) / 1e2, 6) AS w1_distance
+FROM (
+    SELECT CAST(SUM(ABS(c1 * tot2 - c2 * tot1) * gap) AS BIGINT) AS num,
+           MAX(tot1) AS tot1, MAX(tot2) AS tot2
+    FROM steps
+)
+"""
+
+
+def _w1_oracle() -> str:
+    cells = _W1_CELLS.format(
+        we_pred="dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)"
+    )
+    return f"""
+WITH cells AS ({cells}),
+steps AS (
+    SELECT cell,
+           SUM(n1) OVER w AS c1,
+           SUM(n2) OVER w AS c2,
+           SUM(n1) OVER () AS tot1,
+           SUM(n2) OVER () AS tot2,
+           COALESCE(LEAD(cell) OVER (ORDER BY cell) - cell, 0) AS gap
+    FROM cells
+    WINDOW w AS (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+)
+{_W1_FINAL}
+"""
+
+
+@query("wasserstein_weekend_value", oracle=_w1_oracle())
+def wasserstein_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the weekend and
+    weekday value distributions — the MAGNITUDE leg of the
+    distribution-shift family: KS (ks_weekend_value) reports the sup
+    CDF gap, PSI buckets coarsely, W1 integrates |F1 - F2| over the
+    support and reads in VALUE UNITS ("weekend values sit ~x.xx
+    higher"), which is what a drift alert should say.
+
+    Exactness: cents-quantized cells, cumulative counts as integers,
+    the CDF difference as the integer cross-product c1*N2 - c2*N1,
+    one division at the end. The step integral multiplies by the gap
+    to the next occupied cell (trailing cell contributes 0 — both
+    CDFs are 1 there).
+
+    100 TB shape: one scan into a resolution-bounded cell aggregate,
+    three windows over cells. Same cell-table discipline as the KS
+    twin; the two queries can share the cell stage at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.expr("CAST(ROUND(value * 1e2) AS BIGINT)").alias("cell"),
+            F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("we"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum(F.expr("CASE WHEN we = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.expr("CASE WHEN we = 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    wcum = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    steps = cells.select(
+        "cell",
+        F.sum("n1").over(wcum).alias("c1"),
+        F.sum("n2").over(wcum).alias("c2"),
+        F.sum("n1").over(wall).alias("tot1"),
+        F.sum("n2").over(wall).alias("tot2"),
+        F.coalesce(
+            F.lead("cell").over(Window.orderBy("cell")) - F.col("cell"),
+            F.lit(0),
+        ).alias("gap"),
+    )
+    inner = steps.agg(
+        F.expr("CAST(SUM(ABS(c1 * tot2 - c2 * tot1) * gap) AS BIGINT)")
+        .alias("num"),
+        F.max("tot1").alias("tot1"),
+        F.max("tot2").alias("tot2"),
+    )
+    return inner.selectExpr(
+        "tot1 AS n_weekend",
+        "tot2 AS n_weekday",
+        "ROUND(CAST(num AS DOUBLE)"
+        " / (CAST(tot1 AS DOUBLE) * tot2) / 1e2, 6) AS w1_distance",
+    )
+
+
+# ------------------------------------------------ graph modularity
+_MOD_Q_TERM = (
+    "(CAST(w_in AS DOUBLE) / m"
+    " - (CAST(d AS DOUBLE) / (CAST(2.0 AS DOUBLE) * m))"
+    " * (CAST(d AS DOUBLE) / (CAST(2.0 AS DOUBLE) * m)))"
+)
+
+_MOD_ORACLE = f"""
+WITH RECURSIVE a AS (
+    SELECT b, user_id FROM {duck_capped_activity(
+        "epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) // 1000000",
+        COACT_BUCKET_CAP,
+    )}
+),
+e AS (
+    SELECT DISTINCT x.user_id AS ua, y.user_id AS ub
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id < y.user_id
+),
+und AS (
+    SELECT ua AS u, ub AS v FROM e UNION ALL SELECT ub, ua FROM e
+),
+nodes AS (SELECT DISTINCT u FROM und),
+walk(s, r) AS (
+    SELECT u, u FROM nodes
+    UNION
+    SELECT walk.s, und.v FROM walk JOIN und ON und.u = walk.r
+),
+lbl AS (SELECT s AS u, MIN(r) AS label FROM walk GROUP BY 1),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+m_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+comm AS (
+    SELECT l.label,
+           CAST(SUM(deg.d) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg JOIN lbl l ON l.u = deg.u
+    GROUP BY 1
+),
+w_in AS (
+    SELECT la.label, CAST(COUNT(*) AS BIGINT) AS w_in
+    FROM e
+    JOIN lbl la ON la.u = e.ua
+    JOIN lbl lb ON lb.u = e.ub
+    WHERE la.label = lb.label
+    GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+       MAX(m) AS n_edges,
+       CAST(MAX(n_nodes) AS BIGINT) AS largest_component,
+       ROUND(SUM({_MOD_Q_TERM}), 6) AS modularity
+FROM comm
+JOIN w_in USING (label), m_
+"""
+
+
+@query("graph_modularity_components", oracle=_MOD_ORACLE)
+def graph_modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the capped co-activity graph under its
+    connected-component partition — the graph-quality audit the
+    cluster family reports ON (PageRank ranks nodes, k-core trims
+    them, CC groups them; Q says whether the grouping is denser than
+    chance). Q = sum over communities of (w_in/m - (d/2m)^2); for a
+    partition into exact connected components every edge is
+    within-community, so Q = 1 - sum((d/2m)^2) and Q >= 0 — pinned as
+    an invariant. Labels come from the shared min-label CC loop; the
+    oracle labels by recursive reachability, an independent
+    algorithm.
+
+    Exactness: all aggregates (within-edges, degree sums, edge count)
+    are integers; each community's Q term is one shared-verbatim
+    double expression.
+
+    100 TB shape: edge list is the stage-cached capped adjacency
+    artifact; degree/label joins shuffle on the vertex key; the Q sum
+    runs over the component table (bounded by component count)."""
+    from iot_etl_spark.plans.queries_text import _min_label_components
+
+    edges = capped_coactivity_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("ua").alias("a"), F.col("ub").alias("b")
+    ).unionAll(edges.select(F.col("ub").alias("a"), F.col("ua").alias("b")))
+    labels = _min_label_components(sym).withColumnRenamed("doc_id", "u")
+    deg = (
+        sym.groupBy(F.col("a").alias("u"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    m_ = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    comm = (
+        deg.join(labels, "u")
+        .groupBy("label")
+        .agg(
+            F.sum("d").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    la = labels.select(F.col("u").alias("ua"), F.col("label").alias("la"))
+    lb = labels.select(F.col("u").alias("ub"), F.col("label").alias("lb"))
+    w_in = (
+        edges.join(la, "ua")
+        .join(lb, "ub")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w_in"))
+    )
+    return (
+        comm.join(w_in, "label")
+        .crossJoin(F.broadcast(m_))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("m").alias("n_edges"),
+            F.max("n_nodes").cast("long").alias("largest_component"),
+            F.round(F.sum(F.expr(_MOD_Q_TERM)), 6).alias("modularity"),
+        )
+    )
+
+
+# ------------------------------------------------ Brier decomposition
+# Murphy decomposition over the SAME calibration cells as
+# calibration_bins: Brier = reliability - resolution + uncertainty.
+# Composes VERBATIM over the classifier oracle via the imported bin /
+# nano-confidence expressions, so the whole lineage (scoring ->
+# binning -> decomposition) is cross-engine exact.
+_BRIER_F = "(sum_pnano / (CAST(n_docs AS DOUBLE) * 1e9))"
+_BRIER_O = "(CAST(n_pos AS DOUBLE) / n_docs)"
+# the base rate is a per-row constant (window totals), so it can sit
+# INSIDE the SUM without nesting aggregates
+_BRIER_OBAR_ROW = "(CAST(pos_total AS DOUBLE) / n_total)"
+_BRIER_REL = (
+    f"(SUM(n_docs * ({_BRIER_F} - {_BRIER_O}) * ({_BRIER_F} - {_BRIER_O}))"
+    f" / MAX(CAST(n_total AS DOUBLE)))"
+)
+_BRIER_RES = (
+    f"(SUM(n_docs * ({_BRIER_O} - {_BRIER_OBAR_ROW})"
+    f" * ({_BRIER_O} - {_BRIER_OBAR_ROW}))"
+    f" / MAX(CAST(n_total AS DOUBLE)))"
+)
+_BRIER_UNC = (
+    f"(MAX({_BRIER_OBAR_ROW})"
+    f" * (CAST(1.0 AS DOUBLE) - MAX({_BRIER_OBAR_ROW})))"
+)
+
+
+def _brier_oracle() -> str:
+    from iot_etl_spark.plans.queries_mlprep import (
+        _CAL_BIN_SQL,
+        _CAL_PNANO_SQL,
+        _CLASSIFIER_ORACLE,
+    )
+
+    return f"""
+WITH cls AS ({_CLASSIFIER_ORACLE}),
+b AS (
+    SELECT {_CAL_BIN_SQL} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           CAST(SUM({_CAL_PNANO_SQL}) AS BIGINT) AS sum_pnano
+    FROM cls GROUP BY 1
+),
+t AS (
+    SELECT b.*,
+           SUM(n_docs) OVER () AS n_total,
+           SUM(n_pos) OVER () AS pos_total
+    FROM b
+)
+SELECT CAST(MAX(n_total) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND({_BRIER_REL}, 6) AS reliability,
+       ROUND({_BRIER_RES}, 6) AS resolution,
+       ROUND({_BRIER_UNC}, 6) AS uncertainty,
+       ROUND({_BRIER_REL} - {_BRIER_RES} + {_BRIER_UNC}, 6) AS brier_score
+FROM t
+"""
+
+
+@query("brier_decomposition", oracle=_brier_oracle())
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality classifier's Brier score
+    over the calibration cells: reliability (how far bin confidence
+    sits from bin outcome — what ECE also measures, but squared),
+    resolution (how much the bins separate the base rate; higher is
+    better), uncertainty (the label's intrinsic variance). Brier =
+    REL - RES + UNC ties the calibration family together: ECE says
+    "miscalibrated by x", the decomposition says whether the model is
+    uninformative (low RES) or fixable by recalibration (high REL).
+
+    Composes verbatim over the classifier + calibration-bin
+    expressions (imported, not re-derived), so both engines score,
+    bin, and decompose with identical trees over exact integer cells.
+
+    100 TB shape: identical to calibration_bins — zero-shuffle
+    scoring scan, <= 21 bin cells, windows and the final fold on the
+    tiny bin frame."""
+    from iot_etl_spark.plans.queries_mlprep import (
+        _CAL_BIN_SQL,
+        _CAL_PNANO_SQL,
+        quality_classifier_score,
+    )
+
+    cls = quality_classifier_score(spark, sf_dir)
+    b = (
+        cls.select(
+            F.expr(_CAL_BIN_SQL).alias("bin"),
+            (F.col("lang") == "en").cast("int").alias("pos"),
+            F.expr(_CAL_PNANO_SQL).alias("pnano"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("pnano").cast("long").alias("sum_pnano"),
+        )
+    )
+    t = b.select(
+        "*",
+        F.sum("n_docs").over(Window.partitionBy()).alias("n_total"),
+        F.sum("n_pos").over(Window.partitionBy()).alias("pos_total"),
+    )
+    return t.agg(
+        F.expr("CAST(MAX(n_total) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_bins"),
+        F.round(F.expr(_BRIER_REL), 6).alias("reliability"),
+        F.round(F.expr(_BRIER_RES), 6).alias("resolution"),
+        F.round(F.expr(_BRIER_UNC), 6).alias("uncertainty"),
+        F.round(
+            F.expr(f"{_BRIER_REL} - {_BRIER_RES} + {_BRIER_UNC}"), 6
+        ).alias("brier_score"),
+    )

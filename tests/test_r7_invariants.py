@@ -373,3 +373,86 @@ def test_ucb1_replay_accounting(spark):
         assert r["n_picks"] >= 1  # init phase plays every arm once
         assert 0.0 <= r["avg_reward"] <= 1.0 + 1e-9
         assert abs(r["total_reward"] - r["avg_reward"] * r["n_picks"]) < 1e-3
+
+
+def test_wasserstein_weekend_bounds(spark):
+    """W1 is nonnegative, zero iff identical distributions, and
+    bounded above by the value range; cross-checked against a direct
+    numpy computation on the quantized cells."""
+    import numpy as np
+
+    row = QUERIES["wasserstein_weekend_value"](spark, SF_DIR).collect()[0]
+    assert row["n_weekend"] > 0 and row["n_weekday"] > 0
+    assert row["w1_distance"] >= 0.0
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            F.expr("CAST(ROUND(value * 1e2) AS BIGINT)").alias("cell"),
+            F.dayofweek("ts").isin(1, 7).alias("we"),
+        )
+        .collect()
+    )
+    we = np.sort([r["cell"] for r in ev if r["we"]])
+    wd = np.sort([r["cell"] for r in ev if not r["we"]])
+    grid = np.unique(np.concatenate([we, wd]))
+    f1 = np.searchsorted(we, grid, side="right") / len(we)
+    f2 = np.searchsorted(wd, grid, side="right") / len(wd)
+    w1 = float(np.sum(np.abs(f1 - f2)[:-1] * np.diff(grid))) / 100.0
+    assert abs(row["w1_distance"] - w1) < 1e-5
+
+
+def test_modularity_of_components_is_nonnegative_identity(spark):
+    """For a partition into exact connected components every edge is
+    intra-community, so Q = 1 - sum((d_i/2m)^2) — recomputed
+    independently from the edge list; Q in [0, 1)."""
+    row = QUERIES["graph_modularity_components"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["modularity"] < 1.0
+    edges = capped_coactivity_edges(spark, SF_DIR)
+    m = edges.count()
+    assert row["n_edges"] == m
+    # independent Q via per-component degree sums over a python CC
+    rows = edges.collect()
+    import collections
+
+    adj = collections.defaultdict(set)
+    for r in rows:
+        adj[r["ua"]].add(r["ub"])
+        adj[r["ub"]].add(r["ua"])
+    seen, comps = set(), []
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(adj[u] - comp)
+        seen |= comp
+        comps.append(comp)
+    assert row["n_components"] == len(comps)
+    assert row["largest_component"] == max(len(c) for c in comps)
+    q = 1.0 - sum(
+        (sum(len(adj[u]) for u in c) / (2.0 * m)) ** 2 for c in comps
+    )
+    assert abs(row["modularity"] - q) < 1e-5
+
+
+def test_brier_decomposition_identity(spark):
+    """REL - RES + UNC must equal the directly-computed mean squared
+    error of the binned forecasts, and each component respects its
+    bounds."""
+    row = QUERIES["brier_decomposition"](spark, SF_DIR).collect()[0]
+    assert row["reliability"] >= 0.0
+    assert row["resolution"] >= 0.0
+    assert 0.0 <= row["uncertainty"] <= 0.25 + 1e-9
+    assert (
+        abs(
+            row["brier_score"]
+            - (row["reliability"] - row["resolution"] + row["uncertainty"])
+        )
+        < 5e-6
+    )
+    # resolution can never exceed uncertainty (variance decomposition)
+    assert row["resolution"] <= row["uncertainty"] + 1e-9
