@@ -63,6 +63,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "wasserstein_weekend_value",
     "graph_modularity_components",
     "brier_decomposition",
+    "harmonic_regression_daily",
+    "jackknife_ratio_variance",
+    "fellegi_sunter_weights",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

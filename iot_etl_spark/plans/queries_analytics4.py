@@ -182,29 +182,38 @@ RIDGE_LAMBDA = "CAST(1.0 AS DOUBLE)"
 # over the 1-row moments frame (columns n s1 s2 s11 s12 s22 sy s1y
 # s2y syy, all already DOUBLE). Only * + - / on doubles with an
 # identical expression tree on both engines -> bit-identical betas.
-_A11 = f"(n + {RIDGE_LAMBDA})"
-_A22 = f"(s11 + {RIDGE_LAMBDA})"
-_A33 = f"(s22 + {RIDGE_LAMBDA})"
-_DET = (
-    f"({_A11} * ({_A22} * {_A33} - s12 * s12)"
-    f" - s1 * (s1 * {_A33} - s12 * s2)"
-    f" + s2 * (s1 * s12 - {_A22} * s2))"
-)
-_B0 = (
-    f"((sy * ({_A22} * {_A33} - s12 * s12)"
-    f" - s1 * (s1y * {_A33} - s12 * s2y)"
-    f" + s2 * (s1y * s12 - {_A22} * s2y)) / {_DET})"
-)
-_B1 = (
-    f"(({_A11} * (s1y * {_A33} - s12 * s2y)"
-    f" - sy * (s1 * {_A33} - s12 * s2)"
-    f" + s2 * (s1 * s2y - s1y * s2)) / {_DET})"
-)
-_B2 = (
-    f"(({_A11} * ({_A22} * s2y - s1y * s12)"
-    f" - s1 * (s1 * s2y - s1y * s2)"
-    f" + sy * (s1 * s12 - {_A22} * s2)) / {_DET})"
-)
+# Parameterized by the ridge penalty so the harmonic fit (lambda=0)
+# reuses the identical solve text.
+
+
+def _cramer3(lam: str) -> tuple[str, str, str]:
+    a11 = f"(n + {lam})"
+    a22 = f"(s11 + {lam})"
+    a33 = f"(s22 + {lam})"
+    det = (
+        f"({a11} * ({a22} * {a33} - s12 * s12)"
+        f" - s1 * (s1 * {a33} - s12 * s2)"
+        f" + s2 * (s1 * s12 - {a22} * s2))"
+    )
+    b0 = (
+        f"((sy * ({a22} * {a33} - s12 * s12)"
+        f" - s1 * (s1y * {a33} - s12 * s2y)"
+        f" + s2 * (s1y * s12 - {a22} * s2y)) / {det})"
+    )
+    b1 = (
+        f"(({a11} * (s1y * {a33} - s12 * s2y)"
+        f" - sy * (s1 * {a33} - s12 * s2)"
+        f" + s2 * (s1 * s2y - s1y * s2)) / {det})"
+    )
+    b2 = (
+        f"(({a11} * ({a22} * s2y - s1y * s12)"
+        f" - s1 * (s1 * s2y - s1y * s2)"
+        f" + sy * (s1 * s12 - {a22} * s2)) / {det})"
+    )
+    return b0, b1, b2
+
+
+_B0, _B1, _B2 = _cramer3(RIDGE_LAMBDA)
 # Training MSE from the same moments: (y'y - 2 b.X'y + b.X'X b) / n
 # (raw X'X here, not the ridge-augmented matrix).
 _MSE = (
@@ -2289,4 +2298,364 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr(f"{_BRIER_REL} - {_BRIER_RES} + {_BRIER_UNC}"), 6
         ).alias("brier_score"),
+    )
+
+
+# ------------------------------------------------ harmonic regression
+# Daily-cycle fit: value ~ b0 + b1 cos(2 pi h/24) + b2 sin(2 pi h/24).
+# Features are micro-quantized BIGINTs (the DFT device: cos/sin of a
+# SMALL argument, 24 distinct values, rounded to 1e-6 before any sum
+# — 1e-9 features overflow DuckDB's DECIMAL(18) multiply),
+# y is micro-quantized; moments accumulate as exact DECIMALs, convert
+# to natural units once, and the lambda=0 Cramer solve reuses the
+# ridge's verbatim text.
+_HARM_B0, _HARM_B1, _HARM_B2 = _cramer3("CAST(0.0 AS DOUBLE)")
+
+_HARM_MOMENTS = """
+    SELECT CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n,
+           CAST(SUM(fc) AS DOUBLE) / 1e6 AS s1,
+           CAST(SUM(fs) AS DOUBLE) / 1e6 AS s2,
+           CAST(SUM(fc * fc) AS DOUBLE) / 1e12 AS s11,
+           CAST(SUM(fc * fs) AS DOUBLE) / 1e12 AS s12,
+           CAST(SUM(fs * fs) AS DOUBLE) / 1e12 AS s22,
+           CAST(SUM(vq) AS DOUBLE) AS sy,
+           CAST(SUM(fc * vq) AS DOUBLE) / 1e6 AS s1y,
+           CAST(SUM(fs * vq) AS DOUBLE) / 1e6 AS s2y,
+           CAST(SUM(vq * vq) AS DOUBLE) AS syy,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+        SELECT CAST(CAST(ROUND(cos(2 * pi() * h / 24) * 1e6) AS BIGINT)
+                    AS DECIMAL(18,0)) AS fc,
+               CAST(CAST(ROUND(sin(2 * pi() * h / 24) * 1e6) AS BIGINT)
+                    AS DECIMAL(18,0)) AS fs,
+               CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS DECIMAL(18,0))
+                   AS vq
+        FROM (SELECT {hod} AS h, value FROM events)
+    )
+"""
+
+_HARM_SSE = (
+    "(syy - CAST(2.0 AS DOUBLE) * (b0 * sy + b1 * s1y + b2 * s2y)"
+    " + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22"
+    " + CAST(2.0 AS DOUBLE) * (b0 * b1 * s1 + b0 * b2 * s2"
+    " + b1 * b2 * s12)))"
+)
+_HARM_SST = "(syy - sy * sy / n)"
+
+_HARM_FINAL = f"""
+SELECT n_rows,
+       ROUND(b0 / 1e6, 6) AS beta_level,
+       ROUND(b1 / 1e6, 6) AS beta_cos,
+       ROUND(b2 / 1e6, 6) AS beta_sin,
+       ROUND(sqrt(b1 * b1 + b2 * b2) / 1e6, 6) AS amplitude,
+       ROUND(CAST(1.0 AS DOUBLE) - {_HARM_SSE} / {_HARM_SST}, 6) AS r2
+FROM b
+"""
+
+
+def _harmonic_oracle() -> str:
+    m = _HARM_MOMENTS.format(
+        hod="CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    )
+    return f"""
+WITH m AS ({m}),
+b AS (
+    SELECT m.*, {_HARM_B0} AS b0, {_HARM_B1} AS b1, {_HARM_B2} AS b2
+    FROM m
+)
+{_HARM_FINAL}
+"""
+
+
+@query("harmonic_regression_daily", oracle=_harmonic_oracle())
+def harmonic_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic (cosinor) regression of value on the daily cycle —
+    the MODEL the DFT periodogram only detects: closed-form least
+    squares on cos/sin features gives the cycle's level, amplitude,
+    and fit share (R^2) in value units. Same training-as-aggregation
+    shape as ridge_normal_equations (one scan, ten moments, verbatim
+    Cramer solve with lambda=0 reusing the identical text); features
+    follow the DFT determinism device — cos/sin of a SMALL argument
+    (hour-of-day), micro-quantized before any accumulation.
+
+    100 TB shape: one scan, map-side decimal moment fold, O(1)
+    solve. Adding weekly harmonics is two more feature columns."""
+    ev = load_table(spark, sf_dir, "events")
+    pre = ev.selectExpr(
+        "CAST(CAST(ROUND(cos(2 * pi() * hour(ts) / 24) * 1e6) AS BIGINT)"
+        " AS DECIMAL(18,0)) AS fc",
+        "CAST(CAST(ROUND(sin(2 * pi() * hour(ts) / 24) * 1e6) AS BIGINT)"
+        " AS DECIMAL(18,0)) AS fs",
+        "CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS DECIMAL(18,0)) AS vq",
+    )
+    m = pre.agg(
+        F.expr("CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(fc) AS DOUBLE) / 1e6").alias("s1"),
+        F.expr("CAST(SUM(fs) AS DOUBLE) / 1e6").alias("s2"),
+        F.expr("CAST(SUM(fc * fc) AS DOUBLE) / 1e12").alias("s11"),
+        F.expr("CAST(SUM(fc * fs) AS DOUBLE) / 1e12").alias("s12"),
+        F.expr("CAST(SUM(fs * fs) AS DOUBLE) / 1e12").alias("s22"),
+        F.expr("CAST(SUM(vq) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(SUM(fc * vq) AS DOUBLE) / 1e6").alias("s1y"),
+        F.expr("CAST(SUM(fs * vq) AS DOUBLE) / 1e6").alias("s2y"),
+        F.expr("CAST(SUM(vq * vq) AS DOUBLE)").alias("syy"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+    )
+    b = m.select(
+        "*",
+        F.expr(_HARM_B0).alias("b0"),
+        F.expr(_HARM_B1).alias("b1"),
+        F.expr(_HARM_B2).alias("b2"),
+    )
+    return b.selectExpr(
+        "n_rows",
+        "ROUND(b0 / 1e6, 6) AS beta_level",
+        "ROUND(b1 / 1e6, 6) AS beta_cos",
+        "ROUND(b2 / 1e6, 6) AS beta_sin",
+        "ROUND(sqrt(b1 * b1 + b2 * b2) / 1e6, 6) AS amplitude",
+        f"ROUND(CAST(1.0 AS DOUBLE) - {_HARM_SSE} / {_HARM_SST}, 6) AS r2",
+    )
+
+
+# ------------------------------------------------ jackknife ratio variance
+_JACK_K = 5
+_JACK_CELLS = f"""
+    SELECT fold,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS purchases
+    FROM (
+        SELECT user_id, event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {_JACK_K} AS fold
+        FROM events
+    )
+    GROUP BY 1
+"""
+
+_JACK_THETA_I = (
+    "(CAST(tp - purchases AS DOUBLE) / (tn - n_users))"
+)
+
+_JACK_ORACLE = f"""
+WITH cells AS ({_JACK_CELLS}),
+t AS (
+    SELECT cells.*,
+           SUM(purchases) OVER () AS tp,
+           SUM(n_users) OVER () AS tn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS k
+    FROM cells
+),
+lo AS (
+    SELECT t.*, {_JACK_THETA_I} AS theta_i,
+           AVG({_JACK_THETA_I}) OVER () AS theta_bar
+    FROM t
+)
+SELECT MAX(k) AS k,
+       ROUND(CAST(MAX(tp) AS DOUBLE) / MAX(tn), 6) AS theta,
+       ROUND(sqrt((MAX(k) - CAST(1.0 AS DOUBLE)) / MAX(k)
+                  * SUM((theta_i - theta_bar) * (theta_i - theta_bar))),
+             6) AS se_jackknife
+FROM lo
+"""
+
+
+@query("jackknife_ratio_variance", oracle=_JACK_ORACLE)
+def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error of the ratio metric
+    purchases-per-user — the resampling-based uncertainty the
+    bootstrap query (bootstrap_mean_ci) gives for means, specialized
+    to RATIOS where naive per-row variance is wrong (numerator and
+    denominator covary). Groups are the md5 user folds (users
+    partition exactly, so distinct counts add); each leave-one-out
+    ratio comes from integer total-minus-fold arithmetic; the only
+    doubles are the shared-verbatim theta expressions.
+
+    100 TB shape: one (user, fold)-grained aggregate, then windows
+    over the k-row cell frame — the jackknife over a billion users
+    costs one distinct-count shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 8),"
+                f" 16, 10) AS BIGINT) % {_JACK_K}"
+            ).alias("fold"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("purchases"),
+        )
+    )
+    w = Window.partitionBy()
+    t = cells.select(
+        "*",
+        F.sum("purchases").over(w).alias("tp"),
+        F.sum("n_users").over(w).alias("tn"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k"),
+    )
+    lo = t.select(
+        "*",
+        F.expr(_JACK_THETA_I).alias("theta_i"),
+        F.expr(f"AVG({_JACK_THETA_I}) OVER ()").alias("theta_bar"),
+    )
+    return lo.agg(
+        F.max("k").alias("k"),
+        F.expr("ROUND(CAST(MAX(tp) AS DOUBLE) / MAX(tn), 6)").alias("theta"),
+        F.expr(
+            "ROUND(sqrt((MAX(k) - CAST(1.0 AS DOUBLE)) / MAX(k)"
+            " * SUM((theta_i - theta_bar) * (theta_i - theta_bar))), 6)"
+        ).alias("se_jackknife"),
+    )
+
+
+# ------------------------------------------------ Fellegi-Sunter weights
+# Unsupervised m/u estimation: u = P(field agrees | random pair),
+# exact from value frequencies (sum n_v(n_v-1) / N(N-1)); m =
+# P(agrees | pseudo-match), estimated over the high-precision
+# editdist<=2 candidate subset with Laplace +1/+2 smoothing. All
+# counts integers; the only doubles are the shared-verbatim ln-ratio
+# weights.
+_FS_M_T = "(CAST(mt + 1 AS DOUBLE) / (mp + 2))"
+_FS_M_S = "(CAST(ms + 1 AS DOUBLE) / (mp + 2))"
+_FS_U_T = "(CAST(ut AS DOUBLE) / ud)"
+_FS_U_S = "(CAST(us AS DOUBLE) / ud)"
+_FS_SCORE = (
+    f"(CASE WHEN ta = 1 THEN ln({_FS_M_T} / {_FS_U_T}) "
+    f"ELSE ln((CAST(1.0 AS DOUBLE) - {_FS_M_T})"
+    f" / (CAST(1.0 AS DOUBLE) - {_FS_U_T})) END"
+    f" + CASE WHEN sa = 1 THEN ln({_FS_M_S} / {_FS_U_S}) "
+    f"ELSE ln((CAST(1.0 AS DOUBLE) - {_FS_M_S})"
+    f" / (CAST(1.0 AS DOUBLE) - {_FS_U_S})) END)"
+)
+
+_FS_ORACLE = f"""
+WITH p AS (
+    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           split_part(p_name, ' ', 2) AS noun
+    FROM part
+),
+pairs AS (
+    SELECT CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ta,
+           CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS sa,
+           CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                THEN 1 ELSE 0 END AS pseudo
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
+),
+m_ AS (
+    SELECT CAST(SUM(pseudo) AS BIGINT) AS mp,
+           CAST(SUM(pseudo * ta) AS BIGINT) AS mt,
+           CAST(SUM(pseudo * sa) AS BIGINT) AS ms
+    FROM pairs
+),
+u_ AS (
+    SELECT (SELECT CAST(SUM(c * (c - 1)) AS BIGINT)
+            FROM (SELECT COUNT(*) AS c FROM p GROUP BY p_type)) AS ut,
+           (SELECT CAST(SUM(c * (c - 1)) AS BIGINT)
+            FROM (SELECT COUNT(*) AS c FROM p GROUP BY p_size)) AS us,
+           (SELECT CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) FROM p) AS ud
+),
+cells AS (
+    SELECT ta, sa, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(pseudo) AS BIGINT) AS n_pseudo
+    FROM pairs GROUP BY 1, 2
+)
+SELECT CAST(ta AS BIGINT) AS type_agree,
+       CAST(sa AS BIGINT) AS size_agree,
+       n_pairs, n_pseudo,
+       ROUND({_FS_SCORE}, 6) AS fs_weight
+FROM cells, m_, u_
+"""
+
+
+@query("fellegi_sunter_weights", oracle=_FS_ORACLE)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over the
+    blocking_link_pairs candidate space: each (type, size) agreement
+    pattern gets the classic log-likelihood match weight
+    sum_f ln(m_f/u_f) (agree) or ln((1-m_f)/(1-u_f)) (disagree) — the
+    scoring layer that turns the blocking family's candidate pairs
+    into ranked link decisions. u comes EXACTLY from value
+    frequencies (probability a random pair agrees); m is estimated
+    on the high-precision editdist<=2 subset with Laplace smoothing —
+    the standard unsupervised shortcut when no labeled matches exist
+    (EM would refine it; the weights' algebra is identical).
+
+    100 TB shape: u-statistics are two tiny frequency aggregates;
+    the pair expansion stays confined to (noun, brand) blocks exactly
+    like blocking_link_pairs; patterns collapse to <= 4 cells before
+    any double arithmetic."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    a = p.select(*[F.col(c).alias(f"{c}_a") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"{c}_b") for c in p.columns])
+    pairs = (
+        a.join(
+            b,
+            (F.col("noun_a") == F.col("noun_b"))
+            & (F.col("p_brand_a") == F.col("p_brand_b"))
+            & (F.col("p_partkey_a") < F.col("p_partkey_b"))
+            & (F.col("p_name_a") != F.col("p_name_b")),
+        )
+        .select(
+            (F.col("p_type_a") == F.col("p_type_b"))
+            .cast("int")
+            .alias("ta"),
+            (F.col("p_size_a") == F.col("p_size_b"))
+            .cast("int")
+            .alias("sa"),
+            (
+                F.levenshtein(F.col("p_name_a"), F.col("p_name_b")) <= 2
+            )
+            .cast("int")
+            .alias("pseudo"),
+        )
+    )
+    m_ = pairs.agg(
+        F.sum("pseudo").cast("long").alias("mp"),
+        F.sum(F.col("pseudo") * F.col("ta")).cast("long").alias("mt"),
+        F.sum(F.col("pseudo") * F.col("sa")).cast("long").alias("ms"),
+    )
+    ut = (
+        p.groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.expr("CAST(SUM(c * (c - 1)) AS BIGINT)").alias("ut"))
+    )
+    us = (
+        p.groupBy("p_size")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.expr("CAST(SUM(c * (c - 1)) AS BIGINT)").alias("us"))
+    )
+    ud = p.agg(
+        F.expr("CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT)").alias("ud")
+    )
+    cells = pairs.groupBy("ta", "sa").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("pseudo").cast("long").alias("n_pseudo"),
+    )
+    out = (
+        cells.crossJoin(F.broadcast(m_))
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(us))
+        .crossJoin(F.broadcast(ud))
+    )
+    return out.selectExpr(
+        "CAST(ta AS BIGINT) AS type_agree",
+        "CAST(sa AS BIGINT) AS size_agree",
+        "n_pairs",
+        "n_pseudo",
+        f"ROUND({_FS_SCORE}, 6) AS fs_weight",
     )

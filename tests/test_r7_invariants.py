@@ -456,3 +456,46 @@ def test_brier_decomposition_identity(spark):
     )
     # resolution can never exceed uncertainty (variance decomposition)
     assert row["resolution"] <= row["uncertainty"] + 1e-9
+
+
+def test_harmonic_regression_beats_mean_and_amplitude(spark):
+    row = QUERIES["harmonic_regression_daily"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["r2"] < 1.0
+    amp = (row["beta_cos"] ** 2 + row["beta_sin"] ** 2) ** 0.5
+    assert abs(row["amplitude"] - amp) < 1e-4
+    # the level term approximates the global mean when the harmonics
+    # are near-orthogonal to the intercept (balanced hours)
+    mean = (
+        load_table(spark, SF_DIR, "events")
+        .agg(F.avg("value"))
+        .collect()[0][0]
+    )
+    assert abs(row["beta_level"] - mean) < 0.05 * abs(mean) + 1.0
+
+
+def test_jackknife_se_positive_and_theta_exact(spark):
+    row = QUERIES["jackknife_ratio_variance"](spark, SF_DIR).collect()[0]
+    assert row["k"] == 5
+    assert row["se_jackknife"] >= 0.0
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert abs(row["theta"] - purchases / n_users) < 1e-5
+
+
+def test_fellegi_sunter_weight_ordering(spark):
+    """Full agreement must outrank full disagreement, and the weight
+    must be monotone in each field's agreement (agree weight >
+    disagree weight per field given smoothing and m > u)."""
+    rows = {
+        (r["type_agree"], r["size_agree"]): r["fs_weight"]
+        for r in QUERIES["fellegi_sunter_weights"](spark, SF_DIR).collect()
+    }
+    assert rows
+    if (1, 1) in rows and (0, 0) in rows:
+        assert rows[(1, 1)] > rows[(0, 0)]
+    for (ta, sa), w in rows.items():
+        if (1 - ta, sa) in rows and ta == 1:
+            assert w > rows[(0, sa)]
+        if (ta, 1 - sa) in rows and sa == 1:
+            assert w > rows[(ta, 0)]
