@@ -66,6 +66,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "harmonic_regression_daily",
     "jackknife_ratio_variance",
     "fellegi_sunter_weights",
+    "acf_pacf_hourly",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

@@ -2659,3 +2659,166 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pseudo",
         f"ROUND({_FS_SCORE}, 6) AS fs_weight",
     )
+
+
+# ------------------------------------------------ ACF / PACF
+# Autocorrelation of the hourly mean-value series at lags 0..8, with
+# partial autocorrelations at lags 1..3 from the closed-form
+# Yule-Walker solves (the Durbin-Levinson recursion unrolled — at
+# these orders the verbatim algebra is simpler and engine-identical).
+# Deviations convert to value units before the product so the
+# nano-quantized cross terms stay far inside BIGINT.
+ACF_MAX_LAG = 8
+
+_ACF_SERIES = """
+    SELECT ROW_NUMBER() OVER (ORDER BY bucket) AS idx,
+           CAST(svq AS DOUBLE) / cnt / 1e6 AS y
+    FROM (
+        SELECT {bucket} AS bucket,
+               CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS svq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY 1
+    )
+"""
+
+_PACF_2 = "((r2 - r1 * r1) / (CAST(1.0 AS DOUBLE) - r1 * r1))"
+# lag-3 Yule-Walker: solve the 3x3 Toeplitz system; phi_33 by Cramer.
+_PACF_3_DET = (
+    "(CAST(1.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - r1 * r1)"
+    " - r1 * (r1 - r1 * r2) + r2 * (r1 * r1 - r2))"
+)
+# phi_33 = det([[1, r1, r1], [r1, 1, r2], [r2, r1, r3]]) / det(R3)
+_PACF_3 = (
+    "(((CAST(1.0 AS DOUBLE) * (r3 - r1 * r2))"
+    " - r1 * (r1 * r3 - r2 * r2)"
+    " + r1 * (r1 * r1 - r2)) "
+    f"/ {_PACF_3_DET})"
+)
+
+_ACF_CTES = """
+series AS ({series}),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) / COUNT(*) AS ybar
+    FROM series
+),
+lags AS ({lags}),
+nums AS (
+    SELECT l.k,
+           CAST(SUM(CAST(ROUND((a.y - ybar) * (b.y - ybar) * 1e9)
+                         AS BIGINT)) AS BIGINT) AS num,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM lags l
+    JOIN series a ON TRUE
+    JOIN series b ON b.idx = a.idx + l.k, tot
+    GROUP BY 1
+),
+base AS (SELECT num AS den FROM nums WHERE k = 0),
+acf AS (
+    SELECT k, CAST(num AS DOUBLE) / den AS r, n_terms
+    FROM nums, base
+),
+rp AS (
+    SELECT MAX(CASE WHEN k = 1 THEN r END) AS r1,
+           MAX(CASE WHEN k = 2 THEN r END) AS r2,
+           MAX(CASE WHEN k = 3 THEN r END) AS r3
+    FROM acf
+)
+"""
+
+_ACF_FINAL = f"""
+SELECT k AS lag, n_terms,
+       ROUND(r, 6) AS acf,
+       ROUND(CASE WHEN k = 1 THEN r1
+                  WHEN k = 2 THEN {_PACF_2}
+                  WHEN k = 3 THEN {_PACF_3}
+             END, 6) AS pacf
+FROM acf, rp
+"""
+
+
+def _acf_oracle() -> str:
+    series = _ACF_SERIES.format(
+        bucket="date_trunc('hour', CAST(ts AS TIMESTAMP))"
+    )
+    ctes = _ACF_CTES.format(
+        series=series,
+        lags=f"SELECT unnest(range(0, {ACF_MAX_LAG + 1})) AS k",
+    )
+    return f"WITH {ctes}\n{_ACF_FINAL}"
+
+
+@query("acf_pacf_hourly", oracle=_acf_oracle())
+def acf_pacf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF and PACF of the hourly mean-value series — the Box-Jenkins
+    identification pair the forecast family (holt, seasonal naive,
+    harmonic) picks orders from: ACF at lags 0..{ACF_MAX_LAG} tells
+    the MA signature, PACF at lags 1..3 (closed-form Yule-Walker,
+    the Durbin-Levinson recursion unrolled to verbatim algebra) tells
+    the AR cutoff. value_autocorr reports lag-1 per device; this is
+    the global multi-lag profile.
+
+    Determinism: the series is exact (integer sums per hour, one
+    division); centered cross-products are nano-quantized BEFORE
+    summation, so each r_k is one division of BIGINTs; the PACF
+    formulas are shared-verbatim rational functions of r1..r3.
+
+    100 TB shape: one scan into the hourly rollup; the lag joins run
+    over the ~720-row series frame (bounded by span, not rows), the
+    PACF algebra on one row."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+            .cast("long")
+            .alias("svq"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .select(
+            F.row_number().over(Window.orderBy("bucket")).alias("idx"),
+            F.expr("CAST(svq AS DOUBLE) / cnt / 1e6").alias("y"),
+        )
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("SUM(y) / COUNT(*)").alias("ybar"),
+    )
+    lags = spark.range(0, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = series.select(F.col("idx").alias("ia"), F.col("y").alias("ya"))
+    b = series.select(F.col("idx").alias("ib"), F.col("y").alias("yb"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") + F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND((ya - ybar) * (yb - ybar) * 1e9) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    base = nums.filter(F.col("k") == 0).select(F.col("num").alias("den"))
+    acf = nums.crossJoin(F.broadcast(base)).select(
+        "k",
+        F.expr("CAST(num AS DOUBLE) / den").alias("r"),
+        "n_terms",
+    )
+    rp = acf.agg(
+        F.expr("MAX(CASE WHEN k = 1 THEN r END)").alias("r1"),
+        F.expr("MAX(CASE WHEN k = 2 THEN r END)").alias("r2"),
+        F.expr("MAX(CASE WHEN k = 3 THEN r END)").alias("r3"),
+    )
+    return acf.crossJoin(F.broadcast(rp)).selectExpr(
+        "k AS lag",
+        "n_terms",
+        "ROUND(r, 6) AS acf",
+        f"ROUND(CASE WHEN k = 1 THEN r1 WHEN k = 2 THEN {_PACF_2} "
+        f"WHEN k = 3 THEN {_PACF_3} END, 6) AS pacf",
+    )

@@ -499,3 +499,25 @@ def test_fellegi_sunter_weight_ordering(spark):
             assert w > rows[(0, sa)]
         if (ta, 1 - sa) in rows and sa == 1:
             assert w > rows[(ta, 0)]
+
+
+def test_acf_pacf_against_numpy_yule_walker(spark):
+    """The PACF closed forms are SHARED with the oracle, so a wrong
+    formula would be invisible to the equality gate — cross-check
+    against numpy's independent Toeplitz solve, and pin ACF basics
+    (r0 = 1, |r_k| <= 1, pacf_1 = r_1)."""
+    import numpy as np
+
+    rows = {r["lag"]: r for r in QUERIES["acf_pacf_hourly"](spark, SF_DIR).collect()}
+    assert rows[0]["acf"] == 1.0
+    for r in rows.values():
+        assert abs(r["acf"]) <= 1.0 + 1e-9
+    assert abs(rows[1]["pacf"] - rows[1]["acf"]) < 1e-6
+    r1, r2, r3 = (rows[k]["acf"] for k in (1, 2, 3))
+    phi2 = np.linalg.solve(np.array([[1, r1], [r1, 1]]), np.array([r1, r2]))
+    assert abs(rows[2]["pacf"] - phi2[1]) < 1e-4
+    phi3 = np.linalg.solve(
+        np.array([[1, r1, r2], [r1, 1, r1], [r2, r1, 1]]),
+        np.array([r1, r2, r3]),
+    )
+    assert abs(rows[3]["pacf"] - phi3[2]) < 1e-4
