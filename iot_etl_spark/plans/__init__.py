@@ -67,6 +67,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "jackknife_ratio_variance",
     "fellegi_sunter_weights",
     "acf_pacf_hourly",
+    "quantile_treatment_effect",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

@@ -2822,3 +2822,117 @@ def acf_pacf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND(CASE WHEN k = 1 THEN r1 WHEN k = 2 THEN {_PACF_2} "
         f"WHEN k = 3 THEN {_PACF_3} END, 6) AS pacf",
     )
+
+
+# ------------------------------------------------ quantile treatment effect
+# Order statistics via the cell-cumulative device per arm; the decile
+# rank k = ceil(d*n/10) is pure INTEGER arithmetic ((d*n + 9) div 10),
+# so both engines agree exactly even though the div spelling differs
+# per dialect.
+_QTE_CELLS = """
+    SELECT arm, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 AS arm,
+               CAST(ROUND(value * 1e6) AS BIGINT) AS cell
+        FROM events
+    )
+    GROUP BY 1, 2
+"""
+
+_QTE_ORACLE = f"""
+WITH cells AS ({_QTE_CELLS}),
+cum AS (
+    SELECT arm, cell,
+           SUM(cnt) OVER (PARTITION BY arm ORDER BY cell
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           SUM(cnt) OVER (PARTITION BY arm) AS n_arm
+    FROM cells
+),
+deciles AS (SELECT unnest(range(1, 10)) AS decile),
+q AS (
+    SELECT d.decile, c.arm, MIN(cell) AS q_cell
+    FROM deciles d JOIN cum c
+      ON c.cum >= (d.decile * c.n_arm + 9) // 10
+    GROUP BY 1, 2
+)
+SELECT decile,
+       ROUND(CAST(MAX(CASE WHEN arm = 0 THEN q_cell END) AS DOUBLE)
+             / 1e6, 6) AS q_control,
+       ROUND(CAST(MAX(CASE WHEN arm = 1 THEN q_cell END) AS DOUBLE)
+             / 1e6, 6) AS q_treatment,
+       ROUND(CAST(MAX(CASE WHEN arm = 1 THEN q_cell END)
+                  - MAX(CASE WHEN arm = 0 THEN q_cell END) AS DOUBLE)
+             / 1e6, 6) AS qte
+FROM q
+GROUP BY decile
+"""
+
+
+@query("quantile_treatment_effect", oracle=_QTE_ORACLE)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the md5-arm experiment readout at
+    every decile of the value distribution, not just the mean — the
+    distributional causal view (Doksum/Lehmann QTE) that catches
+    effects concentrated in the tails where diff_in_diff_readout's
+    mean would read ~0. Exact type-1 order statistics per arm via the
+    cell-cumulative device; the decile rank is integer arithmetic
+    ((d*n+9) div 10) so the only doubles are the final /1e6 unit
+    conversions.
+
+    100 TB shape: one scan into (arm, cell) counts — bounded by value
+    resolution, not rows — then arm-partitioned windows over cells
+    and a 9-row decile join."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("arm"),
+            F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("cell"),
+        )
+        .groupBy("arm", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "arm",
+        "cell",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("arm")).alias("n_arm"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("decile"))
+    q = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(
+            F.col("cum") >= F.expr("(decile * n_arm + 9) div 10")
+        )
+        .groupBy("decile", "arm")
+        .agg(F.min("cell").alias("q_cell"))
+    )
+    return q.groupBy("decile").agg(
+        F.round(
+            F.expr("CAST(MAX(CASE WHEN arm = 0 THEN q_cell END) AS DOUBLE)")
+            / F.lit(1e6),
+            6,
+        ).alias("q_control"),
+        F.round(
+            F.expr("CAST(MAX(CASE WHEN arm = 1 THEN q_cell END) AS DOUBLE)")
+            / F.lit(1e6),
+            6,
+        ).alias("q_treatment"),
+        F.round(
+            F.expr(
+                "CAST(MAX(CASE WHEN arm = 1 THEN q_cell END)"
+                " - MAX(CASE WHEN arm = 0 THEN q_cell END) AS DOUBLE)"
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("qte"),
+    )

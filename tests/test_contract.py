@@ -29,52 +29,48 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 6, VERDICT r5 item 5): full union
-    # coverage was reached in r5, so the window now carries the round-6
-    # registrations plus the OLDEST r1 greens for regression re-checks.
+    # driver-window curation (round 7): CORRECTNESS_r06 was never
+    # recorded, so the round-6 registrations are still never-driver-
+    # checked — the window leads with the round-7 registrations, then
+    # the round-6 batch in its original order; spill past 50 stays in
+    # the rotation pool for the next round.
     first50 = list(qs)[:50]
     for must in (
-        # round-6 registrations (fresh evidence)
+        # round-7 registrations (fresh evidence first)
+        "bitmap_exact_distinct",
+        "k_anonymity_audit",
+        "ridge_normal_equations",
+        "conformal_prediction_interval",
+        "bfs_hop_distance",
+        "scd2_point_in_time",
+        "shapley_channel_attribution",
+        "sprt_sequential_monitor",
+        "stream_cdc_apply",
+        "clamped_running_balance",
+        "negative_binomial_fit",
+        "benjamini_hochberg_fdr",
+        "diff_in_diff_readout",
+        "nelson_aalen_hazard",
+        "grid_density_clusters",
+        "anova_oneway_value",
+        "cramers_v_type_dow",
+        "ucb1_bandit_replay",
+        "wasserstein_weekend_value",
+        "graph_modularity_components",
+        "brier_decomposition",
+        "harmonic_regression_daily",
+        "jackknife_ratio_variance",
+        "fellegi_sunter_weights",
+        "acf_pacf_hourly",
+        "quantile_treatment_effect",
+        # round-6 registrations next (never driver-checked)
         "device_cooccurrence_capped",
         "triangle_count_graph_capped",
         "pagerank_device_graph_capped",
         "ks_weekend_value",
-        "mannwhitney_weekend_value",
         "adamic_adar_linkpred",
-        "rrf_hybrid_retrieval",
-        "stream_outer_join_attribution",
         "welch_ttest_value",
         "bm25_retrieval",
-        "kaplan_meier_waits",
-        "group_kfold_assign",
-        "hill_tail_index",
-        "cuped_experiment_readout",
-        "stream_full_outer_reconcile",
-        "srm_arm_balance",
-        "calibration_bins",
-        "ndcg_label_retrieval",
-        "dedup_token_inflation",
-        "source_overlap_matrix",
-        "mutual_info_type_hour",
-        "stream_dedup_ttl",
-        "hard_negative_mining",
-        "target_encode_loo",
-        # latest round-6 registrations (freshest code needs driver
-        # evidence most)
-        "anomaly_ensemble_vote",
-        "seasonal_naive_backtest",
-        "readability_grade",
-        "heaps_law_curve",
-        "funnel_step_timing",
-        "centroid_separation_audit",
-        "pr_curve_bins",
-        # analytics batch 3 (the 53 round-6 registrations exceed the
-        # 50-slot window: weighted_median_price / fifo_click_purchase_
-        # match / mrr_recall_retrieval and the r1 re-checks spill to
-        # the r7 window — never-driver-checked queries outrank
-        # re-checks of five-times-green ones)
-        "dft_periodogram",
-        "skyline_supplier_frontier",
     ):
         assert must in first50, must
 

@@ -521,3 +521,28 @@ def test_acf_pacf_against_numpy_yule_walker(spark):
         np.array([r1, r2, r3]),
     )
     assert abs(rows[3]["pacf"] - phi3[2]) < 1e-4
+
+
+def test_qte_deciles_monotone_and_match_sorted_values(spark):
+    """Per-arm decile values must be nondecreasing in the decile, and
+    the control decile must equal the directly-sorted order statistic
+    at rank ceil(d*n/10)."""
+    rows = sorted(
+        QUERIES["quantile_treatment_effect"](spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    for a, b in zip(rows, rows[1:]):
+        assert a["q_control"] <= b["q_control"]
+        assert a["q_treatment"] <= b["q_treatment"]
+    ev = load_table(spark, SF_DIR, "events").selectExpr(
+        "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 2 AS arm",
+        "CAST(ROUND(value * 1e6) AS BIGINT) AS cell",
+    )
+    ctl = sorted(r["cell"] for r in ev.filter("arm = 0").collect())
+    n = len(ctl)
+    for r in rows:
+        k = (r["decile"] * n + 9) // 10
+        assert abs(r["q_control"] - ctl[k - 1] / 1e6) < 1e-9, r["decile"]
+        assert abs(r["qte"] - round(r["q_treatment"] - r["q_control"], 6)) < 2e-6
