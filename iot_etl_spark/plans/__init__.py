@@ -68,6 +68,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "fellegi_sunter_weights",
     "acf_pacf_hourly",
     "quantile_treatment_effect",
+    "logrank_test_arms",
+    "suppressed_release_counts",
+    "dedup_threshold_curve",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

@@ -2936,3 +2936,304 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qte"),
     )
+
+
+# ------------------------------------------------ log-rank test
+# O-E and hypergeometric variance terms are nano-quantized per event
+# cell before summation; risk sets are descending integer cumsums per
+# arm over the duration cells (the KM/NA machinery with a group key).
+_LOGRANK_E_TERM = (
+    "CAST(ROUND(CAST(d AS DOUBLE) * n1 / n * 1e9) AS BIGINT)"
+)
+_LOGRANK_V_TERM = (
+    "CASE WHEN n > 1 THEN CAST(ROUND(CAST(d AS DOUBLE) * n1 / n"
+    " * (CAST(1.0 AS DOUBLE) - CAST(n1 AS DOUBLE) / n)"
+    " * (n - d) / (n - 1) * 1e9) AS BIGINT) ELSE 0 END"
+)
+
+_LOGRANK_ORACLE = f"""
+WITH ts_ AS (
+    SELECT user_id,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS grp,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+    FROM events
+),
+obs AS (SELECT CAST(max(us) AS BIGINT) AS obs_end FROM ts_),
+spells AS (
+    SELECT grp,
+           CAST((COALESCE(next_us, obs_end) - us) // 60000000 AS BIGINT)
+               AS t_min,
+           CASE WHEN next_us IS NULL THEN 0 ELSE 1 END AS observed
+    FROM (
+        SELECT grp, us,
+               LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS next_us
+        FROM ts_
+    ), obs
+),
+cells AS (
+    SELECT t_min, grp,
+           CAST(SUM(observed) AS BIGINT) AS d_g,
+           CAST(COUNT(*) AS BIGINT) AS c_g
+    FROM spells GROUP BY 1, 2
+),
+risk AS (
+    SELECT t_min, grp, d_g,
+           CAST(SUM(c_g) OVER (PARTITION BY grp ORDER BY t_min DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_g
+    FROM cells
+),
+wide AS (
+    SELECT t_min,
+           CAST(SUM(d_g) AS BIGINT) AS d,
+           CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN grp = 1 THEN d_g ELSE 0 END) AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN grp = 1 THEN n_g ELSE 0 END) AS BIGINT) AS n1
+    FROM risk GROUP BY 1 HAVING SUM(d_g) > 0
+),
+terms AS (
+    SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           CAST(SUM({_LOGRANK_E_TERM}) AS BIGINT) AS e1_nano,
+           CAST(SUM({_LOGRANK_V_TERM}) AS BIGINT) AS v_nano
+    FROM wide
+)
+SELECT o1,
+       ROUND(CAST(e1_nano AS DOUBLE) / 1e9, 6) AS e1,
+       ROUND(CAST(v_nano AS DOUBLE) / 1e9, 6) AS variance,
+       ROUND((o1 - CAST(e1_nano AS DOUBLE) / 1e9)
+             / sqrt(CAST(v_nano AS DOUBLE) / 1e9), 6) AS z
+FROM terms
+"""
+
+
+@query("logrank_test_arms", oracle=_LOGRANK_ORACLE)
+def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the md5 arms' inter-event
+    waiting-time distributions — the hypothesis test the survival
+    family (kaplan_meier_waits, nelson_aalen_hazard) plots but never
+    decides: at each event duration the observed arm-1 events compare
+    against the hypergeometric expectation given the arm's share of
+    the risk set; z = (O-E)/sqrt(V) with censored tails leaving the
+    risk set exactly as in KM.
+
+    Exactness: group risk sets are integer descending cumsums over
+    duration cells; each E and V term is nano-quantized before the
+    sum; the only unshared float op is the final shared sqrt.
+
+    100 TB shape: one user-keyed shuffle for spells, a duration-
+    bounded (cell, arm) aggregate, windows over cells."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ = ev.select(
+        "user_id",
+        F.expr(
+            "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 2"
+        ).alias("grp"),
+        F.unix_micros("ts").cast("long").alias("us"),
+    )
+    obs = ts_.agg(F.max("us").cast("long").alias("obs_end"))
+    w_u = Window.partitionBy("user_id").orderBy("us")
+    spells = (
+        ts_.withColumn("next_us", F.lead("us").over(w_u))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "grp",
+            F.expr("(coalesce(next_us, obs_end) - us) div 60000000")
+            .cast("long")
+            .alias("t_min"),
+            F.col("next_us").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    cells = spells.groupBy("t_min", "grp").agg(
+        F.sum("observed").cast("long").alias("d_g"),
+        F.count(F.lit(1)).cast("long").alias("c_g"),
+    )
+    w_desc = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("t_min").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = cells.select(
+        "t_min", "grp", "d_g", F.sum("c_g").over(w_desc).cast("long").alias("n_g")
+    )
+    wide = (
+        risk.groupBy("t_min")
+        .agg(
+            F.sum("d_g").cast("long").alias("d"),
+            F.sum("n_g").cast("long").alias("n"),
+            F.sum(F.when(F.col("grp") == 1, F.col("d_g")).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum(F.when(F.col("grp") == 1, F.col("n_g")).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    terms = wide.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.expr(_LOGRANK_E_TERM)).cast("long").alias("e1_nano"),
+        F.sum(F.expr(_LOGRANK_V_TERM)).cast("long").alias("v_nano"),
+    )
+    return terms.selectExpr(
+        "o1",
+        "ROUND(CAST(e1_nano AS DOUBLE) / 1e9, 6) AS e1",
+        "ROUND(CAST(v_nano AS DOUBLE) / 1e9, 6) AS variance",
+        "ROUND((o1 - CAST(e1_nano AS DOUBLE) / 1e9)"
+        " / sqrt(CAST(v_nano AS DOUBLE) / 1e9), 6) AS z",
+    )
+
+
+# ------------------------------------------------ suppressed release counts
+RELEASE_K = 5
+
+_SUPPRESS_ORACLE = f"""
+WITH cells AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CASE WHEN n >= {RELEASE_K} THEN lang ELSE '__suppressed__' END
+           AS lang,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells_merged
+FROM cells
+GROUP BY 1, 2
+"""
+
+
+@query("suppressed_release_counts", oracle=_SUPPRESS_ORACLE)
+def suppressed_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity-SUPPRESSED release of the (source, lang) breakdown:
+    cells with fewer than {RELEASE_K} documents collapse into one
+    '__suppressed__' bucket per source before publication — the
+    enforcement counterpart to k_anonymity_audit's measurement (the
+    audit says which cells are risky; this produces the table you can
+    actually release, with the merge cardinality reported so the
+    information loss is visible).
+
+    100 TB shape: two chained aggregates, both map-side combinable;
+    suppression is a CASE on the cell frame, no second scan."""
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        cells.select(
+            "source",
+            F.when(F.col("n") >= RELEASE_K, F.col("lang"))
+            .otherwise(F.lit("__suppressed__"))
+            .alias("lang"),
+            "n",
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_cells_merged"),
+        )
+    )
+
+
+# ------------------------------------------------ dedup threshold curve
+_DEDUP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _dedup_curve_oracle() -> str:
+    from iot_etl_spark.plans.queries_text import _MINHASH_CTES
+
+    return f"""
+WITH {_MINHASH_CTES},
+scored AS (
+    SELECT doc_id_a, doc_id_b,
+           len(list_intersect(x.s, y.s))::DOUBLE
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+               AS jac
+    FROM cand
+    JOIN sh x ON x.doc_id = doc_id_a
+    JOIN sh y ON y.doc_id = doc_id_b
+),
+th AS (SELECT unnest([{", ".join(str(t) for t in _DEDUP_THRESHOLDS)}])
+           AS threshold)
+SELECT threshold,
+       CAST(COUNT(CASE WHEN jac >= threshold THEN 1 END) AS BIGINT)
+           AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN jac >= threshold THEN doc_id_a END)
+            + COUNT(DISTINCT CASE WHEN jac >= threshold THEN doc_id_b END)
+            AS BIGINT) AS n_doc_slots
+FROM th LEFT JOIN scored ON TRUE
+GROUP BY threshold
+"""
+
+
+@query("dedup_threshold_curve", oracle=_dedup_curve_oracle())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity curve: candidate pairs from the
+    SHARED MinHash-LSH stage, exact-Jaccard-rescored once, counted at
+    five keep thresholds — the tuning table a dedup rollout decides
+    from (how many pairs/docs does each threshold implicate?). The
+    jaccard is one division of integers, so threshold comparisons are
+    engine-identical; counts are exact.
+
+    NOTE the candidate set is the LSH band collisions (recall curve
+    documented at dedup_ngram_jaccard), so low thresholds count only
+    candidates — the operationally relevant set, since that is what a
+    rollout would rescore.
+
+    100 TB shape: the LSH stage is materialized and shared (stage
+    cache); the curve adds one rescore pass and a 5-row threshold
+    join over the candidate-pair frame."""
+    from iot_etl_spark.plans.queries_text import (
+        _band_candidate_pairs,
+        _band_sigs_cached,
+        _shingle_sets_cached,
+    )
+
+    sh = _shingle_sets_cached(spark, sf_dir)
+    cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
+    scored = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa")),
+            "doc_id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb")),
+            "doc_id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jac",
+            F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")),
+        )
+        .select("doc_id_a", "doc_id_b", "jac")
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _DEDUP_THRESHOLDS], "threshold double"
+    )
+    counts = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("jac") >= F.col("threshold"), 1))
+            .cast("long")
+            .alias("n_pairs"),
+            (
+                F.countDistinct(
+                    F.when(F.col("jac") >= F.col("threshold"), F.col("doc_id_a"))
+                )
+                + F.countDistinct(
+                    F.when(F.col("jac") >= F.col("threshold"), F.col("doc_id_b"))
+                )
+            )
+            .cast("long")
+            .alias("n_doc_slots"),
+        )
+    )
+    # an empty candidate set must still emit all thresholds (zero rows)
+    return th.join(counts, "threshold", "left").select(
+        "threshold",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.col("n_doc_slots"), F.lit(0))
+        .cast("long")
+        .alias("n_doc_slots"),
+    )

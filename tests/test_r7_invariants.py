@@ -546,3 +546,39 @@ def test_qte_deciles_monotone_and_match_sorted_values(spark):
         k = (r["decile"] * n + 9) // 10
         assert abs(r["q_control"] - ctl[k - 1] / 1e6) < 1e-9, r["decile"]
         assert abs(r["qte"] - round(r["q_treatment"] - r["q_control"], 6)) < 2e-6
+
+
+def test_logrank_totals_and_variance(spark):
+    row = QUERIES["logrank_test_arms"](spark, SF_DIR).collect()[0]
+    assert row["variance"] > 0
+    # O1 and E1 are both bounded by the total observed events
+    ev = load_table(spark, SF_DIR, "events")
+    total_obs = ev.count() - ev.select("user_id").distinct().count()
+    assert 0 <= row["o1"] <= total_obs
+    assert 0.0 <= row["e1"] <= total_obs
+    assert abs(row["z"] - (row["o1"] - row["e1"]) / row["variance"] ** 0.5) < 1e-3
+
+
+def test_suppressed_release_is_k_anonymous(spark):
+    """Every released (non-suppressed) cell has >= RELEASE_K docs and
+    totals are preserved."""
+    rows = QUERIES["suppressed_release_counts"](spark, SF_DIR).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == load_table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        if r["lang"] != "__suppressed__":
+            assert r["n_docs"] >= 5 and r["n_cells_merged"] == 1
+
+
+def test_dedup_curve_monotone_and_consistent_with_registry(spark):
+    rows = sorted(
+        QUERIES["dedup_threshold_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_doc_slots"] >= b["n_doc_slots"]
+    # the 0.8 point must agree with dedup_ngram_jaccard's pair count
+    n08 = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).count()
+    assert dict((r["threshold"], r["n_pairs"]) for r in rows)[0.8] == n08

@@ -126,6 +126,15 @@ PICKS = [
     ("benjamini_hochberg_fdr",
      "FDR over quantized p-cells: one scan; the only single-partition "
      "exchange is the window over the bounded cell pre-aggregate"),
+    ("wasserstein_weekend_value",
+     "W1 drift distance: integer CDF cross-products over cents cells, "
+     "one division at the end"),
+    ("ucb1_bandit_replay",
+     "offline policy replay: distributed daily rewards, the sequential "
+     "pick fold as ONE aggregate() HOF over the 30-day array"),
+    ("quantile_treatment_effect",
+     "per-arm order statistics: arm-partitioned cumulative windows "
+     "over value cells, integer decile ranks, 9-row decile join"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
