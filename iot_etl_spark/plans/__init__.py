@@ -71,6 +71,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "logrank_test_arms",
     "suppressed_release_counts",
     "dedup_threshold_curve",
+    "binseg_changepoints",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

@@ -3237,3 +3237,139 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_doc_slots"),
     )
+
+
+# ------------------------------------------------ binary segmentation
+# Two-level binary segmentation of the hourly event-count series.
+# Within a segment of m points with local running sum P_j and total T,
+# the centered cusum is the ALL-INTEGER identity C_j = m*P_j - j*T
+# (changepoint_cusum's device), so the argmax (tie -> earliest hour)
+# is exact on both engines; the reported statistic is |C| itself, a
+# BIGINT.
+_BINSEG_ORACLE = """
+WITH series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY bucket) AS idx,
+           epoch_us(bucket) // 1000000 AS bucket_epoch,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+          FROM events)
+    GROUP BY bucket
+),
+l1c AS (
+    SELECT idx, bucket_epoch,
+           ABS(CAST(COUNT(*) OVER () AS BIGINT)
+               * SUM(y) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING)
+               - idx * SUM(y) OVER ()) AS c
+    FROM series
+),
+l1 AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, idx) AS rnk FROM l1c
+),
+t1 AS (SELECT idx AS t1_idx FROM l1 WHERE rnk = 1),
+seg AS (
+    SELECT s.*, CASE WHEN s.idx <= t1_idx THEN 'left' ELSE 'right' END
+               AS segment,
+           ROW_NUMBER() OVER (
+               PARTITION BY CASE WHEN s.idx <= t1_idx THEN 'left'
+                                 ELSE 'right' END ORDER BY s.idx) AS j
+    FROM series s, t1
+),
+l2c AS (
+    SELECT segment, idx, bucket_epoch,
+           ABS(CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT)
+               * SUM(y) OVER (PARTITION BY segment ORDER BY j
+                              ROWS UNBOUNDED PRECEDING)
+               - j * SUM(y) OVER (PARTITION BY segment)) AS c
+    FROM seg
+),
+l2 AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY segment
+                                 ORDER BY c DESC, idx) AS rnk
+    FROM l2c
+)
+SELECT CAST(1 AS BIGINT) AS level, 'all' AS segment,
+       idx AS t_idx, bucket_epoch, c AS stat_abs
+FROM l1 WHERE rnk = 1
+UNION ALL
+SELECT CAST(2 AS BIGINT), segment, idx, bucket_epoch, c
+FROM l2 WHERE rnk = 1
+"""
+
+
+@query("binseg_changepoints", oracle=_BINSEG_ORACLE)
+def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level binary segmentation of the hourly event-count series
+    — the hierarchical changepoint LOCALIZER beside
+    changepoint_cusum's per-device screen: level 1 places the
+    strongest split of the whole series at the max |centered cusum|,
+    level 2 recurses into each half (the classic binseg step; more
+    levels repeat the same windows). The cusum uses the all-integer
+    identity C_j = m*P_j - j*T, so every comparison, argmax, and the
+    reported statistic are exact BIGINTs; ties break to the earliest
+    hour.
+
+    100 TB shape: one scan into the hourly rollup; every level is
+    windows over the bounded series frame (level-2 windows partition
+    by segment, so deeper recursion stays one window pass per
+    level)."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .select(
+            F.row_number().over(Window.orderBy("bucket")).alias("idx"),
+            F.unix_timestamp("bucket").cast("long").alias("bucket_epoch"),
+            "y",
+        )
+    )
+
+    def cusum_rank(df: DataFrame, part: list, order_col: str) -> DataFrame:
+        wp = Window.partitionBy(*part)
+        wo = (
+            Window.partitionBy(*part)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        c = F.abs(
+            F.count(F.lit(1)).over(wp).cast("long") * F.sum("y").over(wo)
+            - F.col(order_col) * F.sum("y").over(wp)
+        )
+        df = df.withColumn("c", c)
+        wr = Window.partitionBy(*part).orderBy(
+            F.col("c").desc(), F.col("idx")
+        )
+        return df.withColumn("rnk", F.row_number().over(wr))
+
+    l1 = cusum_rank(series, [], "idx")
+    t1 = l1.filter(F.col("rnk") == 1).select(F.col("idx").alias("t1_idx"))
+    seg = (
+        series.crossJoin(F.broadcast(t1))
+        .withColumn(
+            "segment",
+            F.when(F.col("idx") <= F.col("t1_idx"), "left").otherwise(
+                "right"
+            ),
+        )
+        .withColumn(
+            "j",
+            F.row_number().over(
+                Window.partitionBy("segment").orderBy("idx")
+            ),
+        )
+    )
+    l2 = cusum_rank(seg, ["segment"], "j")
+    top1 = l1.filter(F.col("rnk") == 1).select(
+        F.lit(1).cast("long").alias("level"),
+        F.lit("all").alias("segment"),
+        F.col("idx").alias("t_idx"),
+        "bucket_epoch",
+        F.col("c").alias("stat_abs"),
+    )
+    top2 = l2.filter(F.col("rnk") == 1).select(
+        F.lit(2).cast("long").alias("level"),
+        "segment",
+        F.col("idx").alias("t_idx"),
+        "bucket_epoch",
+        F.col("c").alias("stat_abs"),
+    )
+    return top1.unionAll(top2)

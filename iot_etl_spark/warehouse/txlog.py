@@ -471,6 +471,52 @@ class TxTable:
                     f"write violates CHECK {name!r} ({expr}): {bad[0]}"
                 )
 
+    def append_with_quarantine(
+        self,
+        df: DataFrame,
+        quarantine: "TxTable",
+        max_retries: int = 3,
+    ) -> tuple[int, int | None]:
+        """Append with CHECK-violation QUARANTINE instead of rejection
+        (the dbt ``store_failures`` / DLQ-table shape): rows passing
+        every active constraint commit to THIS table; violating rows
+        commit to ``quarantine`` with a ``violated`` column naming the
+        failed rules (sorted, comma-joined) so replays and fixes are
+        targeted. Returns (valid_version, quarantine_version|None).
+
+        Unlike plain ``append`` — which rejects the WHOLE write so the
+        table never publishes a bad state — this path trades strictness
+        for progress: the pipeline keeps flowing and the bad rows stay
+        visible, auditable, and replayable beside it. NULL semantics
+        match CHECK enforcement: a NULL predicate passes.
+
+        Scale: one extra filter pass per side over the incoming frame;
+        the rule evaluation is a row-local expression (no shuffle)."""
+        from pyspark.sql import functions as F
+
+        cons = self.constraints()
+        if not cons:
+            return self.append(df, max_retries=max_retries), None
+        fails = [
+            F.when(
+                ~F.coalesce(F.expr(expr), F.lit(True)), F.lit(name)
+            )
+            for name, expr in sorted(cons.items())
+        ]
+        tagged = df.withColumn(
+            "violated",
+            F.concat_ws(",", F.array_compact(F.array(*fails))),
+        )
+        valid = tagged.filter(F.col("violated") == "").drop("violated")
+        bad = tagged.filter(F.col("violated") != "")
+        v = self.append(valid, max_retries=max_retries)
+        qv = None
+        if bad.limit(1).count():
+            qv = quarantine.append(
+                bad, max_retries=max_retries, allow_evolution=True
+            )
+        return v, qv
+
     def append(
         self, df: DataFrame, max_retries: int = 3, allow_evolution: bool = False
     ) -> int:

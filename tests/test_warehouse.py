@@ -1064,3 +1064,45 @@ def test_txlog_bloom_point_lookup_prunes_files(spark, tmp_path):
     assert all("uid" in b for b in blooms2.values())
     got2 = t.read_point(spark, "uid", "legacy-3").filter("uid = 'legacy-3'")
     assert got2.count() == 1
+
+
+def test_append_with_quarantine_routes_violations(spark, tmp_path):
+    """CHECK-violation quarantine: valid rows commit to the main
+    table, violating rows land in the DLQ table tagged with every
+    failed rule name; NULL predicates pass (Delta CHECK semantics);
+    with no constraints the quarantine table stays untouched."""
+    import iot_etl_spark.warehouse.txlog as txlog
+
+    t = txlog.TxTable(str(tmp_path / "main"))
+    q = txlog.TxTable(str(tmp_path / "dlq"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k LONG, v DOUBLE")
+    )
+    t.add_constraint(spark, "v_positive", "v > 0")
+    t.add_constraint(spark, "k_small", "k < 100")
+
+    batch = spark.createDataFrame(
+        [
+            (3, 30.0),        # clean
+            (4, -1.0),        # violates v_positive
+            (400, -2.0),      # violates both
+            (5, None),        # NULL passes (CHECK semantics)
+        ],
+        "k LONG, v DOUBLE",
+    )
+    v, qv = t.append_with_quarantine(batch, q)
+    assert v is not None and qv is not None
+    main_rows = {r.k for r in t.read(spark).collect()}
+    assert main_rows == {1, 2, 3, 5}
+    dlq = {r.k: r.violated for r in q.read(spark).collect()}
+    assert dlq == {4: "v_positive", 400: "k_small,v_positive"}
+
+    # no constraints -> plain append, no quarantine commit
+    t2 = txlog.TxTable(str(tmp_path / "main2"))
+    q2 = txlog.TxTable(str(tmp_path / "dlq2"))
+    t2.overwrite(spark.createDataFrame([(1, 1.0)], "k LONG, v DOUBLE"))
+    v2, qv2 = t2.append_with_quarantine(
+        spark.createDataFrame([(2, -5.0)], "k LONG, v DOUBLE"), q2
+    )
+    assert qv2 is None and {r.k for r in t2.read(spark).collect()} == {1, 2}
+    assert q2.latest_version() is None
