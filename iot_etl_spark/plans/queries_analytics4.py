@@ -1163,7 +1163,7 @@ k AS (
     WHERE CAST(p_cell AS DOUBLE) / 1e6 <= CAST(cum AS DOUBLE) / m * {BH_Q}
 )
 SELECT m.m AS n_tests,
-       COALESCE(k.n_rejected, 0) AS n_rejected,
+       CAST(COALESCE(k.n_rejected, 0) AS BIGINT) AS n_rejected,
        ROUND(CAST(k.thresh_cell AS DOUBLE) / 1e6, 6) AS reject_threshold_p
 FROM m LEFT JOIN k ON TRUE
 """
@@ -1979,7 +1979,7 @@ _W1_CELLS = """
 """
 
 _W1_FINAL = """
-SELECT tot1 AS n_weekend, tot2 AS n_weekday,
+SELECT CAST(tot1 AS BIGINT) AS n_weekend, CAST(tot2 AS BIGINT) AS n_weekday,
        ROUND(CAST(num AS DOUBLE)
              / (CAST(tot1 AS DOUBLE) * tot2) / 1e2, 6) AS w1_distance
 FROM (
@@ -3288,10 +3288,12 @@ l2 AS (
     FROM l2c
 )
 SELECT CAST(1 AS BIGINT) AS level, 'all' AS segment,
-       idx AS t_idx, bucket_epoch, c AS stat_abs
+       CAST(idx AS BIGINT) AS t_idx, CAST(bucket_epoch AS BIGINT)
+           AS bucket_epoch, CAST(c AS BIGINT) AS stat_abs
 FROM l1 WHERE rnk = 1
 UNION ALL
-SELECT CAST(2 AS BIGINT), segment, idx, bucket_epoch, c
+SELECT CAST(2 AS BIGINT), segment, CAST(idx AS BIGINT),
+       CAST(bucket_epoch AS BIGINT), CAST(c AS BIGINT)
 FROM l2 WHERE rnk = 1
 """
 
