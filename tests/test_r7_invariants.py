@@ -582,3 +582,30 @@ def test_dedup_curve_monotone_and_consistent_with_registry(spark):
     # the 0.8 point must agree with dedup_ngram_jaccard's pair count
     n08 = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).count()
     assert dict((r["threshold"], r["n_pairs"]) for r in rows)[0.8] == n08
+
+
+def test_binseg_level1_matches_numpy_argmax(spark):
+    """Level-1 changepoint must equal the numpy argmax of the centered
+    cusum (earliest index on ties), and level-2 points must fall
+    strictly inside their segments."""
+    import numpy as np
+
+    rows = QUERIES["binseg_changepoints"](spark, SF_DIR).collect()
+    by_seg = {(r["level"], r["segment"]): r for r in rows}
+    assert set(by_seg) == {(1, "all"), (2, "left"), (2, "right")}
+    series = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .count()
+        .orderBy("b")
+        .collect()
+    )
+    y = np.array([r["count"] for r in series], dtype=np.int64)
+    n = len(y)
+    c = np.abs(n * np.cumsum(y) - np.arange(1, n + 1) * y.sum())
+    t1 = int(np.argmax(c)) + 1  # ties: argmax returns first = earliest
+    r1 = by_seg[(1, "all")]
+    assert r1["t_idx"] == t1
+    assert r1["stat_abs"] == int(c[t1 - 1])
+    assert 1 <= by_seg[(2, "left")]["t_idx"] <= t1
+    assert t1 < by_seg[(2, "right")]["t_idx"] <= n
