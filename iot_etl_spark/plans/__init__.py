@@ -72,6 +72,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "suppressed_release_counts",
     "dedup_threshold_curve",
     "binseg_changepoints",
+    "kendall_taub_hour_value",
+    "mann_kendall_trend",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

@@ -3375,3 +3375,276 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("stat_abs"),
     )
     return top1.unionAll(top2)
+
+
+# ------------------------------------------------ Kendall tau-b
+# Concordant/discordant pair counts from the BOUNDED (hour, band)
+# contingency via 2-D suffix/prefix sums — two chained cumulative
+# windows per direction, never a cell-pair join, never a row-pair
+# expansion. All counts exact BIGINTs; tau-b is one shared-verbatim
+# expression.
+_TAUB_CELLS = """
+    SELECT h, b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+                   AS h,
+               CAST(FLOOR(value / CAST(5.0 AS DOUBLE)) AS BIGINT) AS b
+        FROM events
+    )
+    GROUP BY 1, 2
+"""
+
+_TAUB_ORACLE = f"""
+WITH cells0 AS ({_TAUB_CELLS}),
+-- densify: the chained suffix windows need a row at EVERY (h, b) of
+-- the bounded grid — a missing (h', b) row would drop the occupied
+-- (h', b' > b) mass from the second window's sum
+cells AS (
+    SELECT hh.h, bb.b, COALESCE(c.n, 0) AS n
+    FROM (SELECT DISTINCT h FROM cells0) hh
+    CROSS JOIN (SELECT DISTINCT b FROM cells0) bb
+    LEFT JOIN cells0 c ON c.h = hh.h AND c.b = bb.b
+),
+rowsuf AS (
+    SELECT h, b, n,
+           CAST(COALESCE(SUM(n) OVER (
+               PARTITION BY h ORDER BY b
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS BIGINT) AS suf_b,
+           CAST(COALESCE(SUM(n) OVER (
+               PARTITION BY h ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pre_b
+    FROM cells
+),
+grid AS (
+    SELECT h, b, n,
+           CAST(COALESCE(SUM(suf_b) OVER (
+               PARTITION BY b ORDER BY h
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS BIGINT) AS gt_gt,
+           CAST(COALESCE(SUM(pre_b) OVER (
+               PARTITION BY b ORDER BY h
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS BIGINT) AS gt_lt
+    FROM rowsuf
+),
+counts AS (
+    SELECT CAST(SUM(n * gt_gt) AS BIGINT) AS concordant,
+           CAST(SUM(n * gt_lt) AS BIGINT) AS discordant
+    FROM grid
+),
+margins AS (
+    SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM cells) AS nn,
+           (SELECT CAST(SUM(m * (m - 1)) AS BIGINT) / 2
+            FROM (SELECT SUM(n) AS m FROM cells GROUP BY h)) AS n1,
+           (SELECT CAST(SUM(m * (m - 1)) AS BIGINT) / 2
+            FROM (SELECT SUM(n) AS m FROM cells GROUP BY b)) AS n2
+)
+SELECT concordant, discordant,
+       CAST(nn AS BIGINT) AS n_rows,
+       ROUND((concordant - discordant)
+             / sqrt((CAST(nn AS DOUBLE) * (nn - 1) / 2 - n1)
+                    * (CAST(nn AS DOUBLE) * (nn - 1) / 2 - n2)),
+             6) AS tau_b
+FROM counts, margins
+"""
+
+
+@query("kendall_taub_hour_value", oracle=_TAUB_ORACLE)
+def kendall_taub_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between hour-of-day and value band — the
+    tie-corrected rank association completing the correlation family
+    (Pearson regr_value_trend, Spearman spearman_value_time; tau-b is
+    the one that stays honest under heavy ties, and both margins here
+    ARE heavily tied). Concordant/discordant pairs come from 2-D
+    suffix/prefix sums over the bounded contingency: rowsuf counts
+    strictly-greater/-lesser bands within each hour, grid chains a
+    second cumulative window across hours — every pair counted once,
+    no pair join anywhere.
+
+    100 TB shape: one scan into a <= 24 x ~100 cell table; the two
+    window passes and the margin aggregates are cell-bounded. (A
+    continuous second variable would first quantize to cells —
+    declared semantics, as in the W1/KS family.)"""
+    ev = load_table(spark, sf_dir, "events")
+    cells0 = ev.select(
+        F.hour("ts").cast("long").alias("h"),
+        F.expr("CAST(FLOOR(value / CAST(5.0 AS DOUBLE)) AS BIGINT)").alias(
+            "b"
+        ),
+    ).groupBy("h", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # densify (see oracle note): the chained windows need every (h, b)
+    hh = cells0.select("h").distinct()
+    bb = cells0.select("b").distinct()
+    cells = (
+        hh.crossJoin(bb)
+        .join(cells0, ["h", "b"], "left")
+        .select(
+            "h", "b", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+        )
+    )
+    w_suf = (
+        Window.partitionBy("h")
+        .orderBy("b")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_pre = (
+        Window.partitionBy("h")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rowsuf = cells.select(
+        "h",
+        "b",
+        "n",
+        F.coalesce(F.sum("n").over(w_suf), F.lit(0)).cast("long").alias(
+            "suf_b"
+        ),
+        F.coalesce(F.sum("n").over(w_pre), F.lit(0)).cast("long").alias(
+            "pre_b"
+        ),
+    )
+    w_h = (
+        Window.partitionBy("b")
+        .orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    grid = rowsuf.select(
+        "h",
+        "b",
+        "n",
+        F.coalesce(F.sum("suf_b").over(w_h), F.lit(0)).cast("long").alias(
+            "gt_gt"
+        ),
+        F.coalesce(F.sum("pre_b").over(w_h), F.lit(0)).cast("long").alias(
+            "gt_lt"
+        ),
+    )
+    counts = grid.agg(
+        F.sum(F.col("n") * F.col("gt_gt")).cast("long").alias("concordant"),
+        F.sum(F.col("n") * F.col("gt_lt")).cast("long").alias("discordant"),
+    )
+    nn = cells.agg(F.sum("n").cast("long").alias("nn"))
+    n1 = (
+        cells.groupBy("h")
+        .agg(F.sum("n").alias("m"))
+        .agg(
+            (F.sum(F.col("m") * (F.col("m") - 1)) / 2)
+            .cast("long")
+            .alias("n1")
+        )
+    )
+    n2 = (
+        cells.groupBy("b")
+        .agg(F.sum("n").alias("m"))
+        .agg(
+            (F.sum(F.col("m") * (F.col("m") - 1)) / 2)
+            .cast("long")
+            .alias("n2")
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .selectExpr(
+            "concordant",
+            "discordant",
+            "CAST(nn AS BIGINT) AS n_rows",
+            "ROUND((concordant - discordant)"
+            " / sqrt((CAST(nn AS DOUBLE) * (nn - 1) / 2 - n1)"
+            " * (CAST(nn AS DOUBLE) * (nn - 1) / 2 - n2)), 6) AS tau_b",
+        )
+    )
+
+
+# ------------------------------------------------ Mann-Kendall trend test
+_MK_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+pairs AS (
+    SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+    FROM daily a JOIN daily b ON b.day > a.day
+),
+ties AS (
+    SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+    WHERE t > 1
+),
+n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+SELECT s,
+       n,
+       ROUND((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term)
+             / 18, 6) AS variance,
+       ROUND((s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+             / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term)
+                    / 18), 6) AS z
+FROM pairs, ties, n_
+"""
+
+
+@query("mann_kendall_trend", oracle=_MK_ORACLE)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily event counts — the
+    significance companion to theilsen_trend_recent's robust slope
+    (the two are the classic pairing: MK decides IF there is a
+    monotone trend, Theil-Sen says how steep). S is the exact integer
+    sign-pair sum over the ~30-day series (pairwise over the BOUNDED
+    daily pre-aggregate, never rows), variance carries the standard
+    tie correction, and the z uses the continuity correction.
+
+    100 TB shape: one scan into the daily rollup; the pair join is
+    days x days (~900 cells)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n_ = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(n_))
+        .selectExpr(
+            "s",
+            "n",
+            "ROUND((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term)"
+            " / 18, 6) AS variance",
+            "ROUND((s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)"
+            " / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term)"
+            " / 18), 6) AS z",
+        )
+    )

@@ -609,3 +609,67 @@ def test_binseg_level1_matches_numpy_argmax(spark):
     assert r1["stat_abs"] == int(c[t1 - 1])
     assert 1 <= by_seg[(2, "left")]["t_idx"] <= t1
     assert t1 < by_seg[(2, "right")]["t_idx"] <= n
+
+
+def test_kendall_taub_against_numpy_contingency(spark):
+    """The suffix-sum pair counting is SHARED with the oracle (and a
+    sparse-grid bug there would be mutually invisible) — recompute
+    C/D/tau-b from the dense contingency with numpy 2-D suffix sums."""
+    import numpy as np
+
+    row = QUERIES["kendall_taub_hour_value"](spark, SF_DIR).collect()[0]
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "CAST(hour(ts) AS INT) AS h",
+            "CAST(FLOOR(value / CAST(5.0 AS DOUBLE)) AS INT) AS b",
+        )
+        .collect()
+    )
+    hs = sorted({r["h"] for r in ev})
+    bs = sorted({r["b"] for r in ev})
+    hi = {v: i for i, v in enumerate(hs)}
+    bi = {v: i for i, v in enumerate(bs)}
+    m = np.zeros((len(hs), len(bs)), dtype=np.int64)
+    for r in ev:
+        m[hi[r["h"]], bi[r["b"]]] += 1
+    # suffix sums: S[i, j] = sum of m[i:, j:]
+    S = np.flip(np.cumsum(np.cumsum(np.flip(m), axis=0), axis=1))
+    C = int(np.sum(m[:-1, :-1] * S[1:, 1:]))
+    # discordant: m[i, j] * sum of m[i' > i, b' < j]
+    pre = np.zeros_like(m)
+    pre[:, 1:] = np.cumsum(m, axis=1)[:, :-1]  # strictly-less columns
+    below = np.zeros_like(m)
+    below[:-1, :] = np.flip(np.cumsum(np.flip(pre, 0), 0), 0)[1:, :]
+    D = int(np.sum(m * below))
+    n = int(m.sum())
+    n0 = n * (n - 1) // 2
+    n1 = int(sum(t * (t - 1) // 2 for t in m.sum(axis=1)))
+    n2 = int(sum(t * (t - 1) // 2 for t in m.sum(axis=0)))
+    assert row["concordant"] == C
+    assert row["discordant"] == D
+    want = (C - D) / ((n0 - n1) * (n0 - n2)) ** 0.5
+    assert abs(row["tau_b"] - want) < 1e-5
+    assert -1.0 <= row["tau_b"] <= 1.0
+
+
+def test_mann_kendall_against_numpy(spark):
+    import numpy as np
+
+    row = QUERIES["mann_kendall_trend"](spark, SF_DIR).collect()[0]
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .count()
+        .orderBy("d")
+        .collect()
+    )
+    y = np.array([r["count"] for r in daily], dtype=np.int64)
+    s = int(np.sum(np.sign(y[None, :] - y[:, None])[np.triu_indices(len(y), 1)]))
+    assert row["s"] == s and row["n"] == len(y)
+    _, t = np.unique(y, return_counts=True)
+    tie = int(np.sum(t * (t - 1) * (2 * t + 5)))
+    var = (len(y) * (len(y) - 1) * (2 * len(y) + 5) - tie) / 18
+    assert abs(row["variance"] - var) < 1e-6
+    zc = (s - np.sign(s)) / var ** 0.5 if s != 0 else 0.0
+    assert abs(row["z"] - zc) < 1e-5
