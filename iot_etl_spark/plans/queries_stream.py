@@ -1065,3 +1065,94 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.round(F.col("vq").cast("double") / F.lit(1e6), 6).alias("last_value"),
     )
+
+
+# ------------------------------------- dynamic-gap session windows
+# Per-event gap: an error tightens the session timeout to 5 minutes,
+# normal activity keeps 30. The batch oracle is the running-reach
+# gaps-and-islands fold: a session breaks when an event's time is at
+# or past the max (ts + own gap) reach of everything before it.
+_DYN_SESSION_ORACLE = f"""
+WITH e AS (
+    SELECT user_id,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+           event_id,
+           CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END AS gap_s,
+           CAST(ROUND(value * 1e6) AS BIGINT) AS vq
+    FROM events
+),
+r AS (
+    SELECT *,
+           MAX(us + gap_s * 1000000) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_reach
+    FROM e
+),
+b AS (
+    SELECT *,
+           CASE WHEN prev_reach IS NULL OR us >= prev_reach
+                THEN 1 ELSE 0 END AS brk
+    FROM r
+),
+s AS (
+    SELECT *,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(us) // 1000000 AS BIGINT) AS session_start_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(vq) AS DOUBLE) / 1e6, 6) AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_dynamic_gap", oracle=_DYN_SESSION_ORACLE)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows on the streaming engine: the gap is
+    a per-event COLUMN (errors shrink the inactivity timeout to 5
+    minutes, normal events keep 30) — the Spark 4 session_window
+    overload the fixed-gap query (stream_session_window) can't
+    express; behaviorally, an error ends its session quickly unless
+    followed by activity. The oracle is the running-reach
+    gaps-and-islands fold: an event starts a new session iff its time
+    is at or past max(ts_j + gap_j) over everything earlier — exactly
+    the engine's merge rule for half-open [start, last+gap) windows,
+    so the hash check pins the engine's dynamic merge semantics
+    against an independent batch definition.
+
+    Scale: state per open session per user (the gap column changes
+    merge extents, not the state shape); the oracle's fold is two
+    user-partitioned windows over integer micros."""
+    src = read_stream_source(
+        spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet"
+    )
+    # the dynamic gap must be CalendarIntervalType (ANSI INTERVAL
+    # literals are DayTimeIntervalType, which session_window rejects)
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, 0,"
+        " CASE WHEN event_type = 'error' THEN 5 ELSE 30 END, 0)"
+    )
+    agg = (
+        src.withColumn("vq", F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vq").alias("svq"),
+        )
+    )
+    _, out = run_stream_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp(F.col("session_window.start"))
+        .cast("long")
+        .alias("session_start_epoch"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("svq").cast("double") / F.lit(1e6), 6).alias(
+            "sum_value"
+        ),
+    )
