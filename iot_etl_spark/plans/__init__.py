@@ -75,6 +75,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "kendall_taub_hour_value",
     "mann_kendall_trend",
     "stream_session_dynamic_gap",
+    "seasonal_strength_index",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

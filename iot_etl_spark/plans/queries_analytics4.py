@@ -3648,3 +3648,123 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 18), 6) AS z",
         )
     )
+
+
+# ------------------------------------------------ seasonal strength
+# Hyndman's F_s = max(0, 1 - Var(remainder)/Var(detrended)) computed
+# from the SAME integer-24ths cells as seasonal_decomposition_hourly:
+# within-cell scatter is the remainder, total detrended scatter is
+# seasonal + remainder, and both sums of squares are exact BIGINTs
+# until the single shared ratio.
+_SEAS_STRENGTH_CELLS = f"""
+WITH h AS (
+    SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+ext AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM h),
+grid AS (
+    SELECT t.hr FROM ext CROSS JOIN
+        unnest(generate_series(ext.mn, ext.mx, 1)) AS t(hr)
+),
+s AS (
+    SELECT g.hr, COALESCE(h.cnt, 0) AS cnt FROM grid g LEFT JOIN h USING (hr)
+),
+ma AS (
+    SELECT hr, cnt,
+           CAST(SUM(cnt) OVER w AS BIGINT) AS sum24,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n24
+    FROM s
+    WINDOW w AS (ORDER BY hr ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+),
+d AS (
+    SELECT hr % 24 AS hour_of_day, 24 * cnt - sum24 AS d24
+    FROM ma WHERE n24 = 24
+),
+agg AS (
+    SELECT hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(d24) AS BIGINT) AS sum_d,
+           CAST(SUM(d24 * d24) AS BIGINT) AS sum_d2
+    FROM d GROUP BY 1
+)
+"""
+
+# SS_remainder = sum_cells(sum_d2 - sum_d^2/n); SS_detrended =
+# sum(sum_d2) - (sum sum_d)^2 / N.
+_SEAS_STRENGTH_FINAL = """
+SELECT CAST(n_total AS BIGINT) AS n_obs,
+       ROUND(ss_rem / n_total / 576, 6) AS var_remainder,
+       ROUND(ss_det / n_total / 576, 6) AS var_detrended,
+       ROUND(GREATEST(CAST(0.0 AS DOUBLE),
+                      CAST(1.0 AS DOUBLE) - ss_rem / ss_det), 6)
+           AS seasonal_strength
+FROM (
+    SELECT SUM(n_obs) AS n_total,
+           SUM(sum_d2 - CAST(sum_d AS DOUBLE) * sum_d / n_obs) AS ss_rem,
+           CAST(SUM(sum_d2) AS DOUBLE)
+               - CAST(SUM(sum_d) AS DOUBLE) * SUM(sum_d) / SUM(n_obs)
+               AS ss_det
+    FROM agg
+)
+"""
+
+_SEAS_STRENGTH_ORACLE = f"{_SEAS_STRENGTH_CELLS}\n{_SEAS_STRENGTH_FINAL}"
+
+
+@query("seasonal_strength_index", oracle=_SEAS_STRENGTH_ORACLE)
+def seasonal_strength_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman-Athanasopoulos seasonal strength F_s = max(0,
+    1 - Var(remainder)/Var(detrended)) of the hourly series — the
+    one-number answer to "how seasonal is this signal" that the
+    decomposition (seasonal_decomposition_hourly, which this composes
+    cell-for-cell) itemizes and the periodogram tests: near 0 the
+    daily cycle is noise, near 1 it dominates. Everything is exact
+    integer 24ths until the two shared variance ratios.
+
+    100 TB shape: identical to the decomposition — hourly rollup,
+    centered-MA window on the post-aggregate frame, a 24-cell
+    aggregate, then one row."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.expr("unix_timestamp(ts) div 3600").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    grid = h.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx")).select(
+        F.explode(F.sequence("mn", "mx", F.lit(1).cast("long"))).alias("hr")
+    )
+    s = grid.join(h, "hr", "left").select(
+        "hr", F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt")
+    )
+    w = Window.partitionBy().orderBy("hr").rowsBetween(-11, 12)
+    ma = s.select(
+        "hr",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("sum24"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n24"),
+    )
+    d = ma.filter(F.col("n24") == 24).select(
+        (F.col("hr") % 24).alias("hour_of_day"),
+        (F.lit(24) * F.col("cnt") - F.col("sum24")).alias("d24"),
+    )
+    agg = d.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("d24").cast("long").alias("sum_d"),
+        F.sum(F.col("d24") * F.col("d24")).cast("long").alias("sum_d2"),
+    )
+    inner = agg.agg(
+        F.expr("SUM(n_obs)").alias("n_total"),
+        F.expr(
+            "SUM(sum_d2 - CAST(sum_d AS DOUBLE) * sum_d / n_obs)"
+        ).alias("ss_rem"),
+        F.expr(
+            "CAST(SUM(sum_d2) AS DOUBLE)"
+            " - CAST(SUM(sum_d) AS DOUBLE) * SUM(sum_d) / SUM(n_obs)"
+        ).alias("ss_det"),
+    )
+    return inner.selectExpr(
+        "CAST(n_total AS BIGINT) AS n_obs",
+        "ROUND(ss_rem / n_total / 576, 6) AS var_remainder",
+        "ROUND(ss_det / n_total / 576, 6) AS var_detrended",
+        "ROUND(GREATEST(CAST(0.0 AS DOUBLE),"
+        " CAST(1.0 AS DOUBLE) - ss_rem / ss_det), 6) AS seasonal_strength",
+    )

@@ -673,3 +673,21 @@ def test_mann_kendall_against_numpy(spark):
     assert abs(row["variance"] - var) < 1e-6
     zc = (s - np.sign(s)) / var ** 0.5 if s != 0 else 0.0
     assert abs(row["z"] - zc) < 1e-5
+
+
+def test_seasonal_strength_consistent_with_decomposition(spark):
+    """F_s recomputed from seasonal_decomposition_hourly's own cells
+    (index and residual_std) must match within rounding, and sits in
+    [0, 1]."""
+    row = QUERIES["seasonal_strength_index"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["seasonal_strength"] <= 1.0
+    assert row["var_remainder"] <= row["var_detrended"] + 1e-9
+    cells = QUERIES["seasonal_decomposition_hourly"](spark, SF_DIR).collect()
+    n = sum(c["n_obs"] for c in cells)
+    ss_rem = sum(c["n_obs"] * c["residual_std"] ** 2 for c in cells)
+    mean_all = sum(c["n_obs"] * c["seasonal_index"] for c in cells) / n
+    ss_det = ss_rem + sum(
+        c["n_obs"] * (c["seasonal_index"] - mean_all) ** 2 for c in cells
+    )
+    want = max(0.0, 1.0 - ss_rem / ss_det)
+    assert abs(row["seasonal_strength"] - want) < 1e-3
