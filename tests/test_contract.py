@@ -63,14 +63,21 @@ def test_entry_module_contract():
         "fellegi_sunter_weights",
         "acf_pacf_hourly",
         "quantile_treatment_effect",
-        # round-6 registrations next (never driver-checked)
+        "logrank_test_arms",
+        "suppressed_release_counts",
+        "dedup_threshold_curve",
+        "binseg_changepoints",
+        "kendall_taub_hour_value",
+        "mann_kendall_trend",
+        "stream_session_dynamic_gap",
+        "seasonal_strength_index",
+        # round-6 registrations next (never driver-checked; the 31
+        # round-7 names leave 19 slots for the head of the r6 block)
         "device_cooccurrence_capped",
         "triangle_count_graph_capped",
         "pagerank_device_graph_capped",
         "ks_weekend_value",
         "adamic_adar_linkpred",
-        "welch_ttest_value",
-        "bm25_retrieval",
     ):
         assert must in first50, must
 
