@@ -76,6 +76,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "mann_kendall_trend",
     "stream_session_dynamic_gap",
     "seasonal_strength_index",
+    "holt_winters_hourly",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

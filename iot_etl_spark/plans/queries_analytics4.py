@@ -3768,3 +3768,175 @@ def seasonal_strength_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(GREATEST(CAST(0.0 AS DOUBLE),"
         " CAST(1.0 AS DOUBLE) - ss_rem / ss_det), 6) AS seasonal_strength",
     )
+
+
+# ------------------------------------------------ Holt-Winters (additive)
+# Triple exponential smoothing of the hourly count series with a
+# 24-hour season. The seasonal state is a ROTATING list (pop front,
+# push back), so each step is pure slicing — no indexed updates, and
+# the identical recursion runs as a Spark aggregate() HOF and a DuckDB
+# recursive CTE with a LIST column. Both folds execute the same
+# expression tree in the same order over doubles derived from exact
+# integers -> bit-identical trajectories.
+HW_ALPHA = "CAST(0.2 AS DOUBLE)"
+HW_BETA = "CAST(0.05 AS DOUBLE)"
+HW_GAMMA = "CAST(0.1 AS DOUBLE)"
+HW_PERIOD = 24
+HW_HORIZON = 6
+
+_HW_SERIES = """
+    SELECT ROW_NUMBER() OVER (ORDER BY hr) AS t,
+           CAST(cnt AS DOUBLE) AS y
+    FROM (
+        SELECT {hr} AS hr, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    )
+"""
+
+# step expressions over state (lv, tr, seas[1] = current season) and y
+_HW_LEVEL = (
+    f"({HW_ALPHA} * (y - s0) + (CAST(1.0 AS DOUBLE) - {HW_ALPHA})"
+    " * (lv + tr))"
+)
+_HW_TREND = (
+    f"({HW_BETA} * (lv2 - lv) + (CAST(1.0 AS DOUBLE) - {HW_BETA}) * tr)"
+)
+_HW_SEAS = (
+    f"({HW_GAMMA} * (y - lv2) + (CAST(1.0 AS DOUBLE) - {HW_GAMMA}) * s0)"
+)
+
+
+def _hw_oracle() -> str:
+    series = _HW_SERIES.format(
+        hr="epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600"
+    )
+    return f"""
+WITH RECURSIVE series AS ({series}),
+init AS (
+    SELECT AVG(CASE WHEN t <= {HW_PERIOD} THEN y END) AS m1,
+           (AVG(CASE WHEN t > {HW_PERIOD} AND t <= {2 * HW_PERIOD} THEN y END)
+            - AVG(CASE WHEN t <= {HW_PERIOD} THEN y END))
+           / {HW_PERIOD} AS tr0,
+           list(y - (SELECT AVG(CASE WHEN t <= {HW_PERIOD} THEN y END)
+                     FROM series)
+                ORDER BY t)
+               FILTER (WHERE t <= {HW_PERIOD}) AS seas0,
+           CAST(MAX(t) AS BIGINT) AS tmax
+    FROM series
+),
+walk(t, lv, tr, seas, sse) AS (
+    SELECT CAST({HW_PERIOD} AS BIGINT), m1, tr0, seas0,
+           CAST(0.0 AS DOUBLE)
+    FROM init
+    UNION ALL
+    SELECT q.t, q.lv2, {_HW_TREND},
+           q.seas[2:] || [{_HW_SEAS}],
+           q.sse + (q.y - q.pred) * (q.y - q.pred)
+    FROM (
+        SELECT s.t, s.y, w.lv, w.tr, w.sse,
+               w.seas[1] AS s0,
+               w.lv + w.tr + w.seas[1] AS pred,
+               {_HW_LEVEL.replace("s0", "w.seas[1]")
+                         .replace("(y ", "(s.y ")} AS lv2,
+               w.seas
+        FROM walk w JOIN series s ON s.t = w.t + 1
+    ) q
+),
+final AS (
+    SELECT w.* FROM walk w, init WHERE w.t = init.tmax
+),
+h AS (SELECT unnest(range(1, {HW_HORIZON + 1})) AS h)
+SELECT CAST(h AS BIGINT) AS horizon_hours,
+       ROUND(lv + h * tr + seas[((h - 1) % {HW_PERIOD}) + 1], 6)
+           AS forecast,
+       ROUND(lv, 6) AS level,
+       ROUND(tr, 6) AS trend,
+       ROUND(sse, 6) AS sse
+FROM final, h
+"""
+
+
+@query("holt_winters_hourly", oracle=_hw_oracle())
+def holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive triple exponential smoothing of the
+    hourly event-count series (24-hour season) with a 6-hour-ahead
+    forecast — the seasonal upgrade of the Holt family
+    (holt_forecast_per_device is level+trend only; the seasonal
+    component is what makes an hourly ops forecast usable). The
+    irreducibly sequential recursion folds over the SORTED hourly
+    array exactly like the Holt/funnel/UCB1 folds: level/trend update
+    per step and the 24-slot seasonal state ROTATES (pop front, push
+    back) so the fold needs only list slicing — the identical
+    recursion runs as a DuckDB recursive CTE over a LIST column, and
+    both engines execute the same double expression tree in the same
+    order (bit-identical trajectories; SSE accumulated in the fold).
+
+    100 TB shape: the distributed part is the hourly rollup; the
+    fold is O(series length) on one row — the same
+    sequential-recurrence discipline as SCALE.md 'Sequential
+    recurrences'."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.expr("unix_timestamp(ts) div 3600").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.row_number().over(Window.orderBy("hr")).cast("long").alias("t"),
+            F.col("cnt").cast("double").alias("y"),
+        )
+    )
+    p = HW_PERIOD
+    arr = series.agg(
+        F.expr(
+            f"sort_array(collect_list(named_struct('t', t, 'y', y)))"
+        ).alias("pts"),
+        F.expr(
+            f"AVG(CASE WHEN t <= {p} THEN y END)"
+        ).alias("m1"),
+        F.expr(
+            f"(AVG(CASE WHEN t > {p} AND t <= {2 * p} THEN y END)"
+            f" - AVG(CASE WHEN t <= {p} THEN y END)) / {p}"
+        ).alias("tr0"),
+    ).selectExpr(
+        "pts",
+        "m1",
+        "tr0",
+        f"transform(slice(pts, 1, {p}), x -> x.y - m1) AS seas0",
+        f"slice(pts, {p + 1}, size(pts) - {p}) AS rest",
+    )
+    lv2 = _HW_LEVEL.replace("s0", "acc.seas[0]").replace(
+        "(y ", "(x.y "
+    ).replace("lv + tr", "acc.lv + acc.tr")
+    step = (
+        "named_struct("
+        f"'lv', {lv2}, "
+        "'tr', "
+        + _HW_TREND.replace("lv2", lv2)
+        .replace("(lv)", "(acc.lv)")
+        .replace("- lv)", "- acc.lv)")
+        .replace("* tr", "* acc.tr")
+        + ", "
+        "'seas', concat(slice(acc.seas, 2, "
+        f"{p - 1}), array("
+        + _HW_SEAS.replace("lv2", lv2)
+        .replace("(y ", "(x.y ")
+        .replace("s0", "acc.seas[0]")
+        + ")), "
+        "'sse', acc.sse + (x.y - (acc.lv + acc.tr + acc.seas[0]))"
+        " * (x.y - (acc.lv + acc.tr + acc.seas[0])))"
+    )
+    final = arr.selectExpr(
+        f"aggregate(rest, named_struct('lv', m1, 'tr', tr0, 'seas', seas0,"
+        f" 'sse', CAST(0.0 AS DOUBLE)), (acc, x) -> {step}) AS st"
+    )
+    hs = spark.range(1, HW_HORIZON + 1).select(
+        F.col("id").cast("long").alias("horizon_hours")
+    )
+    return final.crossJoin(F.broadcast(hs)).selectExpr(
+        "horizon_hours",
+        f"ROUND(st.lv + horizon_hours * st.tr"
+        f" + st.seas[CAST((horizon_hours - 1) % {p} AS INT)], 6)"
+        " AS forecast",
+        "ROUND(st.lv, 6) AS level",
+        "ROUND(st.tr, 6) AS trend",
+        "ROUND(st.sse, 6) AS sse",
+    )

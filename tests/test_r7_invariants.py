@@ -691,3 +691,44 @@ def test_seasonal_strength_consistent_with_decomposition(spark):
     )
     want = max(0.0, 1.0 - ss_rem / ss_det)
     assert abs(row["seasonal_strength"] - want) < 1e-3
+
+
+def test_holt_winters_matches_python_fold(spark):
+    """Both engines share the recursion, so a wrong update rule would
+    be mutually invisible — re-run the identical fold in plain Python
+    over the collected hourly series and compare level/trend/SSE and
+    every forecast."""
+    rows = {
+        r["horizon_hours"]: r
+        for r in QUERIES["holt_winters_hourly"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(range(1, 7))
+    series = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.expr("unix_timestamp(ts) div 3600").alias("hr"))
+        .count()
+        .orderBy("hr")
+        .collect()
+    )
+    y = [float(r["count"]) for r in series]
+    p, a, b, g = 24, 0.2, 0.05, 0.1
+    m1 = sum(y[:p]) / p
+    m2 = sum(y[p : 2 * p]) / p
+    lv, tr = m1, (m2 - m1) / p
+    seas = [v - m1 for v in y[:p]]
+    sse = 0.0
+    for v in y[p:]:
+        s0 = seas.pop(0)
+        pred = lv + tr + s0
+        sse += (v - pred) ** 2
+        lv2 = a * (v - s0) + (1 - a) * (lv + tr)
+        tr = b * (lv2 - lv) + (1 - b) * tr
+        seas.append(g * (v - lv2) + (1 - g) * s0)
+        lv = lv2
+    r1 = rows[1]
+    assert abs(r1["level"] - lv) < 1e-4
+    assert abs(r1["trend"] - tr) < 1e-4
+    assert abs(r1["sse"] - sse) < max(1e-3, 1e-9 * sse)
+    for h in range(1, 7):
+        want = lv + h * tr + seas[(h - 1) % p]
+        assert abs(rows[h]["forecast"] - want) < 1e-3, h
