@@ -71,13 +71,13 @@ def test_entry_module_contract():
         "mann_kendall_trend",
         "stream_session_dynamic_gap",
         "seasonal_strength_index",
-        # round-6 registrations next (never driver-checked; the 31
-        # round-7 names leave 19 slots for the head of the r6 block)
+        "holt_winters_hourly",
+        # round-6 registrations fill the remaining slots (never
+        # driver-checked); pin only the head of that block so adding a
+        # round-7 query does not invalidate the contract each time
         "device_cooccurrence_capped",
         "triangle_count_graph_capped",
         "pagerank_device_graph_capped",
-        "ks_weekend_value",
-        "adamic_adar_linkpred",
     ):
         assert must in first50, must
 
