@@ -77,6 +77,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "stream_session_dynamic_gap",
     "seasonal_strength_index",
     "holt_winters_hourly",
+    "lsh_recall_audit",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

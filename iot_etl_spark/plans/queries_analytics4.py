@@ -3940,3 +3940,131 @@ def holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(st.tr, 6) AS trend",
         "ROUND(st.sse, 6) AS sse",
     )
+
+
+# ------------------------------------------------ LSH recall audit
+def _lsh_recall_oracle() -> str:
+    from iot_etl_spark.plans.queries_text import _MINHASH_CTES
+
+    # Verification for BOTH sides runs in the md5 32-bit token space
+    # (the setsim oracle's device — BIGINT list intersects, ~10x
+    # faster than string lists, and identical across engines); the
+    # anti-join is a plain hash LEFT JOIN, never a correlated EXISTS.
+    return f"""
+WITH {_MINHASH_CTES},
+tk AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               s, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS toks
+    FROM sh
+),
+lsh AS (
+    SELECT doc_id_a, doc_id_b
+    FROM cand
+    JOIN tk x ON x.doc_id = doc_id_a
+    JOIN tk y ON y.doc_id = doc_id_b
+    WHERE len(list_intersect(x.toks, y.toks))::DOUBLE
+          / (len(x.toks) + len(y.toks)
+             - len(list_intersect(x.toks, y.toks))) >= 0.8
+),
+exact AS (
+    SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+    FROM tk x JOIN tk y ON x.doc_id < y.doc_id
+    WHERE len(x.toks) > 0 AND len(y.toks) > 0
+      AND len(list_intersect(x.toks, y.toks))::DOUBLE
+          / (len(x.toks) + len(y.toks)
+             - len(list_intersect(x.toks, y.toks))) >= 0.8
+),
+m AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM exact e LEFT JOIN lsh l
+              ON l.doc_id_a = e.doc_id_a AND l.doc_id_b = e.doc_id_b
+            WHERE l.doc_id_a IS NULL) AS n_missed
+)
+SELECT n_exact, n_lsh, n_missed,
+       ROUND(CAST(n_lsh AS DOUBLE) / n_exact, 6) AS recall
+FROM m
+"""
+
+
+@query("lsh_recall_audit", oracle=_lsh_recall_oracle())
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the MinHash-LSH dedup lane against exact
+    ground truth in the SAME similarity space (3-gram shingles,
+    Jaccard >= 0.8): the exact pair set comes from the prefix-filtered
+    set-similarity join (setsim_prefix_join's materialized stage — an
+    exact algorithm with a different candidate generator), the LSH
+    set from dedup_ngram_jaccard's band candidates + exact rescore.
+    Every surviving LSH pair is exact-verified, so precision is 1 by
+    construction and the single honest number is RECALL — the
+    theoretical 1-(1-s^r)^b ~ 0.88 at s = 0.8 becomes a measured
+    value, which is what a dedup rollout signs off on. n_missed
+    counts the LSH false negatives individually (the anti-join).
+
+    100 TB shape: both pair sets are materialized shared stages; the
+    audit adds two counts and one anti-join on (a, b) keys. The
+    ORACLE's exact side is the brute-force all-pairs scan — feasible
+    only at test scale, which is the point: the engines agree on the
+    number a brute-force check could only produce at toy size."""
+    from iot_etl_spark.plans.queries_mlprep import _setsim_pairs_cached
+    from iot_etl_spark.plans.queries_text import (
+        _band_candidate_pairs,
+        _band_sigs_cached,
+        _shingle_sets_cached,
+    )
+
+    exact = _setsim_pairs_cached(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
+    # LSH candidates verified in the SAME md5-token space as the exact
+    # side (so a 32-bit shingle collision can never split the verdicts
+    # between the two lanes)
+    tk = _shingle_sets_cached(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(s, x -> "
+            "cast(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)))"
+        ).alias("toks"),
+    )
+    cand = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
+    lsh = (
+        cand.join(
+            tk.select(F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("ta")),
+            "doc_id_a",
+        )
+        .join(
+            tk.select(F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("tb")),
+            "doc_id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .filter(
+            F.col("inter")
+            / (F.size("ta") + F.size("tb") - F.col("inter"))
+            >= 0.8
+        )
+        .select("doc_id_a", "doc_id_b")
+    )
+    missed = exact.join(lsh, ["doc_id_a", "doc_id_b"], "left_anti")
+    stats = (
+        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .crossJoin(
+            F.broadcast(
+                lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                missed.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_missed")
+                )
+            )
+        )
+    )
+    return stats.selectExpr(
+        "n_exact",
+        "n_lsh",
+        "n_missed",
+        "ROUND(CAST(n_lsh AS DOUBLE) / n_exact, 6) AS recall",
+    )

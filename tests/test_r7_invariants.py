@@ -732,3 +732,14 @@ def test_holt_winters_matches_python_fold(spark):
     for h in range(1, 7):
         want = lv + h * tr + seas[(h - 1) % p]
         assert abs(rows[h]["forecast"] - want) < 1e-3, h
+
+
+def test_lsh_recall_accounting(spark):
+    """LSH pairs are a subset of the exact pair set (same verification
+    space), so n_exact must equal n_lsh + n_missed exactly; recall in
+    (0, 1]. The LSH design point (4 bands x 4 rows at s = 0.8) has
+    theoretical recall ~0.88 — allow slack but fail on collapse."""
+    row = QUERIES["lsh_recall_audit"](spark, SF_DIR).collect()[0]
+    assert row["n_exact"] > 0
+    assert row["n_exact"] == row["n_lsh"] + row["n_missed"]
+    assert 0.5 <= row["recall"] <= 1.0
