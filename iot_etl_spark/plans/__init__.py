@@ -78,6 +78,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "seasonal_strength_index",
     "holt_winters_hourly",
     "lsh_recall_audit",
+    "hodges_lehmann_weekend",
     # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
     "device_cooccurrence_capped",
     "triangle_count_graph_capped",

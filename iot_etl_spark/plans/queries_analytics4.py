@@ -4068,3 +4068,109 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_missed",
         "ROUND(CAST(n_lsh AS DOUBLE) / n_exact, 6) AS recall",
     )
+
+
+# ------------------------------------------------ Hodges-Lehmann + Cliff's d
+# Two-sample HL shift = median of all pairwise (weekend - weekday)
+# differences, computed over UNIT-quantized value cells: the pair
+# space is cells x cells (~500 x 500), each difference cell carries
+# the integer weight n1*n2, and the weighted median is the
+# cumulative-cell rule 2*cum >= W (integer cross-multiplied). Cliff's
+# delta falls out of the same frame as (W+ - W-)/W.
+_HL_CELLS = """
+    SELECT we, cell, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT CASE WHEN {we_pred} THEN 1 ELSE 0 END AS we,
+               CAST(ROUND(value) AS BIGINT) AS cell
+        FROM events
+    )
+    GROUP BY 1, 2
+"""
+
+
+def _hl_oracle() -> str:
+    cells = _HL_CELLS.format(
+        we_pred="dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)"
+    )
+    return f"""
+WITH cells AS ({cells}),
+d AS (
+    SELECT a.cell - b.cell AS diff,
+           CAST(SUM(a.n * b.n) AS BIGINT) AS w
+    FROM (SELECT cell, n FROM cells WHERE we = 1) a
+    CROSS JOIN (SELECT cell, n FROM cells WHERE we = 0) b
+    GROUP BY 1
+),
+c AS (
+    SELECT diff, w,
+           CAST(SUM(w) OVER (ORDER BY diff
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(SUM(w) OVER () AS BIGINT) AS tot
+    FROM d
+)
+SELECT CAST(MIN(CASE WHEN 2 * cum >= tot THEN diff END) AS BIGINT)
+           AS hl_shift,
+       ROUND((CAST(SUM(CASE WHEN diff > 0 THEN w ELSE 0 END) AS DOUBLE)
+              - SUM(CASE WHEN diff < 0 THEN w ELSE 0 END))
+             / MAX(tot), 6) AS cliffs_delta,
+       CAST(MAX(tot) AS BIGINT) AS n_pairs
+FROM c
+"""
+
+
+@query("hodges_lehmann_weekend", oracle=_hl_oracle())
+def hodges_lehmann_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator and Cliff's delta between the
+    weekend and weekday value distributions — the EFFECT-SIZE pair
+    for the rank-test family: mannwhitney_weekend_value decides
+    significance, HL says HOW FAR the distributions sit apart (the
+    median pairwise difference, robust where the mean shift is not),
+    and Cliff's delta normalizes the dominance to [-1, 1]. The n1*n2
+    pair space collapses to difference cells over UNIT-quantized
+    values (declared semantics): integer weights, a bounded
+    cumulative window, and the weighted-median rule 2*cum >= W as an
+    integer cross-product — no doubles until Cliff's one division.
+
+    100 TB shape: one scan into per-group value cells (bounded by
+    value range), a ~500x500 broadcast cell cross join, windows over
+    ~1000 difference cells."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("we"),
+            F.expr("CAST(ROUND(value) AS BIGINT)").alias("cell"),
+        )
+        .groupBy("we", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = cells.filter(F.col("we") == 1).select(
+        F.col("cell").alias("ca"), F.col("n").alias("na")
+    )
+    b = cells.filter(F.col("we") == 0).select(
+        F.col("cell").alias("cb"), F.col("n").alias("nb")
+    )
+    d = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy((F.col("ca") - F.col("cb")).alias("diff"))
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("w"))
+    )
+    c = d.select(
+        "diff",
+        "w",
+        F.sum("w")
+        .over(
+            Window.orderBy("diff").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("cum"),
+        F.sum("w").over(Window.partitionBy()).cast("long").alias("tot"),
+    )
+    return c.agg(
+        F.expr("CAST(MIN(CASE WHEN 2 * cum >= tot THEN diff END) AS BIGINT)")
+        .alias("hl_shift"),
+        F.expr(
+            "ROUND((CAST(SUM(CASE WHEN diff > 0 THEN w ELSE 0 END) AS DOUBLE)"
+            " - SUM(CASE WHEN diff < 0 THEN w ELSE 0 END)) / MAX(tot), 6)"
+        ).alias("cliffs_delta"),
+        F.expr("CAST(MAX(tot) AS BIGINT)").alias("n_pairs"),
+    )

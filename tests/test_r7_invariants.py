@@ -743,3 +743,32 @@ def test_lsh_recall_accounting(spark):
     assert row["n_exact"] > 0
     assert row["n_exact"] == row["n_lsh"] + row["n_missed"]
     assert 0.5 <= row["recall"] <= 1.0
+
+
+def test_hodges_lehmann_against_numpy(spark):
+    """HL shift and Cliff's delta recomputed directly from the
+    quantized samples with numpy (full pairwise difference matrix at
+    test scale) — the cell construction is shared with the oracle."""
+    import numpy as np
+
+    row = QUERIES["hodges_lehmann_weekend"](spark, SF_DIR).collect()[0]
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "CAST(ROUND(value) AS BIGINT) AS cell",
+            "dayofweek(ts) IN (1, 7) AS we",
+        )
+        .collect()
+    )
+    we = np.array([r["cell"] for r in ev if r["we"]], dtype=np.int64)
+    wd = np.array([r["cell"] for r in ev if not r["we"]], dtype=np.int64)
+    diffs = (we[:, None] - wd[None, :]).ravel()
+    diffs.sort()
+    tot = len(diffs)
+    # lower weighted median: min d with 2*cum >= tot
+    hl = int(diffs[(tot + 1) // 2 - 1])
+    assert row["n_pairs"] == tot
+    assert row["hl_shift"] == hl
+    cliffs = (np.sum(diffs > 0) - np.sum(diffs < 0)) / tot
+    assert abs(row["cliffs_delta"] - cliffs) < 1e-6
+    assert -1.0 <= row["cliffs_delta"] <= 1.0
