@@ -30,69 +30,22 @@ from iot_etl_spark.plans import queries_analytics4  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
-# window is curated per round for maximum fresh evidence. Round-7
-# rotation: no CORRECTNESS_r06 was recorded, so the round-6
-# registrations below are still never-driver-checked — the window is
-# the 9 round-7 registrations (analytics4 batch + stream_cdc_apply)
-# followed by the round-6 registrations in their r6 order; the oldest
-# r1 re-checks (TPC-H core et al.) stay queued after them and rotate
-# in as the window drains in later rounds.
+# window is curated per round for maximum fresh evidence. Round-8
+# rotation (VERDICT r7 item 2): slot 1 is the theilsen re-check after
+# the signed-zero fix; slots 2-50 are the oldest 49 of the 57 queries
+# that have never appeared in any driver CORRECTNESS window (round-6/7
+# registrations that outran the 50-slot window). The remaining 8
+# never-checked names queue immediately after and head round 9's
+# window, followed by the oldest r1 greens due for regression
+# re-checks (VERDICT item 4).
 # Names listed here but not (yet) registered are ignored; registered
 # names absent from the list keep their original relative order after
 # the prioritized block.
 _DRIVER_WINDOW_FIRST: list[str] = [
-    # ---- round-7 registrations (never driver-checked)
-    "bitmap_exact_distinct",
-    "k_anonymity_audit",
-    "ridge_normal_equations",
-    "conformal_prediction_interval",
-    "bfs_hop_distance",
-    "scd2_point_in_time",
-    "shapley_channel_attribution",
-    "sprt_sequential_monitor",
-    "stream_cdc_apply",
-    "clamped_running_balance",
-    "negative_binomial_fit",
-    "benjamini_hochberg_fdr",
-    "diff_in_diff_readout",
-    "nelson_aalen_hazard",
-    "grid_density_clusters",
-    "anova_oneway_value",
-    "cramers_v_type_dow",
-    "ucb1_bandit_replay",
-    "wasserstein_weekend_value",
-    "graph_modularity_components",
-    "brier_decomposition",
-    "harmonic_regression_daily",
-    "jackknife_ratio_variance",
-    "fellegi_sunter_weights",
-    "acf_pacf_hourly",
-    "quantile_treatment_effect",
-    "logrank_test_arms",
-    "suppressed_release_counts",
-    "dedup_threshold_curve",
-    "binseg_changepoints",
-    "kendall_taub_hour_value",
-    "mann_kendall_trend",
-    "stream_session_dynamic_gap",
-    "seasonal_strength_index",
-    "holt_winters_hourly",
-    "lsh_recall_audit",
-    "hodges_lehmann_weekend",
-    # ---- round-6 registrations (no CORRECTNESS_r06 recorded)
-    "device_cooccurrence_capped",
-    "triangle_count_graph_capped",
-    "pagerank_device_graph_capped",
-    "benford_first_digit",
-    "nation_revenue_gini",
-    "editdist_blocking_pairs",
+    # ---- slot 1: round-7's only red, fixed this round (-0.0 normalize)
     "theilsen_trend_recent",
-    "embedding_truncation_audit",
-    "pps_sample_estimate",
-    "kcore_membership",
-    "containment_pairs",
-    "linear_attribution",
-    "bootstrap_mean_ci",
+    # ---- never-driver-checked backlog, oldest first (57 names; the
+    # ---- first 49 fill this round's window)
     "ks_weekend_value",
     "chi2_type_dow",
     "adamic_adar_linkpred",

@@ -2676,7 +2676,10 @@ m AS (
 SELECT np.user_id,
        CAST(np.n_points AS BIGINT) AS n_points,
        CAST(c.n_slopes AS BIGINT) AS n_slopes,
-       ROUND(m.s, 6) AS theilsen_slope
+       -- + 0.0 normalizes IEEE -0.0 to +0.0: DuckDB's ROUND preserves
+       -- the sign of a tiny negative slope, Spark's does not (the
+       -- round-7 driver red; values were ==-equal, bytes were not)
+       ROUND(m.s, 6) + 0.0 AS theilsen_slope
 FROM np
 JOIN c ON c.user_id = np.user_id
 JOIN m ON m.user_id = np.user_id AND m.rk = (c.n_slopes + 1) // 2
@@ -2747,8 +2750,11 @@ def theilsen_trend_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_points",
         F.size("ss").cast("long").alias("n_slopes"),
-        F.round(
-            F.element_at("ss", ((F.size("ss") + 1) / 2).cast("int")), 6
+        (
+            F.round(
+                F.element_at("ss", ((F.size("ss") + 1) / 2).cast("int")), 6
+            )
+            + F.lit(0.0)  # -0.0 -> +0.0, exact identity for every other value
         ).alias("theilsen_slope"),
     )
 

@@ -34,6 +34,11 @@ def _canon_cell(v) -> str:
         if math.isnan(v):
             return "<null>"
         if v == int(v) and abs(v) < 1e15:
+            # -0.0 == 0 but the driver's byte hash distinguishes them
+            # (the round-7 theilsen escape) — keep the sign visible so
+            # this harness is at least as strict as the driver.
+            if v == 0.0 and math.copysign(1.0, v) < 0.0:
+                return "-0"
             return str(int(v))
         return repr(v)
     if isinstance(v, bool):
@@ -48,9 +53,28 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(rows)
 
 
+def negzero_columns(df: pd.DataFrame) -> list[str]:
+    """Float columns containing a literal -0.0 — fragile output even
+    when both engines agree today, because any plan change can flip
+    one side's zero sign and break the driver's byte hash."""
+    import numpy as np
+
+    hits = []
+    for c in df.columns:
+        v = df[c]
+        if v.dtype.kind == "f" and bool((np.signbit(v.values) & (v.values == 0.0)).any()):
+            hits.append(c)
+    return hits
+
+
 def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
     actual = spark_df.toPandas()
     expected = con.execute(sql).df()
+    nz = sorted(set(negzero_columns(actual)) | set(negzero_columns(expected)))
+    assert not nz, (
+        f"[{name}] -0.0 present in columns {nz}: normalize with `+ 0.0` on "
+        f"both sides (see theilsen_trend_recent)"
+    )
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"[{name}] column mismatch: spark={sorted(actual.columns)} "
         f"oracle={sorted(expected.columns)}"

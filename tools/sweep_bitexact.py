@@ -48,10 +48,35 @@ def compare(a, b) -> str | None:
                 return f"values differ in {c}"
         else:
             x, y = av.values.astype(float), bv.values.astype(float)
-            if not bool(((x == y) | (np.isnan(x) & np.isnan(y))).all()):
-                i = int(np.argmax(~((x == y) | (np.isnan(x) & np.isnan(y)))))
+            # Signed zero matters: the driver hashes the BYTES, for
+            # which -0.0 != +0.0, while `==` says they are equal. The
+            # signbit term makes the sweep as strict as the driver
+            # (for x == y non-zero the signbits already agree, so the
+            # extra term only bites on zeros). Round-7 escape:
+            # theilsen_trend_recent was sweep-green / driver-red on
+            # exactly this class.
+            eq = ((x == y) & (np.signbit(x) == np.signbit(y))) | (
+                np.isnan(x) & np.isnan(y)
+            )
+            if not bool(eq.all()):
+                i = int(np.argmax(~eq))
                 return f"values differ in {c} (e.g. {x[i]!r} vs {y[i]!r})"
     return None
+
+
+def negzero_cols(df) -> list[str]:
+    """Columns containing a literal -0.0 (fragile even when both
+    engines agree — any future plan change can flip one side)."""
+    import numpy as np
+
+    out = []
+    for c in df.columns:
+        v = df[c]
+        if v.dtype != object and v.dtype.kind == "f":
+            x = v.values
+            if bool((np.signbit(x) & (x == 0.0)).any()):
+                out.append(c)
+    return out
 
 
 def main() -> int:
@@ -80,6 +105,7 @@ def main() -> int:
     qs, osql = entry.queries(), entry.oracle_sql()
     names = [n for n in qs if pat in n]
     fails: dict[str, str] = {}
+    negzero: dict[str, str] = {}
     t_all = time.time()
     for i, name in enumerate(names):
         try:
@@ -87,16 +113,22 @@ def main() -> int:
             a = qs[name](spark, sf_dir).toPandas()
             b = con.execute(osql[name]).df()
             reason = compare(a, b)
+            nz = sorted(set(negzero_cols(a)) | set(negzero_cols(b)))
+            if nz:
+                negzero[name] = ",".join(nz)
         except Exception as exc:  # noqa: BLE001 - sweep must report, not die
             reason = f"{type(exc).__name__}: {str(exc)[:160]}"
         status = "ok" if reason is None else f"FAIL {reason}"
+        if name in negzero:
+            status += f" [WARN -0.0 in {negzero[name]}]"
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.2f}s)",
               flush=True)
         if reason is not None:
             fails[name] = reason
     print(json.dumps({
         "sf_dir": sf_dir, "n_queries": len(names), "n_fail": len(fails),
-        "fails": fails, "wall_s": round(time.time() - t_all, 1),
+        "fails": fails, "negzero_warns": negzero,
+        "wall_s": round(time.time() - t_all, 1),
     }))
     return 1 if fails else 0
 
