@@ -52,7 +52,10 @@ def with_compression_ratio(
         for pdf in batches:
             ratios = []
             for t in pdf[text_col]:
-                if t is None or len(t) == 0:
+                # not isinstance(str) also covers pandas NaN — Arrow
+                # can coerce an all-null batch to float NaN, which is
+                # not None and would raise on len()
+                if not isinstance(t, str) or not t:
                     ratios.append(None)
                     continue
                 raw = t.encode("utf-8")

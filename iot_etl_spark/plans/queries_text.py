@@ -716,7 +716,11 @@ def _min_label_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             .select("doc_id", F.least("label", "_plabel").alias("label"))
         ).localCheckpoint()
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
+        # No unpersist: checkpointed frames are not in the cache
+        # manager (DataFrame.unpersist is a no-op on them); the
+        # superseded round's blocks are reclaimed by RDD GC once
+        # `labels` is rebound. Bounded: <= max_iters tiny label
+        # frames outstanding, each O(n_docs) rows.
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True

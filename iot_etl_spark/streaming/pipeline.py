@@ -398,6 +398,15 @@ def start_txlog_fanout_sink(
     consistency across sinks, exact consistency within each), the
     same contract Delta/Iceberg multi-sink pipelines settle for.
 
+    Caveat — convergence assumes the per-table failure is TRANSIENT.
+    A persistent failure on one table (e.g. a CHECK constraint that
+    rejects the batch every time) wedges the stream: every replay
+    fails at that table after the earlier tables committed, and the
+    tables stay divergent until the constraint (or the data) is
+    fixed. For constraint-bearing tables, route through
+    ``TxTable.append_with_quarantine`` inside a custom foreachBatch
+    instead, so bad rows divert rather than poison the epoch.
+
     ``tables``: iterable of ``TxTable`` (duck-typed)."""
     tables = list(tables)
 

@@ -490,13 +490,26 @@ class TxTable:
         visible, auditable, and replayable beside it. NULL semantics
         match CHECK enforcement: a NULL predicate passes.
 
-        Scale: one extra filter pass per side over the incoming frame;
-        the rule evaluation is a row-local expression (no shuffle)."""
+        The tagged frame is localCheckpoint-ed before splitting so the
+        valid/bad routing is computed exactly once: a non-deterministic
+        upstream df re-evaluated per consumer could otherwise send a
+        row to both tables or neither. Raises ValueError if df already
+        carries a ``violated`` column (the tag would silently clobber
+        it and the quarantine rows would lose the caller's data).
+
+        Scale: one materialization of the incoming micro-batch (the
+        checkpoint), then one filter pass per side; the rule
+        evaluation is a row-local expression (no shuffle)."""
         from pyspark.sql import functions as F
 
         cons = self.constraints()
         if not cons:
             return self.append(df, max_retries=max_retries), None
+        if "violated" in df.columns:
+            raise ValueError(
+                "append_with_quarantine reserves the 'violated' column; "
+                "rename or drop it on the incoming frame"
+            )
         fails = [
             F.when(
                 ~F.coalesce(F.expr(expr), F.lit(True)), F.lit(name)
@@ -506,7 +519,7 @@ class TxTable:
         tagged = df.withColumn(
             "violated",
             F.concat_ws(",", F.array_compact(F.array(*fails))),
-        )
+        ).localCheckpoint(eager=True)
         valid = tagged.filter(F.col("violated") == "").drop("violated")
         bad = tagged.filter(F.col("violated") != "")
         v = self.append(valid, max_retries=max_retries)
