@@ -1231,6 +1231,112 @@ def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------- median CI, quantized-cell twin (approx)
+# The CI bracket ranks are DATA-DEPENDENT (k = n/2 -+ z*sqrt(n)/2), so
+# approx_percentile cannot express them (percentages must be plan-time
+# literals). The scale path for arbitrary-rank selection over an
+# UNBOUNDED value domain is the quantize-to-cells convention (SCALE.md
+# "order-statistic logic over big data"): fixed-width cells, cum-count
+# over the bounded cell grid, select the CELL holding rank k — error
+# bounded by the cell width, never a data-sized sort. Cells here are
+# 0.1-wide via exact DECIMAL math (FLOOR(decimal*10): float-product
+# floor would misbucket e.g. 8.29*10 = 82.8999...; decimal is exact,
+# and FLOOR is tie-free where ROUND(x,1) hits half-even-vs-half-up
+# divergence on 2-decimal inputs).
+_MEDIAN_CI_APPROX_ORACLE = f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(FLOOR(CAST(value AS DECIMAL(18,2)) * 10) AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+    SELECT event_type, cell, c,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cell
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM g
+),
+k AS (
+    SELECT event_type, cell, cum, n,
+           {_K_LO} AS k_lo, {_K_HI} AS k_hi,
+           CAST(CEIL(n / 2.0) AS BIGINT) AS k_med
+    FROM c
+),
+pick AS (
+    SELECT event_type, n, k_lo, k_hi,
+        MIN(CASE WHEN cum >= k_med THEN cell END) AS med_cell,
+        MIN(CASE WHEN cum >= k_lo THEN cell END) AS lo_cell,
+        MIN(CASE WHEN cum >= k_hi THEN cell END) AS hi_cell
+    FROM k GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, n AS n_values, k_lo, k_hi,
+       med_cell / 10.0 AS median_value,
+       lo_cell / 10.0 AS ci_lo,
+       hi_cell / 10.0 AS ci_hi
+FROM pick
+"""
+
+
+@query("median_ci_order_stats_approx", oracle=_MEDIAN_CI_APPROX_ORACLE)
+def median_ci_order_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZED-CELL twin of median_ci_order_stats (VERDICT r7 item
+    6): identical order-statistic construction, but selection runs on
+    a FIXED 0.1-wide cell grid instead of the native value domain —
+    the swap that stays bounded when the value column is raw doubles
+    with unbounded cardinality (sensor fusion, embeddings norms),
+    where the exact query's (type, value) grid would grow with the
+    data. Each reported statistic is the lower edge of the cell
+    holding the true order statistic, so error < 0.1 by construction
+    (equivalence-pinned against the exact twin in
+    tests/test_approx_twins.py); ranks k_lo/k_hi/n are EXACT and
+    identical to the exact twin's.
+
+    100 TB shape: one scan into the map-side (type, cell) grid — at
+    most (domain width / 0.1) cells per type regardless of row count —
+    cumulative window over that bounded frame, tiny-key selection
+    aggregate. approx_percentile cannot express this query: the
+    bracket ranks depend on n, and sketch percentages must be
+    plan-time literals."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value").cast("decimal(18,2)") * 10)
+        .cast("long")
+        .alias("cell"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "cell",
+        F.sum("c")
+        .over(wp.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+        F.sum("c").over(wp).cast("long").alias("n"),
+    )
+    k = c.select(
+        "event_type", "cell", "cum", "n",
+        F.expr(_K_LO).alias("k_lo"),
+        F.expr(_K_HI).alias("k_hi"),
+        F.ceil(F.col("n") / 2.0).cast("long").alias("k_med"),
+    )
+    pick = k.groupBy("event_type", "n", "k_lo", "k_hi").agg(
+        F.min(F.when(F.col("cum") >= F.col("k_med"), F.col("cell"))).alias("med_cell"),
+        F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("cell"))).alias("lo_cell"),
+        F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("cell"))).alias("hi_cell"),
+    )
+    return pick.select(
+        "event_type",
+        F.col("n").alias("n_values"),
+        "k_lo",
+        "k_hi",
+        (F.col("med_cell") / 10.0).alias("median_value"),
+        (F.col("lo_cell") / 10.0).alias("ci_lo"),
+        (F.col("hi_cell") / 10.0).alias("ci_hi"),
+    )
+
+
 # ---------------------------------- runs test (randomness audit)
 # Wald-Wolfowitz: is a device's above/below-median sign sequence
 # random, trending (too few runs), or oscillating (too many)?

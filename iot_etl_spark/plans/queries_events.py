@@ -1561,6 +1561,91 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- decile distribution (approx twin)
+_DECILE_PS = tuple(i / 10.0 for i in range(1, 10))
+_DECILE_ACCURACY = 1_000_000  # sketch exact at every test SF
+
+_DECILES_APPROX_ORACLE = f"""
+WITH e AS (
+    SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+rk AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM e
+),
+cuts AS (
+    SELECT event_type,
+           {", ".join(
+               f"MAX(CASE WHEN rn = CAST(CEIL(CAST({p!r} AS DOUBLE) * n)"
+               f" AS BIGINT) THEN value END) AS c{i}"
+               for i, p in enumerate(_DECILE_PS)
+           )}
+    FROM rk GROUP BY event_type
+),
+b AS (
+    SELECT e.event_type,
+           1 {" ".join(f"+ (e.value > c{i})::INT" for i in range(len(_DECILE_PS)))}
+               AS decile,
+           e.value
+    FROM e JOIN cuts USING (event_type)
+)
+SELECT event_type, decile,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM b GROUP BY 1, 2
+"""
+
+
+@query("value_deciles_approx", oracle=_DECILES_APPROX_ORACLE)
+def value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX-cut-point twin of value_deciles (VERDICT r7 item 6: the
+    documented 100 TB swap, now executable): per-type decile cut
+    points from ONE approx_percentile reduce (GK sketch, mergeable,
+    map-side partials), broadcast back, map-side threshold bucketing —
+    NO WindowExec anywhere (pytest-pinned), so nothing is
+    single-partition-per-type at any scale, unlike exact NTILE whose
+    per-type sort concentrates a hot event_type on one reducer.
+
+    Semantic delta vs the exact twin, by construction: ties at a cut
+    boundary land in ONE bucket (NTILE splits them by event_id
+    tiebreak), so bucket populations may differ at tie runs while cut
+    points themselves are the identical discrete order statistics
+    (pinned in tests/test_approx_twins.py).
+
+    Cut-point determinism: accuracy=1e6 makes the sketch exact at
+    test scale and an exact GK query returns the element at rank
+    CEIL(p*n) — the same discrete element the oracle's ranked
+    selection picks (the rfm_segments_approx convention)."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    acc = F.lit(_DECILE_ACCURACY)
+    cuts = ev.groupBy("event_type").agg(
+        *[
+            F.approx_percentile("value", F.lit(p), acc).alias(f"c{i}")
+            for i, p in enumerate(_DECILE_PS)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(len(_DECILE_PS)):
+        decile = decile + (F.col("value") > F.col(f"c{i}")).cast("int")
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select("event_type", "value", decile.alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
 # ------------------------------------------------ time-weighted average
 _TWA_ORACLE = f"""
 WITH t AS (

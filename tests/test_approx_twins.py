@@ -92,8 +92,72 @@ def test_approx_twins_have_no_window_exec(spark):
     """The whole point of the swap: no WindowExec anywhere in the
     row-level twins' plans (the pareto twin may keep its window — it
     runs over the <=20-row bucket frame)."""
-    for name in ("rfm_segments_approx", "quality_percentile_gate_approx"):
+    for name in (
+        "rfm_segments_approx",
+        "quality_percentile_gate_approx",
+        "value_deciles_approx",
+    ):
         df = registry.QUERIES[name](spark, SF_DIR_MED)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, name
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_decile_approx_cuts_match_exact_order_statistics(spark):
+    """Per-type approx decile cut points == exact discrete deciles of
+    the collected values (sketch exact at this n), and the bucketed
+    populations cover every row with per-bucket min/max consistent
+    with the cuts."""
+    from iot_etl_spark.plans.queries_events import _DECILE_PS
+    from iot_etl_spark.sources.tables import load_events
+
+    vals = {}
+    for r in (
+        load_events(spark, SF_DIR_MED)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    rows = registry.QUERIES["value_deciles_approx"](spark, SF_DIR_MED).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(vals)
+    for et, vs in vals.items():
+        vs.sort()
+        cuts = [_exact_disc(vs, p) for p in _DECILE_PS]
+        buckets = sorted(by_type[et], key=lambda r: r["decile"])
+        assert sum(b["n_values"] for b in buckets) == len(vs)
+        for b in buckets:
+            d = b["decile"]
+            # value-bucket semantics: bucket d spans (cut[d-2], cut[d-1]]
+            if d >= 2:
+                assert b["min_value"] > cuts[d - 2], (et, d)
+            if d <= len(cuts):
+                assert b["max_value"] <= cuts[d - 1], (et, d)
+
+
+def test_median_ci_approx_within_cell_width_of_exact(spark):
+    """Quantized-cell CI: ranks and counts IDENTICAL to the exact
+    twin; each value statistic is the lower cell edge, so
+    0 <= exact - approx < 0.1 (the cell width) for median and both
+    CI endpoints."""
+    exact = {
+        r["event_type"]: r
+        for r in registry.QUERIES["median_ci_order_stats"](spark, SF_DIR_MED).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in registry.QUERIES["median_ci_order_stats_approx"](
+            spark, SF_DIR_MED
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, e in exact.items():
+        a = approx[et]
+        for col in ("n_values", "k_lo", "k_hi"):
+            assert e[col] == a[col], (et, col)
+        for col in ("median_value", "ci_lo", "ci_hi"):
+            diff = e[col] - a[col]
+            assert 0.0 <= diff < 0.1, (et, col, e[col], a[col])
