@@ -101,12 +101,26 @@ def main() -> None:
                 t[name] = -1.0
         return t
 
+    load_start = os.getloadavg()[0]
     cold = run_pass()
     warm = run_pass()
+    load_end = os.getloadavg()[0]
 
     ok = [v for v in warm.values() if v >= 0]
     ok_cold = [v for v in cold.values() if v >= 0]
+    # Run-condition record (VERDICT r7 item 5): shared-host variance is
+    # ±30%, so a bench number is only comparable WITH its conditions.
+    # `exclusive` is the pre-run heuristic: nothing else was loading
+    # the host when the bench started (1-min loadavg under 25% of the
+    # bench's own CPU allocation). STATUS.md must cite these fields
+    # verbatim instead of narrating from memory.
     result = {
+        "run_conditions": {
+            "loadavg_1m_start": round(load_start, 2),
+            "loadavg_1m_end": round(load_end, 2),
+            "host_cpus": os.cpu_count(),
+            "exclusive": load_start < 0.25 * int(cpus),
+        },
         "metric": "total_query_wall_time",
         "value": round(sum(ok), 3),
         "unit": "sec",
