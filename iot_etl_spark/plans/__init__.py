@@ -27,6 +27,7 @@ from iot_etl_spark.plans import queries_mlprep  # noqa: F401
 from iot_etl_spark.plans import queries_audit  # noqa: F401
 from iot_etl_spark.plans import queries_analytics3  # noqa: F401
 from iot_etl_spark.plans import queries_analytics4  # noqa: F401
+from iot_etl_spark.plans import queries_analytics5  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the

@@ -40,6 +40,15 @@ def query(name: str, oracle: str | None = None):
     expressible operator (driver records a rows-only check)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # Registration order is import order, so a repeated name would
+        # SILENTLY clobber the earlier query (and its oracle) — caught
+        # once in round 8 when a new module re-used session_path_topk.
+        # Fail loudly instead; re-registration is never intentional.
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -29,55 +29,26 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 7): CORRECTNESS_r06 was never
-    # recorded, so the round-6 registrations are still never-driver-
-    # checked — the window leads with the round-7 registrations, then
-    # the round-6 batch in its original order; spill past 50 stays in
-    # the rotation pool for the next round.
+    # driver-window curation (round 8, VERDICT r7 item 2): slot 1 is
+    # the theilsen re-check after the signed-zero fix; the rest of
+    # the window drains the never-driver-checked round-6/7 backlog
+    # oldest-first. Pin slot 1 exactly and the head/tail of the
+    # backlog block so a new registration cannot silently displace
+    # the window.
     first50 = list(qs)[:50]
+    assert first50[0] == "theilsen_trend_recent"
     for must in (
-        # round-7 registrations (fresh evidence first)
-        "bitmap_exact_distinct",
-        "k_anonymity_audit",
-        "ridge_normal_equations",
-        "conformal_prediction_interval",
-        "bfs_hop_distance",
-        "scd2_point_in_time",
-        "shapley_channel_attribution",
-        "sprt_sequential_monitor",
-        "stream_cdc_apply",
-        "clamped_running_balance",
-        "negative_binomial_fit",
-        "benjamini_hochberg_fdr",
-        "diff_in_diff_readout",
-        "nelson_aalen_hazard",
-        "grid_density_clusters",
-        "anova_oneway_value",
-        "cramers_v_type_dow",
-        "ucb1_bandit_replay",
-        "wasserstein_weekend_value",
-        "graph_modularity_components",
-        "brier_decomposition",
-        "harmonic_regression_daily",
-        "jackknife_ratio_variance",
-        "fellegi_sunter_weights",
-        "acf_pacf_hourly",
-        "quantile_treatment_effect",
-        "logrank_test_arms",
-        "suppressed_release_counts",
-        "dedup_threshold_curve",
-        "binseg_changepoints",
-        "kendall_taub_hour_value",
-        "mann_kendall_trend",
-        "stream_session_dynamic_gap",
-        "seasonal_strength_index",
-        "holt_winters_hourly",
-        # round-6 registrations fill the remaining slots (never
-        # driver-checked); pin only the head of that block so adding a
-        # round-7 query does not invalidate the contract each time
-        "device_cooccurrence_capped",
-        "triangle_count_graph_capped",
-        "pagerank_device_graph_capped",
+        # head of the never-driver-checked backlog
+        "ks_weekend_value",
+        "chi2_type_dow",
+        "adamic_adar_linkpred",
+        "srp_sketch_audit",
+        "rrf_hybrid_retrieval",
+        "hard_negative_mining",
+        "bm25_retrieval",
+        # tail of the 49 backlog names that fit this round's window
+        "allan_variance_per_device",
+        "hurst_rs_exponent",
     ):
         assert must in first50, must
 

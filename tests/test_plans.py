@@ -357,3 +357,41 @@ def test_round7_plan_shapes(spark):
     plan, _ = _plans(spark, "sprt_sequential_monitor")
     # the only global window runs over the ~30-row daily pre-aggregate
     assert plan.count("FileScan") == 1
+
+
+def test_round8_plan_shapes(spark):
+    """Round-8 additions: the funnel and Page-Hinkley run their whole
+    per-user recursion on ONE scan (windows chained over one user
+    partitioning); schema drift and Theil-U2 each stay single-scan
+    after the lineage-fan-out rewrites (self-joins would re-run the
+    upstream subtree); the only single-partition exchange sits over
+    the bounded calendar-day grid."""
+    plan, _ = _plans(spark, "window_funnel_conversion")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 2  # user window + depth agg
+    assert "CartesianProduct" not in plan
+
+    plan, _ = _plans(spark, "page_hinkley_drift")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1  # one user_id exchange, reused
+
+    plan, _ = _plans(spark, "schema_drift_daily")
+    assert plan.count("FileScan") == 1  # window first-seen, no self-join
+
+    plan, _ = _plans(spark, "theil_u_forecast_skill")
+    assert plan.count("FileScan") == 1  # range-frame lags, no self-joins
+    assert plan.count("Exchange") == 2
+
+    plan, _ = _plans(spark, "null_rate_drift_daily")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange SinglePartition") == 1  # day-grid lag
+
+    plan, _ = _plans(spark, "ngram_uniqueness_rate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan, _ = _plans(spark, "ivf_probe_recall_curve")
+    # the expensive brute-force scoring arm is read from the stage
+    # cache (4 consumers, 1 compute); probe branches are TakeOrdered
+    assert plan.count("TakeOrderedAndProject") >= 4
+    assert "CartesianProduct" not in plan

@@ -135,6 +135,21 @@ PICKS = [
     ("quantile_treatment_effect",
      "per-arm order statistics: arm-partitioned cumulative windows "
      "over value cells, integer decile ranks, 9-row decile join"),
+    ("window_funnel_conversion",
+     "24h windowFunnel: three chained whole-partition MINs on ONE "
+     "user exchange - per-row state is 3 BIGINTs, never an array"),
+    ("page_hinkley_drift",
+     "sequential drift: integer-scaled PH recursion (n*cum - rn*S) "
+     "as running sums/minima on a single user exchange"),
+    ("theil_u_forecast_skill",
+     "forecast skill: calendar lags as [h-k, h-k] RANGE frames on the "
+     "hour grid - one scan, no self-joins, centi-unit error squares"),
+    ("ivf_probe_recall_curve",
+     "ANN recall curve: brute-force scores staged ONCE, 4 consumers "
+     "(exact + 3 probe branches) read the cached narrow parquet"),
+    ("value_deciles_approx",
+     "decile swap: per-type approx_percentile cuts broadcast back, "
+     "map-side bucketing - no WindowExec, no per-type sort"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
