@@ -714,3 +714,371 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ------------------------------------------------ Tukey HSD pairwise
+# Studentized-range critical value q(k=5, df=inf, alpha=.05); the
+# event-type families here have df >> 120 where q is flat, so a
+# constant is exact enough for the flag (the statistic itself is the
+# deliverable).
+TUKEY_Q_CRIT = 3.858
+
+
+_TUKEY_ORACLE = f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(vq) AS s,
+           SUM(vq * vq) AS ss
+    FROM (
+        SELECT event_type,
+               CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS DECIMAL(18,0)) AS vq
+        FROM events WHERE value IS NOT NULL
+    )
+    GROUP BY 1
+),
+msw AS (
+    SELECT (CAST(SUM(ss) AS DOUBLE) - SUM(CAST(s AS DOUBLE) * s / n))
+               / (SUM(n) - COUNT(*)) AS w
+    FROM g
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ROUND((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 1e6, 6)
+           + 0.0 AS mean_diff,
+       ROUND(ABS(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / SQRT(msw.w / 2 * (CAST(1.0 AS DOUBLE) / a.n
+                                 + CAST(1.0 AS DOUBLE) / b.n)), 6) AS q_stat,
+       ABS(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+           / SQRT(msw.w / 2 * (CAST(1.0 AS DOUBLE) / a.n
+                               + CAST(1.0 AS DOUBLE) / b.n))
+           > {TUKEY_Q_CRIT} AS significant
+FROM g a JOIN g b ON a.event_type < b.event_type, msw
+"""
+
+
+@query("tukey_hsd_pairwise", oracle=_TUKEY_ORACLE)
+def tukey_hsd_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc: after anova_oneway_value says SOME event
+    types differ in mean value, this says WHICH pairs do — the
+    studentized-range q for every unordered type pair against the
+    pooled within-group variance, the multiple-comparison-safe
+    follow-up (pairwise Welch t-tests would inflate family-wise
+    error; BH-FDR corrects p-values, Tukey corrects the statistic).
+
+    Determinism: group moments are the exact DECIMAL micro-unit sums
+    (the ANOVA convention); means, MSW, and q are shared-verbatim
+    double expressions; the mean_diff converts back to value units.
+
+    100 TB shape: ONE scan into k per-type moment rows
+    (localCheckpointed — three consumers would otherwise re-run the
+    scan via lineage fan-out), then k(k-1)/2 pairwise arithmetic on
+    the driver-sized frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS DECIMAL(18,0))"
+            ).alias("vq"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vq").alias("s"),
+            F.sum(F.col("vq") * F.col("vq")).alias("ss"),
+        )
+        .localCheckpoint()  # k rows; consumed by msw + both join sides
+    )
+    msw = g.agg(
+        F.expr(
+            "(CAST(SUM(ss) AS DOUBLE) - SUM(CAST(s AS DOUBLE) * s / n))"
+            " / (SUM(n) - COUNT(*))"
+        ).alias("w")
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    pair = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(msw))
+        .withColumn(
+            "md",
+            F.expr("CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb"),
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                "ABS(md) / SQRT(w / 2 * (CAST(1.0 AS DOUBLE) / na"
+                " + CAST(1.0 AS DOUBLE) / nb))"
+            ),
+        )
+    )
+    return pair.select(
+        "type_a",
+        "type_b",
+        (F.round(F.col("md") / 1e6, 6) + F.lit(0.0)).alias("mean_diff"),
+        F.round("q", 6).alias("q_stat"),
+        (F.col("q") > TUKEY_Q_CRIT).alias("significant"),
+    )
+
+
+# ------------------------------------------------ Ljung-Box portmanteau
+LB_MAX_LAG = 8
+LB_CHI2_CRIT = 15.507  # chi2(df=8), alpha = .05
+
+
+_LB_ORACLE = f"""
+WITH series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY bucket) AS idx,
+           CAST(svq AS DOUBLE) / cnt / 1e6 AS y
+    FROM (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS svq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY 1
+    )
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) / COUNT(*) AS ybar
+    FROM series
+),
+lags AS (SELECT unnest(range(0, {LB_MAX_LAG + 1})) AS k),
+nums AS (
+    SELECT l.k,
+           CAST(SUM(CAST(ROUND((a.y - ybar) * (b.y - ybar) * 1e9)
+                         AS BIGINT)) AS BIGINT) AS num
+    FROM lags l
+    JOIN series a ON TRUE
+    JOIN series b ON b.idx = a.idx + l.k, tot
+    GROUP BY 1
+),
+base AS (SELECT num AS den FROM nums WHERE k = 0),
+terms AS (
+    SELECT nums.k,
+           CAST(ROUND(CAST(num AS DOUBLE) * num / den / den
+                      / (tot.n - nums.k) * 1e12) AS BIGINT) AS tq
+    FROM nums, base, tot WHERE nums.k >= 1
+)
+SELECT tot.n AS n_hours,
+       CAST({LB_MAX_LAG} AS BIGINT) AS max_lag,
+       ROUND(tot.n * (tot.n + 2) * CAST(SUM(tq) AS DOUBLE) / 1e12, 6)
+           AS q_stat,
+       tot.n * (tot.n + 2) * CAST(SUM(tq) AS DOUBLE) / 1e12 > {LB_CHI2_CRIT}
+           AS whitenoise_rejected
+FROM terms, tot
+GROUP BY tot.n
+"""
+
+
+@query("ljung_box_whitenoise", oracle=_LB_ORACLE)
+def ljung_box_whitenoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the hourly mean-value series:
+    Q = n(n+2) * sum_k r_k^2/(n-k) over lags 1..{LB_MAX_LAG} against
+    chi2(df={LB_MAX_LAG}) — the one-number "is there ANY
+    autocorrelation" gate that decides whether the Box-Jenkins family
+    (acf_pacf_hourly, holt_winters_hourly) has signal to model, and
+    the residual-whiteness check a forecast backtest should end with.
+
+    Determinism: the ACF machinery's conventions verbatim — exact
+    integer hourly sums, nano-quantized centered cross-products, each
+    r_k one BIGINT division; the Q summands are re-quantized to 1e-12
+    units BEFORE the 8-term sum so accumulation order cannot produce
+    ulp drift, then one shared readout expression.
+
+    100 TB shape: one scan into the hourly rollup; lag joins run on
+    the ~span-sized series frame (bounded by calendar, not rows); the
+    final fold is 8 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+            .cast("long")
+            .alias("svq"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .select(
+            F.row_number().over(Window.orderBy("bucket")).alias("idx"),
+            F.expr("CAST(svq AS DOUBLE) / cnt / 1e6").alias("y"),
+        )
+        .localCheckpoint()  # span-sized; consumed by tot + both join sides
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("SUM(y) / COUNT(*)").alias("ybar"),
+    )
+    lags = spark.range(0, LB_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = series.select(F.col("idx").alias("ia"), F.col("y").alias("ya"))
+    b = series.select(F.col("idx").alias("ib"), F.col("y").alias("yb"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") + F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND((ya - ybar) * (yb - ybar) * 1e9) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    base = nums.filter(F.col("k") == 0).select(F.col("num").alias("den"))
+    terms = (
+        nums.filter(F.col("k") >= 1)
+        .crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(ROUND(CAST(num AS DOUBLE) * num / den / den"
+                " / (n - k) * 1e12) AS BIGINT)"
+            ).alias("tq"),
+            "n",
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.col("n").alias("n_hours"),
+        F.lit(LB_MAX_LAG).cast("long").alias("max_lag"),
+        F.round(
+            F.expr("n * (n + 2) * CAST(SUM(tq) AS DOUBLE) / 1e12"), 6
+        ).alias("q_stat"),
+        F.expr(
+            f"n * (n + 2) * CAST(SUM(tq) AS DOUBLE) / 1e12 > {LB_CHI2_CRIT}"
+        ).alias("whitenoise_rejected"),
+    ).drop("n")
+
+
+# ------------------------------------------------ Granger lag-1 F-test
+GRANGER_F_CRIT = 3.841  # F(1, inf), alpha = .05
+
+
+def _granger_readout(y: str, y1: str, x1: str, label: str) -> str:
+    """Shared-verbatim closed-form readout for one causal direction:
+    restricted OLS (y ~ y1) vs full (y ~ y1 + x1) from centered
+    moments; every input is an exact BIGINT sum."""
+    # centered second moments (doubles from exact integers)
+    c = {
+        "yy": f"(CAST(s_{y}{y} AS DOUBLE) - CAST(s_{y} AS DOUBLE) * s_{y} / n)",
+        "y1y1": f"(CAST(s_{y1}{y1} AS DOUBLE) - CAST(s_{y1} AS DOUBLE) * s_{y1} / n)",
+        "x1x1": f"(CAST(s_{x1}{x1} AS DOUBLE) - CAST(s_{x1} AS DOUBLE) * s_{x1} / n)",
+        "yy1": f"(CAST(s_{y}{y1} AS DOUBLE) - CAST(s_{y} AS DOUBLE) * s_{y1} / n)",
+        "yx1": f"(CAST(s_{y}{x1} AS DOUBLE) - CAST(s_{y} AS DOUBLE) * s_{x1} / n)",
+        "y1x1": f"(CAST(s_{y1}{x1} AS DOUBLE) - CAST(s_{y1} AS DOUBLE) * s_{x1} / n)",
+    }
+    rss_r = f"({c['yy']} - {c['yy1']} * {c['yy1']} / {c['y1y1']})"
+    det = f"({c['y1y1']} * {c['x1x1']} - {c['y1x1']} * {c['y1x1']})"
+    bf = f"(({c['yy1']} * {c['x1x1']} - {c['yx1']} * {c['y1x1']}) / {det})"
+    cf = f"(({c['y1y1']} * {c['yx1']} - {c['y1x1']} * {c['yy1']}) / {det})"
+    rss_f = f"({c['yy']} - {bf} * {c['yy1']} - {cf} * {c['yx1']})"
+    f_stat = f"(({rss_r} - {rss_f}) / ({rss_f} / (n - 3)))"
+    return [
+        f"'{label}' AS direction",
+        "CAST(n AS BIGINT) AS n_hours",
+        f"ROUND({f_stat}, 6) AS f_stat",
+        f"{f_stat} > {GRANGER_F_CRIT} AS causes",
+    ]
+
+
+_GRANGER_MOMENTS = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(c) AS s_c, SUM(p) AS s_p, SUM(c1) AS s_c1, SUM(p1) AS s_p1,
+           SUM(c * c) AS s_cc, SUM(p * p) AS s_pp,
+           SUM(c1 * c1) AS s_c1c1, SUM(p1 * p1) AS s_p1p1,
+           SUM(p * p1) AS s_pp1, SUM(p * c1) AS s_pc1,
+           SUM(p1 * c1) AS s_p1c1, SUM(p1 * c1) AS s_c1p1,
+           SUM(c * c1) AS s_cc1, SUM(c * p1) AS s_cp1
+    FROM lagged WHERE c1 IS NOT NULL
+"""
+
+_GRANGER_ORACLE = f"""
+WITH h AS (
+    SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS h,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT h, c, p,
+           MIN(c) OVER (ORDER BY h RANGE BETWEEN 3600 PRECEDING
+                        AND 3600 PRECEDING) AS c1,
+           MIN(p) OVER (ORDER BY h RANGE BETWEEN 3600 PRECEDING
+                        AND 3600 PRECEDING) AS p1
+    FROM h
+),
+m AS ({_GRANGER_MOMENTS})
+SELECT {", ".join(_granger_readout("p", "p1", "c1", "click->purchase"))} FROM m
+UNION ALL
+SELECT {", ".join(_granger_readout("c", "c1", "p1", "purchase->click"))} FROM m
+"""
+
+
+@query("granger_lag1_causality", oracle=_GRANGER_ORACLE)
+def granger_lag1_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger lag-1 causality between the hourly click and purchase
+    count series, BOTH directions: does adding last hour's clicks to
+    an AR(1) of purchases cut the residual sum of squares (F-test of
+    the nested models), and vice versa — the predictive-causality leg
+    of the causal family (diff_in_diff/cuped measure intervention
+    effects; this measures lead-lag structure). crosscorr_click_
+    purchase reports the raw lagged correlation; Granger asks whether
+    it survives controlling for the target's own history.
+
+    Determinism: hourly counts are integers, ALL 14 moment sums are
+    exact BIGINTs, and both directions read from ONE moments row
+    through shared-verbatim closed-form OLS algebra (restricted vs
+    full RSS by Cramer) — the ridge_normal_equations convention.
+
+    100 TB shape: one scan -> map-side hourly rollup; the calendar
+    lag is a [h-3600, h-3600] RANGE frame on the bounded hour grid
+    (single-partition over span-sized rows); the moment fold is one
+    aggregate row and the two readouts are plain arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        ).alias("h")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+    )
+    w = Window.orderBy("h")
+    lagged = h.select(
+        "h",
+        "c",
+        "p",
+        F.min("c").over(w.rangeBetween(-3600, -3600)).alias("c1"),
+        F.min("p").over(w.rangeBetween(-3600, -3600)).alias("p1"),
+    )
+    m = lagged.filter(F.col("c1").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.expr(e)).cast("long").alias(a)
+            for e, a in [
+                ("c", "s_c"), ("p", "s_p"), ("c1", "s_c1"), ("p1", "s_p1"),
+                ("c * c", "s_cc"), ("p * p", "s_pp"),
+                ("c1 * c1", "s_c1c1"), ("p1 * p1", "s_p1p1"),
+                ("p * p1", "s_pp1"), ("p * c1", "s_pc1"),
+                ("p1 * c1", "s_p1c1"), ("p1 * c1", "s_c1p1"),
+                ("c * c1", "s_cc1"), ("c * p1", "s_cp1"),
+            ]
+        ],
+    ).localCheckpoint()  # 1 row, consumed by both direction readouts
+    fwd = m.selectExpr(*_granger_readout("p", "p1", "c1", "click->purchase"))
+    rev = m.selectExpr(*_granger_readout("c", "c1", "p1", "purchase->click"))
+    return fwd.unionAll(rev)

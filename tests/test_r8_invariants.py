@@ -154,3 +154,60 @@ def test_ivf_recall_monotone_and_consistent(spark):
         for r in QUERIES["embedding_cosine_topk"](spark, SF_DIR).collect()
     }
     assert rows[2]["n_hits"] == len(ivf & exact)
+
+
+def test_tukey_pairs_cover_all_types(spark):
+    """k types -> k(k-1)/2 unordered pairs; q >= 0; the significance
+    flag is exactly q > q_crit."""
+    from iot_etl_spark.plans.queries_analytics5 import TUKEY_Q_CRIT
+
+    rows = QUERIES["tukey_hsd_pairwise"](spark, SF_DIR).collect()
+    k = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["q_stat"] >= 0.0
+        assert r["significant"] == (r["q_stat"] > TUKEY_Q_CRIT) or abs(
+            r["q_stat"] - TUKEY_Q_CRIT
+        ) < 1e-5
+
+
+def test_ljung_box_readout_consistent(spark):
+    from iot_etl_spark.plans.queries_analytics5 import LB_CHI2_CRIT
+
+    rows = QUERIES["ljung_box_whitenoise"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_hours = (
+        load_table(spark, SF_DIR, "events")
+        .select(F.date_trunc("hour", F.col("ts")))
+        .distinct()
+        .count()
+    )
+    assert r["n_hours"] == n_hours
+    assert r["q_stat"] >= 0.0
+    assert r["whitenoise_rejected"] == (r["q_stat"] > LB_CHI2_CRIT) or abs(
+        r["q_stat"] - LB_CHI2_CRIT
+    ) < 1e-5
+
+
+def test_granger_directions_and_flags(spark):
+    from iot_etl_spark.plans.queries_analytics5 import GRANGER_F_CRIT
+
+    rows = QUERIES["granger_lag1_causality"](spark, SF_DIR).collect()
+    assert {r["direction"] for r in rows} == {
+        "click->purchase",
+        "purchase->click",
+    }
+    n0, n1 = (r["n_hours"] for r in rows)
+    assert n0 == n1 and n0 > 3
+    for r in rows:
+        assert r["f_stat"] is not None
+        assert r["causes"] == (r["f_stat"] > GRANGER_F_CRIT) or abs(
+            r["f_stat"] - GRANGER_F_CRIT
+        ) < 1e-5
