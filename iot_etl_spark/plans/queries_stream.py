@@ -1156,3 +1156,66 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+# --------------------------------------------- stateful window funnel
+_STREAM_FUNNEL_ORACLE = """
+WITH t AS (
+    SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+    FROM events
+),
+w1 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'view' THEN t END)
+                  OVER (PARTITION BY user_id) AS s1
+    FROM t
+),
+w2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND t > s1
+                            AND t <= s1 + 86400000000 THEN t END)
+                  OVER (PARTITION BY user_id) AS s2
+    FROM w1
+),
+w3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t > s2
+                            AND t <= s1 + 86400000000 THEN t END)
+                  OVER (PARTITION BY user_id) AS s3
+    FROM w2
+),
+u AS (SELECT DISTINCT user_id, s1, s2, s3 FROM w3)
+SELECT CASE WHEN s3 IS NOT NULL THEN 3
+            WHEN s2 IS NOT NULL THEN 2
+            WHEN s1 IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
+"""
+
+
+@query("stream_window_funnel", oracle=_STREAM_FUNNEL_ORACLE)
+def stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 24h window funnel executed as a STATEFUL STREAMING operator
+    (applyInPandasWithState; streaming/stateful.py): per-user state is
+    three BIGINT step anchors updated by the greedy in-order fold —
+    the streaming twin of window_funnel_conversion, whose batch MIN
+    construction is the oracle. Greedy == MIN because each funnel step
+    takes its earliest candidate, which in time-ordered processing is
+    the first seen (the EWMA in-order contract). Update-mode memory
+    sink appends per-batch emissions; the final state per user is the
+    row with the deepest funnel (depth is monotone across batches)."""
+    from iot_etl_spark.streaming.stateful import streaming_window_funnel
+
+    src = read_stream_source(
+        spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet"
+    )
+    fn = streaming_window_funnel(src)
+    _, out = run_stream_to_memory(fn, output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("funnel_depth").desc())
+    final = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return final.groupBy("funnel_depth").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -1805,3 +1805,133 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_size",
         F.expr(_HEAPS_BETA_SQL).alias("heaps_beta"),
     )
+
+
+# ------------------------------------------- LSH band-tuning curve
+# (b bands) x (r rows) configs over the same 16 permutations; the
+# S-curve estimate 1 - (1 - s^r)^b is computed in PYTHON and inlined
+# as a literal on both engines, so the only cross-engine surface is
+# integer pair counting.
+LSH_TUNE_CONFIGS = ((2, 8), (4, 4), (8, 2))
+LSH_TUNE_S = 0.8
+
+
+def _minhash_minima_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mins: array<bigint>[16]) — all 16 permutation minima
+    in ONE fold over the shingle array (the _minhash_band_sigs md5-
+    once trick, minus the band grouping), staged once and shared by
+    every banding configuration."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    def build() -> DataFrame:
+        mins = ", ".join(
+            f"array_min(transform(hs, h -> "
+            f"(h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {MINHASH_P}L))"
+            for i in range(16)
+        )
+        expr = (
+            "transform(array(transform(s, x -> "
+            "cast(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT))), "
+            f"hs -> array({mins}))[0]"
+        )
+        sh = _shingle_sets(spark, sf_dir)
+        return sh.filter(F.size("s") > 0).select(
+            "doc_id", F.expr(expr).alias("mins")
+        )
+
+    return cached_stage(
+        spark, "minhash_minima", sf_dir, ("documents",), build,
+        code_deps=(_shingle_sets, _shingles_expr, _words),
+    )
+
+
+def _lsh_tune_oracle() -> str:
+    branches = []
+    for b, r in LSH_TUNE_CONFIGS:
+        est = round(1.0 - (1.0 - LSH_TUNE_S**r) ** b, 6)
+        branches.append(f"""
+SELECT {b} AS bands, {r} AS rows_per_band,
+       CAST((SELECT COUNT(*) FROM (
+           SELECT DISTINCT a.doc_id, b.doc_id
+           FROM sig_{b}x{r} a JOIN sig_{b}x{r} b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       )) AS BIGINT) AS n_candidate_pairs,
+       CAST({est!r} AS DOUBLE) AS est_recall_at_08""")
+    sigs = ",\n".join(
+        f"""sig_{b}x{r} AS (
+    SELECT doc_id, perm // {r} AS band,
+           string_agg(CAST(mh AS VARCHAR), '|' ORDER BY perm) AS sig
+    FROM mh GROUP BY doc_id, perm // {r}
+)"""
+        for b, r in LSH_TUNE_CONFIGS
+    )
+    return (
+        f"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),\n"
+        f"sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM w),\n"
+        f"ex AS (SELECT doc_id, {_duck_h32('unnest(s)')} AS h FROM sh),\n"
+        f"mh AS (\n"
+        f"    SELECT doc_id, perm, MIN((pa * h + pb) % {MINHASH_P}) AS mh\n"
+        f"    FROM ex, {_duck_minhash_perms()}\n"
+        f"    GROUP BY doc_id, perm\n"
+        f"),\n{sigs}\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+@query("lsh_band_tuning_curve", oracle=_lsh_tune_oracle())
+def lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH precision/recall dial, MEASURED: candidate-pair counts
+    for three bandings of the same 16-permutation MinHash —
+    2x8 (high precision), 4x4 (the production setting), 8x2 (high
+    recall) — beside the analytic S-curve recall estimate at
+    s={LSH_TUNE_S}. With lsh_recall_audit (measured recall of 4x4)
+    this closes the loop: the curve says what the knob trades, the
+    audit says what you actually got.
+
+    Determinism: pair counting is integer; the recall estimate is a
+    Python-computed literal inlined on both engines (no cross-engine
+    float algebra at all).
+
+    100 TB shape: the 16 minima fold ONCE per doc through the staged
+    (doc, mins[16]) frame (md5 runs once per shingle — the
+    _minhash_band_sigs trick); each config derives its band keys by
+    SLICING that array map-side, then counts pairs with the standard
+    bucket-grouped expansion (never a posting self-join). Cost is
+    3 bucket shuffles over 2-8 short rows per doc, not 3 re-hashes
+    of the corpus."""
+    minima = _minhash_minima_cached(spark, sf_dir)
+    out = None
+    for b, r in LSH_TUNE_CONFIGS:
+        est = round(1.0 - (1.0 - LSH_TUNE_S**r) ** b, 6)
+        bands = minima.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("mins", band * r + i + 1)
+                                    .cast("string")
+                                    for i in range(r)
+                                ],
+                            ).alias("sig"),
+                        )
+                        for band in range(b)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("doc_id", "bs.band", "bs.sig")
+        n_pairs = _band_candidate_pairs(bands).agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        )
+        row = n_pairs.select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            "n_candidate_pairs",
+            F.lit(est).cast("double").alias("est_recall_at_08"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

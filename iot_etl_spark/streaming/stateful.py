@@ -52,6 +52,18 @@ def _fold_ewma(values: list[float], ewma: float | None, alpha: float) -> float |
 
 
 def _ewma_update_fn(alpha: float):
+    # The closure must be SELF-CONTAINED: a reference to a module-level
+    # helper pickles by module path, and the executor's Python worker
+    # can only import iot_etl_spark when the driver's cwd (or
+    # PYTHONPATH) happens to expose the repo — true in the test
+    # harness, not guaranteed for an arbitrary driver (found by the
+    # round-8 vanilla-session check run from /tmp). Locals pickle by
+    # value, so the fold is defined inside.
+    def fold(values, ewma):
+        for v in values:
+            ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+        return ewma
+
     def update(
         key: tuple[Any, ...],
         pdf_iter: Iterator[pd.DataFrame],
@@ -61,7 +73,7 @@ def _ewma_update_fn(alpha: float):
         for pdf in pdf_iter:
             # deterministic fold order within the batch
             pdf = pdf.sort_values(["ts", "event_id"])
-            ewma = _fold_ewma([float(v) for v in pdf["value"]], ewma, alpha)
+            ewma = fold([float(v) for v in pdf["value"]], ewma)
             n += len(pdf)
         state.update((ewma, n))
         yield pd.DataFrame([{"user_id": key[0], "n_events": n, "ewma": ewma}])
@@ -95,9 +107,133 @@ def ewma_batch(df: DataFrame, alpha: float = DEFAULT_ALPHA) -> DataFrame:
     state) — used for backfill and as the oracle-checkable surface."""
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        ewma = _fold_ewma([float(v) for v in pdf["value"]], None, alpha)
+        # self-contained (no module-global helper): see _ewma_update_fn
+        ewma = None
+        for v in pdf["value"]:
+            v = float(v)
+            ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
         return pd.DataFrame(
             [{"user_id": pdf["user_id"].iloc[0], "n_events": len(pdf), "ewma": ewma}]
         )
 
     return df.groupBy("user_id").applyInPandas(compute, schema=EWMA_OUTPUT_SCHEMA)
+
+
+# ------------------------------------------------ stateful window funnel
+FUNNEL_WINDOW_US = 86_400_000_000  # 24 h; matches the batch twin
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s1", T.LongType()),
+        T.StructField("s2", T.LongType()),
+        T.StructField("s3", T.LongType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("funnel_depth", T.IntegerType()),
+        T.StructField("s1", T.LongType()),
+        T.StructField("s2", T.LongType()),
+        T.StructField("s3", T.LongType()),
+    ]
+)
+
+
+def _fold_funnel(
+    rows: "pd.DataFrame", s1: int | None, s2: int | None, s3: int | None
+) -> tuple[int | None, int | None, int | None]:
+    """Greedy in-time-order funnel fold: first view anchors the 24h
+    window; first qualifying click after it; first qualifying purchase
+    after that. Processing rows in (t, event_id) order makes greedy
+    equal to the batch MIN semantics (each step takes the earliest
+    candidate, which in time order is the first seen)."""
+    for et, t in zip(rows["event_type"], rows["t"]):
+        t = int(t)
+        if s1 is None:
+            if et == "view":
+                s1 = t
+        elif s2 is None:
+            if et == "click" and t > s1 and t <= s1 + FUNNEL_WINDOW_US:
+                s2 = t
+        elif s3 is None:
+            if et == "purchase" and t > s2 and t <= s1 + FUNNEL_WINDOW_US:
+                s3 = t
+    return s1, s2, s3
+
+
+def _funnel_update_fn():
+    # self-contained closure: the executor worker must never need to
+    # import iot_etl_spark (see _ewma_update_fn); the window constant
+    # and the fold are locals, pickled by value.
+    win = FUNNEL_WINDOW_US
+
+    def fold(rows, s1, s2, s3):
+        for et, t in zip(rows["event_type"], rows["t"]):
+            t = int(t)
+            if s1 is None:
+                if et == "view":
+                    s1 = t
+            elif s2 is None:
+                if et == "click" and t > s1 and t <= s1 + win:
+                    s2 = t
+            elif s3 is None:
+                if et == "purchase" and t > s2 and t <= s1 + win:
+                    s3 = t
+        return s1, s2, s3
+
+    def update(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        s1, s2, s3 = state.get if state.exists else (None, None, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["t", "event_id"])
+            s1, s2, s3 = fold(pdf, s1, s2, s3)
+        state.update((s1, s2, s3))
+        depth = 3 if s3 is not None else 2 if s2 is not None else (
+            1 if s1 is not None else 0
+        )
+        yield pd.DataFrame(
+            [{"user_id": key[0], "funnel_depth": depth,
+              "s1": s1, "s2": s2, "s3": s3}]
+        )
+
+    return update
+
+
+def streaming_window_funnel(df: DataFrame) -> DataFrame:
+    """Stateful 24h window funnel (view -> click -> purchase) on the
+    streaming engine: per-user state is THREE BIGINT step anchors —
+    O(|users|) fixed-size state, never event history — updated by the
+    greedy in-order fold and emitted (user, depth, anchors) per key
+    per micro-batch in update mode.
+
+    Correctness contract: greedy == the batch twin's MIN semantics
+    when each key's events are processed in event-time order — true
+    within a batch (explicit sort) and across batches when delivery
+    is time-ordered per key (the single-file test source; production
+    pairs this with a watermark and per-key ordered replay, the
+    standard caveat for any sequential stateful fold, EWMA included).
+
+    Scale shape: the pre-projection keeps the Arrow transfer to four
+    narrow columns (Catalyst cannot prune through
+    FlatMapGroupsInPandasWithState); state store traffic is 24 bytes
+    per user."""
+    from pyspark.sql import functions as F
+
+    slim = df.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        _funnel_update_fn(),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -211,3 +211,42 @@ def test_granger_directions_and_flags(spark):
         assert r["causes"] == (r["f_stat"] > GRANGER_F_CRIT) or abs(
             r["f_stat"] - GRANGER_F_CRIT
         ) < 1e-5
+
+
+def test_lsh_tuning_configs_are_nested(spark):
+    """Refinement nesting: a pair colliding on an 8-perm band collides
+    on both 4-perm halves, so candidates(2x8) <= candidates(4x4) <=
+    candidates(8x2); the 4x4 row must equal the production
+    minhash_lsh_candidates pair count; the analytic recall estimate
+    rises with band count."""
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in QUERIES["lsh_band_tuning_curve"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {(2, 8), (4, 4), (8, 2)}
+    assert (
+        rows[(2, 8)]["n_candidate_pairs"]
+        <= rows[(4, 4)]["n_candidate_pairs"]
+        <= rows[(8, 2)]["n_candidate_pairs"]
+    )
+    assert (
+        rows[(2, 8)]["est_recall_at_08"]
+        < rows[(4, 4)]["est_recall_at_08"]
+        < rows[(8, 2)]["est_recall_at_08"]
+    )
+    n_prod = QUERIES["minhash_lsh_candidates"](spark, SF_DIR).count()
+    assert rows[(4, 4)]["n_candidate_pairs"] == n_prod
+
+
+def test_stream_funnel_matches_batch_twin(spark):
+    """The stateful streaming funnel must land on exactly the batch
+    MIN-construction histogram (stream/batch unification)."""
+    stream = {
+        r["funnel_depth"]: r["n_users"]
+        for r in QUERIES["stream_window_funnel"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r["funnel_depth"]: r["n_users"]
+        for r in QUERIES["window_funnel_conversion"](spark, SF_DIR).collect()
+    }
+    assert stream == batch

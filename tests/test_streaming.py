@@ -1237,3 +1237,65 @@ def test_txlog_fanout_sink_heals_partial_multi_sink_failure(spark):
             assert got == [(1, "view", 1.0), (2, "click", 2.0)], name
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_funnel_state_survives_across_batches(spark):
+    """applyInPandasWithState window funnel: step anchors found in
+    batch 1 (view) must persist so batch 2 (click, purchase) completes
+    the funnel — depth 3 only if state genuinely crossed the batch
+    boundary."""
+    from iot_etl_spark.streaming.stateful import streaming_window_funnel
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_funnel_")
+    try:
+        base = datetime.datetime(2024, 1, 3, 9, 0, 0)
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+            ).coalesce(1).write.parquet(os.path.join(src_dir, name))
+
+        dt = datetime.timedelta
+        # user 1 completes across the boundary; user 2's purchase is
+        # OUTSIDE the 24h window of its first view; user 3 never views.
+        b1 = [
+            (1, base, 1, "view", 1.0, None),
+            (2, base + dt(minutes=1), 2, "view", 1.0, None),
+            (3, base, 3, "click", 1.0, None),
+        ]
+        b2 = [
+            (4, base + dt(hours=1), 1, "click", 1.0, None),
+            (5, base + dt(hours=2), 1, "purchase", 1.0, None),
+            (6, base + dt(hours=30), 2, "purchase", 1.0, None),
+        ]
+        write_batch(b1, "b1")
+        stream = read_stream_source(spark, "parquet", path=src_dir + "/*")
+        fn = streaming_window_funnel(stream)
+        import uuid
+        name = f"funnel_{uuid.uuid4().hex[:6]}"
+        q = (fn.writeStream.outputMode("update").format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+            mid = {r.user_id: r for r in spark.table(name).collect()}
+            assert mid[1].funnel_depth == 1  # view anchored, waiting
+            assert mid[3].funnel_depth == 0  # click before any view
+            write_batch(b2, "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = spark.table(name).collect()
+        final = {}
+        for r in rows:  # deepest emission per user = final state
+            if r.user_id not in final or r.funnel_depth > final[r.user_id].funnel_depth:
+                final[r.user_id] = r
+        assert final[1].funnel_depth == 3  # completed ACROSS the boundary
+        assert final[1].s1 is not None and final[1].s3 is not None
+        assert final[2].funnel_depth == 1  # purchase outside 24h window
+        assert final[3].funnel_depth == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
