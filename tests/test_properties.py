@@ -264,3 +264,57 @@ def test_mp4_box_walk_roundtrip_property(duration_ms, w, h, kind):
     assert out["decoded_kind"] == kind
     if kind == "video":
         assert (out["width"], out["height"]) == (w, h)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+            st.integers(min_value=0, max_value=200_000_000_000),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_funnel_greedy_fold_equals_min_construction(events):
+    """The streaming funnel's greedy in-order fold must equal the
+    batch twin's staged-MIN semantics on ANY time-ordered event
+    sequence: s1 = min view; s2 = min click in (s1, s1+W];
+    s3 = min purchase in (s2, s1+W]."""
+    import pandas as pd
+
+    from iot_etl_spark.streaming.stateful import (
+        FUNNEL_WINDOW_US,
+        _fold_funnel,
+    )
+
+    events = sorted(events, key=lambda e: e[1])
+    pdf = pd.DataFrame(
+        {"event_type": [e[0] for e in events], "t": [e[1] for e in events]}
+    )
+    g1, g2, g3 = _fold_funnel(pdf, None, None, None)
+
+    views = [t for et, t in events if et == "view"]
+    s1 = min(views) if views else None
+    s2 = s3 = None
+    if s1 is not None:
+        clicks = [
+            t for et, t in events
+            if et == "click" and s1 < t <= s1 + FUNNEL_WINDOW_US
+        ]
+        s2 = min(clicks) if clicks else None
+    if s2 is not None:
+        purchases = [
+            t for et, t in events
+            if et == "purchase" and s2 < t <= s1 + FUNNEL_WINDOW_US
+        ]
+        s3 = min(purchases) if purchases else None
+    assert (g1, g2, g3) == (s1, s2, s3)
+
+    # batch-boundary invariance: splitting the sequence anywhere and
+    # folding the halves through carried state gives the same anchors
+    for cut in (0, len(events) // 2, len(events)):
+        a, b = pdf.iloc[:cut], pdf.iloc[cut:]
+        h = _fold_funnel(b, *_fold_funnel(a, None, None, None))
+        assert h == (g1, g2, g3), f"cut at {cut} diverged"
