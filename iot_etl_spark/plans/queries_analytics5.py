@@ -1082,3 +1082,88 @@ def granger_lag1_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = m.selectExpr(*_granger_readout("p", "p1", "c1", "click->purchase"))
     rev = m.selectExpr(*_granger_readout("c", "c1", "p1", "purchase->click"))
     return fwd.unionAll(rev)
+
+
+# ------------------------------------------------ burstiness (Goh-Barabási)
+_BURSTINESS_ORACLE = f"""
+WITH t AS (
+    SELECT user_id, epoch_us({DUCK_TS}) AS t, event_id FROM events
+),
+d AS (
+    SELECT user_id,
+           (t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id))
+               // 10000 AS dt
+    FROM t
+),
+g AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(dt AS DECIMAL(18,0))) AS s,
+           SUM(CAST(dt AS DECIMAL(18,0)) * dt) AS ss
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT user_id, n AS n_gaps,
+       ROUND(CAST(s AS DOUBLE) / n / 100, 6) AS mean_gap_s,
+       ROUND(SQRT(CAST(ss AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / (CAST(s AS DOUBLE) / n), 6) AS cv,
+       ROUND((SQRT(CAST(ss AS DOUBLE) / n
+                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+              - CAST(s AS DOUBLE) / n)
+             / (SQRT(CAST(ss AS DOUBLE) / n
+                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                + CAST(s AS DOUBLE) / n), 6) + 0.0 AS burstiness
+FROM g WHERE s > 0
+"""
+
+
+@query("burstiness_interevent", oracle=_BURSTINESS_ORACLE)
+def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (sigma - mu)/(sigma + mu) of each
+    device's inter-event times, with the coefficient of variation:
+    B -> -1 metronome-regular, 0 Poisson, -> +1 bursty — the
+    point-process temporal signature that allan_variance (adjacent-
+    bucket stability) and poisson_dispersion_test (count
+    overdispersion) don't capture: B sees the SHAPE of the gap
+    distribution itself.
+
+    Determinism: gaps quantized to exact centisecond integers
+    (floor-div of micros — no float product), moments as exact
+    DECIMAL sums (the ANOVA convention), one shared double readout;
+    B can round to zero from below, so it ships +0.0-normalized.
+    Devices need >= 2 gaps and a positive gap sum (an all-zero-gap
+    device would hit 0/0 under ANSI).
+
+    100 TB shape: ONE exchange on user_id covers the LAG and the
+    per-device moment fold (map-side combinable); output is one row
+    per device."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select("user_id", F.unix_micros("ts").alias("t"), "event_id")
+    d = t.select(
+        "user_id",
+        F.expr(
+            "(t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id))"
+            " div 10000"
+        ).alias("dt"),
+    )
+    g = (
+        d.filter(F.col("dt").isNotNull())
+        .select("user_id", F.col("dt").cast("decimal(18,0)").alias("dtq"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dtq").alias("s"),
+            F.sum(F.col("dtq") * F.col("dtq")).alias("ss"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("s") > 0))
+    )
+    m = "CAST(s AS DOUBLE) / n"
+    sig = f"SQRT(CAST(ss AS DOUBLE) / n - ({m}) * ({m}))"
+    return g.selectExpr(
+        "user_id",
+        "n AS n_gaps",
+        f"ROUND({m} / 100, 6) AS mean_gap_s",
+        f"ROUND({sig} / ({m}), 6) AS cv",
+        f"ROUND(({sig} - {m}) / ({sig} + {m}), 6) + 0.0 AS burstiness",
+    )

@@ -403,9 +403,9 @@ def start_txlog_fanout_sink(
     rejects the batch every time) wedges the stream: every replay
     fails at that table after the earlier tables committed, and the
     tables stay divergent until the constraint (or the data) is
-    fixed. For constraint-bearing tables, route through
-    ``TxTable.append_with_quarantine`` inside a custom foreachBatch
-    instead, so bad rows divert rather than poison the epoch.
+    fixed. For constraint-bearing tables use
+    ``start_txlog_quarantine_sink`` instead, which routes violating
+    rows to a DLQ table so bad data cannot poison the epoch.
 
     ``tables``: iterable of ``TxTable`` (duck-typed)."""
     tables = list(tables)
@@ -422,6 +422,49 @@ def start_txlog_fanout_sink(
         .start()
     )
 
+
+def start_txlog_quarantine_sink(
+    df: DataFrame,
+    table,
+    quarantine,
+    checkpoint: str,
+    trigger_seconds: int = DEFAULT_TRIGGER_S,
+    ledger_id: str | None = None,
+):
+    """Exactly-once streaming append with CHECK-violation DLQ routing —
+    the constraint-safe composition the fanout sink's docstring
+    prescribes: rows failing ``table``'s CHECK constraints divert to
+    ``quarantine`` (tagged with the failed rule names) instead of
+    failing the epoch, so a PERSISTENT bad-data condition cannot wedge
+    the stream the way a plain constrained append would (every replay
+    re-failing after earlier tables committed).
+
+    Exactly-once: both sides commit through ``append_batch``'s
+    (ledger, batch) idempotence ledger with DISTINCT ledger scopes, so
+    a crash between the valid commit and the quarantine commit heals
+    on replay — the valid side recognizes the epoch and skips, the
+    quarantine side applies it (the per-table-idempotence argument of
+    start_txlog_fanout_sink, specialized to the two-sided split).
+
+    The split itself is computed ONCE per epoch
+    (``TxTable.split_by_constraints`` localCheckpoints the tagged
+    frame), so a non-deterministic upstream cannot route a row to both
+    tables or neither."""
+    q_ledger = f"{ledger_id or 'q'}::quarantine"
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        valid, bad = table.split_by_constraints(batch_df)
+        table.append_batch(valid, int(epoch_id), ledger_id=ledger_id)
+        if bad is not None and bad.limit(1).count():
+            quarantine.append_batch(bad, int(epoch_id), ledger_id=q_ledger)
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
 
 
 def start_txlog_upsert_sink(

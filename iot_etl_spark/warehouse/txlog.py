@@ -500,14 +500,37 @@ class TxTable:
         Scale: one materialization of the incoming micro-batch (the
         checkpoint), then one filter pass per side; the rule
         evaluation is a row-local expression (no shuffle)."""
+        valid, bad = self.split_by_constraints(df)
+        v = self.append(valid, max_retries=max_retries)
+        qv = None
+        if bad is not None and bad.limit(1).count():
+            qv = quarantine.append(
+                bad, max_retries=max_retries, allow_evolution=True
+            )
+        return v, qv
+
+    def split_by_constraints(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Partition ``df`` by this table's active CHECK constraints:
+        (valid, bad) where bad rows carry a ``violated`` column naming
+        the failed rules (sorted, comma-joined); bad is None when the
+        table has no constraints. The tagged frame is
+        localCheckpoint-ed so routing is computed exactly once — a
+        non-deterministic upstream could otherwise send a row to both
+        sides or neither. Shared by ``append_with_quarantine`` (batch)
+        and ``start_txlog_quarantine_sink`` (streaming DLQ routing).
+
+        Raises ValueError if df already carries ``violated`` (the tag
+        would silently clobber the caller's data)."""
         from pyspark.sql import functions as F
 
         cons = self.constraints()
         if not cons:
-            return self.append(df, max_retries=max_retries), None
+            return df, None
         if "violated" in df.columns:
             raise ValueError(
-                "append_with_quarantine reserves the 'violated' column; "
+                "split_by_constraints reserves the 'violated' column; "
                 "rename or drop it on the incoming frame"
             )
         fails = [
@@ -522,13 +545,7 @@ class TxTable:
         ).localCheckpoint(eager=True)
         valid = tagged.filter(F.col("violated") == "").drop("violated")
         bad = tagged.filter(F.col("violated") != "")
-        v = self.append(valid, max_retries=max_retries)
-        qv = None
-        if bad.limit(1).count():
-            qv = quarantine.append(
-                bad, max_retries=max_retries, allow_evolution=True
-            )
-        return v, qv
+        return valid, bad
 
     def append(
         self, df: DataFrame, max_retries: int = 3, allow_evolution: bool = False

@@ -250,3 +250,16 @@ def test_stream_funnel_matches_batch_twin(spark):
         for r in QUERIES["window_funnel_conversion"](spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_burstiness_bounded_and_consistent(spark):
+    """B lives in (-1, 1), cv >= 0, and B == (cv-1)/(cv+1) up to
+    readout rounding (algebraic identity of the two columns)."""
+    rows = QUERIES["burstiness_interevent"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 < r["burstiness"] < 1.0
+        assert r["cv"] >= 0.0
+        want = (r["cv"] - 1.0) / (r["cv"] + 1.0)
+        assert abs(r["burstiness"] - want) < 1e-4, r
+        assert r["n_gaps"] >= 2 and r["mean_gap_s"] > 0

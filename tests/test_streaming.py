@@ -1299,3 +1299,69 @@ def test_stateful_funnel_state_survives_across_batches(spark):
         assert final[3].funnel_depth == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_quarantine_sink_routes_bad_rows_without_wedging(spark):
+    """start_txlog_quarantine_sink: a PERSISTENT constraint violation
+    must not wedge the stream — valid rows land in the main table,
+    violating rows in the DLQ table with rule tags, the stream stays
+    healthy across epochs, and a full replay through a fresh
+    checkpoint is exactly-once on BOTH tables."""
+    from iot_etl_spark.streaming.pipeline import start_txlog_quarantine_sink
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_q_")
+    try:
+        base = datetime.datetime(2024, 1, 2, 8, 0, 0)
+        schema = (
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+        rows = [
+            (1, base + datetime.timedelta(seconds=1), 1, "view", 1.0, None),
+            (2, base + datetime.timedelta(seconds=2), 2, "click", -5.0, None),
+            (3, base + datetime.timedelta(seconds=3), 3, "purchase", 2.0, None),
+        ]
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")
+        ).write.parquet(os.path.join(src_dir, "b0"))
+
+        table = TxTable(os.path.join(tmp, "serve"))
+        dlq = TxTable(os.path.join(tmp, "dlq"))
+        # seed the schema so the constraint has a table to attach to
+        seed = spark.createDataFrame(
+            [(0, "seed", 0.0)], "event_id LONG, event_type STRING, value DOUBLE"
+        )
+        table.append(seed)
+        table.add_constraint(spark, "value_nonneg", "value >= 0")
+
+        for i in range(2):  # run 2 = full replay via a fresh checkpoint
+            stream = read_stream_source(
+                spark, "parquet", path=src_dir + "/*"
+            ).select("event_id", "event_type", "value")
+            q = start_txlog_quarantine_sink(
+                stream,
+                table,
+                dlq,
+                os.path.join(tmp, f"ck{i}"),
+                trigger_seconds=1,
+                ledger_id="qtest",
+            )
+            try:
+                q.processAllAvailable()
+                assert q.exception() is None  # not wedged
+            finally:
+                q.stop()
+
+        got = sorted(
+            (r.event_id, r.value) for r in table.read(spark).collect()
+        )
+        assert got == [(0, 0.0), (1, 1.0), (3, 2.0)]  # exactly-once
+        bad = dlq.read(spark).collect()
+        assert [(r.event_id, r.value, r.violated) for r in bad] == [
+            (2, -5.0, "value_nonneg")
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
