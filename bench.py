@@ -90,7 +90,7 @@ def main() -> None:
     # pass is recorded alongside so the one-time costs stay visible.
     def run_pass() -> dict[str, float]:
         t: dict[str, float] = {}
-        for name in names:
+        for i, name in enumerate(names):
             t0 = time.monotonic()
             try:
                 df = qs[name](spark, sf_dir)
@@ -99,6 +99,14 @@ def main() -> None:
             except Exception as exc:  # keep the bench observable on partial failure
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
                 t[name] = -1.0
+            if (i + 1) % 64 == 0:
+                # Long-session hygiene: localCheckpoint blocks are only
+                # reclaimed when the JVM GC feeds the ContextCleaner's
+                # reference queue, and 300+ plans/pass outrun organic
+                # GC — measured as a broad ~40s smear over pass 2
+                # (warm > cold with stage caches pre-minted). Untimed.
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
         return t
 
     load_start = os.getloadavg()[0]
