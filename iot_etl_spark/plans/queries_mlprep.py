@@ -1686,3 +1686,127 @@ def pr_curve_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_PR_REC_SQL), 6).alias("recall"),
         F.round(F.expr(_PR_F1_SQL), 6).alias("f1"),
     )
+
+
+# ------------------- isotonic calibration map (PAVA via minimax)
+# iso(i) = max_{j<=i} min_{k>=i} poolrate(j..k) — the minimax
+# characterization of the pool-adjacent-violators solution, computed
+# RELATIONALLY over the <= 21-bin frame: all O(bins^2) interval pool
+# rates from prefix sums, then a two-level MIN/MAX. No sequential
+# stack, no loops — and every pool rate is one division of exact
+# BIGINT sums, identical on both engines.
+_ISO_ORACLE = """
+WITH cls AS ({cls}),
+b AS (
+    SELECT {bin} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+    FROM cls GROUP BY 1
+),
+p AS (
+    SELECT bin, n_docs, n_pos,
+           SUM(n_docs) OVER w AS cn, SUM(n_pos) OVER w AS cp
+    FROM b WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+),
+iv AS (
+    SELECT lo.bin AS j, hi.bin AS k,
+           CAST(hi.cp - lo.cp + lo.n_pos AS DOUBLE)
+               / (hi.cn - lo.cn + lo.n_docs) AS rate
+    FROM p lo JOIN p hi ON lo.bin <= hi.bin
+),
+inner_min AS (
+    SELECT b.bin AS i, iv.j, MIN(iv.rate) AS mn
+    FROM b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+    GROUP BY 1, 2
+)
+SELECT b.bin, b.n_docs, b.n_pos,
+       ROUND(CAST(b.n_pos AS DOUBLE) / b.n_docs, 6) AS raw_rate,
+       ROUND(MAX(inner_min.mn), 6) AS isotonic_rate
+FROM b JOIN inner_min ON inner_min.i = b.bin
+GROUP BY 1, 2, 3
+"""
+
+
+def _isotonic_oracle() -> str:
+    return _ISO_ORACLE.format(cls=_CLASSIFIER_ORACLE, bin=_CAL_BIN_SQL)
+
+
+@query("isotonic_calibration_map", oracle=_isotonic_oracle())
+def isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION calibration map for the quality
+    classifier: the monotone step function closest (L2) to the raw
+    per-bin positive rates — what sklearn's IsotonicRegression fits,
+    here via the minimax identity iso(i) = max_{j<=i} min_{k>=i}
+    pool_rate(j..k), which equals the pool-adjacent-violators
+    solution. calibration_bins DIAGNOSES miscalibration (ECE); this
+    produces the correction to APPLY (map each score bin through
+    isotonic_rate before thresholding the keep gate).
+
+    Determinism: pool rates are single divisions of exact BIGINT
+    prefix sums; MIN/MAX fold over identical doubles; one ROUND at
+    the readout.
+
+    100 TB shape: composes the classifier's zero-shuffle scoring,
+    one shuffle to <= 21 bins — then ALL the isotonic algebra runs
+    on the bins^2 interval grid (<= 231 rows): the bounded-cell
+    convention turns an inherently sequential algorithm (PAVA's
+    merge stack) into a tiny relational join, with no driver-side
+    loop and no single-row recursion."""
+    cls = quality_classifier_score(spark, sf_dir)
+    b = (
+        cls.select(
+            F.expr(_CAL_BIN_SQL).alias("bin"),
+            (F.col("lang") == "en").cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        .localCheckpoint()  # <=21 rows; consumed by p, inner_min, readout
+    )
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    p = b.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(wp).alias("cn"),
+        F.sum("n_pos").over(wp).alias("cp"),
+    )
+    lo = p.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cn_lo"),
+        F.col("cp").alias("cp_lo"),
+        F.col("n_docs").alias("nd_lo"),
+        F.col("n_pos").alias("np_lo"),
+    )
+    hi = p.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cp").alias("cp_hi"),
+    )
+    iv = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cp_hi") - F.col("cp_lo") + F.col("np_lo")).cast("double")
+            / (F.col("cn_hi") - F.col("cn_lo") + F.col("nd_lo"))
+        ).alias("rate"),
+    )
+    inner_min = (
+        b.select(F.col("bin").alias("i"))
+        .join(iv, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("rate").alias("mn"))
+    )
+    return (
+        b.join(inner_min, F.col("bin") == F.col("i"))
+        .groupBy("bin", "n_docs", "n_pos")
+        .agg(
+            F.round(
+                F.first(F.col("n_pos").cast("double") / F.col("n_docs")), 6
+            ).alias("raw_rate"),
+            F.round(F.max("mn"), 6).alias("isotonic_rate"),
+        )
+    )

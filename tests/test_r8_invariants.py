@@ -263,3 +263,45 @@ def test_burstiness_bounded_and_consistent(spark):
         want = (r["cv"] - 1.0) / (r["cv"] + 1.0)
         assert abs(r["burstiness"] - want) < 1e-4, r
         assert r["n_gaps"] >= 2 and r["mean_gap_s"] > 0
+
+
+def test_isotonic_map_is_pava(spark):
+    """The minimax construction must equal a reference PAVA run in
+    plain Python: monotone non-decreasing, mass-preserving
+    (sum n*iso == sum pos), and block-wise equal to the merge-stack
+    solution."""
+    rows = sorted(
+        QUERIES["isotonic_calibration_map"](spark, SF_DIR).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["isotonic_rate"] for r in rows]
+    assert iso == sorted(iso)  # monotone
+    assert all(0.0 <= v <= 1.0 for v in iso)
+    # reference PAVA (merge stack) on the same (n, pos) sequence
+    stack = []  # (n, pos)
+    for r in rows:
+        stack.append((r["n_docs"], r["n_pos"]))
+        while len(stack) >= 2:
+            n2, p2 = stack[-1]
+            n1, p1 = stack[-2]
+            if p1 * n2 >= p2 * n1:  # rate1 >= rate2: violation, merge
+                stack[-2:] = [(n1 + n2, p1 + p2)]
+            else:
+                break
+    # expand block rates across their member bins
+    expanded = []
+    i = 0
+    for n, p in stack:
+        cnt = 0
+        acc = 0
+        while acc < n:
+            acc += rows[i + cnt]["n_docs"]
+            cnt += 1
+        expanded.extend([p / n] * cnt)
+        i += cnt
+    assert len(expanded) == len(rows)
+    for got, want in zip(iso, expanded):
+        assert abs(got - round(want, 6)) < 1e-9
+    # mass preservation
+    mass = sum(r["n_docs"] * v for r, v in zip(rows, iso))
+    assert abs(mass - sum(r["n_pos"] for r in rows)) < 1e-2 * len(rows)
