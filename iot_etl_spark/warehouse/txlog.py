@@ -594,6 +594,7 @@ class TxTable:
         batch_id: int,
         ledger_id: str | None = None,
         max_retries: int = 3,
+        allow_evolution: bool = False,
     ) -> int | None:
         """Idempotent append keyed by (ledger scope, micro-batch id): a
         replayed batch (foreachBatch re-delivery after a
@@ -619,11 +620,11 @@ class TxTable:
         recognized and the retry abandoned."""
         if batch_id in self.committed_batch_ids(ledger_id):
             return None
-        sig = self._check_schema(df, allow_evolution=False)
+        sig = self._check_schema(df, allow_evolution=allow_evolution)
         added = self._stage(df)
         self._enforce_constraints(df.sparkSession, added)
         for _ in range(max_retries + 1):
-            self._check_sig(sig, allow_evolution=False)
+            self._check_sig(sig, allow_evolution=allow_evolution)
             latest = self.latest_version()
             planned = 0 if latest is None else latest + 1
             try:

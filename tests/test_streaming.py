@@ -1365,3 +1365,145 @@ def test_quarantine_sink_routes_bad_rows_without_wedging(spark):
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_run_stream_to_memory_drops_its_temp_view(spark):
+    """VERDICT r8 item 1/4: the memory-sink temp view must NOT outlive
+    the call — round-8's bench carried ~20 materialized stream_out_*
+    tables from pass 1 into pass 2 and smeared the streaming family
+    3.3x. The returned DataFrame stays readable (its analyzed plan
+    binds the rows); the catalog must be clean."""
+    src = read_stream_source(spark, "parquet", path=f"{SF_DIR}/events.parquet")
+    tx = apply_stream_transforms(src)
+    _, out = run_stream_to_memory(
+        tx.select("event_id", "is_valid_record"), "append"
+    )
+    leaked = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("stream_out_")
+    ]
+    assert leaked == [], f"memory-sink temp views leaked: {leaked}"
+    assert out.count() > 0  # still consumable after the drop
+
+    # and the registry stream queries (bench/oracle path) hold the
+    # same contract end-to-end
+    from iot_etl_spark.plans import QUERIES
+
+    QUERIES["stream_tumbling_agg"](spark, SF_DIR).count()
+    leaked = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("stream_out_")
+    ]
+    assert leaked == [], f"registry stream query leaked: {leaked}"
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing update fns."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+
+def test_ewma_update_fn_orders_across_arrow_chunks():
+    """ADVICE r8 (medium): a key's micro-batch spanning multiple Arrow
+    chunks carries NO cross-chunk ordering — the fold must sort the
+    whole batch once, not per chunk. Chunk 2 holds the EARLIER
+    timestamps here; a per-chunk sort would fold 30,40,10,20."""
+    import pandas as pd
+
+    from iot_etl_spark.streaming.stateful import _ewma_update_fn
+
+    update = _ewma_update_fn(alpha=0.5)
+    chunk_late = pd.DataFrame(
+        {"user_id": [7, 7], "ts": [3, 4], "event_id": [3, 4],
+         "value": [30.0, 40.0]}
+    )
+    chunk_early = pd.DataFrame(
+        {"user_id": [7, 7], "ts": [1, 2], "event_id": [1, 2],
+         "value": [10.0, 20.0]}
+    )
+    state = _FakeGroupState()
+    out = list(update((7,), iter([chunk_late, chunk_early]), state))
+    # global order 10,20,30,40 @ alpha .5 -> 10, 15, 22.5, 31.25
+    assert state.get == (31.25, 4)
+    assert out[0]["ewma"].iloc[0] == 31.25
+
+
+def test_funnel_update_fn_orders_across_arrow_chunks():
+    """Same contract for the funnel fold: the anchoring view arrives
+    in the SECOND chunk; per-chunk folding would see click/purchase
+    first and report depth 1 instead of 3."""
+    import pandas as pd
+
+    from iot_etl_spark.streaming.stateful import _funnel_update_fn
+
+    update = _funnel_update_fn()
+    chunk_late = pd.DataFrame(
+        {"user_id": [7, 7], "event_type": ["click", "purchase"],
+         "t": [2_000_000, 3_000_000], "event_id": [2, 3]}
+    )
+    chunk_early = pd.DataFrame(
+        {"user_id": [7], "event_type": ["view"],
+         "t": [1_000_000], "event_id": [1]}
+    )
+    state = _FakeGroupState()
+    out = list(update((7,), iter([chunk_late, chunk_early]), state))
+    assert state.get == (1_000_000, 2_000_000, 3_000_000)
+    assert out[0]["funnel_depth"].iloc[0] == 3
+
+
+def test_quarantine_sink_widens_preexisting_dlq_schema(spark):
+    """ADVICE r8 (medium): a quarantine table seeded WITHOUT the
+    'violated' tag column must widen on the first quarantined epoch —
+    not raise SchemaMismatchError every epoch and wedge the stream
+    (the exact persistent-failure mode this sink exists to prevent)."""
+    from iot_etl_spark.streaming.pipeline import start_txlog_quarantine_sink
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    tmp = tempfile.mkdtemp(prefix="iot_etl_qevo_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+        spark.createDataFrame(
+            [(1, "view", 1.0), (2, "click", -5.0)],
+            "event_id LONG, event_type STRING, value DOUBLE",
+        ).write.parquet(os.path.join(src_dir, "b0"))
+
+        table = TxTable(os.path.join(tmp, "serve"))
+        dlq = TxTable(os.path.join(tmp, "dlq"))
+        seed = spark.createDataFrame(
+            [(0, "seed", 0.0)], "event_id LONG, event_type STRING, value DOUBLE"
+        )
+        table.append(seed)
+        table.add_constraint(spark, "value_nonneg", "value >= 0")
+        dlq.append(seed)  # pre-existing DLQ schema WITHOUT 'violated'
+
+        stream = read_stream_source(
+            spark, "parquet", path=src_dir + "/*"
+        ).select("event_id", "event_type", "value")
+        q = start_txlog_quarantine_sink(
+            stream, table, dlq, os.path.join(tmp, "ck"),
+            trigger_seconds=1, ledger_id="qevo",
+        )
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None, q.exception()
+        finally:
+            q.stop()
+
+        bad = dlq.read(spark).collect()
+        tagged = [(r.event_id, r.violated) for r in bad if r.event_id == 2]
+        assert tagged == [(2, "value_nonneg")]
+        # the pre-evolution seed row reads back with a NULL tag
+        assert [r.violated for r in bad if r.event_id == 0] == [None]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
