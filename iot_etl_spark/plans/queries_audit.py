@@ -1228,36 +1228,35 @@ WHERE d.degree >= 2
 """
 
 
-def _triangle_from_edges(e: DataFrame) -> DataFrame:
-    """Degree-oriented triangle core over a distinct id-ordered
-    (ua < ub) edge list. Callers pass a MATERIALIZED stage
-    (graphedges.exact_coactivity_edges / capped_coactivity_edges):
+def _triangle_from_edges(edeg: DataFrame) -> DataFrame:
+    """Degree-oriented triangle core over a degree-annotated distinct
+    id-ordered (ua < ub, da, db) edge list. Callers pass the
+    MATERIALIZED degree-attached stage
+    (graphedges.exact_edges_with_degrees / capped_edges_with_degrees):
     this lineage reads the edges four times (degree, orientation,
     wedge legs, closure) — a non-materialized edge build would re-run
     its bucket pair expansion per read (the r6 stage-routing measured
     5.8 s -> ~2 s warm at sf0.1; an earlier inline note had found
     .cache() SLOWER than recompute, but the parquet stage beats
-    both: scan-parallel and shared across the graph family)."""
+    both: scan-parallel and shared across the graph family). With the
+    degrees pre-attached (VERDICT r8 item 7), orientation is a pure
+    per-row projection — the per-query degree aggregate plus TWO
+    |E|-row degree joins this function used to run are gone."""
+    e = edeg.select("ua", "ub")
     deg = (
-        e.select(F.col("ua").alias("u"))
-        .unionAll(e.select(F.col("ub").alias("u")))
+        edeg.select(F.col("ua").alias("u"), F.col("da").alias("degree"))
+        .unionAll(edeg.select(F.col("ub").alias("u"), F.col("db").alias("degree")))
         .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("degree"))
+        .agg(F.max("degree").alias("degree"))  # all rows agree; MAX dedups
     )
     # orient: src = the endpoint earlier in (degree, id) order. e has
     # ua < ub, so equal degrees orient ua -> ub.
-    d_a = deg.select(F.col("u").alias("ua"), F.col("degree").alias("da"))
-    d_b = deg.select(F.col("u").alias("ub"), F.col("degree").alias("db"))
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("ua") < F.col("ub"))
     )
-    o = (
-        e.join(d_a, "ua")
-        .join(d_b, "ub")
-        .select(
-            F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
-            F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
-        )
+    o = edeg.select(
+        F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
     )
     # wedges from out-neighbor pairs (id-canonical: y < z), closed
     # against the id-ordered edge list
@@ -1315,9 +1314,9 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle_count_graph_capped (plans/graphedges.py). Edges come
     from the materialized shared stage
     (graphedges.exact_coactivity_edges — see _triangle_from_edges)."""
-    from iot_etl_spark.plans.graphedges import exact_coactivity_edges
+    from iot_etl_spark.plans.graphedges import exact_edges_with_degrees
 
-    return _triangle_from_edges(exact_coactivity_edges(spark, sf_dir))
+    return _triangle_from_edges(exact_edges_with_degrees(spark, sf_dir))
 
 
 from iot_etl_spark.plans.graphedges import (  # noqa: E402 - grouped section import
@@ -1352,11 +1351,12 @@ def triangle_count_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     test SF (max observed occupancy 12 at sf0.1 → output == exact
     twin; pinned by tests/test_graph_caps.py); the degree-oriented
     wedge join downstream is unchanged. Oracle applies the identical
-    min-id cap. Edges come from the materialized capped stage shared
-    with adamic_adar_linkpred (graphedges.capped_coactivity_edges)."""
-    from iot_etl_spark.plans.graphedges import capped_coactivity_edges
+    min-id cap. Edges come from the materialized degree-attached
+    capped stage shared with adamic_adar_linkpred
+    (graphedges.capped_edges_with_degrees)."""
+    from iot_etl_spark.plans.graphedges import capped_edges_with_degrees
 
-    return _triangle_from_edges(capped_coactivity_edges(spark, sf_dir))
+    return _triangle_from_edges(capped_edges_with_degrees(spark, sf_dir))
 
 
 # ------------------------------------------- rolling 7-day active users
@@ -2843,9 +2843,10 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     the triangle family (hot-bucket guard: graphedges.py applies);
     every round touches only surviving edges, so work is
     monotonically non-increasing across rounds."""
-    from iot_etl_spark.plans.graphedges import exact_coactivity_edges
+    from iot_etl_spark.plans.graphedges import exact_edges_with_degrees
 
-    e = exact_coactivity_edges(spark, sf_dir)
+    edeg = exact_edges_with_degrees(spark, sf_dir)
+    e = edeg.select("ua", "ub")
     nodes = e.select(F.col("ua").alias("u")).union(e.select("ub")).distinct()
 
     def survivors_degree(alive: DataFrame) -> DataFrame:
@@ -2859,8 +2860,19 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
-    alive = nodes
-    for _ in range(KCORE_ROUNDS):
+    # Round 1 peels on the FULL-graph degree, which already rides the
+    # materialized degree-attached stage — a projection + dedup
+    # replaces round 1's survivor-filter joins (VERDICT r8 item 7).
+    alive = (
+        edeg.select(F.col("ua").alias("u"), F.col("da").alias("deg"))
+        .unionAll(edeg.select(F.col("ub").alias("u"), F.col("db").alias("deg")))
+        .groupBy("u")
+        .agg(F.max("deg").alias("deg"))  # rows agree per u; MAX dedups
+        .filter(F.col("deg") >= KCORE_K)
+        .select("u")
+        .localCheckpoint()
+    )
+    for _ in range(KCORE_ROUNDS - 1):
         # TRUNCATE lineage each round: alive feeds the next round
         # TWICE (once per edge endpoint), so an unmaterialized plan
         # doubles per round — exponential stages by round 3 (measured:
@@ -3248,9 +3260,11 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree >= 2 by construction.
 
     Distributed shape (r6 rewrite, measured 11 s -> ~3.5 s warm at
-    sf0.1): the wedge join (pairs of neighbors sharing vertex z) with
-    the 1/ln(deg z) weight BROADCAST-attached to the left leg BEFORE
-    expansion — the degree join rides 2|E| rows instead of the 16M-row
+    sf0.1; r9: degrees now ride the materialized stage, so the weight
+    attach is a projection — no per-query degree aggregate or join at
+    all): the wedge join (pairs of neighbors sharing vertex z) with
+    the 1/ln(deg z) weight attached to the left leg BEFORE
+    expansion — the weight rides 2|E| rows instead of the 16M-row
     wedge stream — then one (a, b) aggregate, one LEFT ANTI join
     against the edge list, TakeOrderedAndProject. Two array
     formulations measured SLOWER here (adjacency-array pair expansion
@@ -3264,23 +3278,26 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphedges.capped_coactivity_edges artifact. Reference parity:
     extends the reference's co-occurrence analytics family
     (device correlation) to edge prediction."""
-    from iot_etl_spark.plans.graphedges import capped_coactivity_edges
+    from iot_etl_spark.plans.graphedges import capped_edges_with_degrees
 
-    e = capped_coactivity_edges(spark, sf_dir)
-    n = e.select(F.col("ua").alias("z"), F.col("ub").alias("x")).unionAll(
-        e.select(F.col("ub").alias("z"), F.col("ua").alias("x"))
+    edeg = capped_edges_with_degrees(spark, sf_dir)
+    e = edeg.select("ua", "ub")
+    # degrees ride the materialized stage (VERDICT r8 item 7): the
+    # directed neighbor frame with 1/ln(deg z) attached is a pure
+    # union-of-projections — the per-query degree aggregate and its
+    # broadcast join are gone. Degree-1 vertices anchor no wedge and
+    # would make ln(deg) = 0: drop them BEFORE the weight.
+    n = edeg.select(
+        F.col("ua").alias("z"), F.col("ub").alias("x"),
+        F.col("da").cast("double").alias("d"),
+    ).unionAll(
+        edeg.select(
+            F.col("ub").alias("z"), F.col("ua").alias("x"),
+            F.col("db").cast("double").alias("d"),
+        )
     )
-    # degree-1 vertices anchor no wedge and would make ln(deg) = 0:
-    # drop them BEFORE the weight (the inner join below then also
-    # drops their useless n1 rows)
-    deg = (
-        n.groupBy("z")
-        .agg(F.count(F.lit(1)).cast("double").alias("d"))
-        .filter(F.col("d") >= 2)
-        .select("z", (1.0 / F.log(F.col("d"))).alias("invlog"))
-    )
-    n1 = n.join(F.broadcast(deg), "z").select(
-        "z", F.col("x").alias("wa"), "invlog"
+    n1 = n.filter(F.col("d") >= 2).select(
+        "z", F.col("x").alias("wa"), (1.0 / F.log(F.col("d"))).alias("invlog")
     )
     n2 = n.select(F.col("z").alias("z2"), F.col("x").alias("wb"))
     wedge = n1.join(
