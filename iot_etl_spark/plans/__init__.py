@@ -28,6 +28,7 @@ from iot_etl_spark.plans import queries_audit  # noqa: F401
 from iot_etl_spark.plans import queries_analytics3  # noqa: F401
 from iot_etl_spark.plans import queries_analytics4  # noqa: F401
 from iot_etl_spark.plans import queries_analytics5  # noqa: F401
+from iot_etl_spark.plans import queries_analytics6  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
@@ -70,6 +71,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "burstiness_interevent",
     # ---- round-9 registrations (inserted as they land)
     "coactivity_component_stats",
+    "gini_customer_revenue",
+    "kendall_trend_per_device",
+    "length_filter_yield_curve",
     # ---- regression re-checks: all remaining names are round-2-old
     "full_transform_pipeline",
     "hourly_device_agg",

@@ -395,3 +395,34 @@ def test_round8_plan_shapes(spark):
     # cache (4 consumers, 1 compute); probe branches are TakeOrdered
     assert plan.count("TakeOrderedAndProject") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_round9_plan_shapes(spark):
+    """Round-9 additions: the yield curve's document scan prunes to
+    the n_chars column (the raw text is never read); the global Gini
+    has NO per-row global sort — its only single-partition work sits
+    over the bounded distinct-revenue cell frame; Kendall's pair join
+    is keyed per device (sort-merge/hash on user_id, no cartesian);
+    component stats read BOTH graph artifacts from the stage cache
+    (no min-label loop in the plan: no iterative scans)."""
+    _, full = _plans(spark, "length_filter_yield_curve")
+    import re
+
+    doc_reads = re.findall(r"ReadSchema: struct<([^>]*)>", full)
+    doc_scan = [r for r in doc_reads if "n_chars" in r]
+    assert doc_scan and all(r == "n_chars:bigint" for r in doc_scan), doc_reads
+
+    plan, _ = _plans(spark, "gini_customer_revenue")
+    # exactly one single-partition exchange (cell-frame window +
+    # scalar agg share it); no Sort over the customer rows' exchange
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") == 1
+
+    plan, _ = _plans(spark, "kendall_trend_per_device")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan, _ = _plans(spark, "coactivity_component_stats")
+    # both inputs are materialized artifacts: scans only, no iteration
+    assert "LogicalRDD" not in plan  # no localCheckpoint CC loop inline
+    assert "CartesianProduct" not in plan

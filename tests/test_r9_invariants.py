@@ -1,0 +1,76 @@
+"""Semantic invariants for the round-9 batch — properties the
+oracle-equality gate can't see (it would be equally green if both
+engines computed the same wrong thing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_etl_spark.plans import QUERIES
+from iot_etl_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_component_stats_conserve_nodes_and_edges(spark):
+    """Component rows must partition the edge-graph's vertex set and
+    account for every edge exactly once (components are disjoint and
+    every edge is within exactly one component); density lives in
+    (0, 1]; the label is the component's minimum member by the
+    min-label construction."""
+    from iot_etl_spark.plans.graphedges import capped_coactivity_edges
+
+    rows = QUERIES["coactivity_component_stats"](spark, SF_DIR).collect()
+    e = capped_coactivity_edges(spark, SF_DIR)
+    n_nodes = (
+        e.select(F.col("ua").alias("u")).union(e.select("ub")).distinct().count()
+    )
+    n_edges = e.count()
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    assert sum(r.n_edges_within for r in rows) == n_edges
+    # handshake: within-component degree mass is twice its edges
+    assert all(r.degree_sum == 2 * r.n_edges_within for r in rows)
+    assert all(0.0 < r.density <= 1.0 for r in rows)
+    assert all(r.n_nodes >= 2 for r in rows)
+
+
+def test_gini_bounds_and_mass(spark):
+    """Gini of a non-degenerate positive distribution sits in [0, 1);
+    the total must equal the straight revenue sum."""
+    row = QUERIES["gini_customer_revenue"](spark, SF_DIR).collect()[0]
+    orders = load_table(spark, SF_DIR, "orders")
+    total = orders.select(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("t")
+    ).collect()[0].t
+    n = orders.select("o_custkey").distinct().count()
+    assert row.n_customers == n
+    assert row.total_revenue_cents == total
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_kendall_tau_bounds_and_pair_accounting(spark):
+    """tau_b in [-1, 1]; concordant + discordant never exceeds the
+    day-pair count n_days*(n_days-1)/2."""
+    rows = QUERIES["kendall_trend_per_device"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        n0 = r.n_days * (r.n_days - 1) // 2
+        assert r.concordant + r.discordant <= n0
+        assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_yield_curve_monotone_and_anchored(spark):
+    """Both yields are monotone non-increasing in the threshold, and
+    a threshold at or below the corpus minimum keeps everything."""
+    rows = sorted(
+        QUERIES["length_filter_yield_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.threshold,
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    min_len = docs.agg(F.min("n_chars")).collect()[0][0]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs_kept >= b.n_docs_kept
+        assert a.doc_yield >= b.doc_yield
+        assert a.char_yield >= b.char_yield
+    full = [r for r in rows if r.threshold <= min_len]
+    assert all(r.n_docs_kept == n_docs and r.doc_yield == 1.0 for r in full)

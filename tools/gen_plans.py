@@ -150,6 +150,16 @@ PICKS = [
     ("value_deciles_approx",
      "decile swap: per-type approx_percentile cuts broadcast back, "
      "map-side bucketing - no WindowExec, no per-type sort"),
+    ("gini_customer_revenue",
+     "sort-free global Gini: rank-weighted sum from tie-group prefix "
+     "sums over distinct-revenue cells - no per-row global sort; "
+     "DECIMAL rank products"),
+    ("length_filter_yield_curve",
+     "corpus yield planner: documents collapse to a bounded length "
+     "histogram first (scan prunes to n_chars), thresholds broadcast"),
+    ("coactivity_component_stats",
+     "both graph artifacts (CC labels, degree-attached edges) read "
+     "from materialized stages - no min-label iteration in the plan"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
