@@ -29,26 +29,30 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 8, VERDICT r7 item 2): slot 1 is
-    # the theilsen re-check after the signed-zero fix; the rest of
-    # the window drains the never-driver-checked round-6/7 backlog
-    # oldest-first. Pin slot 1 exactly and the head/tail of the
-    # backlog block so a new registration cannot silently displace
-    # the window.
+    # driver-window curation (round 9, VERDICT r8 item 2): slots 1-24
+    # drain the never-driver-checked round-8 backlog, then the round-9
+    # registrations, then the oldest (round-2) greens as regression
+    # re-checks. Pin slot 1 exactly and the head/tail of each block so
+    # a new registration cannot silently displace the window.
     first50 = list(qs)[:50]
-    assert first50[0] == "theilsen_trend_recent"
+    assert first50[0] == "poisson_dispersion_test"
     for must in (
-        # head of the never-driver-checked backlog
-        "ks_weekend_value",
-        "chi2_type_dow",
-        "adamic_adar_linkpred",
-        "srp_sketch_audit",
-        "rrf_hybrid_retrieval",
-        "hard_negative_mining",
-        "bm25_retrieval",
-        # tail of the 49 backlog names that fit this round's window
-        "allan_variance_per_device",
-        "hurst_rs_exponent",
+        # head/tail of the round-8 never-driver-checked backlog
+        "extreme_value_gumbel_fit",
+        "odds_ratio_weekend_error",
+        "page_hinkley_drift",
+        "stream_window_funnel",
+        "isotonic_calibration_map",
+        "burstiness_interevent",
+        # round-9 registrations ride the same window
+        "coactivity_component_stats",
+        "gini_customer_revenue",
+        "kendall_trend_per_device",
+        "length_filter_yield_curve",
+        # head of the regression block (oldest greens, VERDICT-named)
+        "full_transform_pipeline",
+        "hourly_device_agg",
+        "rolling_window_stats",
     ):
         assert must in first50, must
 
