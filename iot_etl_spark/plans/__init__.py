@@ -74,6 +74,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "gini_customer_revenue",
     "kendall_trend_per_device",
     "length_filter_yield_curve",
+    "coactivity_edge_churn",
+    "pinball_loss_eval",
     # ---- regression re-checks: all remaining names are round-2-old
     "full_transform_pipeline",
     "hourly_device_agg",

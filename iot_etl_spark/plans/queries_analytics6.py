@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from iot_etl_spark.plans.registry import query, duck_bucket_epoch
+from iot_etl_spark.plans.registry import query, DUCK_TS, duck_bucket_epoch
 from iot_etl_spark.sources.tables import load_table
 
 # ------------------------------------------------ Gini concentration
@@ -320,4 +320,242 @@ def length_filter_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("char_yield"),
         )
+    )
+
+
+# ------------------------------------------- co-activity edge churn
+# Period midpoint is integer arithmetic on the minute-bucket epochs
+# ((min+max) DIV 2), so the split is engine-exact; both halves reuse
+# the SAME capped activity stage (the cap is per minute bucket, and a
+# half-period is a union of whole buckets).
+_CHURN_ORACLE_TMPL = """
+WITH a AS (
+    SELECT b, user_id FROM {capped}
+),
+mid AS (SELECT (MIN(b) + MAX(b)) // 2 AS m FROM a),
+e1 AS (
+    SELECT DISTINCT x.user_id AS ua, y.user_id AS ub
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id < y.user_id, mid
+    WHERE x.b <= m
+),
+e2 AS (
+    SELECT DISTINCT x.user_id AS ua, y.user_id AS ub
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id < y.user_id, mid
+    WHERE x.b > m
+),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM e1 JOIN e2 USING (ua, ub)),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_first FROM e1),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_second FROM e2)
+SELECT n_first, n_second, n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (n_first + n_second - n_common), 6) AS jaccard,
+       ROUND(CAST(n_first - n_common AS DOUBLE) / n_first, 6)
+           AS dropped_rate,
+       ROUND(CAST(n_second - n_common AS DOUBLE) / n_second, 6)
+           AS new_rate
+FROM n1, n2, c
+"""
+
+
+def _churn_oracle() -> str:
+    from iot_etl_spark.plans.graphedges import COACT_BUCKET_CAP, duck_capped_activity
+
+    return _CHURN_ORACLE_TMPL.format(
+        capped=duck_capped_activity(
+            "epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) // 1000000",
+            COACT_BUCKET_CAP,
+        )
+    )
+
+
+@query("coactivity_edge_churn", oracle=_churn_oracle())
+def coactivity_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal stability of the co-activity graph: Jaccard overlap
+    (and dropped/new edge rates) between the edge sets of the first
+    and second half of the observation period — the drift audit that
+    says whether yesterday's graph artifacts (labels, degrees,
+    centralities) still describe today's traffic before a pipeline
+    reuses them.
+
+    100 TB shape: both halves derive from the SAME materialized
+    capped activity stage by a bucket filter (no second scan of
+    events); each half's pair expansion is bucket-bounded by the cap;
+    the overlap is one (ua, ub)-keyed join of two distinct edge sets.
+    The oracle (registered below via _CHURN_ORACLE) replays the
+    identical split on DuckDB."""
+    from iot_etl_spark.plans.graphedges import capped_minute_activity
+
+    act = capped_minute_activity(spark, sf_dir)
+    mid = act.agg(
+        ((F.min("b") + F.max("b")) / 2).cast("long").alias("m")
+    )
+
+    def half_edges(cond):
+        h = act.crossJoin(F.broadcast(mid)).filter(cond).select("b", "user_id")
+        other = h.select(F.col("b").alias("b2"), F.col("user_id").alias("u2"))
+        return (
+            h.join(other, (F.col("b") == F.col("b2"))
+                   & (F.col("user_id") < F.col("u2")))
+            .select(F.col("user_id").alias("ua"), F.col("u2").alias("ub"))
+            .distinct()
+        )
+
+    e1 = half_edges(F.col("b") <= F.col("m"))
+    e2 = half_edges(F.col("b") > F.col("m"))
+    n1 = e1.agg(F.count(F.lit(1)).cast("long").alias("n_first"))
+    n2 = e2.agg(F.count(F.lit(1)).cast("long").alias("n_second"))
+    c = e1.join(e2, ["ua", "ub"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(c)
+        .select(
+            "n_first",
+            "n_second",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_first") + F.col("n_second") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                (F.col("n_first") - F.col("n_common")).cast("double")
+                / F.col("n_first"),
+                6,
+            ).alias("dropped_rate"),
+            F.round(
+                (F.col("n_second") - F.col("n_common")).cast("double")
+                / F.col("n_second"),
+                6,
+            ).alias("new_rate"),
+        )
+    )
+
+
+# ------------------------------------------- pinball-loss forecast eval
+# ceil(tau * n) in pure integers: ceil(n/2) = (n+1) DIV 2,
+# ceil(9n/10) = (9n+9) DIV 10 — percentile_disc rank thresholds with
+# zero float boundary risk.
+_PINBALL_ORACLE = f"""
+WITH x AS (
+    SELECT event_type,
+           CAST(hour({{DUCK_TS_PLACEHOLDER}}) AS BIGINT) AS hod,
+           epoch_us({{DUCK_TS_PLACEHOLDER}}) AS t,
+           CAST(ROUND(value * 1000000, 0) AS BIGINT) AS vu
+    FROM events WHERE value IS NOT NULL
+),
+mid AS (SELECT (MIN(t) + MAX(t)) // 2 AS m FROM x),
+train AS (SELECT event_type, hod, vu FROM x, mid WHERE t <= m),
+cells AS (
+    SELECT event_type, hod, vu, CAST(COUNT(*) AS BIGINT) AS c
+    FROM train GROUP BY 1, 2, 3
+),
+cum AS (
+    SELECT event_type, hod, vu, c,
+           CAST(SUM(c) OVER (PARTITION BY event_type, hod ORDER BY vu
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY event_type, hod) AS BIGINT) AS n
+    FROM cells
+),
+q AS (
+    SELECT event_type, hod,
+           MIN(CASE WHEN cc >= (n + 1) // 2 THEN vu END) AS q50,
+           MIN(CASE WHEN cc >= (9 * n + 9) // 10 THEN vu END) AS q90
+    FROM cum GROUP BY 1, 2
+),
+test AS (SELECT event_type, hod, vu FROM x, mid WHERE t > m),
+j AS (
+    SELECT t.event_type, t.vu, q.q50, q.q90
+    FROM test t JOIN q ON q.event_type = t.event_type AND q.hod = t.hod
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(SUM(CAST(GREATEST(vu - q50, q50 - vu) AS HUGEINT))
+             / (CAST(COUNT(*) AS DOUBLE) * 2000000.0), 6) AS pinball_p50,
+       ROUND(SUM(CAST(GREATEST(9 * (vu - q90), q90 - vu) AS HUGEINT))
+             / (CAST(COUNT(*) AS DOUBLE) * 10000000.0), 6) AS pinball_p90,
+       ROUND(SUM(CASE WHEN vu <= q90 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage_p90
+FROM j GROUP BY 1
+"""
+
+
+@query("pinball_loss_eval", oracle=_PINBALL_ORACLE.replace("{DUCK_TS_PLACEHOLDER}", DUCK_TS))
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast evaluation: per (event_type, hour-of-day)
+    empirical P50/P90 from the FIRST half of the period
+    (percentile_disc via integer rank thresholds over value cells),
+    scored on the SECOND half with the pinball (quantile) loss — the
+    proper scoring rule for quantile forecasts — plus realized P90
+    coverage. Completes the forecast-eval lane: theil_u scores point
+    forecasts, this scores the distributional ones
+    (seasonal profile quantiles).
+
+    Exactness: pinball at tau in {0.5, 0.9} is scaled to integers
+    (2*L_.5 = |d|; 10*L_.9 = max(9d, -d)), summed in HUGEINT/DECIMAL,
+    divided once at readout; rank thresholds ceil(tau*n) are pure
+    integer arithmetic ((n+1) DIV 2, (9n+9) DIV 10).
+
+    100 TB shape: train collapses to (type, hour, value) cells before
+    the cumulative window (the exact-percentile cell pattern); the
+    forecast table is tiny (types x 24) and broadcasts into the test
+    scan; one aggregate ends it."""
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("vu"),
+    )
+    mid = x.agg(((F.min("t") + F.max("t")) / 2).cast("long").alias("m"))
+    xm = x.crossJoin(F.broadcast(mid))
+    train = xm.filter(F.col("t") <= F.col("m"))
+    cells = train.groupBy("event_type", "hod", "vu").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "hod").orderBy("vu").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("event_type", "hod")
+    cum = cells.select(
+        "event_type",
+        "hod",
+        "vu",
+        F.sum("c").over(w).cast("long").alias("cc"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    q = cum.groupBy("event_type", "hod").agg(
+        F.min(
+            F.when(F.col("cc") >= F.expr("(n + 1) div 2"), F.col("vu"))
+        ).alias("q50"),
+        F.min(
+            F.when(F.col("cc") >= F.expr("(9 * n + 9) div 10"), F.col("vu"))
+        ).alias("q90"),
+    )
+    test = xm.filter(F.col("t") > F.col("m")).select("event_type", "hod", "vu")
+    j = test.join(F.broadcast(q), ["event_type", "hod"])
+    d50 = F.col("vu") - F.col("q50")
+    d90 = F.col("vu") - F.col("q90")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(
+            F.sum(F.greatest(d50, -d50).cast(dec)).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 2000000.0),
+            6,
+        ).alias("pinball_p50"),
+        F.round(
+            F.sum(F.greatest(d90 * 9, -d90).cast(dec)).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 10000000.0),
+            6,
+        ).alias("pinball_p90"),
+        F.round(
+            F.sum(F.when(F.col("vu") <= F.col("q90"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("coverage_p90"),
     )

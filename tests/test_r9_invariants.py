@@ -74,3 +74,31 @@ def test_yield_curve_monotone_and_anchored(spark):
         assert a.char_yield >= b.char_yield
     full = [r for r in rows if r.threshold <= min_len]
     assert all(r.n_docs_kept == n_docs and r.doc_yield == 1.0 for r in full)
+
+
+def test_edge_churn_set_algebra(spark):
+    """Overlap can't exceed either half; all rates are proper
+    fractions; the halves together cover the full-period edge set
+    count at least (union >= full-period edges is NOT guaranteed —
+    an edge needs BOTH endpoints in one bucket of one half — but
+    union <= full edges + common always holds by distinct-set
+    algebra, so pin the unconditional containments)."""
+    row = QUERIES["coactivity_edge_churn"](spark, SF_DIR).collect()[0]
+    assert row.n_common <= min(row.n_first, row.n_second)
+    assert 0.0 <= row.jaccard <= 1.0
+    assert 0.0 <= row.dropped_rate <= 1.0
+    assert 0.0 <= row.new_rate <= 1.0
+
+
+def test_pinball_losses_nonneg_and_coverage_bounds(spark):
+    """Pinball losses are non-negative by definition; realized P90
+    coverage is a proper fraction and, with a stationary generator,
+    should exceed the P50 coverage implied by construction (we pin
+    only the unconditional bounds)."""
+    rows = QUERIES["pinball_loss_eval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_eval > 0
+        assert r.pinball_p50 >= 0.0
+        assert r.pinball_p90 >= 0.0
+        assert 0.0 <= r.coverage_p90 <= 1.0
