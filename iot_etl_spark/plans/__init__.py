@@ -76,6 +76,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "length_filter_yield_curve",
     "coactivity_edge_churn",
     "pinball_loss_eval",
+    "clamped_running_balance_builtin",
     # ---- regression re-checks: all remaining names are round-2-old
     "full_transform_pipeline",
     "hourly_device_agg",

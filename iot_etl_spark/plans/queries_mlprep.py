@@ -117,36 +117,24 @@ def pagerank_device_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAG. The edge build's per-bucket pair expansion is quadratic in a
     hot bucket's occupancy — the bounded variant is
     pagerank_device_graph_capped (plans/graphedges.py)."""
-    from iot_etl_spark.plans.graphedges import exact_coactivity_edges
+    from iot_etl_spark.plans.graphedges import exact_adjacency_lists
 
     ev = load_table(spark, sf_dir, "events")
-    und = exact_coactivity_edges(spark, sf_dir).select(
-        F.col("ua").alias("a"), F.col("ub").alias("b")
-    )
-    return _pagerank_from_edges(ev, und)
+    return _pagerank_from_adj(ev, exact_adjacency_lists(spark, sf_dir))
 
 
-def _pagerank_from_edges(ev: DataFrame, und: DataFrame) -> DataFrame:
-    """PageRank core over a distinct id-ordered (a, b) edge frame —
-    callers pass one of the MATERIALIZED graph-family stages
-    (graphedges.exact_coactivity_edges / capped_coactivity_edges), so
-    the bucket pair expansion is paid once per (source, code)
-    fingerprint, not once per query run."""
-    # adjacency-list form: ONE row per node carrying its neighbor
-    # array + degree — each sweep joins |V| rank rows against |V|
-    # adjacency rows (not 2|E| edge rows) and fans out contributions
-    # with an explode, which is the compact large-graph layout
-    # (neighbor arrays bounded by per-node degree).
-    adj = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .groupBy(F.col("src").alias("user_id"))
-        .agg(
-            F.collect_list("dst").alias("nbrs"),
-            F.count(F.lit(1)).cast("long").alias("deg"),
-        )
-        .cache()
-    )
+def _pagerank_from_adj(ev: DataFrame, adj: DataFrame) -> DataFrame:
+    """PageRank core over a MATERIALIZED adjacency-list stage
+    (graphedges.exact/capped_adjacency_lists: user_id, nbrs, deg) —
+    both the bucket pair expansion AND the groupBy+collect_list
+    adjacency build are paid once per (source, code) fingerprint, not
+    once per query run (r9; previously the adjacency aggregated from
+    the edge stage inside every run). Each sweep joins |V| rank rows
+    against |V| adjacency rows (not 2|E| edge rows) and fans out
+    contributions with an explode — the compact large-graph layout
+    (neighbor arrays bounded by per-node degree). ``cache`` keeps the
+    narrow table hot across the fixed iteration count."""
+    adj = adj.cache()
     n_row = ev.select(F.count_distinct("user_id").alias("n"))
     nodes = (
         ev.select("user_id")
@@ -226,13 +214,10 @@ def pagerank_device_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle applies the identical min-id cap. Edges come from the
     materialized capped stage shared with the triangle twin and
     adamic_adar_linkpred (graphedges.capped_coactivity_edges)."""
-    from iot_etl_spark.plans.graphedges import capped_coactivity_edges
+    from iot_etl_spark.plans.graphedges import capped_adjacency_lists
 
     ev = load_table(spark, sf_dir, "events")
-    und = capped_coactivity_edges(spark, sf_dir).select(
-        F.col("ua").alias("a"), F.col("ub").alias("b")
-    )
-    return _pagerank_from_edges(ev, und)
+    return _pagerank_from_adj(ev, capped_adjacency_lists(spark, sf_dir))
 
 
 # ------------------------------------------- hashed linear classifier

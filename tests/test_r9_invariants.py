@@ -102,3 +102,20 @@ def test_pinball_losses_nonneg_and_coverage_bounds(spark):
         assert r.pinball_p50 >= 0.0
         assert r.pinball_p90 >= 0.0
         assert 0.0 <= r.coverage_p90 <= 1.0
+
+
+def test_clamped_balance_builtin_equals_grouped_map(spark):
+    """The reflection identity b_t = cum_t - min(0, running_min(cum))
+    must reproduce the sequential fold EXACTLY — same rows, same
+    integers, same clamp counts (the builtin twin's whole reason to
+    exist)."""
+    a = sorted(
+        map(tuple, QUERIES["clamped_running_balance"](spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            QUERIES["clamped_running_balance_builtin"](spark, SF_DIR).collect(),
+        )
+    )
+    assert a == b

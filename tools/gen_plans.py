@@ -123,6 +123,9 @@ PICKS = [
     ("clamped_running_balance",
      "non-associative fold: one user_id shuffle onto the Arrow "
      "grouped-map; integer micro-units end to end"),
+    ("clamped_running_balance_builtin",
+     "reflection identity b=cum-min(0,runmin(cum)): the same clamp "
+     "fold as two window passes in whole-stage codegen - no Python"),
     ("benjamini_hochberg_fdr",
      "FDR over quantized p-cells: one scan; the only single-partition "
      "exchange is the window over the bounded cell pre-aggregate"),
