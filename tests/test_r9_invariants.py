@@ -119,3 +119,14 @@ def test_clamped_balance_builtin_equals_grouped_map(spark):
         )
     )
     assert a == b
+
+
+def test_grid_cc_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """grid_density_clusters picks union-find vs distributed CC by a
+    size threshold; the choice must be invisible in the output."""
+    from iot_etl_spark.plans import queries_analytics4 as qa4
+
+    fast = sorted(map(tuple, QUERIES["grid_density_clusters"](spark, SF_DIR).collect()))
+    monkeypatch.setattr(qa4, "GRID_DRIVER_CC_MAX", 0)  # force distributed
+    slow = sorted(map(tuple, QUERIES["grid_density_clusters"](spark, SF_DIR).collect()))
+    assert fast == slow
