@@ -77,6 +77,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "coactivity_edge_churn",
     "pinball_loss_eval",
     "clamped_running_balance_builtin",
+    "embedding_top_pc_power_iteration",
     # ---- regression re-checks: all remaining names are round-2-old
     "full_transform_pipeline",
     "hourly_device_agg",

@@ -559,3 +559,111 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage_p90"),
     )
+
+
+# -------------------------------- top principal component (power iter)
+PCA_ITERS = 3
+PCA_V_LATTICE = 10_000     # v lives on a 1e-4 lattice, |vq| <= 10000
+PCA_S_DOWN = 100_000       # per-row score downscale between the matvecs
+PCA_Y_DOWN = 1_000_000     # per-dim sum downscale before renormalizing
+
+
+def _pca_oracle() -> str:
+    parts = ["""WITH e AS (
+    SELECT vec_id, j,
+           CAST(ROUND(CAST(embedding[j] AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS eq
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(j)
+),
+v0 AS (SELECT DISTINCT j, CAST(10000 AS BIGINT) AS vq FROM e)"""]
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(f""",
+s{k} AS (
+    SELECT e.vec_id, SUM(eq * vq) // {PCA_S_DOWN} AS sq
+    FROM e JOIN v{k-1} USING (j) GROUP BY 1
+),
+y{k} AS (
+    SELECT j, SUM(eq * sq) // {PCA_Y_DOWN} AS yq
+    FROM e JOIN s{k} USING (vec_id) GROUP BY 1
+),
+q{k} AS (SELECT GREATEST(MAX(ABS(yq)), 1) AS q FROM y{k}),
+v{k} AS (SELECT j, (yq * {PCA_V_LATTICE}) // q AS vq FROM y{k}, q{k})""")
+    parts.append(f"""
+,
+sgn AS (
+    SELECT CASE WHEN vq < 0 THEN -1 ELSE 1 END AS s
+    FROM v{PCA_ITERS} ORDER BY ABS(vq) DESC, j LIMIT 1
+)
+SELECT j, CAST(vq * s AS BIGINT) AS vq_lattice,
+       ROUND(CAST(vq * s AS DOUBLE) / {PCA_V_LATTICE}, 6) AS loading
+FROM v{PCA_ITERS}, sgn""")
+    return "".join(parts)
+
+
+@query("embedding_top_pc_power_iteration", oracle=_pca_oracle())
+def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-direction ESTIMATE from {PCA_ITERS} rounds of
+    power iteration on X^T X — the whitening/compression prep step
+    next to embedding_dim_stats' per-axis moments. Convergence to the
+    true eigenvector is spectral-gap-dependent (production sets the
+    round count from the gap; the synthetic embeddings are nearly
+    isotropic), so the CONTRACT is the k-round trajectory itself —
+    pytest pins it against an independent numpy float implementation
+    (cos >= 0.999). The distinctive part is EXACTNESS: every matvec runs on integer lattices
+    (components at 1e-6, v at 1e-4), each round renormalizes by the
+    L-inf norm with truncating integer division (Spark `div` ==
+    DuckDB `//`, both toward zero), so the entire trajectory —
+    including the final sign canonicalization (largest-|component|
+    coordinate made positive, ties to the lowest index) — is
+    bit-identical across engines with ZERO float accumulation. The
+    oracle unrolls the same iterations as SQL CTEs.
+
+    100 TB shape: each round is two keyed aggregates over the
+    exploded (vec, dim, component) table — the classic distributed
+    matvec — with v (dims rows) broadcast back per round and
+    localCheckpointed so the k-round lineage stays linear. BIGINT
+    headroom: per-dim sums reach rows x 5e5 x 3e6 (~1e16 at sf1);
+    the documented swap at larger corpora is DECIMAL(38,0), the
+    Page-Hinkley/Gini convention."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "x")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("long").alias("j"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("eq"),
+    )
+    v = e.select("j").distinct().select(
+        "j", F.lit(PCA_V_LATTICE).cast("long").alias("vq")
+    ).localCheckpoint()
+    for _ in range(PCA_ITERS):
+        s = (
+            e.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.expr(f"sum(eq * vq) div {PCA_S_DOWN}").alias("sq"))
+        )
+        y = (
+            e.join(s, "vec_id")
+            .groupBy("j")
+            .agg(F.expr(f"sum(eq * sq) div {PCA_Y_DOWN}").alias("yq"))
+        )
+        q = y.agg(
+            F.greatest(F.max(F.abs(F.col("yq"))), F.lit(1).cast("long")).alias("q")
+        )
+        v = (
+            y.crossJoin(F.broadcast(q))
+            .select("j", F.expr(f"(yq * {PCA_V_LATTICE}) div q").alias("vq"))
+            .localCheckpoint()
+        )
+    sgn = (
+        v.orderBy(F.abs(F.col("vq")).desc(), "j")
+        .limit(1)
+        .select(F.when(F.col("vq") < 0, -1).otherwise(1).alias("s"))
+    )
+    return v.crossJoin(F.broadcast(sgn)).select(
+        "j",
+        (F.col("vq") * F.col("s")).cast("long").alias("vq_lattice"),
+        F.round(
+            (F.col("vq") * F.col("s")).cast("double") / PCA_V_LATTICE, 6
+        ).alias("loading"),
+    )

@@ -130,3 +130,35 @@ def test_grid_cc_driver_and_distributed_paths_agree(spark, monkeypatch):
     monkeypatch.setattr(qa4, "GRID_DRIVER_CC_MAX", 0)  # force distributed
     slow = sorted(map(tuple, QUERIES["grid_density_clusters"](spark, SF_DIR).collect()))
     assert fast == slow
+
+
+def test_power_iteration_matches_numpy_float_trajectory(spark):
+    """The integer-lattice power iteration must track an INDEPENDENT
+    float implementation of the same estimator (numpy, same start,
+    same round count, same L-inf renorm): |cos| >= 0.999. The
+    synthetic embeddings have a nearly flat spectrum (lambda1/lambda2
+    ~ 1.07), so no 3-round method lands on the true eigenvector here —
+    the invariant is the TRAJECTORY, which the lattice must reproduce.
+    Also pinned: exact L-inf lattice norm and canonical sign."""
+    import numpy as np
+
+    from iot_etl_spark.plans.queries_analytics6 import PCA_ITERS
+
+    rows = sorted(
+        QUERIES["embedding_top_pc_power_iteration"](spark, SF_DIR).collect(),
+        key=lambda r: r.j,
+    )
+    v = np.array([r.loading for r in rows])
+    assert max(abs(x) for x in v) == 1.0  # L-inf renormalized lattice
+    top = max(rows, key=lambda r: (abs(r.vq_lattice), -r.j))
+    assert top.vq_lattice > 0  # canonical sign
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    G = X.T @ X
+    ref = np.ones(X.shape[1])
+    for _ in range(PCA_ITERS):
+        ref = G @ ref
+        ref = ref / np.max(np.abs(ref))
+    cos = abs(float(v @ ref)) / (np.linalg.norm(v) * np.linalg.norm(ref))
+    assert cos >= 0.999, cos

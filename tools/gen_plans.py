@@ -160,6 +160,10 @@ PICKS = [
     ("length_filter_yield_curve",
      "corpus yield planner: documents collapse to a bounded length "
      "histogram first (scan prunes to n_chars), thresholds broadcast"),
+    ("embedding_top_pc_power_iteration",
+     "integer power iteration: each matvec is two keyed aggregates "
+     "over the exploded component table, v broadcast back per round, "
+     "L-inf renorm by truncating integer division - zero float state"),
     ("coactivity_component_stats",
      "both graph artifacts (CC labels, degree-attached edges) read "
      "from materialized stages - no min-label iteration in the plan"),
