@@ -241,6 +241,24 @@ def exact_adjacency_lists(spark, sf_dir: str):
     )
 
 
+def capped_node_degrees(spark, sf_dir: str, deg_alias: str = "deg"):
+    """(u, <deg_alias>) per edge-endpoint node — a pure PROJECTION of
+    the adjacency-list stage (zero aggregates, zero shuffles). The one
+    place degree semantics live; triangle/k-core/modularity/component
+    consumers used to each re-derive this with a 2|E|-row dedup
+    aggregate (r9 review finding)."""
+    return capped_adjacency_lists(spark, sf_dir).select(
+        F.col("user_id").alias("u"), F.col("deg").alias(deg_alias)
+    )
+
+
+def exact_node_degrees(spark, sf_dir: str, deg_alias: str = "deg"):
+    """Exact-family sibling of capped_node_degrees."""
+    return exact_adjacency_lists(spark, sf_dir).select(
+        F.col("user_id").alias("u"), F.col("deg").alias(deg_alias)
+    )
+
+
 def capped_cc_labels(spark, sf_dir: str):
     """Connected-component labels of the capped co-activity graph —
     (u, label) with label = min user_id in the component —

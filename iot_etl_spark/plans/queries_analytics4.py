@@ -1678,8 +1678,14 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = core.select(
         F.col("h").alias("h2"), F.col("b").alias("b2"), F.col("id").alias("id2")
     )
-    core_cells = [(r.h, r.b, r.id) for r in core.select("h", "b", "id").collect()
-                  ] if core.limit(GRID_DRIVER_CC_MAX + 1).count() <= GRID_DRIVER_CC_MAX else None
+    # single probe job: fetch up to MAX+1 rows; overflow means "too
+    # big for the driver" AND we never pulled more than MAX+1 rows
+    probe = core.select("h", "b", "id").limit(GRID_DRIVER_CC_MAX + 1).collect()
+    core_cells = (
+        [(r.h, r.b, r.id) for r in probe]
+        if len(probe) <= GRID_DRIVER_CC_MAX
+        else None
+    )
     if core_cells is not None:
         # driver union-find over the resolution-bounded cell set
         # (4-neighbor adjacency is a local rule — no edge frame needed)
@@ -1709,7 +1715,12 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("id").alias("a"), F.col("id2").alias("b"))
         sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         labels = _min_label_components(sym).withColumnRenamed("doc_id", "id")
-    out = core.join(F.broadcast(labels), "id", "left").withColumn(
+    # broadcast hint ONLY on the driver path (provably <= MAX rows);
+    # the fallback branch exists precisely because the label table may
+    # exceed driver memory — leave its join strategy to the planner
+    if core_cells is not None:
+        labels = F.broadcast(labels)
+    out = core.join(labels, "id", "left").withColumn(
         "label", F.coalesce(F.col("label"), F.col("id"))
     )
     return out.groupBy(F.col("label").alias("cluster_label")).agg(
@@ -2275,7 +2286,7 @@ def graph_modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the component table (bounded by component count)."""
     from iot_etl_spark.plans.graphedges import (
         capped_cc_labels,
-        capped_edges_with_degrees,
+        capped_node_degrees,
     )
 
     edges = capped_coactivity_edges(spark, sf_dir)
@@ -2284,13 +2295,7 @@ def graph_modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint — it is the same entity-resolution artifact the
     # dedup family persists — and degree attach is a projection.
     labels = capped_cc_labels(spark, sf_dir)
-    edeg = capped_edges_with_degrees(spark, sf_dir)
-    deg = (
-        edeg.select(F.col("ua").alias("u"), F.col("da").alias("d"))
-        .unionAll(edeg.select(F.col("ub").alias("u"), F.col("db").alias("d")))
-        .groupBy("u")
-        .agg(F.max("d").cast("long").alias("d"))  # rows agree; MAX dedups
-    )
+    deg = capped_node_degrees(spark, sf_dir, "d")
     m_ = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     comm = (
         deg.join(labels, "u")
@@ -2390,16 +2395,12 @@ def coactivity_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iot_etl_spark.plans.graphedges import (
         capped_cc_labels,
         capped_edges_with_degrees,
+        capped_node_degrees,
     )
 
     labels = capped_cc_labels(spark, sf_dir)
     edeg = capped_edges_with_degrees(spark, sf_dir)
-    deg = (
-        edeg.select(F.col("ua").alias("u"), F.col("da").alias("d"))
-        .unionAll(edeg.select(F.col("ub").alias("u"), F.col("db").alias("d")))
-        .groupBy("u")
-        .agg(F.max("d").cast("long").alias("d"))
-    )
+    deg = capped_node_degrees(spark, sf_dir, "d")
     comm = (
         deg.join(labels, "u")
         .groupBy(F.col("label").alias("component_id"))

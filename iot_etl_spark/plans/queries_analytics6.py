@@ -51,7 +51,7 @@ agg AS (
            CAST(SUM(CAST(r AS HUGEINT) * c) AS HUGEINT) AS s,
            CAST(SUM(CAST(r AS HUGEINT)
                     * (CAST(c AS HUGEINT) * prev
-                       + CAST(c AS HUGEINT) * (c + 1) / 2)) AS HUGEINT)
+                       + CAST(c AS HUGEINT) * (c + 1) // 2)) AS HUGEINT)
                AS ranksum
     FROM w
 )

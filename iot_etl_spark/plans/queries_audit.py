@@ -1228,7 +1228,7 @@ WHERE d.degree >= 2
 """
 
 
-def _triangle_from_edges(edeg: DataFrame) -> DataFrame:
+def _triangle_from_edges(edeg: DataFrame, deg: DataFrame) -> DataFrame:
     """Degree-oriented triangle core over a degree-annotated distinct
     id-ordered (ua < ub, da, db) edge list. Callers pass the
     MATERIALIZED degree-attached stage
@@ -1243,12 +1243,6 @@ def _triangle_from_edges(edeg: DataFrame) -> DataFrame:
     per-row projection — the per-query degree aggregate plus TWO
     |E|-row degree joins this function used to run are gone."""
     e = edeg.select("ua", "ub")
-    deg = (
-        edeg.select(F.col("ua").alias("u"), F.col("da").alias("degree"))
-        .unionAll(edeg.select(F.col("ub").alias("u"), F.col("db").alias("degree")))
-        .groupBy("u")
-        .agg(F.max("degree").alias("degree"))  # all rows agree; MAX dedups
-    )
     # orient: src = the endpoint earlier in (degree, id) order. e has
     # ua < ub, so equal degrees orient ua -> ub.
     a_first = (F.col("da") < F.col("db")) | (
@@ -1314,9 +1308,15 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle_count_graph_capped (plans/graphedges.py). Edges come
     from the materialized shared stage
     (graphedges.exact_coactivity_edges — see _triangle_from_edges)."""
-    from iot_etl_spark.plans.graphedges import exact_edges_with_degrees
+    from iot_etl_spark.plans.graphedges import (
+        exact_edges_with_degrees,
+        exact_node_degrees,
+    )
 
-    return _triangle_from_edges(exact_edges_with_degrees(spark, sf_dir))
+    return _triangle_from_edges(
+        exact_edges_with_degrees(spark, sf_dir),
+        exact_node_degrees(spark, sf_dir, "degree"),
+    )
 
 
 from iot_etl_spark.plans.graphedges import (  # noqa: E402 - grouped section import
@@ -1354,9 +1354,15 @@ def triangle_count_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id cap. Edges come from the materialized degree-attached
     capped stage shared with adamic_adar_linkpred
     (graphedges.capped_edges_with_degrees)."""
-    from iot_etl_spark.plans.graphedges import capped_edges_with_degrees
+    from iot_etl_spark.plans.graphedges import (
+        capped_edges_with_degrees,
+        capped_node_degrees,
+    )
 
-    return _triangle_from_edges(capped_edges_with_degrees(spark, sf_dir))
+    return _triangle_from_edges(
+        capped_edges_with_degrees(spark, sf_dir),
+        capped_node_degrees(spark, sf_dir, "degree"),
+    )
 
 
 # ------------------------------------------- rolling 7-day active users
@@ -2860,14 +2866,13 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
-    # Round 1 peels on the FULL-graph degree, which already rides the
-    # materialized degree-attached stage — a projection + dedup
-    # replaces round 1's survivor-filter joins (VERDICT r8 item 7).
+    # Round 1 peels on the FULL-graph degree, which is a pure
+    # projection of the adjacency-list stage — no aggregate at all
+    # (VERDICT r8 item 7; r9 review: shared via graphedges helpers).
+    from iot_etl_spark.plans.graphedges import exact_node_degrees
+
     alive = (
-        edeg.select(F.col("ua").alias("u"), F.col("da").alias("deg"))
-        .unionAll(edeg.select(F.col("ub").alias("u"), F.col("db").alias("deg")))
-        .groupBy("u")
-        .agg(F.max("deg").alias("deg"))  # rows agree per u; MAX dedups
+        exact_node_degrees(spark, sf_dir)
         .filter(F.col("deg") >= KCORE_K)
         .select("u")
         .localCheckpoint()

@@ -147,13 +147,21 @@ def cached_stage(
     # Retry-once self-healing (VERDICT r8 item 3): if another process
     # evicted this tag between the marker check and the footer read,
     # re-materialize under the current tag instead of surfacing
-    # FAILED_READ_FILE to the caller.
+    # FAILED_READ_FILE to the caller. The reader NEVER deletes —
+    # the rebuild's mode("overwrite") replaces the directory, so a
+    # reader-side rmtree (which could race a concurrent same-tag
+    # builder mid-commit) is both unnecessary and unsafe.
     for attempt in (0, 1):
-        if not os.path.exists(marker):
+        if attempt or not os.path.exists(marker):
             build().repartition(_STAGE_FILES).write.mode("overwrite").parquet(path)
             with open(marker, "w") as fh:
                 fh.write(tag)
             evict_stale_tags(_CACHE_ROOT, family, tag)
+            # one-time legacy sweep: pre-family entries ({name}_{tag12})
+            # match no family prefix and would otherwise orphan forever;
+            # keep_tag="" retires them all (family dirs are immune — their
+            # suffix after "{name}_" is 19 chars, not a 12-hex tag)
+            evict_stale_tags(_CACHE_ROOT, name, "")
         try:
             df = spark.read.parquet(path)  # resolves schema eagerly
             if os.path.exists(marker):
@@ -161,5 +169,4 @@ def cached_stage(
         except Exception:
             if attempt:
                 raise
-        shutil.rmtree(path, ignore_errors=True)
     raise RuntimeError(f"stage cache unrecoverable for {name} at {path}")
