@@ -78,6 +78,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "pinball_loss_eval",
     "clamped_running_balance_builtin",
     "embedding_top_pc_power_iteration",
+    "stream_quarantine_ingest",
     # ---- regression re-checks: all remaining names are round-2-old
     "full_transform_pipeline",
     "hourly_device_agg",

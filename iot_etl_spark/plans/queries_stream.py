@@ -1219,3 +1219,95 @@ def stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("funnel_depth").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+_QUAR_ORACLE = """
+WITH src AS (
+    SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+)
+SELECT 'main' AS side, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+FROM src WHERE value <= 300 GROUP BY 2
+UNION ALL
+SELECT 'quarantine' AS side, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+FROM src WHERE value > 300 GROUP BY 2
+"""
+
+
+@query("stream_quarantine_ingest", oracle=_QUAR_ORACLE)
+def stream_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once CONSTRAINT-SAFE streaming ingest
+    (start_txlog_quarantine_sink): rows violating the serving table's
+    CHECK (value <= 300) divert to a quarantine table tagged with the
+    failed rule instead of wedging the stream, and — like
+    stream_txlog_ingest — the whole stream runs to completion TWICE
+    (fresh checkpoint = full micro-batch re-delivery), so the oracle's
+    exact per-side counts and DECIMAL sums prove BOTH tables commit
+    exactly once under replay (the two sides use DISTINCT ledger
+    scopes; a double-applied quarantine epoch or a re-appended valid
+    batch would break the hash).
+
+    100 TB shape: the split is computed once per epoch (localCheckpoint
+    in split_by_constraints), both commits are O(1) log appends over
+    staged parquet, and the quarantine side sees only the violating
+    trickle. Table + checkpoints live under a fingerprint-keyed dir,
+    so bench/driver re-runs REUSE the committed tables (query-level
+    idempotence on top of per-batch idempotence)."""
+    import hashlib
+    import inspect
+    import os
+
+    from iot_etl_spark.plans.stagecache import (
+        _CACHE_ROOT,
+        _source_fingerprint,
+        evict_stale_tags,
+    )
+    from iot_etl_spark.streaming import pipeline as _pl
+    from iot_etl_spark.streaming.pipeline import start_txlog_quarantine_sink
+    from iot_etl_spark.warehouse.txlog import TxTable
+
+    code = inspect.getsource(stream_quarantine_ingest) + inspect.getsource(
+        _pl.start_txlog_quarantine_sink
+    ) + inspect.getsource(_pl.read_stream_source)
+    tag = hashlib.md5(
+        f"txs_quar|{_source_fingerprint(sf_dir, ('events',))}|{code}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(_CACHE_ROOT, f"txs_quar_{tag}")
+    os.makedirs(d, exist_ok=True)
+    t = TxTable(os.path.join(d, "tx"))
+    dlq = TxTable(os.path.join(d, "dlq"))
+    if "value_le_300" not in t.constraints():
+        t.add_constraint(spark, "value_le_300", "value <= 300")
+    src = read_stream_source(
+        spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet"
+    )
+    proj = src.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(2):  # run 2 = full replay (fresh checkpoint, same ids)
+        q = start_txlog_quarantine_sink(
+            proj, t, dlq, os.path.join(d, f"ck{i}"),
+            trigger_seconds=1, ledger_id="quar_ingest",
+        )
+        q.processAllAvailable()
+        if q.exception() is not None:
+            raise q.exception()
+        q.stop()
+    marker = os.path.join(d, "_READY")
+    if not os.path.exists(marker):
+        with open(marker, "w") as fh:
+            fh.write(tag)
+    evict_stale_tags(_CACHE_ROOT, "txs_quar", tag)
+
+    def summarize(table, side):
+        return table.read(spark).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("sum_value"),
+        ).select(F.lit(side).alias("side"), "event_type", "n_rows", "sum_value")
+
+    return summarize(t, "main").unionAll(summarize(dlq, "quarantine"))
