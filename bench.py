@@ -135,16 +135,29 @@ def main() -> None:
     # Run-condition record (VERDICT r7 item 5): shared-host variance is
     # ±30%, so a bench number is only comparable WITH its conditions.
     # `exclusive` is the pre-run heuristic: nothing else was loading
-    # the host when the bench started (1-min loadavg under 25% of the
-    # bench's own CPU allocation). STATUS.md must cite these fields
-    # verbatim instead of narrating from memory.
+    # the host when the bench started. VERDICT r9 item 1: the old
+    # threshold (25% of the bench's CPU allocation = 8.0 on 32 cores)
+    # let a contended run (entry loadavg 4.2, a visibly smeared warm
+    # pass) self-label exclusive — an idle host shows entry loadavg
+    # well under 1, so the gate is now an absolute < 1.0. The label is
+    # REFUSED, not retried: re-running until the flag flips would be
+    # selection bias; the honest artifact records the contention and
+    # the runner re-runs on an idle host.
+    exclusive = load_entry < 1.0
+    if not exclusive:
+        print(
+            f"bench: NOT exclusive (entry loadavg {load_entry:.2f} >= 1.0); "
+            "re-run on an idle host for a citable artifact",
+            file=sys.stderr,
+        )
     result = {
         "run_conditions": {
             "loadavg_1m_entry": round(load_entry, 2),
             "loadavg_1m_prepass": round(load_prepass, 2),
             "loadavg_1m_end": round(load_end, 2),
             "host_cpus": os.cpu_count(),
-            "exclusive": load_entry < 0.25 * int(cpus),
+            "exclusive": exclusive,
+            "exclusive_rule": "loadavg_1m_entry < 1.0",
         },
         "metric": "total_query_wall_time",
         "value": round(sum(ok), 3),

@@ -513,6 +513,7 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CACHE_ROOT,
         _source_fingerprint,
         evict_stale_tags,
+        sf_family,
     )
     from iot_etl_spark.streaming.pipeline import (
         read_upserted,
@@ -533,7 +534,12 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(
         f"trend_topk|{_source_fingerprint(sf_dir, ('events',))}|{code}".encode()
     ).hexdigest()[:12]
-    d = os.path.join(_CACHE_ROOT, f"trend_topk_{tag}")
+    # dir + eviction family scoped per (name, sf_dir) — the tag
+    # fingerprints sf_dir, so concurrent different-SF runs under a bare
+    # name prefix would rmtree each other's LIVE serving tables
+    # (ADVICE r9; same race class as the round-8 stage-cache fix)
+    fam = sf_family("trend_topk", sf_dir)
+    d = os.path.join(_CACHE_ROOT, f"{fam}_{tag}")
     os.makedirs(d, exist_ok=True)
     t = TxTable(os.path.join(d, "serve"))
 
@@ -553,7 +559,8 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker):
         with open(marker, "w") as fh:
             fh.write(tag)
-    evict_stale_tags(_CACHE_ROOT, "trend_topk", tag)
+    evict_stale_tags(_CACHE_ROOT, fam, tag)
+    evict_stale_tags(_CACHE_ROOT, "trend_topk", "")  # retire pre-family dirs
 
     from pyspark.sql import Window as W
 
@@ -611,6 +618,7 @@ def stream_txlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CACHE_ROOT,
         _source_fingerprint,
         evict_stale_tags,
+        sf_family,
     )
     from iot_etl_spark.streaming import pipeline as _pl
     from iot_etl_spark.streaming.pipeline import start_txlog_sink
@@ -622,7 +630,8 @@ def stream_txlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(
         f"txs_ingest|{_source_fingerprint(sf_dir, ('events',))}|{code}".encode()
     ).hexdigest()[:12]
-    d = os.path.join(_CACHE_ROOT, f"txs_ingest_{tag}")
+    fam = sf_family("txs_ingest", sf_dir)  # cross-SF-safe (ADVICE r9)
+    d = os.path.join(_CACHE_ROOT, f"{fam}_{tag}")
     os.makedirs(d, exist_ok=True)
     t = TxTable(os.path.join(d, "tx"))
     src = read_stream_source(spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet")
@@ -635,7 +644,8 @@ def stream_txlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker):
         with open(marker, "w") as fh:
             fh.write(tag)
-    evict_stale_tags(_CACHE_ROOT, "txs_ingest", tag)
+    evict_stale_tags(_CACHE_ROOT, fam, tag)
+    evict_stale_tags(_CACHE_ROOT, "txs_ingest", "")  # retire pre-family dirs
     return t.read(spark).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
@@ -1016,6 +1026,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CACHE_ROOT,
         _source_fingerprint,
         evict_stale_tags,
+        sf_family,
     )
     from iot_etl_spark.streaming import pipeline as _pl
     from iot_etl_spark.warehouse import merge as _mg
@@ -1029,7 +1040,8 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(
         f"cdc_apply|{_source_fingerprint(sf_dir, ('events',))}|{code}".encode()
     ).hexdigest()[:12]
-    d = os.path.join(_CACHE_ROOT, f"cdc_apply_{tag}")
+    fam = sf_family("cdc_apply", sf_dir)  # cross-SF-safe (ADVICE r9)
+    d = os.path.join(_CACHE_ROOT, f"{fam}_{tag}")
     os.makedirs(d, exist_ok=True)
     t = TxTable(os.path.join(d, "tx"))
     if t.latest_version() is None:  # seed the empty target (version 0)
@@ -1059,7 +1071,8 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker):
         with open(marker, "w") as fh:
             fh.write(tag)
-    evict_stale_tags(_CACHE_ROOT, "cdc_apply", tag)
+    evict_stale_tags(_CACHE_ROOT, fam, tag)
+    evict_stale_tags(_CACHE_ROOT, "cdc_apply", "")  # retire pre-family dirs
     return t.read(spark).select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_type").alias("last_type"),
@@ -1264,6 +1277,7 @@ def stream_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CACHE_ROOT,
         _source_fingerprint,
         evict_stale_tags,
+        sf_family,
     )
     from iot_etl_spark.streaming import pipeline as _pl
     from iot_etl_spark.streaming.pipeline import start_txlog_quarantine_sink
@@ -1275,7 +1289,8 @@ def stream_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(
         f"txs_quar|{_source_fingerprint(sf_dir, ('events',))}|{code}".encode()
     ).hexdigest()[:12]
-    d = os.path.join(_CACHE_ROOT, f"txs_quar_{tag}")
+    fam = sf_family("txs_quar", sf_dir)  # cross-SF-safe (ADVICE r9)
+    d = os.path.join(_CACHE_ROOT, f"{fam}_{tag}")
     os.makedirs(d, exist_ok=True)
     t = TxTable(os.path.join(d, "tx"))
     dlq = TxTable(os.path.join(d, "dlq"))
@@ -1300,7 +1315,8 @@ def stream_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker):
         with open(marker, "w") as fh:
             fh.write(tag)
-    evict_stale_tags(_CACHE_ROOT, "txs_quar", tag)
+    evict_stale_tags(_CACHE_ROOT, fam, tag)
+    evict_stale_tags(_CACHE_ROOT, "txs_quar", "")  # retire pre-family dirs
 
     def summarize(table, side):
         return table.read(spark).groupBy("event_type").agg(

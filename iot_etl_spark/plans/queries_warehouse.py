@@ -130,7 +130,14 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(
         f"{sf_dir}|{_fp('orders')}|{_fp('lineitem')}".encode()
     ).hexdigest()[:8]
-    root = f"/tmp/iot_etl_bucketed_{tag}"
+    # root + eviction family scoped per sf_dir — the tag fingerprints
+    # sf_dir, so concurrent different-SF runs under a bare prefix would
+    # evict each other's LIVE bucket layouts (same race class ADVICE r9
+    # flagged for the streaming serving tables)
+    from iot_etl_spark.plans.stagecache import sf_family
+
+    fam = sf_family("iot_etl_bucketed", sf_dir)
+    root = f"/tmp/{fam}_{tag}"
     n_buckets = 8
     done_marker = os.path.join(root, "_BUCKETS_READY")
     orders_proj = load_table(spark, sf_dir, "orders").select(
@@ -175,7 +182,13 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         from iot_etl_spark.plans.stagecache import evict_stale_tags
 
         evict_stale_tags(
-            os.path.dirname(root), "iot_etl_bucketed", tag,
+            os.path.dirname(root), fam, tag,
+            tag_len=8, marker_name="_BUCKETS_READY",
+        )
+        # retire pre-family dirs (iot_etl_bucketed_{8hex}); family dirs
+        # are immune — their suffix after the bare prefix is 15 chars
+        evict_stale_tags(
+            os.path.dirname(root), "iot_etl_bucketed", "",
             tag_len=8, marker_name="_BUCKETS_READY",
         )
     joined = colocated_join(

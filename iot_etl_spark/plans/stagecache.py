@@ -103,6 +103,19 @@ def evict_stale_tags(
     return evicted
 
 
+def sf_family(name: str, sf_dir: str) -> str:
+    """Directory/eviction family scoped per (name, sf_dir). Concurrent
+    processes at DIFFERENT scale factors (pytest at sf0.001, the sweep
+    at sf0.01) mint different tags under the same bare ``name_`` prefix
+    — a bare-name eviction then rmtrees the other process's LIVE entry
+    mid-read (the round-8 stage-cache race; ADVICE r9 found the same
+    flaw in the streaming serving-table sites). Folding the sf_dir hash
+    into the prefix makes cross-SF processes disjoint: within one
+    family the only evictors are processes with genuinely newer
+    inputs/code for that same sf_dir."""
+    return f"{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
+
+
 def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
     parts = [sf_dir]
     for t in tables:
@@ -141,7 +154,7 @@ def cached_stage(
     # makes concurrent different-SF processes disjoint; within one
     # family the only evictors are processes with genuinely newer
     # inputs/code for that same sf_dir.
-    family = f"{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
+    family = sf_family(name, sf_dir)
     path = os.path.join(_CACHE_ROOT, f"{family}_{tag}")
     marker = os.path.join(path, "_READY")
     # Retry-once self-healing (VERDICT r8 item 3): if another process

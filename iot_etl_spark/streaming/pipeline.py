@@ -604,8 +604,13 @@ def run_stream_to_memory(
 ) -> tuple[str, DataFrame]:
     """Drive a streaming frame to completion synchronously against an
     in-memory sink (hermetic test/oracle path): processAllAvailable,
-    stop, return the materialized table. State-store partition count
+    stop, return ``(name, DataFrame)``. State-store partition count
     is scoped via ``stream_shuffle_scope``.
+
+    The returned ``name`` is INFORMATIONAL ONLY (log/debug labels):
+    the temp view is dropped before returning (see below), so
+    ``spark.table(name)`` / SQL over it no longer resolves — consume
+    the rows through the returned DataFrame, which stays valid.
 
     Why 8 and not the core count: every state-store instance adds
     per-micro-batch fixed cost (task launch, provider open/commit),

@@ -251,3 +251,44 @@ def test_read_race_rebuilds_under_current_tag(spark, tmp_path, cache_root):
     healed = cached_stage(spark, "s", sf, ("documents",), build)
     assert healed.count() == 5
     assert len(calls) == 2  # rebuilt exactly once
+
+
+def test_serving_table_families_are_cross_sf_disjoint(tmp_path):
+    """ADVICE r9 (medium): the streaming serving-table dirs
+    (txs_quar/txs_ingest/cdc_apply/trend_topk) and the bucketed-join
+    root used a BARE name prefix for eviction while their tags
+    fingerprint sf_dir — concurrent pytest (sf0.001) + sweep (sf0.01)
+    runs minted different tags under one prefix and rmtree'd each
+    other's LIVE tables mid-stream. They now scope dir + eviction per
+    (name, sf_dir) via sf_family, like cached_stage: an eviction in
+    one SF's family must never touch the other's, and the legacy
+    bare-name sweep must leave family dirs alone."""
+    from iot_etl_spark.plans.stagecache import evict_stale_tags, sf_family
+
+    root = str(tmp_path / "stages")
+    os.makedirs(root)
+    fam_a = sf_family("txs_quar", "/data/sf0.001")
+    fam_b = sf_family("txs_quar", "/data/sf0.01")
+    assert fam_a != fam_b
+    tag_live, tag_stale = "a" * 12, "b" * 12
+    for fam, tag in [(fam_a, tag_live), (fam_a, tag_stale), (fam_b, tag_live)]:
+        d = os.path.join(root, f"{fam}_{tag}")
+        os.makedirs(d)
+        with open(os.path.join(d, "_READY"), "w") as fh:
+            fh.write(tag)
+    # legacy pre-family dir (bare name + 12-hex tag)
+    legacy = os.path.join(root, f"txs_quar_{tag_stale}")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "_READY"), "w") as fh:
+        fh.write(tag_stale)
+
+    evicted = evict_stale_tags(root, fam_a, tag_live)
+    assert evicted == [f"{fam_a}_{tag_stale}"]  # only fam_a's stale sibling
+    assert os.path.exists(os.path.join(root, f"{fam_b}_{tag_live}", "_READY"))
+
+    # the one-time legacy sweep retires bare-name dirs but is blind to
+    # family dirs (their suffix after "name_" is 19 chars, not 12-hex)
+    evicted = evict_stale_tags(root, "txs_quar", "")
+    assert evicted == [f"txs_quar_{tag_stale}"]
+    assert os.path.exists(os.path.join(root, f"{fam_a}_{tag_live}", "_READY"))
+    assert os.path.exists(os.path.join(root, f"{fam_b}_{tag_live}", "_READY"))
