@@ -29,74 +29,30 @@ from iot_etl_spark.plans import queries_analytics3  # noqa: F401
 from iot_etl_spark.plans import queries_analytics4  # noqa: F401
 from iot_etl_spark.plans import queries_analytics5  # noqa: F401
 from iot_etl_spark.plans import queries_analytics6  # noqa: F401
+from iot_etl_spark.plans import queries_analytics7  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
-# window is curated per round for maximum fresh evidence. Round-9
-# rotation (VERDICT r8 item 2): slots 1-24 drain the ENTIRE
-# never-driver-checked backlog (all round-8 registrations, judge
-# spot-verified 6 of them); new round-9 registrations are inserted
-# right after (fresh evidence first); the remaining slots re-check the
-# OLDEST greens — every other registry name's latest driver row is
-# round 2, so the regression block lists all 46 of them (VERDICT-named
-# ones first); names past slot 50 queue for round 10's window.
-# Names listed here but not (yet) registered are ignored; registered
-# names absent from the list keep their original relative order after
-# the prioritized block.
+# window is curated per round for maximum fresh evidence. Round-10
+# rotation (VERDICT r9 item 3): slots 1-8 are the round-10
+# registrations (fresh evidence first); slots 9-37 drain the LAST 29
+# round-2-old names (round 9 covered the first 17 of the 46-name
+# block); the remaining slots start on the next-oldest tier — the
+# round-3-green names, listed in full so round 11 continues past slot
+# 50 in the same order. Names listed here but not (yet) registered
+# are ignored; registered names absent from the list keep their
+# original relative order after the prioritized block.
 _DRIVER_WINDOW_FIRST: list[str] = [
-    # ---- never-driver-checked backlog: every round-8 registration
-    "poisson_dispersion_test",
-    "extreme_value_gumbel_fit",
-    "mcnemar_weekend_conversion",
-    "cohens_kappa_quality",
-    "price_volume_bridge",
-    "covariate_balance_smd",
-    "process_capability_cpk",
-    "odds_ratio_weekend_error",
-    "value_deciles_approx",
-    "lsh_band_tuning_curve",
-    "stream_window_funnel",
-    "isotonic_calibration_map",
-    "median_ci_order_stats_approx",
-    "window_funnel_conversion",
-    "schema_drift_daily",
-    "null_rate_drift_daily",
-    "theil_u_forecast_skill",
-    "page_hinkley_drift",
-    "ngram_uniqueness_rate",
-    "ivf_probe_recall_curve",
-    "tukey_hsd_pairwise",
-    "ljung_box_whitenoise",
-    "granger_lag1_causality",
-    "burstiness_interevent",
-    # ---- round-9 registrations (inserted as they land)
-    "coactivity_component_stats",
-    "gini_customer_revenue",
-    "kendall_trend_per_device",
-    "length_filter_yield_curve",
-    "coactivity_edge_churn",
-    "pinball_loss_eval",
-    "clamped_running_balance_builtin",
-    "embedding_top_pc_power_iteration",
-    "stream_quarantine_ingest",
-    # ---- regression re-checks: all remaining names are round-2-old
-    "full_transform_pipeline",
-    "hourly_device_agg",
-    "rolling_window_stats",
-    "anomaly_rate_by_device",
-    "asof_click_attribution",
-    "cube_type_dow",
-    "customer_activity_split",
-    "daily_agg_business_hours",
-    "data_quality_metrics",
-    "deviation_banding",
-    "device_correlation",
-    "device_health_24h",
-    "device_stats",
-    "distinct_devices_per_type",
-    "enriched_lineitem_topk",
-    "flagship_enriched_hourly",
-    "hour_of_day_profile",
+    # ---- round-10 registrations (inserted as they land)
+    "kruskal_wallis_value_by_type",
+    "brown_forsythe_variance_by_type",
+    "durbin_watson_per_device",
+    "mase_daily_per_device",
+    "croston_intermittent_demand",
+    "cochran_armitage_hour_trend",
+    "priority_sample_per_type",
+    "stream_two_level_agg",
+    # ---- regression re-checks: the 29 remaining round-2-old names
     "hourly_event_type_pivot",
     "hourly_rollup",
     "iqr_anomaly",
@@ -126,6 +82,57 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "weekend_weekday_comparison",
     "winsorized_stats",
     "zscore_anomaly",
+    # ---- next-oldest tier: round-3-green names (slots 38-50 this
+    # round; the rest queue for round 11)
+    "anomaly_trends_7d",
+    "boilerplate_stats",
+    "bpe_token_stats",
+    "bucketed_join_revenue",
+    "corpus_keep_verdict",
+    "decontaminate_overlap",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "device_mad_builtin",
+    "dim_time_calendar",
+    "doc_chunks",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_dim_stats",
+    "embedding_int8_quant",
+    "embedding_ivf_topk",
+    "embedding_label_centroids",
+    "embedding_similar_pairs",
+    "knn_join",
+    "langid_confusion",
+    "minhash_lsh_candidates",
+    "multimodal_bytes_stats",
+    "pii_redaction_stats",
+    "q10_returned_items",
+    "q5_local_supplier_volume",
+    "quality_percentile_gate",
+    "repetition_stats",
+    "sample_mix_summary",
+    "sample_stratified",
+    "semantic_dedup_verdict",
+    "session_stats",
+    "simhash_fingerprint",
+    "simhash_near_pairs",
+    "stream_dedup",
+    "stream_ewma_by_device",
+    "stream_interval_join",
+    "stream_json_decode",
+    "stream_raw_passthrough",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_static_enrich",
+    "stream_tumbling_agg",
+    "text_normalize_stats",
+    "text_quality_stats",
+    "time_weighted_avg",
+    "token_count_by_lang",
+    "token_heavy_hitters",
+    "unigram_logprob_score",
 ]
 
 

@@ -1327,3 +1327,88 @@ def stream_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(side).alias("side"), "event_type", "n_rows", "sum_value")
 
     return summarize(t, "main").unionAll(summarize(dlq, "quarantine"))
+
+
+# ----------------------------- chained two-level streaming aggregation
+# Spark 3.5+ CHAINED time-window aggregations (SPARK-40925, multiple
+# stateful operators in one streaming query): hour windows aggregate
+# into day windows without leaving the stream. Append mode is the
+# only supported output for chained stateful ops, so emission is
+# watermark-driven: after the data drains, the watermark sits at
+# max(ts) - delay, and exactly the day windows whose END <= that
+# watermark have flushed through BOTH levels. The oracle applies the
+# identical cutoff to the batch two-level rollup; hours inside an
+# emitted day are all closed by construction (hour_end <= day_end).
+TWO_LEVEL_WM_S = 3600
+
+_TWO_LEVEL_ORACLE = f"""
+WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+h AS (
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sv
+    FROM events GROUP BY 1, 2
+),
+d AS (
+    SELECT date_trunc('day', hr) AS day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           SUM(sv) AS sum_value
+    FROM h GROUP BY 1, 2
+)
+SELECT epoch_us(day) // 1000000 AS day_epoch, event_type,
+       n_events, n_hours,
+       ROUND(CAST(sum_value AS DOUBLE), 6) AS sum_value
+FROM d, m
+WHERE day + INTERVAL 1 DAY <= mx - INTERVAL {TWO_LEVEL_WM_S} SECONDS
+"""
+
+
+@query("stream_two_level_agg", oracle=_TWO_LEVEL_ORACLE)
+def stream_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED two-level streaming aggregation (Spark 3.5's multiple-
+    stateful-operator support, SPARK-40925): hourly (window, type)
+    counts/sums re-aggregate into daily rollups INSIDE one streaming
+    query — the streaming twin of the reference's hourly->daily
+    continuous-aggregate ladder (create_dwh_schema.sql:142-209), which
+    TimescaleDB refreshes as two separate materialized views; here the
+    day level consumes the hour level's append stream directly, no
+    intermediate table.
+
+    Emission semantics (the part worth testing): append mode is
+    mandatory for chained stateful ops, so a day row exists iff the
+    watermark (max event time - {TWO_LEVEL_WM_S}s) passed the day's
+    end — the oracle cuts the batch rollup at the same boundary. The
+    n_hours column proves the re-aggregation really ran per-hour
+    first (count of distinct non-empty hours, not of events).
+
+    100 TB shape: two cascaded keyed state stores, each
+    watermark-evicted (hour state lives ~1h + delay, day state ~1 day
+    + delay); the hour level's partial aggregation is the map-side
+    combine of the day level. Value sums accumulate in DECIMAL(18,2)
+    exactly; the one double conversion happens at readout."""
+    src = read_stream_source(
+        spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet"
+    )
+    hourly = (
+        src.withWatermark("ts", f"{TWO_LEVEL_WM_S} seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("window"), "1 day"), "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("sv").alias("sum_value"),
+        )
+    )
+    _, out = run_stream_to_memory(daily, output_mode="append")
+    return out.select(
+        F.unix_timestamp("window.start").cast("long").alias("day_epoch"),
+        "event_type", "n_events", "n_hours",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )

@@ -29,30 +29,28 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 9, VERDICT r8 item 2): slots 1-24
-    # drain the never-driver-checked round-8 backlog, then the round-9
-    # registrations, then the oldest (round-2) greens as regression
-    # re-checks. Pin slot 1 exactly and the head/tail of each block so
-    # a new registration cannot silently displace the window.
+    # driver-window curation (round 10, VERDICT r9 item 3): slots 1-8
+    # are the round-10 registrations, slots 9-37 drain the last 29
+    # round-2-old names, and the remaining slots start the round-3
+    # tier. Pin slot 1 exactly and the head/tail of each block so a
+    # new registration cannot silently displace the window.
     first50 = list(qs)[:50]
-    assert first50[0] == "poisson_dispersion_test"
+    assert first50[0] == "kruskal_wallis_value_by_type"
     for must in (
-        # head/tail of the round-8 never-driver-checked backlog
-        "extreme_value_gumbel_fit",
-        "odds_ratio_weekend_error",
-        "page_hinkley_drift",
-        "stream_window_funnel",
-        "isotonic_calibration_map",
-        "burstiness_interevent",
-        # round-9 registrations ride the same window
-        "coactivity_component_stats",
-        "gini_customer_revenue",
-        "kendall_trend_per_device",
-        "length_filter_yield_curve",
-        # head of the regression block (oldest greens, VERDICT-named)
-        "full_transform_pipeline",
-        "hourly_device_agg",
-        "rolling_window_stats",
+        # round-10 registrations ride the window head
+        "brown_forsythe_variance_by_type",
+        "croston_intermittent_demand",
+        "priority_sample_per_type",
+        "stream_two_level_agg",
+        # head/tail of the round-2 regression block
+        "hourly_event_type_pivot",
+        "hourly_rollup",
+        "winsorized_stats",
+        "zscore_anomaly",
+        # head of the round-3 tier (fills slots 38-50)
+        "anomaly_trends_7d",
+        "boilerplate_stats",
+        "dedup_exact",
     ):
         assert must in first50, must
 

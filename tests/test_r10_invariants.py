@@ -93,3 +93,71 @@ def test_power_iteration_accumulators_are_decimal(spark):
     assert rows and all(abs(r.vq_lattice) <= 10_000 for r in rows)
     # the largest |loading| is +1.0 after sign canonicalization
     assert max(r.loading for r in rows) == 1.0
+
+
+def test_kruskal_wallis_tie_correction_and_rank_identity(spark):
+    """The tie-corrected H must exceed raw H (ties exist, so the
+    correction factor is < 1), and the rank accounting must be
+    internally consistent: group sizes sum to N and the weighted mean
+    of the per-group mean ranks equals the global mean rank (N+1)/2 —
+    the identity a broken prefix-sum rank construction breaks first."""
+    rows = QUERIES["kruskal_wallis_value_by_type"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    n = rows[0].n_total
+    assert sum(r.n_group for r in rows) == n
+    wmean = sum(r.mean_rank * r.n_group for r in rows) / n
+    assert abs(wmean - (n + 1) / 2) < 1e-6
+    assert all(r.h_tie_corrected >= r.h_stat for r in rows)
+    assert all(r.h_stat >= 0 for r in rows)
+
+
+def test_durbin_watson_bounds(spark):
+    """DW lives in [0, 4] by construction (num <= 4*den via
+    Cauchy-Schwarz); a value outside means the moment assembly or the
+    lag window is wrong."""
+    rows = QUERIES["durbin_watson_per_device"](spark, SF_DIR).collect()
+    assert rows
+    assert all(0.0 <= r.dw_stat <= 4.0 for r in rows)
+
+
+def test_croston_components_positive_and_bounded(spark):
+    """Size EWMA is a convex combination of positive demands; the
+    interval EWMA of day gaps is >= 1 (demand days are distinct days);
+    the forecast is their ratio."""
+    rows = QUERIES["croston_intermittent_demand"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.size_ewma > 0
+        assert r.interval_ewma >= 1.0
+        assert abs(r.croston_forecast - round(r.size_ewma / r.interval_ewma, 6)) < 2e-6
+
+
+def test_priority_sample_exact_size_and_ht_bounds(spark):
+    """Priority sampling must return EXACTLY K rows per stratum (its
+    selling point over hash-threshold PPS), and the Horvitz-Thompson
+    estimate must be >= the sample's own weight sum (every term is
+    max(w, tau) >= w)."""
+    from iot_etl_spark.plans.queries_analytics7 import PRIORITY_K
+
+    rows = QUERIES["priority_sample_per_type"](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type) == 5
+    for t, rs in by_type.items():
+        assert len(rs) == PRIORITY_K, t
+        assert sorted(r.rn for r in rs) == list(range(1, PRIORITY_K + 1))
+        est = rs[0].ht_total_estimate
+        assert all(r.ht_total_estimate == est for r in rs)
+        assert est >= sum(r.value for r in rs) - 1e-6
+
+
+def test_stream_two_level_agg_hour_cascade(spark):
+    """n_hours must count non-empty HOURS (1..24 per day), strictly
+    fewer than n_events somewhere (events share hours), proving the
+    day level aggregated hour rows rather than raw events."""
+    rows = QUERIES["stream_two_level_agg"](spark, SF_DIR).collect()
+    assert rows
+    assert all(1 <= r.n_hours <= 24 for r in rows)
+    assert all(r.n_hours <= r.n_events for r in rows)
+    assert any(r.n_hours < r.n_events for r in rows)
