@@ -52,6 +52,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "cochran_armitage_hour_trend",
     "priority_sample_per_type",
     "stream_two_level_agg",
+    "silhouette_by_label",
+    "capture_recapture_dedup",
     # ---- regression re-checks: the 29 remaining round-2-old names
     "hourly_event_type_pivot",
     "hourly_rollup",

@@ -1153,3 +1153,117 @@ def centroid_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts.join(norms, "label").join(nearest, "label")
+
+
+# ----------------------------------- simplified silhouette by label
+# Per-POINT clustering quality against ROUND(6)-quantized label
+# centroids (the centroid_separation_audit determinism convention):
+# a(i) = distance to own centroid, b(i) = distance to the nearest
+# OTHER centroid, s(i) = (b-a)/max(a,b) — the "simplified silhouette"
+# (centroid-based; Hruschka et al. 2004), O(n*k) where the classic
+# pairwise silhouette is O(n^2).
+_SILHOUETTE_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS l2, i, ROUND(SUM(x) / COUNT(*), 6) AS c
+    FROM v GROUP BY label, i
+),
+d AS (
+    SELECT v.vec_id, v.label, cent.l2,
+           sqrt(SUM((v.x - cent.c) * (v.x - cent.c))) AS dist
+    FROM v JOIN cent ON v.i = cent.i
+    GROUP BY 1, 2, 3
+),
+ab AS (
+    SELECT vec_id, label,
+           MAX(CASE WHEN l2 = label THEN dist END) AS a,
+           MIN(CASE WHEN l2 <> label THEN dist END) AS b
+    FROM d GROUP BY 1, 2
+),
+s AS (
+    SELECT vec_id, label, a, b,
+           CASE WHEN a > b THEN (b - a) / a
+                WHEN b > a THEN (b - a) / b
+                ELSE 0.0 END AS sil
+    FROM ab
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(SUM(sil) / COUNT(*), 6) AS mean_silhouette,
+       ROUND(SUM(CASE WHEN sil < 0 THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+           AS frac_negative,
+       ROUND(SUM(a) / COUNT(*), 6) AS mean_intra_dist,
+       ROUND(SUM(b) / COUNT(*), 6) AS mean_nearest_dist
+FROM s GROUP BY label
+"""
+
+
+@query("silhouette_by_label", oracle=_SILHOUETTE_ORACLE)
+def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE score per label: for every vector,
+    a = distance to its own label centroid, b = distance to the
+    nearest other centroid, s = (b-a)/max(a,b); the per-label mean and
+    the fraction of NEGATIVE scores (points sitting closer to a
+    foreign centroid — the individually-misassigned rows that
+    centroid_separation_audit's cluster-level geometry cannot see).
+    The centroid-based formulation (Hruschka et al. 2004) is O(n*k)
+    against the classic silhouette's O(n^2) pairwise distances — the
+    only silhouette a 100 TB corpus can afford, and the standard
+    eval for IVF cell quality (embedding_ivf_topk trains on the same
+    label partition).
+
+    Determinism: centroids are ROUND(6)-quantized on BOTH engines
+    before any distance (the centroid_separation_audit convention);
+    per-point distance sums over 64 dims carry ~1e-16 relative
+    accumulation noise, far from the ROUND 6 readout boundary; the
+    s<0 comparison flips only if a point is equidistant to two
+    centroids within ~1e-14 relative (measure-zero; same risk class
+    as every argmin in the registry). The (b-a)/max(a,b) branch is
+    written as an explicit CASE shared by both engines.
+
+    100 TB shape: one explode + (label, dim) aggregate builds the
+    k x dims centroid frame (broadcastable); the distance pass is one
+    map-side join of exploded vectors against ALL centroids —
+    n*k*dims rows but zero extra scans — then (vec, label) and label
+    rollups. Nothing is quadratic in corpus size."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).withColumn("i", F.col("i0") + 1).drop("i0")
+    cent = (
+        v.groupBy(F.col("label").alias("l2"), "i")
+        .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("c"))
+    )
+    d = (
+        v.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "l2")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            ).alias("dist")
+        )
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("l2") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("l2") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    s = ab.withColumn(
+        "sil",
+        F.when(F.col("a") > F.col("b"), (F.col("b") - F.col("a")) / F.col("a"))
+        .when(F.col("b") > F.col("a"), (F.col("b") - F.col("a")) / F.col("b"))
+        .otherwise(F.lit(0.0)),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.sum("sil") / F.count(F.lit(1)), 6).alias("mean_silhouette"),
+        F.round(
+            F.sum(F.when(F.col("sil") < 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_negative"),
+        F.round(F.sum("a") / F.count(F.lit(1)), 6).alias("mean_intra_dist"),
+        F.round(F.sum("b") / F.count(F.lit(1)), 6).alias("mean_nearest_dist"),
+    )

@@ -1935,3 +1935,91 @@ def lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --------------------------- capture-recapture dedup-recall estimate
+# Dual-system (Chapman) estimation of the TRUE near-dup pair
+# population from two independent-ish capture lists: the MinHash band
+# candidates and the SimHash block candidates. Both CTE chains are
+# reused verbatim from their own queries; `w` (the word split) is
+# shared, so the SimHash chain drops its duplicate definition.
+_SIM_TAIL_FOR_CRC = _SIMHASH_CTE.replace(
+    "\nw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),",
+    "",
+    1,
+)
+assert _SIM_TAIL_FOR_CRC != _SIMHASH_CTE  # the shared `w` CTE must strip
+
+# Shared-verbatim readout: Chapman's nearly-unbiased estimator
+# N = (n1+1)(n2+1)/(m+1) - 1 and the two implied coverage rates.
+_CHAPMAN_SQL = "(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1"
+
+_CRC_ORACLE = f"""
+WITH {_MINHASH_CTES},
+{_SIM_TAIL_FOR_CRC},
+sp AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING}
+),
+c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM cand),
+c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM sp),
+cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+       FROM cand JOIN sp USING (doc_id_a, doc_id_b))
+SELECT n1 AS n_minhash_pairs, n2 AS n_simhash_pairs, m AS n_overlap,
+       ROUND({_CHAPMAN_SQL}, 6) AS chapman_total_est,
+       ROUND(n1 / ({_CHAPMAN_SQL}), 6) AS minhash_coverage_est,
+       ROUND(n2 / ({_CHAPMAN_SQL}), 6) AS simhash_coverage_est
+FROM c1, c2, cm
+"""
+
+
+@query("capture_recapture_dedup", oracle=_CRC_ORACLE)
+def capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE (dual-system, Chapman) estimate of the true
+    near-duplicate pair population — WITHOUT ground-truth labels: the
+    MinHash band candidates and the SimHash block candidates are two
+    capture lists over the same latent dup population; from n1, n2,
+    and the overlap m, Chapman's N = (n1+1)(n2+1)/(m+1) - 1 estimates
+    the total, and n_i/N the per-method coverage (recall). The
+    label-free cross-check on lsh_recall_audit (which measures recall
+    against an exact rescore at ONE threshold) — record-linkage's
+    dual-system estimation applied to corpus dedup QA.
+
+    Honest caveat, in the contract: the two captures are positively
+    correlated (both key on lexical similarity — shingles vs word
+    hashes), so m is inflated and Chapman UNDERESTIMATES the
+    population; read chapman_total_est as a lower bound and the
+    coverage columns as upper bounds. That directional read is still
+    the operationally useful one ("at least X% of what either method
+    can see is caught").
+
+    100 TB shape: both capture lists come from their families' banded
+    candidate machinery (bucket-keyed, never all-pairs — the MinHash
+    (band, sig) join and the Manku block join); the overlap is one
+    equi-join of two bounded pair lists; the readout is one row from
+    three counts. The Spark side reuses the MATERIALIZED band-sig and
+    fingerprint stages, so this audit adds zero signature recomputes."""
+    cand1 = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
+    sp = simhash_near_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    c1 = cand1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    c2 = sp.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    cm = cand1.join(sp, ["doc_id_a", "doc_id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(cm)
+        .select(
+            F.col("n1").alias("n_minhash_pairs"),
+            F.col("n2").alias("n_simhash_pairs"),
+            F.col("m").alias("n_overlap"),
+            F.round(F.expr(_CHAPMAN_SQL), 6).alias("chapman_total_est"),
+            F.round(F.expr(f"n1 / ({_CHAPMAN_SQL})"), 6).alias(
+                "minhash_coverage_est"
+            ),
+            F.round(F.expr(f"n2 / ({_CHAPMAN_SQL})"), 6).alias(
+                "simhash_coverage_est"
+            ),
+        )
+    )

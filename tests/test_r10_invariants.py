@@ -161,3 +161,28 @@ def test_stream_two_level_agg_hour_cascade(spark):
     assert all(1 <= r.n_hours <= 24 for r in rows)
     assert all(r.n_hours <= r.n_events for r in rows)
     assert any(r.n_hours < r.n_events for r in rows)
+
+
+def test_silhouette_bounds_and_consistency(spark):
+    """Silhouette scores live in [-1, 1]; the per-label mean respects
+    that; intra/nearest distances are positive; and labels with good
+    separation (mean_nearest >> mean_intra) must score positive."""
+    rows = QUERIES["silhouette_by_label"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert 0.0 <= r.frac_negative <= 1.0
+        assert r.mean_intra_dist > 0 and r.mean_nearest_dist > 0
+        if r.mean_nearest_dist > 2 * r.mean_intra_dist:
+            assert r.mean_silhouette > 0
+
+
+def test_capture_recapture_set_algebra(spark):
+    """The overlap cannot exceed either capture list; Chapman's
+    estimate is >= both list sizes (a capture can't see more than the
+    population) minus rounding; coverage estimates live in (0, 1]."""
+    r = QUERIES["capture_recapture_dedup"](spark, SF_DIR).collect()[0]
+    assert r.n_overlap <= min(r.n_minhash_pairs, r.n_simhash_pairs)
+    assert r.chapman_total_est >= max(r.n_minhash_pairs, r.n_simhash_pairs) - 1
+    assert 0 < r.minhash_coverage_est <= 1.0 + 1e-9
+    assert 0 < r.simhash_coverage_est <= 1.0 + 1e-9
