@@ -426,3 +426,43 @@ def test_round9_plan_shapes(spark):
     # both inputs are materialized artifacts: scans only, no iteration
     assert "LogicalRDD" not in plan  # no localCheckpoint CC loop inline
     assert "CartesianProduct" not in plan
+
+
+def test_round10_plan_shapes(spark):
+    """Round-10 additions: Kruskal-Wallis reads only (event_type,
+    value) and never sorts the raw rows globally — its one ordered
+    window runs over the distinct-value cell frame; Durbin-Watson and
+    Croston are single-scan per-device window pipelines with no
+    cartesian anywhere; MASE's lag-7 self-join is keyed, never a
+    nested loop; the priority sample's per-stratum rank is a
+    partitioned window (no global Sort node); the silhouette distance
+    pass joins exploded vectors to the centroid frame via broadcast."""
+    import re
+
+    _, full = _plans(spark, "kruskal_wallis_value_by_type")
+    ev_reads = re.findall(r"ReadSchema: struct<([^>]*)>", full)
+    assert ev_reads and all(
+        set(r.split(",")) <= {"event_type:string", "value:double"} for r in ev_reads
+    ), ev_reads
+    plan, _ = _plans(spark, "kruskal_wallis_value_by_type")
+    assert "CartesianProduct" not in plan
+
+    for name in ("durbin_watson_per_device", "croston_intermittent_demand"):
+        plan, _ = _plans(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("FileScan") == 1, name
+
+    plan, _ = _plans(spark, "mase_daily_per_device")
+    assert "CartesianProduct" not in plan
+    # the lag-7 self-join must be keyed (hash); the only BNLJ allowed
+    # is the 1-row holdout-boundary scalar broadcast (crossJoin(mx))
+    assert "BroadcastHashJoin" in plan
+
+    plan, _ = _plans(spark, "priority_sample_per_type")
+    assert "], true, 0" not in plan  # no global Sort node
+    assert "CartesianProduct" not in plan
+
+    plan, _ = _plans(spark, "silhouette_by_label")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

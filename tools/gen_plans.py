@@ -167,6 +167,18 @@ PICKS = [
     ("coactivity_component_stats",
      "both graph artifacts (CC labels, degree-attached edges) read "
      "from materialized stages - no min-label iteration in the plan"),
+    ("kruskal_wallis_value_by_type",
+     "sort-free rank test: integer 2*rank via tie-group prefix sums; "
+     "the only ordered window runs over distinct-value cells, the raw "
+     "rows are never globally sorted"),
+    ("priority_sample_per_type",
+     "weighted priority sampling: one scan, per-stratum partitioned "
+     "rank window (no global sort), division-only sort key, threshold "
+     "+ HT estimate on the top-(K+1) frame"),
+    ("silhouette_by_label",
+     "simplified silhouette: exploded vectors join the ROUND(6) "
+     "centroid frame via broadcast - one scan, O(n*k) distances, "
+     "never pairwise"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
