@@ -54,6 +54,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "stream_two_level_agg",
     "silhouette_by_label",
     "capture_recapture_dedup",
+    "int8_recall_audit",
     # ---- regression re-checks: the 29 remaining round-2-old names
     "hourly_event_type_pivot",
     "hourly_rollup",

@@ -1267,3 +1267,142 @@ def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("a") / F.count(F.lit(1)), 6).alias("mean_intra_dist"),
         F.round(F.sum("b") / F.count(F.lit(1)), 6).alias("mean_nearest_dist"),
     )
+
+
+# ------------------------------- int8 quantization recall audit
+# Does the 4x storage cut (embedding_int8_quant) cost retrieval
+# quality? For each query vector: exact float inner-product top-K vs
+# top-K under symmetric int8 codes (integer dot x the two per-vector
+# scales). Both rankings order ROUND(score, 6) with a vec_id tiebreak
+# (the knn_join determinism convention: rounding makes near-ties exact
+# ties, broken by id on both engines).
+INT8_RECALL_K = 10
+INT8_RECALL_BATCH = 10  # query vectors: vec_id 0..9
+
+_INT8_CODES_DUCK = """
+SELECT vec_id,
+       list_transform(emb, x -> least(127.0, greatest(-127.0,
+           floor(x * 127.0 / m + 0.5)))) AS codes,
+       m / 127.0 AS scale
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings)
+WHERE m > 0
+"""
+
+_INT8_RECALL_ORACLE = f"""
+WITH c AS ({_INT8_CODES_DUCK}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS qemb FROM v WHERE vec_id < {INT8_RECALL_BATCH}),
+qc AS (SELECT vec_id AS q_id, codes AS qcodes, scale AS qscale
+       FROM c WHERE vec_id < {INT8_RECALL_BATCH}),
+ex AS (
+    SELECT q.q_id, v.vec_id
+    FROM v, q
+    WHERE v.vec_id <> q.q_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.q_id
+        ORDER BY ROUND(list_inner_product(v.emb, q.qemb), 6) DESC, v.vec_id)
+        <= {INT8_RECALL_K}
+),
+qu AS (
+    SELECT qc.q_id, c.vec_id
+    FROM c, qc
+    WHERE c.vec_id <> qc.q_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qc.q_id
+        ORDER BY ROUND(list_inner_product(c.codes, qc.qcodes)
+                       * c.scale * qc.qscale, 6) DESC, c.vec_id)
+        <= {INT8_RECALL_K}
+)
+SELECT ex.q_id, CAST(COUNT(qu.vec_id) AS BIGINT) AS n_kept,
+       ROUND(CAST(COUNT(qu.vec_id) AS DOUBLE) / {INT8_RECALL_K}, 6)
+           AS recall_at_k
+FROM ex LEFT JOIN qu ON ex.q_id = qu.q_id AND ex.vec_id = qu.vec_id
+GROUP BY ex.q_id
+"""
+
+
+@query("int8_recall_audit", oracle=_INT8_RECALL_ORACLE)
+def int8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@{INT8_RECALL_K} of int8-quantized inner-product retrieval
+    against the exact float ranking, per query vector — the eval that
+    closes embedding_int8_quant's loop: that query reports
+    reconstruction MAE (a proxy); this one measures the thing the
+    vector store actually sells, whether the top-K under 1-byte codes
+    still contains the float top-K. The quantization axis of the same
+    audit family as ivf_probe_recall_curve (probe axis) and
+    lsh_recall_audit (banding axis).
+
+    Scoring: integer code dot x the two per-vector scales
+    (codes = floor(x*127/m + 0.5) clamped, m = max |component| — the
+    embedding_int8_quant formula verbatim, so the audit measures the
+    SHIPPED quantizer). Both rankings order ROUND(score, 6) with a
+    vec_id tiebreak — the knn_join convention that turns cross-engine
+    near-ties into exact ties.
+
+    100 TB shape: the query batch broadcasts; each corpus partition
+    scores locally (integer dot = aggregate over zipped arrays inside
+    codegen); per-query top-K is a q_id-bounded window. Two passes
+    (float + int8) over one scan each; the recall join touches
+    2 x batch x K rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    # codes bound via the expression-level let (embedding_int8_quant
+    # convention): the per-vector scale feeds every element's quantize
+    codes = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(array(array_max(transform(emb, x -> abs(x)))), m -> "
+            "struct(transform(emb, x -> least(127.0d, greatest(-127.0d, "
+            "floor(x * 127.0d / m + 0.5d)))) AS codes, "
+            "m / 127.0d AS scale))[0]"
+        ).alias("s"),
+    ).filter(F.col("s.scale") > 0).select(
+        "vec_id", F.col("s.codes").alias("codes"), F.col("s.scale").alias("scale")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    qf = emb.filter(F.col("vec_id") < INT8_RECALL_BATCH).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qemb")
+    )
+    qc = codes.filter(F.col("vec_id") < INT8_RECALL_BATCH).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("codes").alias("qcodes"),
+        F.col("scale").alias("qscale"),
+    )
+    wex = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "vec_id")
+    ex = (
+        emb.crossJoin(F.broadcast(qf))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(dot(F.col("emb"), F.col("qemb")), 6).alias("score"))
+        .withColumn("rk", F.row_number().over(wex))
+        .filter(F.col("rk") <= INT8_RECALL_K)
+        .select("q_id", "vec_id")
+    )
+    qu = (
+        codes.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                dot(F.col("codes"), F.col("qcodes")) * F.col("scale") * F.col("qscale"),
+                6,
+            ).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(wex))
+        .filter(F.col("rk") <= INT8_RECALL_K)
+        .select(F.col("q_id").alias("uq"), F.col("vec_id").alias("uv"))
+    )
+    return (
+        ex.join(
+            qu, (ex.q_id == qu.uq) & (ex.vec_id == qu.uv), "left"
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("uv").cast("long").alias("n_kept"),
+            F.round(F.count("uv").cast("double") / INT8_RECALL_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -186,3 +186,17 @@ def test_capture_recapture_set_algebra(spark):
     assert r.chapman_total_est >= max(r.n_minhash_pairs, r.n_simhash_pairs) - 1
     assert 0 < r.minhash_coverage_est <= 1.0 + 1e-9
     assert 0 < r.simhash_coverage_est <= 1.0 + 1e-9
+
+
+def test_int8_recall_bounds(spark):
+    """Recall@K lives in [0, 1] with n_kept <= K; symmetric int8 on
+    64-dim floats should not collapse retrieval (recall stays well
+    above chance: K/n ~ 0.02)."""
+    from iot_etl_spark.plans.queries_embed import INT8_RECALL_K
+
+    rows = QUERIES["int8_recall_audit"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_kept <= INT8_RECALL_K
+        assert abs(r.recall_at_k - r.n_kept / INT8_RECALL_K) < 1e-9
+    assert sum(r.recall_at_k for r in rows) / len(rows) > 0.5
