@@ -55,6 +55,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "silhouette_by_label",
     "capture_recapture_dedup",
     "int8_recall_audit",
+    "stream_dedup_then_agg",
+    "hourly_agg_incremental_refresh",
     # ---- regression re-checks: the 29 remaining round-2-old names
     "hourly_event_type_pivot",
     "hourly_rollup",

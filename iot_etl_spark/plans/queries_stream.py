@@ -1412,3 +1412,69 @@ def stream_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events", "n_hours",
         F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
     )
+
+
+# ------------------------- chained dedup -> aggregation (exactly-once metrics)
+# The second supported multi-stateful combination (next to
+# stream_two_level_agg's agg->agg): watermarked native
+# dropDuplicatesWithinWatermark feeding a tumbling aggregate in ONE
+# streaming query — the "metrics over an at-least-once wire" pattern
+# (Kafka redelivery duplicates must not inflate counts). The input is
+# made GENUINELY duplicated by unioning two readers of the same
+# source (every event arrives exactly twice), so the dedup operator
+# is load-bearing: remove it and every count doubles, which the
+# oracle (single-copy batch counts) would hash-fail.
+DEDUP_AGG_WM_S = 3600
+
+_DEDUP_AGG_ORACLE = f"""
+WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+h AS (
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT epoch_us(hr) // 1000000 AS hour_epoch, event_type, n_events
+FROM h, m
+WHERE hr + INTERVAL 1 HOUR <= mx - INTERVAL {DEDUP_AGG_WM_S} SECONDS
+"""
+
+
+@query("stream_dedup_then_agg", oracle=_DEDUP_AGG_ORACLE)
+def stream_dedup_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED dedup -> aggregation in one streaming query (Spark 3.5
+    multiple stateful operators, the combination next to
+    stream_two_level_agg's agg->agg): native
+    ``dropDuplicatesWithinWatermark`` on event_id feeding an hourly
+    tumbling count, append mode. The input stream is the events
+    source UNIONED WITH ITSELF, so every event arrives exactly twice
+    — the at-least-once wire made literal. The oracle is the
+    single-copy batch rollup (watermark tail cut on the hour
+    windows): if the dedup state ever misses or double-passes a
+    redelivery, every downstream count inflates and the hash fails —
+    the exactly-once-metrics contract checked end to end.
+
+    100 TB shape: two cascaded key-hashed state stores — dedup keeps
+    one marker per event_id inside the watermark horizon (the TTL
+    bound: state is O(events per horizon), not O(all history)); the
+    aggregate keeps one row per open (hour, type) window. Both evict
+    on the same watermark clock. Reference parity: the reference's
+    restart story relies on the target table's PRIMARY KEY to absorb
+    redelivery (create_stream_tables.sql:19-23, SURVEY §2.9 T8); this
+    moves the dedup INTO the engine where it bounds state and feeds
+    exact metrics."""
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    s1 = read_stream_source(spark, "parquet", path=events_path)
+    s2 = read_stream_source(spark, "parquet", path=events_path)
+    dd = (
+        s1.unionAll(s2)
+        .withWatermark("ts", f"{DEDUP_AGG_WM_S} seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = dd.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    _, out = run_stream_to_memory(agg, output_mode="append")
+    return out.select(
+        F.unix_timestamp("window.start").cast("long").alias("hour_epoch"),
+        "event_type", "n_events",
+    )

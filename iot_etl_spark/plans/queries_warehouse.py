@@ -201,3 +201,116 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
         ).cast("long").alias("revenue_cents"),
     )
+
+
+# ------------------- incremental continuous-aggregate refresh, oracle-gated
+# The warehouse lifecycle's core claim — a STALE hourly aggregate
+# table plus one dirty-window refresh equals the full rebuild
+# (warehouse/lifecycle.py:refresh_agg, the Spark analog of the
+# reference's continuous-aggregate refresh policy,
+# create_dwh_schema.sql:216-233) — was previously pytest-only; this
+# query puts the refresh MECHANICS under the driver's hash gate. The
+# table is first materialized from a snapshot missing the last 3
+# days (yesterday's build), then refreshed with since = max-7d from
+# the full source; the readout must equal a from-scratch rollup. A
+# stale partition, a missed bucket, or a double-applied overwrite
+# changes counts and fails the hash.
+AGG_REFRESH_STALE_DAYS = 3
+AGG_REFRESH_DIRTY_DAYS = 7
+
+_AGG_REFRESH_ORACLE = """
+SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000
+           AS bucket_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS reading_count,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS anomaly_count,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+           AS median_value,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6)
+           AS p95_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("hourly_agg_incremental_refresh", oracle=_AGG_REFRESH_ORACLE)
+def hourly_agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the hourly continuous aggregate from a snapshot
+    that STOPS {AGG_REFRESH_STALE_DAYS} days before the data's end
+    (yesterday's build), then run ONE dirty-window refresh
+    (``refresh_agg``, since = max - {AGG_REFRESH_DIRTY_DAYS} days,
+    dynamic partition overwrite) against the full source — and prove
+    via the oracle that the resulting TABLE equals a from-scratch
+    rollup of all events. SURVEY §2.11 / §4's "needs engine-level
+    design" row, now under the same hash gate as every query.
+
+    Readout columns are the refresh-sensitive exact/order-statistic
+    set (counts, min/max, exact median/p95); avg/stddev are stored in
+    the table too but oracle-gated separately by hourly_device_agg —
+    their plain-double accumulation is order-dependent in the last
+    ulp, which must not couple THIS query's verdict to summation
+    order (hourly_device_agg's decimal-sum docstring).
+
+    100 TB shape: the stale build writes date partitions once; the
+    refresh recomputes ONLY buckets inside the dirty window and
+    dynamically overwrites exactly those agg_date partitions —
+    history cost is zero, refresh cost is O(dirty window). The
+    fingerprint-keyed table dir makes bench/driver re-runs reuse the
+    committed table (the stream_quarantine_ingest idempotence
+    pattern); the max-date probe is one bounded scalar action."""
+    import datetime
+    import hashlib
+    import inspect
+    import os
+
+    from iot_etl_spark.plans.stagecache import (
+        _CACHE_ROOT,
+        _source_fingerprint,
+        evict_stale_tags,
+        sf_family,
+    )
+    from iot_etl_spark.sources.tables import load_table
+    from iot_etl_spark.warehouse import lifecycle
+
+    code = (
+        inspect.getsource(hourly_agg_incremental_refresh)
+        + inspect.getsource(lifecycle.materialize_agg)
+        + inspect.getsource(lifecycle.refresh_agg)
+        + inspect.getsource(lifecycle.hourly_agg)
+    )
+    tag = hashlib.md5(
+        f"aggrefresh|{_source_fingerprint(sf_dir, ('events',))}|{code}".encode()
+    ).hexdigest()[:12]
+    fam = sf_family("aggrefresh", sf_dir)
+    d = os.path.join(_CACHE_ROOT, f"{fam}_{tag}")
+    tbl = os.path.join(d, "fact_hourly_agg")
+    marker = os.path.join(d, "_READY")
+    ev = load_table(spark, sf_dir, "events")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        maxd = ev.agg(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
+        stale_cut = maxd - datetime.timedelta(days=AGG_REFRESH_STALE_DAYS)
+        since = maxd - datetime.timedelta(days=AGG_REFRESH_DIRTY_DAYS)
+        # yesterday's build: events past the stale cut never seen
+        lifecycle.materialize_agg(
+            ev.filter(F.to_date("ts") < F.lit(str(stale_cut))), tbl
+        )
+        # one policy tick: recompute the dirty window from full data
+        lifecycle.refresh_agg(ev, tbl, since=since)
+        with open(marker, "w") as fh:
+            fh.write(tag)
+    evict_stale_tags(_CACHE_ROOT, fam, tag)
+    agg = lifecycle.read_agg(spark, tbl)
+    return agg.select(
+        F.unix_timestamp("bucket").cast("long").alias("bucket_epoch"),
+        "event_type",
+        F.col("reading_count").cast("long").alias("reading_count"),
+        F.col("anomaly_count").cast("long").alias("anomaly_count"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round("median_value", 6).alias("median_value"),
+        F.round("p95_value", 6).alias("p95_value"),
+    )

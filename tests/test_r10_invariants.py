@@ -200,3 +200,44 @@ def test_int8_recall_bounds(spark):
         assert 0 <= r.n_kept <= INT8_RECALL_K
         assert abs(r.recall_at_k - r.n_kept / INT8_RECALL_K) < 1e-9
     assert sum(r.recall_at_k for r in rows) / len(rows) > 0.5
+
+
+def test_stream_dedup_then_agg_collapses_duplicates(spark):
+    """The chained dedup is load-bearing: the doubled input stream
+    must collapse to the single-copy batch counts over the emitted
+    (watermark-closed) hour windows."""
+    from iot_etl_spark.plans.queries_stream import DEDUP_AGG_WM_S
+
+    rows = QUERIES["stream_dedup_then_agg"](spark, SF_DIR).collect()
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(
+            F.col("hr") + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(mx) - F.expr(f"INTERVAL {DEDUP_AGG_WM_S} SECONDS")
+        )
+        .agg(F.sum("n").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert sum(r.n_events for r in rows) == batch  # 2x input, 1x output
+
+
+def test_incremental_refresh_covers_the_stale_window(spark):
+    """The refresh must fill the days the stale build never saw: the
+    stored table's newest bucket equals the newest event hour, and a
+    second call reuses the committed table (idempotent marker)."""
+    df1 = QUERIES["hourly_agg_incremental_refresh"](spark, SF_DIR)
+    mx_bucket = df1.agg(F.max("bucket_epoch").alias("m")).collect()[0]["m"]
+    ev = load_table(spark, SF_DIR, "events")
+    mx_event_hour = (
+        ev.agg(
+            F.max(F.unix_timestamp(F.date_trunc("hour", "ts"))).alias("m")
+        ).collect()[0]["m"]
+    )
+    assert mx_bucket == mx_event_hour  # stale build alone stops 3 days short
+    n1 = df1.count()
+    n2 = QUERIES["hourly_agg_incremental_refresh"](spark, SF_DIR).count()
+    assert n1 == n2
