@@ -57,6 +57,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "int8_recall_audit",
     "stream_dedup_then_agg",
     "hourly_agg_incremental_refresh",
+    "stream_join_then_agg",
     # ---- regression re-checks: the 29 remaining round-2-old names
     "hourly_event_type_pivot",
     "hourly_rollup",

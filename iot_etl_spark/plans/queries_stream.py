@@ -1478,3 +1478,98 @@ def stream_dedup_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("window.start").cast("long").alias("hour_epoch"),
         "event_type", "n_events",
     )
+
+
+# ---------------------- chained interval join -> daily aggregation
+# The THIRD supported multi-stateful combination (agg->agg:
+# stream_two_level_agg; dedup->agg: stream_dedup_then_agg; now
+# join->agg): the purchase-click interval join's pair stream feeds a
+# per-(day, user) attribution count without leaving the query. Inner
+# interval pairs emit eagerly (exact batch-join membership); the DAY
+# rows emit when the join-DELAYED output watermark passes the day
+# end, so the batch-equivalence boundary needs the same slack budget
+# as the full-outer reconcile: cut = watermark 4h + join window +
+# 8h drain slack, applied as a POST-FILTER on the emitted rows AND
+# identically in the oracle (the emitted superset covers the cut as
+# long as drain lag < 8h, the measured FO bound).
+JOIN_AGG_CUT_S = 4 * 3600 + ATTRIBUTION_WINDOW_S + 8 * 3600
+
+_JOIN_AGG_ORACLE = f"""
+WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'),
+c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click'),
+pairs AS (
+    SELECT p.user_id, date_trunc('day', p.ts) AS day
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+)
+SELECT epoch_us(day) // 1000000 AS day_epoch, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs, m
+WHERE day + INTERVAL 1 DAY <= mx - INTERVAL {JOIN_AGG_CUT_S} SECONDS
+GROUP BY 1, 2
+"""
+
+
+@query("stream_join_then_agg", oracle=_JOIN_AGG_ORACLE)
+def stream_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stream-stream interval join -> daily aggregation in ONE
+    streaming query — completing the multi-stateful matrix
+    (agg->agg, dedup->agg, join->agg): every click within 2h before a
+    same-user purchase pairs in the watermarked join, and the pair
+    stream rolls straight into per-(day, user) attribution counts
+    with no intermediate sink (the two-hop pipeline
+    stream_interval_join + a batch rollup used to require).
+
+    Emission: inner pairs emit eagerly; a day row flushes when the
+    JOIN-DELAYED watermark (input watermark minus the join's state
+    bound) passes the day end. The batch boundary is therefore the
+    conservative cut above, POST-FILTERED on the emitted rows and
+    applied identically in the oracle — correct whenever the drained
+    watermark lags under the 8h slack (the stream_full_outer_reconcile
+    margin analysis, measured lag <= 3.9h).
+
+    100 TB shape: two cascaded stores — join state evicted past
+    watermark + window per side, day-window state one row per open
+    (day, user); the join's pair stream is the aggregate's map-side
+    input, never materialized. Reference parity: SURVEY §2.9 lists
+    stream-stream joins AND chained stateful ops as absent."""
+    from iot_etl_spark.streaming.joins import interval_join
+    from iot_etl_spark.sources.tables import load_table
+
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    purchases = (
+        read_stream_source(spark, "parquet", path=events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("on_key"), F.col("ts").alias("purchase_ts"))
+    )
+    clicks = (
+        read_stream_source(spark, "parquet", path=events_path)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("on_key"), F.col("ts").alias("click_ts"))
+    )
+    joined = interval_join(
+        purchases, clicks, on="on_key",
+        window_seconds=ATTRIBUTION_WINDOW_S,
+        left_ts="purchase_ts", right_ts="click_ts",
+        how="inner",
+    )
+    agg = joined.groupBy(
+        F.window("purchase_ts", "1 day"), "on_key"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    _, out = run_stream_to_memory(agg, output_mode="append")
+    bound = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr(f"INTERVAL {JOIN_AGG_CUT_S} SECONDS")).alias("cutoff")
+    )
+    return (
+        out.crossJoin(F.broadcast(bound))
+        .filter(F.col("window.end") <= F.col("cutoff"))
+        .select(
+            F.unix_timestamp("window.start").cast("long").alias("day_epoch"),
+            F.col("on_key").cast("long").alias("user_id"),
+            "n_pairs",
+        )
+    )

@@ -241,3 +241,38 @@ def test_incremental_refresh_covers_the_stale_window(spark):
     n1 = df1.count()
     n2 = QUERIES["hourly_agg_incremental_refresh"](spark, SF_DIR).count()
     assert n1 == n2
+
+
+def test_stream_join_then_agg_day_grid_and_positive(spark):
+    """Chained join->agg: every emitted day aligns to the epoch day
+    grid, counts are positive, and the rolled-up pair total matches
+    the batch interval join restricted to the same cut window."""
+    from iot_etl_spark.plans.queries_stream import (
+        ATTRIBUTION_WINDOW_S,
+        JOIN_AGG_CUT_S,
+    )
+
+    rows = QUERIES["stream_join_then_agg"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.day_epoch % 86400 == 0 for r in rows)
+    assert all(r.n_pairs >= 1 for r in rows)
+    ev = load_table(spark, SF_DIR, "events")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    batch = (
+        p.join(c, (p.user_id == F.col("cu"))
+               & (F.col("cts") <= F.col("pts"))
+               & (F.col("cts") >= F.col("pts")
+                  - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")))
+        .filter(
+            F.date_trunc("day", "pts") + F.expr("INTERVAL 1 DAY")
+            <= F.lit(mx) - F.expr(f"INTERVAL {JOIN_AGG_CUT_S} SECONDS")
+        )
+        .count()
+    )
+    assert sum(r.n_pairs for r in rows) == batch
