@@ -47,10 +47,12 @@ def test_entry_module_contract():
         "hourly_rollup",
         "winsorized_stats",
         "zscore_anomaly",
-        # head of the round-3 tier (fills slots 38-50)
+        # head of the round-3 tier (fills the window tail; the
+        # round-10 block grew to 14 names, so the tier head ends at
+        # dedup_clusters in slot 50)
         "anomaly_trends_7d",
         "boilerplate_stats",
-        "dedup_exact",
+        "dedup_clusters",
     ):
         assert must in first50, must
 
