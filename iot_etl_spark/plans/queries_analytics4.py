@@ -3210,11 +3210,22 @@ spells AS (
         FROM ts_
     ), obs
 ),
-cells AS (
+cells0 AS (
     SELECT t_min, grp,
            CAST(SUM(observed) AS BIGINT) AS d_g,
            CAST(COUNT(*) AS BIGINT) AS c_g
     FROM spells GROUP BY 1, 2
+),
+-- DENSIFY to the common duration grid x both arms (round-10 fix):
+-- the per-arm descending cumsum must run over EVERY death time, or
+-- an arm with no spell of exactly that duration reads n_g = 0 and
+-- the hypergeometric terms silently use truncated risk sets
+cells AS (
+    SELECT g.t_min, a.grp,
+           COALESCE(c.d_g, 0) AS d_g, COALESCE(c.c_g, 0) AS c_g
+    FROM (SELECT DISTINCT t_min FROM cells0) g
+    CROSS JOIN (VALUES (0), (1)) AS a(grp)
+    LEFT JOIN cells0 c ON c.t_min = g.t_min AND c.grp = a.grp
 ),
 risk AS (
     SELECT t_min, grp, d_g,
@@ -3259,8 +3270,20 @@ def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration cells; each E and V term is nano-quantized before the
     sum; the only unshared float op is the final shared sqrt.
 
+    Round-10 correctness fix (caught by the oracle-INDEPENDENT naive
+    reimplementation, tests/test_survival_properties.py — the DuckDB
+    oracle shared the same flaw, so the hash gate could not see it):
+    the per-arm cumsum previously ran only over cells where that arm
+    had a spell of exactly that duration, so at death times missing
+    from one arm the other arm's risk set silently read 0 — E
+    collapsed toward O (567.1 vs the true 525.1 at sf0.001) and the
+    variance shrank 3x, biasing z toward no-effect. The cell frame is
+    now DENSIFIED to the common duration grid x both arms before the
+    cumsum, which restores the textbook Mantel-Cox statistic.
+
     100 TB shape: one user-keyed shuffle for spells, a duration-
-    bounded (cell, arm) aggregate, windows over cells."""
+    bounded (cell, arm) aggregate (densified: 2x the grid rows, still
+    calendar-bounded), windows over cells."""
     ev = load_table(spark, sf_dir, "events")
     ts_ = ev.select(
         "user_id",
@@ -3283,9 +3306,22 @@ def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_us").isNotNull().cast("int").alias("observed"),
         )
     )
-    cells = spells.groupBy("t_min", "grp").agg(
+    cells0 = spells.groupBy("t_min", "grp").agg(
         F.sum("observed").cast("long").alias("d_g"),
         F.count(F.lit(1)).cast("long").alias("c_g"),
+    )
+    # densify to the common duration grid x both arms (see docstring):
+    # the cumsum below must see every death time in BOTH partitions
+    grid = cells0.select("t_min").distinct()
+    arms = spark.range(2).select(F.col("id").cast("long").alias("grp"))
+    cells = (
+        grid.crossJoin(F.broadcast(arms))
+        .join(cells0, ["t_min", "grp"], "left")
+        .select(
+            "t_min", "grp",
+            F.coalesce("d_g", F.lit(0)).cast("long").alias("d_g"),
+            F.coalesce("c_g", F.lit(0)).cast("long").alias("c_g"),
+        )
     )
     w_desc = (
         Window.partitionBy("grp")
