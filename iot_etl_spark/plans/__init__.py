@@ -33,70 +33,26 @@ from iot_etl_spark.plans import queries_analytics7  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
-# window is curated per round for maximum fresh evidence. Round-10
-# rotation (VERDICT r9 item 3): slots 1-8 are the round-10
-# registrations (fresh evidence first); slots 9-37 drain the LAST 29
-# round-2-old names (round 9 covered the first 17 of the 46-name
-# block); the remaining slots start on the next-oldest tier — the
-# round-3-green names, listed in full so round 11 continues past slot
-# 50 in the same order. Names listed here but not (yet) registered
-# are ignored; registered names absent from the list keep their
-# original relative order after the prioritized block.
-_DRIVER_WINDOW_FIRST: list[str] = [
-    # ---- round-10 registrations (inserted as they land)
-    "kruskal_wallis_value_by_type",
-    "brown_forsythe_variance_by_type",
-    "durbin_watson_per_device",
-    "mase_daily_per_device",
-    "croston_intermittent_demand",
-    "cochran_armitage_hour_trend",
-    "priority_sample_per_type",
-    "stream_two_level_agg",
-    "silhouette_by_label",
-    "capture_recapture_dedup",
-    "int8_recall_audit",
-    "stream_dedup_then_agg",
-    "hourly_agg_incremental_refresh",
-    "stream_join_then_agg",
-    # ---- regression re-checks: the 29 remaining round-2-old names
-    "hourly_event_type_pivot",
-    "hourly_rollup",
-    "iqr_anomaly",
-    "json_props_extract",
-    "lag_features",
-    "latency_profile",
-    "latest_per_device",
-    "locf_gap_fill",
-    "order_priority_counts",
-    "pricing_summary",
-    "props_map_extract",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "range_join_click_counts",
-    "recent_anomalies_topk",
-    "referential_integrity_audit",
-    "revenue_by_nation",
-    "sensor_drift",
-    "sql_shipping_priority",
-    "time_grid_gapfill",
-    "top_customers_by_revenue",
-    "top_devices_per_type",
-    "user_set_ops",
-    "value_deciles",
-    "value_histogram",
-    "value_time_correlation",
-    "weekend_weekday_comparison",
-    "winsorized_stats",
-    "zscore_anomaly",
-    # ---- next-oldest tier: round-3-green names (slots 38-50 this
-    # round; the rest queue for round 11)
-    "anomaly_trends_7d",
-    "boilerplate_stats",
-    "bpe_token_stats",
-    "bucketed_join_revenue",
-    "corpus_keep_verdict",
-    "decontaminate_overlap",
-    "dedup_clusters",
+# window is curated per round for maximum fresh evidence. Round-11
+# rotation (VERDICT r10 item 2): the round-11 registrations lead
+# (fresh evidence first), then the rotation continues into the
+# round-3-green tier exactly where round 10 stopped — round 10's
+# slots 44-50 covered the tier head through ``dedup_clusters``, so
+# this window resumes at ``dedup_exact``; names past slot 50 stay
+# listed in order for round 12 (which then starts the round-4 tier).
+# Names listed here but not (yet) registered are ignored; registered
+# names absent from the list keep their original relative order after
+# the prioritized block.
+# Names first registered in round 11, in registration order. This is
+# the single source of truth the STATUS.md changelog count is checked
+# against (tests/test_contract.py::test_status_ledger_matches_registry)
+# so the ledger can't drift from the registry (VERDICT r10 item 4).
+ROUND11_REGISTRATIONS: list[str] = [
+]
+
+_DRIVER_WINDOW_FIRST: list[str] = ROUND11_REGISTRATIONS + [
+    # ---- regression re-checks: the round-3-green tier, resumed at
+    # the first name round 10's window did not reach
     "dedup_exact",
     "dedup_ngram_jaccard",
     "device_mad_builtin",

@@ -29,32 +29,26 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 10, VERDICT r9 item 3): slots 1-8
-    # are the round-10 registrations, slots 9-37 drain the last 29
-    # round-2-old names, and the remaining slots start the round-3
-    # tier. Pin slot 1 exactly and the head/tail of each block so a
-    # new registration cannot silently displace the window.
+    # driver-window curation (round 11, VERDICT r10 item 2): the
+    # round-11 registrations lead, then the round-3-green tier resumes
+    # at dedup_exact (round 10's window covered the tier head through
+    # dedup_clusters in slots 44-50). Pin the resume point and a few
+    # mid-tier names so a new registration cannot silently displace
+    # the window.
     first50 = list(qs)[:50]
-    assert first50[0] == "kruskal_wallis_value_by_type"
     for must in (
-        # round-10 registrations ride the window head
-        "brown_forsythe_variance_by_type",
-        "croston_intermittent_demand",
-        "priority_sample_per_type",
-        "stream_two_level_agg",
-        # head/tail of the round-2 regression block
-        "hourly_event_type_pivot",
-        "hourly_rollup",
-        "winsorized_stats",
-        "zscore_anomaly",
-        # head of the round-3 tier (fills the window tail; the
-        # round-10 block grew to 14 names, so the tier head ends at
-        # dedup_clusters in slot 50)
-        "anomaly_trends_7d",
-        "boilerplate_stats",
-        "dedup_clusters",
+        # resume point + mid-tier names of the round-3 block
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "embedding_cosine_topk",
+        "minhash_lsh_candidates",
+        "stream_tumbling_agg",
     ):
         assert must in first50, must
+    # round 10's window must have rotated OUT (its names were all
+    # driver-checked last round)
+    assert "kruskal_wallis_value_by_type" not in first50
+    assert "hourly_event_type_pivot" not in first50
 
 
 def test_bench_emits_contract_json_line(tmp_path):

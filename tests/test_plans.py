@@ -460,7 +460,14 @@ def test_round10_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
 
     plan, _ = _plans(spark, "priority_sample_per_type")
-    assert "], true, 0" not in plan  # no global Sort node
+    # No GLOBAL sort anywhere: Spark 4.x renders SortExec as
+    # "Sort [<ordering>], <global>, 0" — a global sort is "], true" and
+    # is always fed by an Exchange rangepartitioning. Assert both the
+    # explicit node form and the range-shuffle that implements it
+    # (ADVICE r10: the old '], true, 0' substring matched any Sort
+    # node's tail and pinned nothing specific).
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
+    assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
 
     plan, _ = _plans(spark, "silhouette_by_label")
