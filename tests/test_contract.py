@@ -85,3 +85,33 @@ def test_bench_emits_contract_json_line(tmp_path):
         if saved is not None:
             with open(local, "w") as fh:
                 fh.write(saved)
+
+
+def test_status_ledger_matches_registry():
+    """STATUS.md's round-11 ledger cannot drift from the registry
+    (VERDICT r10 item 4): every name in ROUND11_REGISTRATIONS must be
+    registered with an oracle, lead the driver window in order, and
+    appear in STATUS.md's round-11 changelog; any '+N naive ... pins'
+    claim in that changelog must match the two r11 property modules'
+    actual test count."""
+    import re
+
+    sys.path.insert(0, REPO)
+    from iot_etl_spark.plans import ORACLES, QUERIES
+    from iot_etl_spark.plans import ROUND11_REGISTRATIONS as R11
+
+    names = list(QUERIES)
+    assert names[: len(R11)] == R11
+    for n in R11:
+        assert n in ORACLES, n
+    status = open(os.path.join(REPO, "STATUS.md")).read()
+    sec = status.split("## Round-11 changelog")[1].split("## Round-10")[0]
+    for n in R11:
+        assert n in sec, f"{n} missing from the STATUS round-11 changelog"
+    claim = re.search(r"\+(\d+) naive-reimplementation pins", sec)
+    if claim:
+        n_tests = 0
+        for mod in ("test_r11_properties.py", "test_r11b_properties.py"):
+            src = open(os.path.join(REPO, "tests", mod)).read()
+            n_tests += len(re.findall(r"^def test_", src, re.M))
+        assert int(claim.group(1)) == n_tests, (claim.group(1), n_tests)
