@@ -30,6 +30,7 @@ from iot_etl_spark.plans import queries_analytics4  # noqa: F401
 from iot_etl_spark.plans import queries_analytics5  # noqa: F401
 from iot_etl_spark.plans import queries_analytics6  # noqa: F401
 from iot_etl_spark.plans import queries_analytics7  # noqa: F401
+from iot_etl_spark.plans import queries_analytics8  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
@@ -48,6 +49,15 @@ from iot_etl_spark.plans import queries_analytics7  # noqa: F401
 # against (tests/test_contract.py::test_status_ledger_matches_registry)
 # so the ledger can't drift from the registry (VERDICT r10 item 4).
 ROUND11_REGISTRATIONS: list[str] = [
+    "friedman_test_day_blocks",
+    "mood_median_test",
+    "grubbs_outlier_scan",
+    "chow_break_test",
+    "neyman_allocation_plan",
+    "calinski_harabasz_index",
+    "davies_bouldin_index",
+    "fisher_g_periodicity",
+    "zorder_pruning_audit",
 ]
 
 _DRIVER_WINDOW_FIRST: list[str] = ROUND11_REGISTRATIONS + [

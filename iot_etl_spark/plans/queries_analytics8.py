@@ -1,0 +1,1302 @@
+"""Round-11 analytics batch: within-block rank testing (Friedman),
+median-based k-group comparison (Mood), single-outlier screening
+(Grubbs), structural-break testing (Chow), sequence entropy rate
+(empirical Markov chain), optimal stratified sampling design (Neyman
+allocation), cluster-validity indices (Calinski-Harabasz,
+Davies-Bouldin), band-limited periodicity detection (Fisher's g), and
+a data-layout effectiveness audit (linear vs Z-order file pruning).
+
+Reference parity: none exist in the reference (its analytics surface
+is TimescaleDB SQL, ``analytical_queries.sql``); they deepen the
+established lanes — the nonparametric battery (next to
+kruskal_wallis/brown_forsythe/mood gap), changepoint/causal family
+(binseg, DiD -> Chow), the sampling toolkit (pps/priority/reservoir ->
+Neyman design), the clustering-eval lane (silhouette -> CH/DB), the
+spectral lane (acf_pacf, harmonic -> Fisher g), and the
+warehouse-layout story (bucketing/DPP -> Z-order pruning audit).
+
+Determinism: integer micro-unit quantization before any distributed
+sum; rank math over bounded cell frames (never a global per-row
+sort except the documented layout audit, where the sort IS the
+operation being audited); per-term libm products quantized to 1e9
+BIGINT before summation (the acf convention); wide accumulators in
+DECIMAL(38,0) / HUGEINT; every computed double is ROUND(x, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iot_etl_spark.plans.registry import query, DUCK_TS
+from iot_etl_spark.sources.tables import load_table
+
+# ------------------------------------------------------ Friedman test
+# Within-block rank test: blocks = calendar days, treatments = event
+# types, response = the (day, type) mean value quantized to 1e-6.
+# Only COMPLETE blocks (all k types present) enter — Friedman requires
+# balanced blocks. Within a block (<= k rows), 2*avgrank = 2*rank() +
+# (ties - 1) stays integer; rank sums accumulate in DECIMAL(38,0).
+# Q = 12/(b k (k+1)) * sum_j R_j^2 - 3 b (k+1) on average ranks (the
+# classic statistic; the tie-corrected denominator variant is noted in
+# the docstring — ties across quantized means are rare but handled
+# identically on both engines either way).
+
+_FRIEDMAN_ORACLE = f"""
+WITH k AS (
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events
+    WHERE value IS NOT NULL
+),
+cells AS (
+    SELECT date_trunc('day', {DUCK_TS}) AS day, event_type,
+           CAST(ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT))
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mq
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+full_blocks AS (
+    SELECT day FROM cells, k GROUP BY day, k.k
+    HAVING COUNT(*) = ANY_VALUE(k.k)
+),
+ranked AS (
+    SELECT c.day, c.event_type,
+           2 * RANK() OVER (PARTITION BY c.day ORDER BY c.mq)
+             + CAST(COUNT(*) OVER (PARTITION BY c.day, c.mq) AS BIGINT) - 1
+               AS r2
+    FROM cells c JOIN full_blocks f ON c.day = f.day
+),
+sums AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS b,
+           CAST(SUM(CAST(r2 AS HUGEINT)) AS HUGEINT) AS r2sum
+    FROM ranked GROUP BY 1
+),
+q AS (
+    SELECT CAST(SUM(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) / 4.0)
+                AS DOUBLE) AS srq,
+           MAX(b) AS b, CAST(COUNT(*) AS BIGINT) AS k
+    FROM sums
+)
+SELECT s.event_type,
+       s.b AS n_blocks,
+       ROUND(CAST(s.r2sum AS DOUBLE) / (2.0 * s.b), 6) AS mean_rank,
+       ROUND(12.0 / (q.b * q.k * (q.k + 1)) * q.srq
+             - 3.0 * q.b * (q.k + 1), 6) AS friedman_q
+FROM sums s, q
+"""
+
+
+@query("friedman_test_day_blocks", oracle=_FRIEDMAN_ORACLE)
+def friedman_test_day_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman within-block rank test of event types across calendar
+    days: each complete day ranks its k per-type mean values; rank
+    sums feed Q = 12/(bk(k+1)) sum R_j^2 - 3b(k+1) — the repeated-
+    measures companion to kruskal_wallis_value_by_type (which pools
+    all rows and is blind to day-level baselines shifting everyone).
+
+    Determinism: cell means on the 1e-6 integer grid (ROUND of an
+    exact integer-sum ratio, shared verbatim); within-block average
+    ranks as integers via 2*avgrank = 2*rank + ties - 1; rank sums in
+    DECIMAL(38,0)/HUGEINT. Tie note: ties across quantized day-means
+    are handled by average rank identically on both engines; the
+    rarely-needed tie-corrected denominator is deliberately omitted
+    (documented, identical both sides).
+
+    100 TB shape: ONE map-side-combined aggregate to the (day, type)
+    cell frame — bounded by days x types, not rows; the rank window
+    partitions by day over <= k rows; everything after is k rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    k = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    cells = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(
+            F.round(
+                F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+                / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("mq")
+        )
+        # bounded days x types frame, consumed by the completeness
+        # filter AND the rank join — checkpoint so the fact scan runs
+        # once (the analytics4 bounded-cell convention)
+        .localCheckpoint()
+    )
+    full = (
+        cells.crossJoin(F.broadcast(k))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == F.col("k"))
+        .select("day")
+    )
+    wday = Window.partitionBy("day").orderBy("mq")
+    wtie = Window.partitionBy("day", "mq")
+    ranked = cells.join(full, "day").select(
+        "day",
+        "event_type",
+        (
+            2 * F.rank().over(wday)
+            + F.count(F.lit(1)).over(wtie).cast("long")
+            - 1
+        ).alias("r2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("b"),
+        F.sum(F.col("r2").cast("decimal(38,0)")).alias("r2sum"),
+    )
+    q = sums.agg(
+        F.sum(
+            F.col("r2sum").cast("double") * F.col("r2sum").cast("double") / 4.0
+        ).alias("srq"),
+        F.max("b").alias("bq"),
+        F.count(F.lit(1)).cast("long").alias("kq"),
+    )
+    return sums.crossJoin(F.broadcast(q)).select(
+        "event_type",
+        F.col("b").alias("n_blocks"),
+        F.round(F.col("r2sum").cast("double") / (2.0 * F.col("b")), 6).alias(
+            "mean_rank"
+        ),
+        F.round(
+            12.0 / (F.col("bq") * F.col("kq") * (F.col("kq") + 1)) * F.col("srq")
+            - 3.0 * F.col("bq") * (F.col("kq") + 1),
+            6,
+        ).alias("friedman_q"),
+    )
+
+
+# --------------------------------------------------- Mood median test
+# k-group comparison against the GLOBAL lower median: the 2 x k
+# contingency of (above / not-above) counts with chi2 contributions.
+# The global median comes from the cumulative-cell device (2-dp value
+# grid), never a per-row sort.
+
+_MOOD_ORACLE = """
+WITH cells AS (
+    SELECT CAST(value AS DECIMAL(18,2)) AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+    SELECT v,
+           CAST(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cc,
+           CAST(SUM(c) OVER () AS BIGINT) AS n
+    FROM cells
+),
+med AS (
+    SELECT MIN(v) AS median_v FROM cum WHERE cc >= (n + 1) // 2
+),
+grp AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS nj,
+           CAST(SUM(CASE WHEN CAST(value AS DECIMAL(18,2)) > med.median_v
+                         THEN 1 ELSE 0 END) AS BIGINT) AS aj
+    FROM events, med WHERE value IS NOT NULL
+    GROUP BY event_type, med.median_v
+),
+tot AS (
+    SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(SUM(aj) AS BIGINT) AS a
+    FROM grp
+)
+SELECT g.event_type, g.nj AS n_group, g.aj AS n_above,
+       ROUND(CAST(g.nj AS DOUBLE) * t.a / t.n, 6) AS expected_above,
+       ROUND(
+         POWER(g.aj - CAST(g.nj AS DOUBLE) * t.a / t.n, 2)
+           / (CAST(g.nj AS DOUBLE) * t.a / t.n)
+         + POWER((g.nj - g.aj) - CAST(g.nj AS DOUBLE) * (t.n - t.a) / t.n, 2)
+           / (CAST(g.nj AS DOUBLE) * (t.n - t.a) / t.n), 6)
+           AS chi2_contrib,
+       ROUND(CAST(m.median_v AS DOUBLE), 2) AS grand_median
+FROM grp g, tot t, med m
+"""
+
+
+@query("mood_median_test", oracle=_MOOD_ORACLE)
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: does each event type sit above the GRAND
+    median more often than chance? The coarsest, most outlier-robust
+    member of the k-group battery (ANOVA assumes normality,
+    Kruskal-Wallis uses full ranks; Mood only asks above/below) — the
+    cross-check you run when heavy tails make even ranks suspect.
+
+    Determinism: the grand median is the lower median picked off the
+    2-dp DECIMAL value grid via the cumulative-cell device; counts are
+    BIGINTs; the chi2 contribution is one shared-verbatim double
+    expression per type.
+
+    100 TB shape: one map-side (value-cell) aggregate bounded by the
+    value domain, one scan with the 1-row median broadcast for the
+    above/below counts — no row-level sort, no join by value."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = (
+        ev.groupBy(F.col("value").cast("decimal(18,2)").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # bounded by the 2-dp value domain; feeds the median pick so
+        # the fact scan is not replayed under it
+        .localCheckpoint()
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "v",
+        F.sum("c").over(wc).cast("long").alias("cc"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    med = cum.filter(
+        F.col("cc") >= F.expr("(n + 1) div 2")
+    ).agg(F.min("v").alias("median_v"))
+    grp = (
+        ev.crossJoin(F.broadcast(med))
+        .groupBy("event_type", "median_v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nj"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") > F.col("median_v"))
+                .cast("int")
+            )
+            .cast("long")
+            .alias("aj"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("nj").cast("long").alias("n"), F.sum("aj").cast("long").alias("a")
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    ea = F.col("nj").cast("double") * F.col("a") / F.col("n")
+    eb = F.col("nj").cast("double") * (F.col("n") - F.col("a")) / F.col("n")
+    return j.select(
+        "event_type",
+        F.col("nj").alias("n_group"),
+        F.col("aj").alias("n_above"),
+        F.round(ea, 6).alias("expected_above"),
+        F.round(
+            F.pow(F.col("aj") - ea, 2) / ea
+            + F.pow((F.col("nj") - F.col("aj")) - eb, 2) / eb,
+            6,
+        ).alias("chi2_contrib"),
+        F.round(F.col("median_v").cast("double"), 2).alias("grand_median"),
+    )
+
+
+# ------------------------------------------------ Grubbs outlier scan
+# Per-type maximum studentized deviate G = max|x - mean| / sd, with
+# the extreme row identified deterministically (max integer deviation,
+# min event_id tiebreak). The deviation comparison is EXACT integer:
+# |n * vq - s| where vq = 100*value and s = sum(vq).
+
+_GRUBBS_ORACLE = """
+WITH q AS (
+    SELECT event_type, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS vq
+    FROM events WHERE value IS NOT NULL
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vq) AS BIGINT) AS s,
+           CAST(SUM(CAST(vq AS HUGEINT) * vq) AS HUGEINT) AS ss
+    FROM q GROUP BY 1
+),
+d AS (
+    SELECT q.event_type, q.event_id, q.vq,
+           ABS(CAST(m.n AS HUGEINT) * q.vq - m.s) AS dev
+    FROM q JOIN m USING (event_type)
+),
+mx AS (
+    SELECT event_type, MAX(dev) AS dmax FROM d GROUP BY 1
+),
+pick AS (
+    SELECT d.event_type, MIN(d.event_id) AS outlier_event_id,
+           ANY_VALUE(mx.dmax) AS dmax
+    FROM d JOIN mx ON d.event_type = mx.event_type AND d.dev = mx.dmax
+    GROUP BY 1
+)
+SELECT m.event_type, m.n AS n_values,
+       ROUND((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+             / (m.n - 1) / 10000.0, 6) AS variance,
+       ROUND(CAST(p.dmax AS DOUBLE) / m.n / 100.0
+             / sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                    / (m.n - 1) / 10000.0), 6) AS g_stat,
+       p.outlier_event_id
+FROM m JOIN pick p USING (event_type)
+"""
+
+
+@query("grubbs_outlier_scan", oracle=_GRUBBS_ORACLE)
+def grubbs_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs maximum-studentized-deviate screen per event type:
+    G = max|x - mean| / sd plus WHICH reading is the extreme — the
+    single-outlier formal test beside the z-score/IQR flaggers (those
+    band every row; Grubbs names the one most extreme observation and
+    its test statistic).
+
+    Determinism: the argmax runs on the EXACT integer deviation
+    |n*vq - s| (vq = 100*value, s = sum vq) — no double compare can
+    flip the pick; ties break to the smallest event_id on both
+    engines; G itself is one shared-verbatim expression over the
+    integer moments.
+
+    100 TB shape: one moment aggregate, one broadcast join of the
+    per-type moments back onto the scan, one max + one tiebreak
+    aggregate — two scans total, no sort, no window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.select(
+        "event_type", "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("vq"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vq").cast("long").alias("s"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("ss"),
+    )
+    d = q.join(F.broadcast(m), "event_type").select(
+        "event_type", "event_id",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("vq") - F.col("s")
+        ).alias("dev"),
+    )
+    # ONE aggregate finds the extreme row: struct ordering is
+    # lexicographic, so max(struct(dev, -event_id)) = max deviation
+    # with the SMALLEST event_id winning ties — no second scan, no
+    # join-back (the oracle keeps the two-CTE formulation; results
+    # are identical by construction)
+    pick = d.groupBy("event_type").agg(
+        F.max(F.struct(F.col("dev"), (-F.col("event_id")).alias("neg"))).alias(
+            "mx"
+        )
+    ).select(
+        "event_type",
+        (-F.col("mx.neg")).cast("long").alias("outlier_event_id"),
+        F.col("mx.dev").alias("dmax"),
+    )
+    var = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+        / 10000.0
+    )
+    return m.join(pick, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_values"),
+        F.round(var, 6).alias("variance"),
+        F.round(
+            F.col("dmax").cast("double") / F.col("n") / 100.0 / F.sqrt(var), 6
+        ).alias("g_stat"),
+        "outlier_event_id",
+    )
+
+
+# ----------------------------------------------------- Chow break test
+# Structural break in the OLS trend value ~ time at the span midpoint:
+# F = ((SSE_p - SSE_1 - SSE_2)/2) / ((SSE_1 + SSE_2)/(n - 4)).
+# NUMERICALLY EXACT SSE: the classic moment formula
+# syy - sy^2/n - (sxy - sx sy/n)^2/(sxx - sx^2/n) cancels catastrophically
+# in doubles once x is in raw microseconds (caught by the numpy
+# independence pin — BOTH engines agreed on the wrong value, the
+# shared-flaw class the campaign exists for). Instead the cancellations
+# A = n*syy - sy^2, B = n*sxy - sx*sy, C = n*sxx - sx^2 are formed in
+# DECIMAL(38,0)/HUGEINT integer arithmetic (x integer SECONDS since
+# span start, y integer CENTI-units — both exact; worst-case products
+# stay under 1e37 at 1e12 rows), and doubles appear only in the final
+# SSE = (A - B^2/C)/n, where every operand is already exact.
+
+_CHOW_SSE = (
+    "((CAST(a AS DOUBLE) - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)"
+    " / CAST(c AS DOUBLE)) / n / 1e4)"
+)
+
+_CHOW_MOM = """
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM p GROUP BY 1
+"""
+
+_CHOW_ABC = (
+    "CAST(n AS HUGEINT) * syy - sy * sy AS a, "
+    "CAST(n AS HUGEINT) * sxy - sx * sy AS b, "
+    "CAST(n AS HUGEINT) * sxx - sx * sx AS c"
+)
+
+_CHOW_ORACLE = f"""
+WITH bounds AS (
+    SELECT MIN(epoch_us({DUCK_TS})) // 1000000 AS t0,
+           (MIN(epoch_us({DUCK_TS})) + MAX(epoch_us({DUCK_TS}))) // 2 AS mid
+    FROM events WHERE value IS NOT NULL
+),
+p AS (
+    SELECT CASE WHEN epoch_us({DUCK_TS}) <= bounds.mid THEN 0 ELSE 1 END
+               AS seg,
+           epoch_us({DUCK_TS}) // 1000000 - bounds.t0 AS x,
+           CAST(ROUND(value * 100) AS BIGINT) AS y
+    FROM events, bounds WHERE value IS NOT NULL
+),
+m AS ({_CHOW_MOM}),
+pool AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+           SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+    FROM m
+),
+sse AS (
+    SELECT (SELECT {_CHOW_SSE}
+            FROM (SELECT n, {_CHOW_ABC} FROM pool)) AS sp,
+           MAX(CASE WHEN seg = 0 THEN s END) AS s1,
+           MAX(CASE WHEN seg = 1 THEN s END) AS s2,
+           CAST(SUM(n) AS BIGINT) AS n,
+           MAX(CASE WHEN seg = 0 THEN n END) AS n1,
+           MAX(CASE WHEN seg = 1 THEN n END) AS n2
+    FROM (SELECT seg, n, {_CHOW_SSE} AS s
+          FROM (SELECT seg, n, {_CHOW_ABC} FROM m))
+)
+SELECT n, n1, n2,
+       ROUND(sp, 6) AS sse_pooled,
+       ROUND(s1, 6) AS sse_pre,
+       ROUND(s2, 6) AS sse_post,
+       ROUND(((sp - s1 - s2) / 2) / ((s1 + s2) / (n - 4)), 6) AS chow_f
+FROM sse
+"""
+
+
+@query("chow_break_test", oracle=_CHOW_ORACLE)
+def chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the value-over-time OLS
+    trend at the observation-span midpoint: fit the line separately on
+    each half and pooled, F = ((SSE_p - SSE_1 - SSE_2)/2) /
+    ((SSE_1+SSE_2)/(n-4)) — the parametric changepoint companion to
+    binseg_changepoints (which finds WHERE; Chow tests a KNOWN split,
+    here the same mid-span device the pinball/decontamination splits
+    use) and to diff_in_diff (level shift; Chow catches slope breaks).
+
+    Numerical design (found by this round's numpy independence pin):
+    the naive moment-formula SSE cancels catastrophically in doubles
+    at microsecond x magnitudes — and because the oracle shared the
+    formula, BOTH engines agreed on a value ~5% wrong. The fix forms
+    the cancellations n*syy - sy^2, n*sxy - sx*sy, n*sxx - sx^2 in
+    EXACT DECIMAL(38,0) integer arithmetic (x = whole seconds since
+    span start, y = exact centi-units) and lets doubles in only for
+    the final (A - B^2/C)/n — each operand exact, no cancellation
+    left.
+
+    100 TB shape: one 1-row span broadcast, then ONE scan into a
+    2-cell moment aggregate (map-side combinable); the solve is O(1).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(
+        (F.min(F.unix_micros("ts")) / 1000000).cast("long").alias("t0s"),
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid"),
+    )
+    dec = "decimal(38,0)"
+    p = ev.crossJoin(F.broadcast(b)).select(
+        F.when(F.unix_micros("ts") <= F.col("mid"), 0).otherwise(1).alias("seg"),
+        (F.expr("unix_micros(ts) div 1000000") - F.col("t0s"))
+        .cast(dec)
+        .alias("x"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").cast(dec).alias("y"),
+    )
+    m = p.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).localCheckpoint()  # 2 rows, consumed by pool AND the per-seg SSE
+    abc = [
+        "CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS a",
+        "CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS b",
+        "CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS c",
+    ]
+    pool = m.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+    ).selectExpr("n AS n_all", *abc).selectExpr(
+        "n_all", f"{_CHOW_SSE.replace('/ n /', '/ n_all /')} AS sp"
+    )
+    seg = m.selectExpr("seg", "n", *abc).selectExpr(
+        "seg", "n", f"{_CHOW_SSE} AS s"
+    )
+    sse = seg.agg(
+        F.max(F.when(F.col("seg") == 0, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("seg") == 1, F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("seg") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("seg") == 1, F.col("n"))).alias("n2"),
+    ).crossJoin(F.broadcast(pool))
+    return sse.select(
+        F.col("n_all").alias("n"),
+        "n1",
+        "n2",
+        F.round(F.col("sp"), 6).alias("sse_pooled"),
+        F.round(F.col("s1"), 6).alias("sse_pre"),
+        F.round(F.col("s2"), 6).alias("sse_post"),
+        F.round(
+            ((F.col("sp") - F.col("s1") - F.col("s2")) / 2)
+            / ((F.col("s1") + F.col("s2")) / (F.col("n_all") - 4)),
+            6,
+        ).alias("chow_f"),
+    )
+
+
+# ------------------------------------------- Neyman allocation design
+# Optimal stratified-sample allocation: n_h proportional to N_h * S_h
+# (Neyman 1934), apportioned over a fixed budget B with the
+# largest-remainder method in EXACT integer arithmetic (quota
+# numerators B*w_h over W = sum w_h; remainders ranked over the <= k
+# stratum cells). The proportional allocation (w = N_h) rides along
+# for comparison — the design a pipeline uses when strata variances
+# are unknown.
+
+NEYMAN_BUDGET = 1000
+
+_NEYMAN_W = (
+    "CAST(ROUND(CAST(n AS DOUBLE)"
+    " * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+    "        / (n - 1) / 1e12) * 1e6) AS BIGINT)"
+)
+
+
+def _lr_alloc_sql(w: str, tag: str, budget: int) -> str:
+    """Largest-remainder apportionment CTE text over the stratum cells
+    (column ``{w}`` = integer weight), emitting alloc_{tag}."""
+    return f"""
+q_{tag} AS (
+    SELECT event_type, {w} AS w FROM moments
+),
+t_{tag} AS (SELECT CAST(SUM(w) AS HUGEINT) AS tw FROM q_{tag}),
+b_{tag} AS (
+    SELECT event_type, w,
+           CAST(({budget} * CAST(w AS HUGEINT)) // t_{tag}.tw AS BIGINT)
+               AS base,
+           CAST(({budget} * CAST(w AS HUGEINT)) % t_{tag}.tw AS HUGEINT)
+               AS rem
+    FROM q_{tag}, t_{tag}
+),
+r_{tag} AS (
+    SELECT event_type, base, rem,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk,
+           {budget} - CAST(SUM(base) OVER () AS BIGINT) AS leftover
+    FROM b_{tag}
+),
+a_{tag} AS (
+    SELECT event_type,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_{tag}
+    FROM r_{tag}
+)"""
+
+
+_NEYMAN_ORACLE = f"""
+WITH moments AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS HUGEINT) AS s,
+           CAST(SUM(CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS HUGEINT)
+                    * CAST(ROUND(value * 1e6) AS BIGINT)) AS HUGEINT) AS ss
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+{_lr_alloc_sql(_NEYMAN_W, "ney", NEYMAN_BUDGET)},
+{_lr_alloc_sql("n", "prop", NEYMAN_BUDGET)}
+SELECT m.event_type, m.n AS n_rows,
+       ROUND(sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                  / (m.n - 1) / 1e12), 6) AS stddev_value,
+       a1.alloc_ney AS alloc_neyman,
+       a2.alloc_prop AS alloc_proportional
+FROM moments m
+JOIN a_ney a1 USING (event_type)
+JOIN a_prop a2 USING (event_type)
+"""
+
+
+@query("neyman_allocation_plan", oracle=_NEYMAN_ORACLE)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling design: allocate a fixed
+    budget of {NEYMAN_BUDGET} sample rows across event-type strata
+    proportional to N_h * S_h (minimizing the stratified-mean
+    variance), next to the naive proportional allocation — the DESIGN
+    step that decides how pps/reservoir/priority sampling budgets
+    should be split before any row is drawn.
+
+    Determinism: stratum moments are exact integer sums; the weight
+    w_h = ROUND(N_h * S_h * 1e6) is one shared-verbatim expression;
+    the largest-remainder apportionment is then PURE integer
+    arithmetic (quota div/mod over HUGEINT/DECIMAL(38,0), remainders
+    ranked with an event_type tiebreak) — allocations can never drift
+    by an ulp.
+
+    100 TB shape: one map-side moment aggregate to k stratum cells;
+    apportionment windows run over those k rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,0)"
+    m = ev.select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("vq"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vq").cast(dec)).alias("s"),
+        F.sum(F.col("vq").cast(dec) * F.col("vq")).alias("ss"),
+    )
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+        / 1e12
+    )
+    m = m.withColumn(
+        "w_ney", F.round(F.col("n") * sd * 1e6).cast("long")
+    ).localCheckpoint()  # k rows, consumed by both allocations + readout
+
+    def _alloc(frame: DataFrame, wcol: str, out: str) -> DataFrame:
+        t = Window.partitionBy()
+        b = frame.select(
+            "event_type",
+            (
+                (F.lit(NEYMAN_BUDGET) * F.col(wcol).cast(dec))
+                / F.sum(F.col(wcol).cast(dec)).over(t)
+            ).cast(dec).alias("_ignore"),  # placeholder, replaced below
+            F.expr(
+                f"CAST(({NEYMAN_BUDGET} * CAST({wcol} AS DECIMAL(38,0)))"
+                f" div (SUM(CAST({wcol} AS DECIMAL(38,0))) OVER ()) AS BIGINT)"
+            ).alias("base"),
+            F.expr(
+                f"({NEYMAN_BUDGET} * CAST({wcol} AS DECIMAL(38,0)))"
+                f" % (SUM(CAST({wcol} AS DECIMAL(38,0))) OVER ())"
+            ).alias("rem"),
+        ).drop("_ignore")
+        r = b.select(
+            "event_type", "base", "rem",
+            F.row_number()
+            .over(Window.orderBy(F.col("rem").desc(), "event_type"))
+            .alias("rk"),
+            (F.lit(NEYMAN_BUDGET) - F.sum("base").over(Window.partitionBy()))
+            .cast("long")
+            .alias("leftover"),
+        )
+        return r.select(
+            "event_type",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias(out),
+        )
+
+    a1 = _alloc(m, "w_ney", "alloc_neyman")
+    a2 = _alloc(m, "n", "alloc_proportional")
+    return (
+        m.join(a1, "event_type")
+        .join(a2, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_rows"),
+            F.round(sd, 6).alias("stddev_value"),
+            "alloc_neyman",
+            "alloc_proportional",
+        )
+    )
+
+
+# ------------------------------------- cluster-validity indices (CH/DB)
+# Shared construction with silhouette_by_label: ROUND(6) centroids,
+# per-point squared distances quantized to 1e-9 BIGINT units before
+# any distributed sum (accumulation-order-proof), cluster geometry on
+# the k x dims / k x k frames.
+
+_CHDB_CELLS = """
+v AS (
+    SELECT vec_id, label, i, CAST(e.x AS DOUBLE) AS x
+    FROM (SELECT vec_id, label,
+                 unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) e
+),
+cellsum AS (
+    SELECT label AS l2, i, SUM(x) AS sx, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM v GROUP BY 1, 2
+),
+cent AS (
+    SELECT l2, i, ROUND(sx / cnt, 6) AS c FROM cellsum
+),
+gmean AS (
+    SELECT i, ROUND(SUM(sx) / SUM(cnt), 6) AS g FROM cellsum GROUP BY 1
+),
+own AS (
+    SELECT v.vec_id, v.label,
+           CAST(ROUND(SUM((v.x - cent.c) * (v.x - cent.c)) * 1e9) AS BIGINT)
+               AS d2q
+    FROM v JOIN cent ON v.label = cent.l2 AND v.i = cent.i
+    GROUP BY 1, 2
+),
+wk AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS nk,
+           CAST(SUM(CAST(d2q AS HUGEINT)) AS HUGEINT) AS wq
+    FROM own GROUP BY 1
+),
+bk AS (
+    SELECT cent.l2 AS label,
+           CAST(ROUND(SUM((cent.c - gmean.g) * (cent.c - gmean.g)) * 1e9)
+                AS BIGINT) AS bq
+    FROM cent JOIN gmean USING (i) GROUP BY 1
+)
+"""
+
+_CH_ORACLE = f"""
+WITH {_CHDB_CELLS}
+SELECT CAST(SUM(nk) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS k_labels,
+       ROUND(SUM(CAST(wk.nk AS DOUBLE) * bk.bq / 1e9), 6) AS between_ss,
+       ROUND(SUM(CAST(wk.wq AS DOUBLE) / 1e9), 6) AS within_ss,
+       ROUND((SUM(CAST(wk.nk AS DOUBLE) * bk.bq / 1e9) / (COUNT(*) - 1))
+             / (SUM(CAST(wk.wq AS DOUBLE) / 1e9)
+                / (SUM(nk) - COUNT(*))), 6) AS ch_index
+FROM wk JOIN bk USING (label)
+"""
+
+
+@query("calinski_harabasz_index", oracle=_CH_ORACLE)
+def calinski_harabasz_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz variance-ratio cluster validity of the
+    embedding label partition: (B/(k-1)) / (W/(n-k)) with B the
+    centroid-to-grand-mean scatter weighted by cluster size and W the
+    within-cluster scatter — the global companion to
+    silhouette_by_label's per-point view (CH reads the partition as a
+    whole; the silhouette localizes which points are misassigned).
+
+    Determinism: ROUND(6) centroids and grand mean (the silhouette
+    convention); every per-point and per-centroid squared distance is
+    quantized to 1e-9 BIGINT units before the distributed sum, so
+    accumulation order cannot move the readout.
+
+    100 TB shape: one explode + (label, dim) aggregate (centroids),
+    one more for the grand mean, one broadcast-centroid distance
+    pass; everything after runs on k rows. O(n*dims), never n^2."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).withColumn("i", F.col("i0") + 1).drop("i0")
+    # ONE (label, dim) sum frame feeds BOTH the centroids and the
+    # grand mean (k x dims rows, checkpointed) — the raw explode is
+    # scanned once for statistics, once more for the distance pass
+    cellsum = v.groupBy(F.col("label").alias("l2"), "i").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint()
+    cent = cellsum.select(
+        F.col("l2").alias("lc"),
+        F.col("i").alias("ic"),
+        F.round(F.col("sx") / F.col("cnt"), 6).alias("c"),
+    )
+    gmean = cellsum.groupBy(F.col("i").alias("ig")).agg(
+        F.round(F.sum("sx") / F.sum("cnt"), 6).alias("g")
+    )
+    own = (
+        v.join(
+            F.broadcast(cent),
+            (F.col("label") == F.col("lc")) & (F.col("i") == F.col("ic")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                "CAST(ROUND(SUM((x - c) * (x - c)) * 1e9) AS BIGINT)"
+            ).alias("d2q")
+        )
+    )
+    wk = own.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum(F.col("d2q").cast("decimal(38,0)")).alias("wq"),
+    )
+    bk = (
+        cent.join(F.broadcast(gmean), F.col("ic") == F.col("ig"))
+        .groupBy(F.col("lc").alias("label"))
+        .agg(
+            F.expr(
+                "CAST(ROUND(SUM((c - g) * (c - g)) * 1e9) AS BIGINT)"
+            ).alias("bq")
+        )
+    )
+    j = wk.join(bk, "label")
+    return j.agg(
+        F.sum("nk").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("k_labels"),
+        F.round(
+            F.sum(F.col("nk").cast("double") * F.col("bq") / 1e9), 6
+        ).alias("between_ss"),
+        F.round(F.sum(F.col("wq").cast("double") / 1e9), 6).alias("within_ss"),
+        F.round(
+            (F.sum(F.col("nk").cast("double") * F.col("bq") / 1e9)
+             / (F.count(F.lit(1)) - 1))
+            / (F.sum(F.col("wq").cast("double") / 1e9)
+               / (F.sum("nk") - F.count(F.lit(1)))),
+            6,
+        ).alias("ch_index"),
+    )
+
+
+_DB_ORACLE = f"""
+WITH {_CHDB_CELLS},
+scat AS (
+    SELECT label, nk, sqrt(CAST(wq AS DOUBLE) / 1e9 / nk) AS s FROM wk
+),
+cd AS (
+    SELECT a.l2 AS la, b.l2 AS lb,
+           sqrt(CAST(ROUND(SUM((a.c - b.c) * (a.c - b.c)) * 1e9) AS BIGINT)
+                / 1e9) AS m
+    FROM cent a JOIN cent b ON a.i = b.i AND a.l2 <> b.l2
+    GROUP BY 1, 2
+),
+ratio AS (
+    SELECT sa.label, sa.nk, sa.s,
+           MAX((sa.s + sb.s) / cd.m) AS r_worst
+    FROM scat sa
+    JOIN cd ON cd.la = sa.label
+    JOIN scat sb ON sb.label = cd.lb
+    GROUP BY 1, 2, 3
+),
+idx AS (SELECT SUM(r_worst) / COUNT(*) AS db FROM ratio)
+SELECT r.label, r.nk AS n_vectors,
+       ROUND(r.s, 6) AS scatter,
+       ROUND(r.r_worst, 6) AS worst_ratio,
+       ROUND(idx.db, 6) AS db_index
+FROM ratio r, idx
+"""
+
+
+@query("davies_bouldin_index", oracle=_DB_ORACLE)
+def davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster validity per label: scatter s_k =
+    sqrt(W_k/n_k), pairwise centroid separations M_ij, per-cluster
+    worst ratio R_i = max_j (s_i+s_j)/M_ij, and the DB index (mean of
+    R_i; lower = better-separated). The pairwise-cluster view CH's
+    single global ratio collapses away — WHICH pair of labels
+    bleeds into each other.
+
+    Determinism: the CH/silhouette conventions — ROUND(6) centroids,
+    squared distances quantized to 1e-9 BIGINT before sums; the k x k
+    separation matrix is exact arithmetic over those integers.
+
+    100 TB shape: identical passes to calinski_harabasz_index plus a
+    k x k centroid cross — k^2 rows, data-size-independent."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).withColumn("i", F.col("i0") + 1).drop("i0")
+    cent = v.groupBy(
+        F.col("label").alias("lc"), F.col("i").alias("ic")
+    ).agg(
+        F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("c")
+    ).localCheckpoint()  # k x dims, consumed by own + both cross sides
+    own = (
+        v.join(
+            F.broadcast(cent),
+            (F.col("label") == F.col("lc")) & (F.col("i") == F.col("ic")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                "CAST(ROUND(SUM((x - c) * (x - c)) * 1e9) AS BIGINT)"
+            ).alias("d2q")
+        )
+    )
+    scat = own.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sqrt(
+            F.sum(F.col("d2q").cast("decimal(38,0)")).cast("double")
+            / 1e9
+            / F.count(F.lit(1))
+        ).alias("s"),
+    ).localCheckpoint()  # k rows, both sides of the ratio join
+    ca = cent.select(
+        F.col("lc").alias("la"), F.col("ic").alias("i"), F.col("c").alias("cxa")
+    )
+    cb = cent.select(
+        F.col("lc").alias("lb"), F.col("ic").alias("i"), F.col("c").alias("cxb")
+    )
+    cd = (
+        ca.join(cb, ["i"])
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.expr(
+                    "CAST(ROUND(SUM((cxa - cxb) * (cxa - cxb)) * 1e9)"
+                    " AS BIGINT)"
+                )
+                / F.lit(1e9)
+            ).alias("m")
+        )
+    )
+    ratio = (
+        scat.withColumnRenamed("label", "la_")
+        .join(cd, F.col("la_") == F.col("la"))
+        .join(
+            scat.select(
+                F.col("label").alias("lb"), F.col("s").alias("sb")
+            ),
+            "lb",
+        )
+        .groupBy(F.col("la_").alias("label"), "nk", "s")
+        .agg(F.max((F.col("s") + F.col("sb")) / F.col("m")).alias("r_worst"))
+    )
+    idx = ratio.agg(
+        (F.sum("r_worst") / F.count(F.lit(1))).alias("db")
+    )
+    return ratio.crossJoin(F.broadcast(idx)).select(
+        "label",
+        F.col("nk").alias("n_vectors"),
+        F.round(F.col("s"), 6).alias("scatter"),
+        F.round(F.col("r_worst"), 6).alias("worst_ratio"),
+        F.round(F.col("db"), 6).alias("db_index"),
+    )
+
+
+# ------------------------------------------- Fisher's g periodicity
+# Periodogram of the hourly mean-value series at the Fourier
+# frequencies j = 1..(n-1)/2, with Fisher's g = max I_j / sum I_j and
+# the peak period. Per-term (deviation x cos/sin) products are
+# quantized to 1e-9 BIGINT before summation (the acf convention), so
+# cross-engine libm ulp differences cannot smear the sums; the series
+# itself is bounded by the TIME SPAN (hours), not by row count.
+
+_FISHER_SERIES = f"""
+series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS idx,
+           CAST(svq AS DOUBLE) / cnt / 1e6 AS y
+    FROM (
+        SELECT date_trunc('hour', {DUCK_TS}) AS bucket,
+               CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS svq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    )
+)
+"""
+
+_FISHER_ORACLE = f"""
+WITH {_FISHER_SERIES},
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) / COUNT(*) AS ybar
+    FROM series
+),
+freqs AS (
+    SELECT unnest(generate_series(1, CAST((n - 1) // 2 AS INTEGER))) AS j, n
+    FROM tot
+),
+terms AS (
+    SELECT f.j,
+           CAST(SUM(CAST(ROUND((s.y - t.ybar)
+                * cos(2 * pi() * f.j * s.idx / f.n) * 1e9) AS BIGINT))
+               AS HUGEINT) AS aq,
+           CAST(SUM(CAST(ROUND((s.y - t.ybar)
+                * sin(2 * pi() * f.j * s.idx / f.n) * 1e9) AS BIGINT))
+               AS HUGEINT) AS bq
+    FROM freqs f JOIN series s ON TRUE, tot t
+    GROUP BY 1
+),
+pgram AS (
+    SELECT j,
+           CAST(aq AS DOUBLE) * CAST(aq AS DOUBLE)
+             + CAST(bq AS DOUBLE) * CAST(bq AS DOUBLE) AS i_j
+    FROM terms
+),
+top AS (
+    SELECT j AS peak_j, i_j AS i_max FROM pgram
+    ORDER BY i_j DESC, j LIMIT 1
+)
+SELECT t.n AS n_hours,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pgram) AS n_freqs,
+       CAST(top.peak_j AS BIGINT) AS peak_j,
+       ROUND(CAST(t.n AS DOUBLE) / top.peak_j, 6) AS period_hours,
+       ROUND(top.i_max / (SELECT SUM(i_j) FROM pgram), 6) AS fisher_g
+FROM tot t, top
+"""
+
+
+@query("fisher_g_periodicity", oracle=_FISHER_ORACLE)
+def fisher_g_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's g test statistic for hidden periodicity in the hourly
+    mean-value series: the periodogram over all Fourier frequencies,
+    g = max I_j / sum I_j, plus the peak period in hours — the formal
+    detector behind what harmonic_regression_daily ASSUMES (a 24 h
+    cycle) and acf_pacf_hourly eyeballs; a g near 1/m says "no
+    dominant cycle, don't fit one".
+
+    Determinism: each (deviation x cos/sin) term is quantized to 1e-9
+    BIGINT before the sums (the acf convention), so cross-engine libm
+    ulp differences and accumulation order cannot move a_j/b_j; the
+    peak pick breaks ties toward the lower frequency.
+
+    100 TB shape: ONE map-side aggregate collapses the fact to the
+    hourly series (bounded by the time span); the n x m term frame is
+    hours x hours/2 — time-bounded, data-size-independent — and
+    aggregates per frequency. At multi-year spans you band-limit j
+    the same way acf caps its lags."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)")).alias("svq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    series = hourly.select(
+        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("idx"),
+        (F.col("svq").cast("double") / F.col("cnt") / 1e6).alias("y"),
+    ).localCheckpoint()  # time-bounded frame; the n x m term cross and
+    # the totals all read it without replaying the fact scan
+    tot = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("y") / F.count(F.lit(1))).alias("ybar"),
+    )
+    freqs = (
+        tot.select(
+            F.explode(F.sequence(F.lit(1), ((F.col("n") - 1) / 2).cast("int")))
+            .alias("j"),
+            "n",
+        )
+    )
+    terms = (
+        freqs.join(series)
+        .crossJoin(F.broadcast(tot.select("ybar")))
+        .select(
+            "j",
+            F.expr(
+                "CAST(ROUND((y - ybar) * cos(2 * pi() * j * idx / n) * 1e9)"
+                " AS BIGINT)"
+            ).alias("ca"),
+            F.expr(
+                "CAST(ROUND((y - ybar) * sin(2 * pi() * j * idx / n) * 1e9)"
+                " AS BIGINT)"
+            ).alias("cb"),
+        )
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("ca").cast("decimal(38,0)")).alias("aq"),
+            F.sum(F.col("cb").cast("decimal(38,0)")).alias("bq"),
+        )
+    )
+    pgram = terms.select(
+        "j",
+        (
+            F.col("aq").cast("double") * F.col("aq").cast("double")
+            + F.col("bq").cast("double") * F.col("bq").cast("double")
+        ).alias("i_j"),
+    )
+    top = pgram.orderBy(F.col("i_j").desc(), "j").limit(1).select(
+        F.col("j").alias("peak_j"), F.col("i_j").alias("i_max")
+    )
+    agg = pgram.agg(
+        F.sum("i_j").alias("si"), F.count(F.lit(1)).cast("long").alias("n_freqs")
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            F.col("n").alias("n_hours"),
+            "n_freqs",
+            F.col("peak_j").cast("long").alias("peak_j"),
+            F.round(F.col("n").cast("double") / F.col("peak_j"), 6).alias(
+                "period_hours"
+            ),
+            F.round(F.col("i_max") / F.col("si"), 6).alias("fisher_g"),
+        )
+    )
+
+
+# ------------------------------------ Z-order layout pruning audit
+# Data-layout effectiveness: model a 64-file table written two ways —
+# time-range files (file = hour-range slice, what a time-partitioned
+# table is) vs Z-order files (file = fixed-width range of the Morton
+# interleave of RANGE-SCALED (user, day) coordinates) — and measure,
+# for a point predicate user_id = u probed over EVERY distinct user,
+# what fraction of files min/max statistics prune. Coordinates are
+# scaled into 0..255 from the ACTUAL key domain (min/max broadcast) —
+# what a real Z-order writer does; raw modulo coordinates would leave
+# the high interleave bits constant on narrow domains and the code
+# degenerate (caught by this round's literal-simulation pin).
+
+ZORDER_FILES = 64
+
+# Morton interleave of two 8-bit coordinates, u bits on odd positions.
+_MORTON = " + ".join(
+    f"(((u >> {i}) & 1) * {1 << (2 * i + 1)}) + (((d >> {i}) & 1) * {1 << (2 * i)})"
+    for i in range(8)
+)
+
+_ZORDER_ORACLE = f"""
+WITH raw AS (
+    SELECT user_id,
+           CAST(epoch_us(date_trunc('day', {DUCK_TS}))
+                // 86400000000 AS BIGINT) AS dayi,
+           CAST(epoch_us(date_trunc('hour', {DUCK_TS}))
+                // 3600000000 AS BIGINT) AS h
+    FROM events
+),
+span AS (
+    SELECT MIN(h) AS h0, MAX(h) AS h1,
+           MIN(user_id) AS u0, MAX(user_id) AS u1,
+           MIN(dayi) AS d0, MAX(dayi) AS d1
+    FROM raw
+),
+base AS (
+    SELECT user_id,
+           ((user_id - span.u0) * 256) // (span.u1 - span.u0 + 1) AS u,
+           ((dayi - span.d0) * 256) // (span.d1 - span.d0 + 1) AS d,
+           h, span.h0, span.h1
+    FROM raw, span
+),
+rowsx AS (
+    SELECT user_id,
+           CAST(((h - h0) * {ZORDER_FILES}) // (h1 - h0 + 1) AS BIGINT)
+               AS f_time,
+           CAST(({_MORTON}) // {65536 // ZORDER_FILES} AS BIGINT) AS f_zorder
+    FROM base
+),
+files AS (
+    SELECT 'time_range' AS layout, f_time AS f,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(user_id) AS min_u, MAX(user_id) AS max_u
+    FROM rowsx GROUP BY 2
+    UNION ALL
+    SELECT 'zorder' AS layout, f_zorder AS f,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(user_id) AS min_u, MAX(user_id) AS max_u
+    FROM rowsx GROUP BY 2
+),
+probes AS (SELECT DISTINCT user_id AS pu FROM raw),
+hit AS (
+    SELECT f.layout, p.pu,
+           CAST(SUM(CASE WHEN p.pu BETWEEN f.min_u AND f.max_u
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+    FROM files f CROSS JOIN probes p
+    GROUP BY 1, 2
+)
+SELECT f.layout,
+       CAST(COUNT(DISTINCT f.f) AS BIGINT) AS n_files,
+       CAST(MAX(f.n_rows) AS BIGINT) AS max_file_rows,
+       (SELECT ROUND(SUM(h.n_scanned) / CAST(COUNT(*) AS DOUBLE)
+                     / COUNT(DISTINCT f2.f), 6)
+        FROM hit h, (SELECT DISTINCT f AS f FROM files x
+                     WHERE x.layout = f.layout) f2
+        WHERE h.layout = f.layout) AS avg_scan_fraction
+FROM files f
+GROUP BY 1
+"""
+
+
+@query("zorder_pruning_audit", oracle=_ZORDER_ORACLE)
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout effectiveness audit: the same fact written as
+    {ZORDER_FILES} time-range files vs {ZORDER_FILES} Z-order files
+    (Morton interleave of range-scaled user x day coordinates),
+    scored by the fraction of files a point predicate
+    ``user_id = u`` must scan under min/max file statistics, averaged
+    over every distinct user. The quantitative backing for an
+    OPTIMIZE ZORDER decision: time-range files carry every user in
+    every file (scan fraction ~1), the Morton layout co-locates each
+    user into a few code ranges.
+
+    Determinism: coordinate scaling, the Morton code (an explicit
+    shift-and-mask sum, identical text both engines), file stats, and
+    probe hits are ALL integer arithmetic; the only double is the
+    final averaged fraction. Coordinates scale into 0..255 from the
+    broadcast key domain — raw modulo coordinates degenerate on
+    narrow domains (high interleave bits constant; caught by the
+    literal-simulation pin).
+
+    100 TB shape: file assignment is MAP-SIDE math (fixed key-range
+    files, the layout a range-partitioned writer produces — no global
+    row_number); file stats are one {ZORDER_FILES}-cell aggregate;
+    the probe matrix is distinct-users x {ZORDER_FILES} via a
+    broadcast of the file-stats frame."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        "user_id",
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / 86400000000)
+        .cast("long")
+        .alias("dayi"),
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3600000000)
+        .cast("long")
+        .alias("h"),
+    )
+    span = raw.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"),
+        F.min("user_id").alias("u0"), F.max("user_id").alias("u1"),
+        F.min("dayi").alias("d0"), F.max("dayi").alias("d1"),
+    )
+    base = raw.crossJoin(F.broadcast(span)).selectExpr(
+        "user_id",
+        "((user_id - u0) * 256) div (u1 - u0 + 1) AS u",
+        "((dayi - d0) * 256) div (d1 - d0 + 1) AS d",
+        "h", "h0", "h1",
+    )
+    rowsx = base.select(
+        "user_id",
+        F.expr(
+            f"CAST(((h - h0) * {ZORDER_FILES}) div (h1 - h0 + 1) AS BIGINT)"
+        ).alias("f_time"),
+        F.expr(
+            f"CAST(({_MORTON}) div {65536 // ZORDER_FILES} AS BIGINT)"
+        ).alias("f_zorder"),
+    )
+
+    # ONE pass produces both layouts' file stats: each row explodes to
+    # its (layout, file) pair, then a single 2x{ZORDER_FILES}-cell
+    # aggregate; the 128-row result is checkpointed for the probe join
+    files = (
+        rowsx.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("time_range").alias("layout"),
+                        F.col("f_time").alias("f"),
+                    ),
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.col("f_zorder").alias("f"),
+                    ),
+                )
+            ).alias("lf"),
+        )
+        .groupBy(F.col("lf.layout").alias("layout"), F.col("lf.f").alias("f"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("user_id").alias("min_u"),
+            F.max("user_id").alias("max_u"),
+        )
+        .localCheckpoint()
+    )
+    probes = raw.select(F.col("user_id").alias("pu")).distinct()
+    hit = (
+        probes.crossJoin(F.broadcast(files))
+        .groupBy("layout", "pu")
+        .agg(
+            F.sum(
+                (
+                    (F.col("pu") >= F.col("min_u"))
+                    & (F.col("pu") <= F.col("max_u"))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_scanned")
+        )
+    )
+    fstats = files.groupBy("layout").agg(
+        F.countDistinct("f").cast("long").alias("n_files"),
+        F.max("n_rows").cast("long").alias("max_file_rows"),
+    )
+    frac = (
+        hit.join(F.broadcast(fstats), "layout")
+        .groupBy("layout")
+        .agg(
+            F.round(
+                F.sum("n_scanned")
+                / F.count(F.lit(1)).cast("double")
+                / F.max("n_files"),
+                6,
+            ).alias("avg_scan_fraction")
+        )
+    )
+    return fstats.join(frac, "layout").select(
+        "layout", "n_files", "max_file_rows", "avg_scan_fraction"
+    )

@@ -473,3 +473,38 @@ def test_round10_plan_shapes(spark):
     plan, _ = _plans(spark, "silhouette_by_label")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round11_plan_shapes(spark):
+    """Round-11 batch: no cartesian products, no global sorts
+    (Exchange rangepartitioning), dimension/statistic frames broadcast,
+    and the fact never re-scanned more than the documented budget
+    (bounded helper frames are localCheckpoint'd -> Scan ExistingRDD)."""
+    import re
+
+    budgets = {  # max FileScan nodes allowed in the final plan
+        "friedman_test_day_blocks": 2,
+        "mood_median_test": 2,
+        "grubbs_outlier_scan": 3,
+        "chow_break_test": 1,
+        "neyman_allocation_plan": 1,
+        "calinski_harabasz_index": 2,
+        "davies_bouldin_index": 1,
+        "fisher_g_periodicity": 1,
+        "zorder_pruning_audit": 2,
+    }
+    for name, budget in budgets.items():
+        plan, _ = _plans(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert not re.search(r"Sort \[[^\]]*\], true", plan), name
+        assert plan.count("FileScan") <= budget, (
+            name, plan.count("FileScan"))
+
+    # the statistic-side joins stay broadcast (fact side never
+    # shuffles for a k-row frame)
+    for name in ("grubbs_outlier_scan", "neyman_allocation_plan",
+                 "calinski_harabasz_index", "zorder_pruning_audit"):
+        plan, _ = _plans(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
