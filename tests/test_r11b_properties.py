@@ -420,3 +420,111 @@ def test_window_funnel_matches_literal_greedy(spark):
     got = {r.funnel_depth: r.n_users
            for r in QUERIES["window_funnel_conversion"](spark, SF_DIR).collect()}
     assert got == {d: n for d, n in hist.items()}
+
+
+# ----------------------- SimHash / capture-recapture / misc remainder
+
+
+def _simhash_fp(docs: pd.DataFrame) -> dict:
+    """60-bit SimHash per doc from md5 word hashes weighted by term
+    frequency (literal bit loop)."""
+    out = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        cnt = Counter(text.split(" "))
+        score = [0] * 60
+        for w, c in cnt.items():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                score[b] += c if (h >> b) & 1 else -c
+        fp = 0
+        for b in range(60):
+            if score[b] > 0:
+                fp |= 1 << b
+        out[int(doc_id)] = fp
+    return out
+
+
+def test_simhash_near_pairs_match_allpairs_hamming(spark, docs):
+    fps = _simhash_fp(docs)
+    ids = sorted(fps)
+    expected = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(fps[ids[i]] ^ fps[ids[j]]).count("1")
+            if h <= 4:
+                expected[(ids[i], ids[j])] = h
+    got = {(r.doc_id_a, r.doc_id_b): r.hamming
+           for r in QUERIES["simhash_near_pairs"](spark, SF_DIR).collect()}
+    assert got == expected
+
+
+def test_capture_recapture_matches_literal_capture_lists(spark, docs):
+    """Both capture lists recomputed naively (LSH band candidates via
+    the literal 16-permutation loop; SimHash pairs via the all-pairs
+    Hamming scan) + the Chapman algebra."""
+    sh = _shingle_tokens(docs)
+    mins = {d: _minhash_rows(s) for d, s in sh.items()}
+    lsh = _lsh_candidates(mins)
+    fps = _simhash_fp(docs)
+    ids = sorted(fps)
+    simp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(fps[ids[i]] ^ fps[ids[j]]).count("1") <= 4:
+                simp.add((ids[i], ids[j]))
+    n1, n2, m = len(lsh), len(simp), len(lsh & simp)
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    r = QUERIES["capture_recapture_dedup"](spark, SF_DIR).first()
+    assert (r.n_minhash_pairs, r.n_simhash_pairs, r.n_overlap) == (n1, n2, m)
+    assert abs(r.chapman_total_est - chapman) < 1e-4
+    assert abs(r.minhash_coverage_est - n1 / chapman) < 1e-6
+    assert abs(r.simhash_coverage_est - n2 / chapman) < 1e-6
+
+
+def test_centroid_separation_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb.embedding])
+    labels = emb.label.to_numpy()
+    ls = sorted(set(labels))
+    cents = {l: np.round(X[labels == l].mean(axis=0), 6) for l in ls}
+    for r in QUERIES["centroid_separation_audit"](spark, SF_DIR).collect():
+        assert r.n_vectors == int((labels == r.label).sum())
+        assert abs(
+            r.centroid_norm2 - round(float((cents[r.label] ** 2).sum()), 6)
+        ) < 2e-6
+        d2 = {
+            l: round(float(((cents[r.label] - cents[l]) ** 2).sum()), 6)
+            for l in ls
+            if l != r.label
+        }
+        best = min(d2, key=lambda l: (d2[l], l))
+        assert r.nearest_label == best
+        assert abs(r.nearest_dist2 - d2[best]) < 2e-6
+
+
+def test_cohort_revenue_triangle_matches_literal(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    q2 = lambda v: Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+    wk = (
+        orders.o_orderdate.astype("datetime64[ns]").astype("int64")
+        // 10**9
+        // 604800
+    )
+    cohort = wk.groupby(orders.o_custkey).transform("min")
+    tri: dict = {}
+    for ck, w, cw, p in zip(
+        orders.o_custkey, wk, cohort, orders.o_totalprice
+    ):
+        key = (int(cw) * 604800, int(w - cw))
+        users, n, rev = tri.get(key, (set(), 0, Decimal(0)))
+        users.add(ck)
+        tri[key] = (users, n + 1, rev + q2(p))
+    got = QUERIES["cohort_revenue_triangle"](spark, SF_DIR).collect()
+    assert len(got) == len(tri)
+    for r in got:
+        users, n, rev = tri[(r.cohort_week, r.age_weeks)]
+        assert r.n_customers == len(users)
+        assert r.n_orders == n
+        assert abs(r.revenue - float(rev)) < 1e-4
