@@ -90,6 +90,15 @@ PICKS = [
     ("target_encode_loo",
      "leakage-free target encoder: ONE scan, ONE cell-frame shuffle; the "
      "category/fold/global marginals are windows over the ~25-row cells"),
+    ("zorder_pruning_audit",
+     "layout audit: map-side key-range file assignment (no global "
+     "row_number), one 128-cell stats aggregate, broadcast probe matrix"),
+    ("chow_break_test",
+     "structural-break OLS: ONE scan to a 2-cell HUGEINT moment frame; "
+     "the cancellations form in exact integers, doubles only at readout"),
+    ("fisher_g_periodicity",
+     "periodogram: fact collapses to the checkpointed hourly series; the "
+     "n x m trig frame is time-bounded, per-term 1e-9 quantized"),
     ("calibration_bins",
      "classifier reliability: zero-shuffle scan scoring into a <=21-cell "
      "aggregate; the global window runs on the post-aggregate bin frame"),
