@@ -528,3 +528,90 @@ def test_cohort_revenue_triangle_matches_literal(spark):
         assert r.n_customers == len(users)
         assert r.n_orders == n
         assert abs(r.revenue - float(rev)) < 1e-4
+
+
+def test_ivf_probe_recall_matches_numpy(spark):
+    """IVF recall curve vs a literal numpy pipeline: label centroids,
+    cosine cell ranking, per-probe exact top-10, hit counting."""
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb.embedding])
+    vids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    q = X[vids == 0][0]
+    cents = {l: X[labels == l].mean(axis=0) for l in set(labels)}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cells = sorted(cents, key=lambda l: (-cos(cents[l], q), l))
+    scored = sorted(
+        [(-cos(X[i], q), int(vids[i]), labels[i])
+         for i in range(len(X)) if vids[i] != 0]
+    )
+    exact = {v for _, v, _ in scored[:10]}
+    expect = {}
+    for p in (1, 2, 3):
+        allowed = set(cells[:p])
+        got = [v for _, v, l in scored if l in allowed][:10]
+        expect[p] = (len(got), len(set(got) & exact))
+    for r in QUERIES["ivf_probe_recall_curve"](spark, SF_DIR).collect():
+        n_ret, n_hits = expect[r.nprobe]
+        assert r.n_retrieved == n_ret
+        assert r.n_hits == n_hits
+        assert abs(r.recall_at_k - n_hits / 10.0) < 1e-9
+
+
+def test_centroid_drift_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb.embedding])
+    vids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    for r in QUERIES["embedding_centroid_drift"](spark, SF_DIR).collect():
+        sel = labels == r.label
+        ev = X[sel & (vids % 2 == 0)]
+        od = X[sel & (vids % 2 == 1)]
+        assert (r.n_even, r.n_odd) == (len(ev), len(od))
+        ca, cb = ev.mean(axis=0), od.mean(axis=0)
+        c = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert abs(r.centroid_cosine - c) < 1e-5
+
+
+def test_kendall_capped_matches_literal_pairs(spark):
+    """Capped Kendall tau-b vs a literal pair loop over per-device
+    daily (sum, count) cells with cross-multiplied comparisons."""
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    d = ev[ev.value.notna()]
+    days = (
+        d.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 86400
+    ).to_numpy()
+    vu = np.round(d.value.to_numpy() * 1e6).astype(np.int64)
+    cells: dict = {}
+    for u, dy, v in zip(d.user_id, days, vu):
+        s, c = cells.get((u, dy), (0, 0))
+        cells[(u, dy)] = (s + int(v), c + 1)
+    rows = {r.user_id: r
+            for r in QUERIES["kendall_trend_per_device"](spark, SF_DIR).collect()}
+    for u in set(d.user_id):
+        hist = sorted(
+            ((dy, s, c) for (uu, dy), (s, c) in cells.items() if uu == u),
+            key=lambda t: -t[0],
+        )[:128]
+        hist.sort()
+        con = dis = n0 = 0
+        for i in range(len(hist)):
+            for j in range(i + 1, len(hist)):
+                _, s1, c1 = hist[i]
+                _, s2, c2 = hist[j]
+                n0 += 1
+                if s2 * c1 > s1 * c2:
+                    con += 1
+                elif s2 * c1 < s1 * c2:
+                    dis += 1
+        ties = n0 - con - dis
+        if n0 <= ties:
+            assert u not in rows
+            continue
+        tau = (con - dis) / math.sqrt(n0 * (n0 - ties))
+        r = rows[u]
+        assert (r.n_days, r.concordant, r.discordant) == (len(hist), con, dis)
+        assert abs(r.tau_b - tau) < 1e-6
