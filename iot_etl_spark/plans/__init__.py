@@ -58,6 +58,8 @@ ROUND11_REGISTRATIONS: list[str] = [
     "davies_bouldin_index",
     "fisher_g_periodicity",
     "zorder_pruning_audit",
+    "rbp_err_retrieval_eval",
+    "cdc_chunk_dedup",
 ]
 
 _DRIVER_WINDOW_FIRST: list[str] = ROUND11_REGISTRATIONS + [

@@ -1300,3 +1300,273 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fstats.join(frac, "layout").select(
         "layout", "n_files", "max_file_rows", "avg_scan_fraction"
     )
+
+
+# ------------------------ RBP + ERR retrieval evaluation (label-judged)
+# Completes the retrieval-metric lane past NDCG/MRR: RBP (Moffat &
+# Zobel, persistence p = 0.8) models a user scanning down with
+# probability p of continuing; ERR (Chapelle et al.) models a user
+# stopping at the first satisfying hit. Same judged retriever as
+# ndcg_label_retrieval (rounded-cosine ranking, label-match binary
+# relevance, shared query set).
+#
+# EXACT integer terms on both engines:
+# - RBP discount 1e9 * 0.8^(r-1) is an exact integer for r <= 10
+#   (0.8^k * 1e9 = 4^k * 2^9 * 5^(9-k)), so no rounding tie exists;
+#   RBP = (1-p) * sum(rel_r * disc_r) / 1e9.
+# - ERR with binary relevance has R_i = 1/2 for relevant, 0 else, so
+#   the stopping product prod(1 - R_i) over the prefix is 2^(-c) with
+#   c = relevant hits before r — ERR terms are rel_r / (r * 2^(c+1)),
+#   exact rationals quantized to 1e9 (ties impossible: denominators
+#   are r * powers of 2).
+
+RBP_P_NANO = {r: round(1_000_000_000 * 0.8 ** (r - 1)) for r in range(1, 11)}
+
+_RBP_DISC_SQL = (
+    "CAST(round(1000000000 * power(CAST(0.8 AS DOUBLE), rnk - 1)) AS BIGINT)"
+)
+_ERR_TERM_SQL = (
+    "CAST(round(CAST(1000000000 AS DOUBLE) * rel"
+    " / (rnk * power(CAST(2 AS DOUBLE), prev_rel + 1))) AS BIGINT)"
+)
+
+_RBP_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb FROM v
+      WHERE vec_id IN (0, 3, 7, 11, 19, 23, 42, 57)),
+hits AS (
+    SELECT qid, qlabel, rel, rnk FROM (
+        SELECT q.qid, q.qlabel,
+               CASE WHEN v.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_inner_product(v.emb, q.qemb)
+                                  / (sqrt(list_inner_product(v.emb, v.emb))
+                                     * sqrt(list_inner_product(q.qemb, q.qemb))),
+                            6) DESC, v.vec_id) AS rnk
+        FROM v JOIN q ON v.vec_id <> q.qid
+    ) WHERE rnk <= 10
+),
+terms AS (
+    SELECT qid, qlabel, rel, rnk,
+           CAST(COALESCE(SUM(rel) OVER (PARTITION BY qid ORDER BY rnk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS prev_rel
+    FROM hits
+)
+SELECT qid AS query_id, qlabel AS label,
+       CAST(SUM(rel) AS BIGINT) AS n_rel,
+       ROUND(0.2 * CAST(SUM(rel * {_RBP_DISC_SQL}) AS BIGINT) / 1e9, 6)
+           AS rbp_08,
+       ROUND(CAST(SUM({_ERR_TERM_SQL}) AS BIGINT) / 1e9, 6) AS err
+FROM terms
+GROUP BY 1, 2
+"""
+
+
+@query("rbp_err_retrieval_eval", oracle=_RBP_ORACLE)
+def rbp_err_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBP(p=0.8) and ERR retrieval evaluation over the judged cosine
+    retriever — the two user models the eval lane lacked beside
+    NDCG's positional discount and MRR's first-hit: RBP weights rank
+    r by the chance a persistence-p scanner reaches it; ERR weights
+    it by the chance every earlier relevant hit failed to satisfy.
+    Same ranking contract and query set as ndcg_label_retrieval, so
+    the three metrics grade the SAME lists.
+
+    Determinism (module note): RBP discounts are exact nano integers
+    (0.8^k * 1e9 has no fractional part for k <= 9); ERR's stopping
+    product collapses to 2^(-prev_rel) under binary relevance, so
+    every term is an exact rational quantized to 1e9 with no
+    reachable rounding tie.
+
+    100 TB shape: identical to ndcg_label_retrieval — broadcast 8-row
+    query dim, scan-and-score, per-query windows over candidate sets;
+    the ERR prefix count is a window over <= 10 rows per query."""
+    from iot_etl_spark.plans.queries_embed import (
+        NDCG_QUERY_IDS,
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("emb")
+    )
+    qv = emb.filter(F.col("vec_id").isin(*NDCG_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlabel", "vec_id",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            F.round(
+                _dot(F.col("emb"), F.col("qemb"))
+                / (_norm(F.col("emb")) * _norm(F.col("qemb"))), 6,
+            ).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    hits = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "qlabel", "rel", "rnk")
+    )
+    wprev = (
+        Window.partitionBy("qid")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = hits.withColumn(
+        "prev_rel",
+        F.coalesce(F.sum("rel").over(wprev), F.lit(0)).cast("long"),
+    )
+    return terms.groupBy(
+        F.col("qid").alias("query_id"), F.col("qlabel").alias("label")
+    ).agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.round(
+            0.2 * F.sum(F.col("rel") * F.expr(_RBP_DISC_SQL)).cast("long") / 1e9,
+            6,
+        ).alias("rbp_08"),
+        F.round(
+            F.sum(F.expr(_ERR_TERM_SQL)).cast("long") / 1e9, 6
+        ).alias("err"),
+    )
+
+
+# ------------------------- content-defined chunk dedup (rsync / CDC)
+# Chunk-level dedup: boundaries are decided by LOCAL CONTENT (the
+# md5 hash of the 3-word window ending at each position, boundary
+# when h % 64 == 0 — gear/Rabin-style content-defined chunking), so
+# an insertion early in a document shifts at most one chunk instead
+# of re-keying every fixed-width block. The modality the dedup family
+# lacked: exact (whole doc), MinHash/SimHash (near-dup doc), n-gram
+# (span) — CDC catches SHARED SUBSEQUENCES across different docs, the
+# rsync/backup-dedup shape LLM corpora use for boilerplate stripping.
+
+CDC_MASK = 64  # expected chunk length ~ CDC_MASK words
+
+
+def _cdc_bounds_expr() -> str:
+    """Per-word boundary flag: words i-2..i hash to 0 mod {CDC_MASK}
+    (0 for i < 2 — a chunk never breaks inside the first 2 words)."""
+    return (
+        "transform(ws, (w, i) -> CASE WHEN i >= 2 AND "
+        "cast(conv(substr(md5(concat_ws(' ', ws[i-2], ws[i-1], ws[i])), 1, 8),"
+        f" 16, 10) AS BIGINT) % {CDC_MASK} = 0 THEN 1 ELSE 0 END)"
+    )
+
+
+_CDC_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+pos AS (
+    SELECT doc_id, source, i, word,
+           CASE WHEN i >= 3 AND
+                ('0x' || substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]),
+                                1, 8))::BIGINT % {CDC_MASK} = 0
+                THEN 1 ELSE 0 END AS bnd
+    FROM (
+        SELECT doc_id, source, ws,
+               unnest(ws) AS word,
+               generate_subscripts(ws, 1) AS i
+        FROM w
+    )
+),
+chunked AS (
+    SELECT doc_id, source, i, word,
+           CAST(COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS chunk_id
+    FROM pos
+),
+chunks AS (
+    SELECT doc_id, source, chunk_id,
+           md5(string_agg(word, ' ' ORDER BY i)) AS chash,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM chunked GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chash) AS BIGINT) AS n_distinct_chunks,
+       ROUND(1.0 - COUNT(DISTINCT chash) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS dup_chunk_rate,
+       ROUND(SUM(n_words) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_chunk_words
+FROM chunks
+GROUP BY 1
+"""
+
+
+@query("cdc_chunk_dedup", oracle=_CDC_ORACLE)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup audit per source: split every
+    document at positions where the 3-word window hashes to
+    0 mod {CDC_MASK} (expected chunk ~{CDC_MASK} words), fingerprint
+    each chunk, and report the duplicate-chunk rate — the
+    shift-resistant rsync/backup dedup modality the family lacked
+    (exact = whole doc, MinHash/SimHash = near-dup doc, n-gram =
+    fixed span; CDC finds shared SUBSEQUENCES and survives
+    insertions, which re-key every fixed-width block).
+
+    Determinism: boundaries and chunk ids are pure integer md5
+    arithmetic; chunk fingerprints are md5 of the space-joined words
+    with an explicit position order on both engines.
+
+    100 TB shape: the boundary flags compute MAP-SIDE inside one
+    higher-order expression over the word array (md5 once per
+    position); the only shuffles are the per-doc chunk assembly
+    (doc_id-keyed, bounded by words-per-doc) and the per-source
+    distinct aggregate — the same two-shuffle budget as doc_chunks.
+    In production the chunk table IS the dedup index: new corpus
+    increments join it on chash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    pos = docs.select(
+        "doc_id", "source",
+        F.posexplode(
+            F.arrays_zip(F.col("ws"), F.expr(_cdc_bounds_expr()).alias("b"))
+        ).alias("i", "wb"),
+    ).select(
+        "doc_id", "source", "i",
+        F.col("wb.ws").alias("word"),
+        F.col("wb.b").alias("bnd"),
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.withColumn(
+        "chunk_id", F.coalesce(F.sum("bnd").over(wdoc), F.lit(0)).cast("long")
+    )
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, word))),"
+                    " s -> s.word)"
+                ),
+                " ",
+            )
+        ).alias("chash"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("chash").cast("long").alias("n_distinct_chunks"),
+        F.round(
+            1.0 - F.countDistinct("chash") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_chunk_rate"),
+        F.round(
+            F.sum("n_words") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_chunk_words"),
+    )

@@ -492,6 +492,8 @@ def test_round11_plan_shapes(spark):
         "davies_bouldin_index": 1,
         "fisher_g_periodicity": 1,
         "zorder_pruning_audit": 2,
+        "rbp_err_retrieval_eval": 2,
+        "cdc_chunk_dedup": 1,
     }
     for name, budget in budgets.items():
         plan, _ = _plans(spark, name)

@@ -279,3 +279,73 @@ def test_zorder_audit_matches_literal_simulation(spark, ev):
         assert abs(r.avg_scan_fraction - frac) < 1e-6
     # the audit's point: z-order prunes, time-range files don't
     assert out["zorder"][2] < out["time_range"][2]
+
+
+def test_rbp_err_matches_literal_user_models(spark):
+    """RBP/ERR vs a literal per-query scoring loop over the same
+    rounded-cosine ranking contract."""
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb.embedding])
+    vids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    rows = {r.query_id: r
+            for r in QUERIES["rbp_err_retrieval_eval"](spark, SF_DIR).collect()}
+    for q in (0, 3, 7, 11, 19, 23, 42, 57):
+        qv = X[vids == q][0]
+        ql = labels[vids == q][0]
+        scored = sorted(
+            (
+                -round(float(X[i] @ qv / (np.linalg.norm(X[i]) * np.linalg.norm(qv))), 6),
+                int(vids[i]),
+                labels[i] == ql,
+            )
+            for i in range(len(X))
+            if vids[i] != q
+        )[:10]
+        rbp = err = 0.0
+        prev_rel = 0
+        for r, (_, _, rel) in enumerate(scored, start=1):
+            if rel:
+                rbp += 0.8 ** (r - 1)
+                err += 1.0 / (r * 2 ** (prev_rel + 1))
+                prev_rel += 1
+        row = rows[q]
+        assert row.label == ql
+        assert row.n_rel == sum(rel for _, _, rel in scored)
+        assert abs(row.rbp_08 - 0.2 * rbp) < 1e-6
+        assert abs(row.err - err) < 1e-6
+
+
+def test_cdc_chunks_match_literal_walk(spark):
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    stats: dict = {}
+    for src, text in zip(docs.source, docs.text):
+        ws = text.split(" ")
+        chunks, cur = [], []
+        for i, w in enumerate(ws):
+            cur.append(w)
+            if i >= 2:
+                h = int(
+                    hashlib.md5(" ".join(ws[i - 2 : i + 1]).encode())
+                    .hexdigest()[:8],
+                    16,
+                )
+                if h % 64 == 0:
+                    chunks.append(cur)
+                    cur = []
+        if cur:
+            chunks.append(cur)
+        n, dset, words = stats.get(src, (0, set(), 0))
+        for ch in chunks:
+            dset.add(hashlib.md5(" ".join(ch).encode()).hexdigest())
+            words += len(ch)
+            n += 1
+        stats[src] = (n, dset, words)
+    for r in QUERIES["cdc_chunk_dedup"](spark, SF_DIR).collect():
+        n, dset, words = stats[r.source]
+        assert r.n_chunks == n
+        assert r.n_distinct_chunks == len(dset)
+        assert abs(r.dup_chunk_rate - (1 - len(dset) / n)) < 1e-6
+        assert abs(r.avg_chunk_words - words / n) < 1e-6
