@@ -60,6 +60,9 @@ ROUND11_REGISTRATIONS: list[str] = [
     "zorder_pruning_audit",
     "rbp_err_retrieval_eval",
     "cdc_chunk_dedup",
+    "g_test_type_dow",
+    "ewma_control_chart",
+    "partial_corr_value_hour",
 ]
 
 _DRIVER_WINDOW_FIRST: list[str] = ROUND11_REGISTRATIONS + [

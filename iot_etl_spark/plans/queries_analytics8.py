@@ -1570,3 +1570,364 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words") / F.count(F.lit(1)).cast("double"), 6
         ).alias("avg_chunk_words"),
     )
+
+
+# --------------------------------------------- G-test of independence
+# Log-likelihood-ratio companion to chi2_type_dow over the SAME dense
+# (type x dow) contingency: G = 2 * sum o * ln(o/e). G is additive
+# under table partitions (the decomposition property chi2 lacks) and
+# is the stat of choice when expected cells are small. Zero cells
+# contribute 0 to G (lim o->0 of o ln o = 0) but their expected mass
+# still shapes e through the margins — the densified grid matters.
+
+_GTEST_ORACLE = """
+WITH c AS (
+    SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS dw,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT t.event_type, d.dw FROM (SELECT DISTINCT event_type FROM c) t
+    CROSS JOIN (SELECT DISTINCT dw FROM c) d
+),
+dense AS (
+    SELECT grid.event_type, grid.dw, COALESCE(c.o, 0) AS o
+    FROM grid LEFT JOIN c USING (event_type, dw)
+),
+e AS (
+    SELECT event_type, o,
+           SUM(o) OVER (PARTITION BY event_type) AS rt,
+           SUM(o) OVER (PARTITION BY dw) AS ct,
+           SUM(o) OVER () AS n
+    FROM dense
+)
+SELECT event_type,
+       CAST(MAX(rt) AS BIGINT) AS n_rows,
+       ROUND(2.0 * SUM(CASE WHEN o > 0 THEN
+                 o * ln(o / (CAST(rt AS DOUBLE) * ct / n)) ELSE 0 END), 6)
+           AS g_contrib
+FROM e GROUP BY event_type
+"""
+
+
+@query("g_test_type_dow", oracle=_GTEST_ORACLE)
+def g_test_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of event_type x day-of-week
+    independence, per-type contributions over the densified
+    contingency — the additive companion to chi2_type_dow: G
+    decomposes exactly across table partitions, so per-type
+    contributions SUM to the table statistic (chi2's don't under
+    pooling), and it behaves better when expected cells are small.
+
+    Determinism: counts and margins are exact BIGINTs on the dense
+    grid; each o*ln(o/e) term is one shared-verbatim double
+    expression; per-type sums run over <= 7 cells. Day-of-week
+    labels never leave the query, so the Spark/DuckDB numbering
+    bijection is irrelevant (the chi2_type_dow argument).
+
+    100 TB shape: one (type, dow) count shuffle — at most |types|*7
+    cells regardless of row count; everything after runs on the
+    dense grid."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", F.dayofweek("ts").alias("dw")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    grid = c.select("event_type").distinct().crossJoin(
+        c.select("dw").distinct()
+    )
+    dense = grid.join(c, ["event_type", "dw"], "left").withColumn(
+        "o", F.coalesce("o", F.lit(0))
+    )
+    wt = Window.partitionBy("event_type")
+    wd = Window.partitionBy("dw")
+    wn = Window.partitionBy()
+    e = dense.select(
+        "event_type", "o",
+        F.sum("o").over(wt).alias("rt"),
+        F.sum("o").over(wd).alias("ct"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    term = F.when(
+        F.col("o") > 0,
+        F.col("o")
+        * F.log(
+            F.col("o")
+            / (F.col("rt").cast("double") * F.col("ct") / F.col("n"))
+        ),
+    ).otherwise(0.0)
+    return e.groupBy("event_type").agg(
+        F.max("rt").cast("long").alias("n_rows"),
+        F.round(2.0 * F.sum(term), 6).alias("g_contrib"),
+    )
+
+
+# --------------------------------------------- EWMA control chart
+# Per-device EWMA (lambda = 1/4) over the DAILY-MEAN series with
+# steady-state 3-sigma control limits — the drift detector between
+# the z-score flaggers (memoryless) and CUSUM/Page-Hinkley (change
+# accumulation): EWMA_t = sum_j lambda (1-lambda)^j x_{t-j} weights
+# recent days geometrically. History is capped to the most recent
+# {_EWMA_DAY_CAP} days (the kendall day-cap convention — the weight
+# below the cap is (3/4)^64 ~ 1e-8, beneath the 1e-6 readout);
+# each weighted term is quantized to its nearest integer micro-unit
+# (acf convention), so accumulation order and libm pow ulps cannot
+# move the sums. Weights follow the textbook recursion (x_1 keeps the
+# full (1-lambda)^(t-1) residue), so weights sum to exactly 1.
+
+_EWMA_LAMBDA_NUM, _EWMA_LAMBDA_DEN = 1, 4  # lambda = 1/4
+_EWMA_DAY_CAP = 64
+
+_EWMA_CHART_ORACLE = f"""
+WITH d0 AS (
+    SELECT user_id, epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+               // 86400000000 AS day,
+           CAST(ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT))
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mq
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+d AS (
+    SELECT user_id, day, mq,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+    FROM (
+        SELECT * FROM d0
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC)
+            <= {_EWMA_DAY_CAP}
+    )
+),
+m AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+           SUM(CAST(mq AS HUGEINT)) AS s,
+           SUM(CAST(mq AS HUGEINT) * mq) AS ss
+    FROM d GROUP BY 1
+),
+ew AS (
+    SELECT a.user_id, a.rn, a.day,
+           CAST(SUM(CAST(ROUND(
+               CASE WHEN b.rn = 1
+                    THEN power(CAST(0.75 AS DOUBLE), a.rn - 1) * b.mq
+                    ELSE 0.25 * power(CAST(0.75 AS DOUBLE), a.rn - b.rn)
+                         * b.mq END) AS BIGINT)) AS HUGEINT) AS ewq
+    FROM d a JOIN d b ON a.user_id = b.user_id AND b.rn <= a.rn
+    GROUP BY 1, 2, 3
+),
+lim AS (
+    SELECT m.user_id, m.n_days,
+           CAST(m.s AS DOUBLE) / m.n_days AS mu,
+           sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n_days)
+                / (m.n_days - 1)) AS sd
+    FROM m WHERE m.n_days >= 2
+),
+flags AS (
+    SELECT ew.user_id, lim.n_days,
+           CASE WHEN ABS(CAST(ew.ewq AS DOUBLE) - lim.mu)
+                     > 3.0 * lim.sd * sqrt(CAST(0.25 AS DOUBLE) / 1.75)
+                THEN 1 ELSE 0 END AS ooc,
+           ew.day, ew.rn
+    FROM ew JOIN lim USING (user_id)
+)
+SELECT user_id, MAX(n_days) AS n_days,
+       CAST(SUM(ooc) AS BIGINT) AS n_out_of_control,
+       CAST(MIN(CASE WHEN ooc = 1 THEN day END) AS BIGINT)
+           AS first_ooc_day_epoch
+FROM flags
+GROUP BY 1
+"""
+
+
+@query("ewma_control_chart", oracle=_EWMA_CHART_ORACLE)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per device over daily means: lambda = 1/4
+    smoothing with steady-state 3-sigma limits
+    mu +- 3 sd sqrt(lambda/(2-lambda)) — the small-persistent-shift
+    detector between the memoryless z-score flaggers and the
+    cumulative CUSUM/Page-Hinkley family; reports how many days sat
+    out of control and the first such day.
+
+    Determinism: the day grid and cap are integer; the expansion
+    carries the TEXTBOOK recursion weights (x_1 keeps (1-lambda)^(t-1)
+    — weights sum to exactly 1, so the naive literal recursion
+    e_t = (1-l) e_{t-1} + l x_t reproduces it; the first draft's
+    normalized-geometric form silently disagreed with the recursion
+    at early t and the independence pin caught it); each term is
+    quantized to the integer it rounds to BEFORE the per-day sum
+    (the acf convention), and the limit is a shared-verbatim double
+    over exact moments.
+
+    100 TB shape: one (device, day) mean aggregate; the geometric
+    expansion is a per-device self-join over the CAPPED day grid
+    (<= {_EWMA_DAY_CAP}^2/2 pairs per device, the kendall bound);
+    moments and flags are per-device aggregates on the same key."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d0 = ev.groupBy(
+        "user_id",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("day"),
+    ).agg(
+        F.round(
+            F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    recent = Window.partitionBy("user_id").orderBy(F.col("day").desc())
+    asc = Window.partitionBy("user_id").orderBy("day")
+    d = (
+        d0.withColumn("_r", F.row_number().over(recent))
+        .filter(F.col("_r") <= _EWMA_DAY_CAP)
+        .drop("_r")
+        .withColumn("rn", F.row_number().over(asc))
+        .localCheckpoint()  # capped day grid, consumed by m + both join sides
+    )
+    m = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("mq").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("mq").cast("decimal(38,0)") * F.col("mq")).alias("ss"),
+    ).filter(F.col("n_days") >= 2)
+    a = d.select("user_id", F.col("rn").alias("ra"), F.col("day").alias("day"))
+    b = d.select(
+        F.col("user_id").alias("ub"), F.col("rn").alias("rb"),
+        F.col("mq").alias("mqb"),
+    )
+    ew = (
+        a.join(b, (F.col("user_id") == F.col("ub")) & (F.col("rb") <= F.col("ra")))
+        .select(
+            "user_id", "ra", "day",
+            F.expr(
+                "CAST(ROUND(CASE WHEN rb = 1"
+                " THEN power(CAST(0.75 AS DOUBLE), ra - 1) * mqb"
+                " ELSE 0.25 * power(CAST(0.75 AS DOUBLE), ra - rb) * mqb"
+                " END) AS BIGINT)"
+            ).alias("tq"),
+        )
+        .groupBy("user_id", "ra", "day")
+        .agg(F.sum(F.col("tq").cast("decimal(38,0)")).alias("ewq"))
+    )
+    mu = F.col("s").cast("double") / F.col("n_days")
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n_days"))
+        / (F.col("n_days") - 1)
+    )
+    lim = m.select("user_id", "n_days", mu.alias("mu"), sd.alias("sd"))
+    flags = ew.join(lim, "user_id").select(
+        "user_id", "n_days", "day",
+        F.when(
+            F.abs(F.col("ewq").cast("double") - F.col("mu"))
+            > 3.0 * F.col("sd") * F.sqrt(F.lit(0.25) / F.lit(1.75)),
+            1,
+        )
+        .otherwise(0)
+        .alias("ooc"),
+    )
+    return flags.groupBy("user_id").agg(
+        F.max("n_days").alias("n_days"),
+        F.sum("ooc").cast("long").alias("n_out_of_control"),
+        F.min(F.when(F.col("ooc") == 1, F.col("day"))).cast("long").alias(
+            "first_ooc_day_epoch"
+        ),
+    )
+
+
+# ------------------------------------------- partial correlation
+# First-order partial correlation of value with hour-of-day,
+# CONTROLLING for the day-of-week index: r_xy.z = (rxy - rxz rzy) /
+# sqrt((1-rxz^2)(1-rzy^2)) — does the within-day cycle survive once
+# the weekly cycle is partialled out? All three pairwise correlations
+# come from ONE scan of exact integer moments.
+
+_PCORR_MOMENTS = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(z AS HUGEINT)) AS sz,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy,
+           SUM(CAST(z AS HUGEINT) * z) AS szz,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * z) AS sxz,
+           SUM(CAST(y AS HUGEINT) * z) AS syz
+    FROM p
+"""
+
+_PCORR_R = (
+    "((CAST(n AS DOUBLE) * {sab} - CAST({sa} AS DOUBLE) * {sb})"
+    " / (sqrt(CAST(n AS DOUBLE) * {saa} - CAST({sa} AS DOUBLE) * {sa})"
+    "    * sqrt(CAST(n AS DOUBLE) * {sbb} - CAST({sb} AS DOUBLE) * {sb})))"
+)
+_R_XY = _PCORR_R.format(sab="sxy", sa="sx", sb="sy", saa="sxx", sbb="syy")
+_R_XZ = _PCORR_R.format(sab="sxz", sa="sx", sb="sz", saa="sxx", sbb="szz")
+_R_YZ = _PCORR_R.format(sab="syz", sa="sy", sb="sz", saa="syy", sbb="szz")
+
+_PCORR_ORACLE = f"""
+WITH p AS (
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
+           CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS z
+    FROM events WHERE value IS NOT NULL
+),
+m AS ({_PCORR_MOMENTS}),
+r AS (
+    SELECT n, {_R_XY} AS rxy, {_R_XZ} AS rxz, {_R_YZ} AS ryz FROM m
+)
+SELECT n AS n_rows,
+       ROUND(rxy, 6) AS r_value_hour,
+       ROUND(rxz, 6) AS r_value_dow,
+       ROUND(ryz, 6) AS r_hour_dow,
+       ROUND((rxy - rxz * ryz)
+             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+           AS partial_r_value_hour
+FROM r
+"""
+
+
+@query("partial_corr_value_hour", oracle=_PCORR_ORACLE)
+def partial_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of value with hour-of-day
+    controlling for day-of-week — does the daily cycle survive once
+    the weekly cycle is partialled out, or was hour just a proxy for
+    weekday? The confounder-adjusted companion to the raw
+    correlation/regression family (value_time_correlation,
+    regr_value_trend).
+
+    Caveat in the contract: dayofweek is an ORDINAL index here (Spark
+    1=Sunday; the oracle keeps DuckDB's 0=Sunday — correlations
+    against an index shift by the relabeling only through the linear
+    map, which leaves Pearson r INVARIANT because both engines' codes
+    differ by a constant offset on the same day identities).
+
+    Determinism: x is 100*value (exact), y/z are small integers; all
+    ten moments are exact HUGEINT/DECIMAL(38,0) sums; every r is one
+    shared-verbatim expression.
+
+    100 TB shape: ONE scan into a 1-row moment aggregate, map-side
+    combinable; the partial-r algebra is O(1)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,0)"
+    p = ev.select(
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").cast(dec).alias("x"),
+        F.hour("ts").cast(dec).alias("y"),
+        F.dayofweek("ts").cast(dec).alias("z"),
+    )
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+    r = m.selectExpr(
+        "n", f"{_R_XY} AS rxy", f"{_R_XZ} AS rxz", f"{_R_YZ} AS ryz"
+    )
+    return r.selectExpr(
+        "n AS n_rows",
+        "ROUND(rxy, 6) AS r_value_hour",
+        "ROUND(rxz, 6) AS r_value_dow",
+        "ROUND(ryz, 6) AS r_hour_dow",
+        "ROUND((rxy - rxz * ryz)"
+        " / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)"
+        " AS partial_r_value_hour",
+    )

@@ -494,6 +494,9 @@ def test_round11_plan_shapes(spark):
         "zorder_pruning_audit": 2,
         "rbp_err_retrieval_eval": 2,
         "cdc_chunk_dedup": 1,
+        "g_test_type_dow": 3,
+        "ewma_control_chart": 1,
+        "partial_corr_value_hour": 1,
     }
     for name, budget in budgets.items():
         plan, _ = _plans(spark, name)

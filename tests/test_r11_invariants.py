@@ -349,3 +349,87 @@ def test_cdc_chunks_match_literal_walk(spark):
         assert r.n_distinct_chunks == len(dset)
         assert abs(r.dup_chunk_rate - (1 - len(dset) / n)) < 1e-6
         assert abs(r.avg_chunk_words - words / n) < 1e-6
+
+
+def test_g_test_matches_naive_contingency(spark, ev):
+    tab = pd.crosstab(ev.event_type, ev.ts.dt.dayofweek)
+    o = tab.to_numpy().astype(float)
+    e = o.sum(1, keepdims=True) * o.sum(0, keepdims=True) / o.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(o > 0, o * np.log(o / e), 0.0)
+    g = dict(zip(tab.index, 2.0 * terms.sum(1)))
+    nr = dict(zip(tab.index, o.sum(1).astype(int)))
+    for r in QUERIES["g_test_type_dow"](spark, SF_DIR).collect():
+        assert r.n_rows == nr[r.event_type]
+        assert abs(r.g_contrib - g[r.event_type]) < 1e-4
+
+
+def test_ewma_chart_matches_literal_recursion(spark, ev):
+    """The engine computes the EWMA as a normalized geometric
+    expansion; the naive side runs the LITERAL recursion
+    e_t = (1-l) e_{t-1} + l x_t (initialized at x_1), which equals
+    the truncated expansion normalized by its finite weight sum."""
+    d = ev[ev.value.notna()]
+    vmic = np.round(d.value.to_numpy() * 1e6).astype(np.int64)
+    cells: dict = {}
+    for (u, dy), v in zip(
+        zip(d.user_id,
+            d.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 86400),
+        vmic,
+    ):
+        s, c = cells.get((u, dy), (0, 0))
+        cells[(u, dy)] = (s + int(v), c + 1)
+    rows = {r.user_id: r
+            for r in QUERIES["ewma_control_chart"](spark, SF_DIR).collect()}
+    lam = 0.25
+    for u in set(d.user_id):
+        hist = sorted(
+            ((dy, s, c) for (uu, dy), (s, c) in cells.items() if uu == u),
+            key=lambda t: -t[0],
+        )[:64]
+        hist.sort()
+        mqs = [math.floor(s / c + 0.5) if s >= 0 else math.ceil(s / c - 0.5)
+               for _, s, c in hist]
+        n = len(mqs)
+        if n < 2:
+            assert u not in rows
+            continue
+        mu = sum(mqs) / n
+        sd = math.sqrt(sum((x - mu) ** 2 for x in mqs) / (n - 1))
+        limit = 3.0 * sd * math.sqrt(lam / (2 - lam))
+        e = None
+        ooc = 0
+        first = None
+        for (dy, _, _), x in zip(hist, mqs):
+            e = x if e is None else (1 - lam) * e + lam * x
+            if abs(e - mu) > limit:
+                ooc += 1
+                if first is None:
+                    first = dy
+        r = rows[u]
+        assert r.n_days == n
+        assert r.n_out_of_control == ooc, (u, r.n_out_of_control, ooc)
+        assert (r.first_ooc_day_epoch is None) == (first is None)
+        if first is not None:
+            assert r.first_ooc_day_epoch == first
+
+
+def test_partial_corr_matches_numpy(spark, ev):
+    d = ev[ev.value.notna()]
+    x = np.round(d.value.to_numpy() * 100)
+    y = d.ts.dt.hour.to_numpy().astype(float)
+    # DuckDB-style dow (0=Sunday): pandas dayofweek is 0=Monday, which
+    # is NOT an affine relabeling of Spark/DuckDB codes — Pearson r is
+    # only invariant to affine maps, so match the oracle's convention
+    z = ((d.ts.dt.dayofweek.to_numpy() + 1) % 7).astype(float)
+    rxy = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    pr = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    r = QUERIES["partial_corr_value_hour"](spark, SF_DIR).first()
+    assert r.n_rows == len(x)
+    assert abs(r.r_value_hour - rxy) < 1e-5
+    # Spark's 1=Sunday code is DuckDB's 0=Sunday + 1: affine, so r is
+    # identical (not just up to sign)
+    assert abs(r.r_hour_dow - ryz) < 1e-5
+    assert abs(r.partial_r_value_hour - pr) < 1e-5
