@@ -652,13 +652,8 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # k rows, consumed by both allocations + readout
 
     def _alloc(frame: DataFrame, wcol: str, out: str) -> DataFrame:
-        t = Window.partitionBy()
         b = frame.select(
             "event_type",
-            (
-                (F.lit(NEYMAN_BUDGET) * F.col(wcol).cast(dec))
-                / F.sum(F.col(wcol).cast(dec)).over(t)
-            ).cast(dec).alias("_ignore"),  # placeholder, replaced below
             F.expr(
                 f"CAST(({NEYMAN_BUDGET} * CAST({wcol} AS DECIMAL(38,0)))"
                 f" div (SUM(CAST({wcol} AS DECIMAL(38,0))) OVER ()) AS BIGINT)"
@@ -667,7 +662,7 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"({NEYMAN_BUDGET} * CAST({wcol} AS DECIMAL(38,0)))"
                 f" % (SUM(CAST({wcol} AS DECIMAL(38,0))) OVER ())"
             ).alias("rem"),
-        ).drop("_ignore")
+        )
         r = b.select(
             "event_type", "base", "rem",
             F.row_number()
