@@ -39,8 +39,10 @@ from iot_etl_spark.plans import queries_analytics8  # noqa: F401
 # (fresh evidence first), then the rotation continues into the
 # round-3-green tier exactly where round 10 stopped — round 10's
 # slots 44-50 covered the tier head through ``dedup_clusters``, so
-# this window resumes at ``dedup_exact``; names past slot 50 stay
-# listed in order for round 12 (which then starts the round-4 tier).
+# this window resumes at ``dedup_exact``; names past slot 50 (with 16
+# round-11 registrations the tier is covered through
+# ``stream_sliding_agg``, leaving 8 tier names) stay listed in order
+# for round 12, which then starts the round-4 tier.
 # Names listed here but not (yet) registered are ignored; registered
 # names absent from the list keep their original relative order after
 # the prioritized block.
@@ -63,6 +65,8 @@ ROUND11_REGISTRATIONS: list[str] = [
     "g_test_type_dow",
     "ewma_control_chart",
     "partial_corr_value_hour",
+    "cochran_q_test",
+    "mcc_classifier_eval",
 ]
 
 _DRIVER_WINDOW_FIRST: list[str] = ROUND11_REGISTRATIONS + [

@@ -1926,3 +1926,189 @@ def partial_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)"
         " AS partial_r_value_hour",
     )
+
+
+# ------------------------------------------------- Cochran's Q test
+# Binary repeated measures over user blocks: x_ij = 1 iff type j is
+# OVER-REPRESENTED in user i's activity relative to the user's own
+# mean (c_ij * k > total_i — an exact integer compare, no division).
+# The naive "did the user ever perform type j" response is degenerate
+# here (every user hits every type, k*N - sum R_i^2 = 0); the
+# over-representation response is the natural non-degenerate binary:
+# Cochran asks whether some types are SYSTEMATICALLY above-average
+# across users. Q = (k-1) (k sum C_j^2 - N^2) / (k N - sum R_i^2) —
+# pure integer arithmetic until one final division (NULLIF-guarded on
+# both engines).
+
+_COCHRANQ_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events),
+u AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1),
+x AS (
+    SELECT c.user_id, c.event_type,
+           CASE WHEN c.cnt * k.k > u.total THEN 1 ELSE 0 END AS x
+    FROM c JOIN u USING (user_id), k
+),
+cj AS (
+    SELECT event_type, CAST(SUM(x) AS BIGINT) AS c FROM x GROUP BY 1
+),
+ri AS (
+    SELECT user_id, CAST(SUM(x) AS BIGINT) AS r FROM x GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(r) AS BIGINT) AS n, CAST(SUM(r * r) AS BIGINT) AS sr2,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ri
+),
+kk AS (SELECT MAX(k.k) AS k, CAST(SUM(cj.c * cj.c) AS BIGINT) AS sc2
+       FROM cj, k)
+SELECT cj.event_type, cj.c AS n_users_over, tot.n_users,
+       ROUND((kk.k - 1.0) * (kk.k * kk.sc2 - CAST(tot.n AS DOUBLE) * tot.n)
+             / NULLIF(kk.k * CAST(tot.n AS DOUBLE) - tot.sr2, 0), 6)
+           AS cochran_q
+FROM cj, tot, kk
+"""
+
+
+@query("cochran_q_test", oracle=_COCHRANQ_ORACLE)
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test across event types over user blocks, with the
+    binary response "type j is over-represented in user i's activity
+    relative to the user's own mean" (c_ij * k > total_i — exact
+    integer compare). The binary repeated-measures companion to
+    friedman_test_day_blocks and the k-treatment generalization of
+    mcnemar_weekend_conversion. (The naive ever-performed response is
+    degenerate in dense data — every block full, zero denominator —
+    documented in the module note.)
+
+    Determinism: the whole statistic is integer algebra with ONE
+    final NULLIF-guarded double division, shared verbatim.
+
+    100 TB shape: one (user, type) count aggregate (map-side
+    combinable), a per-user total broadcast back implicitly via the
+    same shuffle key, then per-type and per-user sums over the
+    users x k cell frame — no window against the fact, no join
+    explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint()  # users x k cells, consumed by u and x
+    k = c.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    u = c.groupBy("user_id").agg(F.sum("cnt").cast("long").alias("total"))
+    x = (
+        c.join(u, "user_id")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "user_id", "event_type",
+            (F.col("cnt") * F.col("k") > F.col("total")).cast("int").alias("x"),
+        )
+    )
+    cj = x.groupBy("event_type").agg(F.sum("x").cast("long").alias("c"))
+    ri = x.groupBy("user_id").agg(F.sum("x").cast("long").alias("r"))
+    tot = ri.agg(
+        F.sum("r").cast("long").alias("n"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    kk = cj.crossJoin(F.broadcast(k)).agg(
+        F.max("k").alias("k"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    return (
+        cj.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "event_type",
+            F.col("c").alias("n_users_over"),
+            "n_users",
+            F.round(
+                (F.col("k") - 1.0)
+                * (F.col("k") * F.col("sc2") - F.col("n").cast("double") * F.col("n"))
+                / F.nullif(
+                    F.col("k") * F.col("n").cast("double") - F.col("sr2"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cochran_q"),
+        )
+    )
+
+
+# -------------------------------------- MCC classifier evaluation
+# Matthews correlation of the quality classifier's keep/drop gate
+# against the lang == 'en' label — the single balanced-accuracy
+# number beside the AUC (ranking quality), PR curve (threshold
+# sweep), ECE (calibration) and Brier (score quality) legs. Composes
+# VERBATIM over the classifier oracle; all four confusion cells are
+# exact integers and MCC/F1/accuracy are shared-verbatim doubles.
+
+
+def _mcc_oracle() -> str:
+    from iot_etl_spark.plans.queries_mlprep import _CLASSIFIER_ORACLE
+
+    return f"""
+WITH cls AS ({_CLASSIFIER_ORACLE}),
+c AS (
+    SELECT CAST(SUM(CASE WHEN keep AND lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN keep AND lang <> 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN NOT keep AND lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN NOT keep AND lang <> 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+    FROM cls
+)
+SELECT tp, fp, fn, tn,
+       ROUND((CAST(tp AS DOUBLE) + tn) / (tp + fp + fn + tn), 6)
+           AS accuracy,
+       ROUND(CAST(2.0 AS DOUBLE) * tp / (CAST(2.0 AS DOUBLE) * tp + fp + fn), 6) AS f1,
+       ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+                    * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)),
+             6) AS mcc
+FROM c
+"""
+
+
+@query("mcc_classifier_eval", oracle=_mcc_oracle())
+def mcc_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the quality classifier's
+    keep gate against the English label, with accuracy and F1 from
+    the same confusion counts — the class-imbalance-robust single
+    number the classifier-eval lane lacked (AUC grades the RANKING,
+    PR the threshold sweep, ECE the calibration; MCC grades the
+    actual keep/drop decision).
+
+    Determinism: the four confusion cells are exact integer counts
+    over the hash-green classifier output; MCC/F1/accuracy are
+    shared-verbatim double expressions of those integers.
+
+    100 TB shape: the classifier runs at scan speed (zero shuffles,
+    quality_classifier_score's plan); the eval adds ONE 4-cell
+    aggregate."""
+    from iot_etl_spark.plans.queries_mlprep import quality_classifier_score
+
+    cls = quality_classifier_score(spark, sf_dir).select(
+        "lang", "keep"
+    )
+    en = F.col("lang") == "en"
+    c = cls.agg(
+        F.sum((F.col("keep") & en).cast("int")).cast("long").alias("tp"),
+        F.sum((F.col("keep") & ~en).cast("int")).cast("long").alias("fp"),
+        F.sum((~F.col("keep") & en).cast("int")).cast("long").alias("fn"),
+        F.sum((~F.col("keep") & ~en).cast("int")).cast("long").alias("tn"),
+    )
+    return c.selectExpr(
+        "tp", "fp", "fn", "tn",
+        "ROUND((CAST(tp AS DOUBLE) + tn) / (tp + fp + fn + tn), 6)"
+        " AS accuracy",
+        "ROUND(CAST(2.0 AS DOUBLE) * tp / (CAST(2.0 AS DOUBLE) * tp + fp + fn), 6) AS f1",
+        "ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)"
+        " / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)"
+        "        * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)),"
+        " 6) AS mcc",
+    )

@@ -42,7 +42,7 @@ def test_entry_module_contract():
         "dedup_ngram_jaccard",
         "embedding_cosine_topk",
         "minhash_lsh_candidates",
-        "stream_tumbling_agg",
+        "stream_session_window",
     ):
         assert must in first50, must
     # round 10's window must have rotated OUT (its names were all

@@ -497,6 +497,8 @@ def test_round11_plan_shapes(spark):
         "g_test_type_dow": 3,
         "ewma_control_chart": 1,
         "partial_corr_value_hour": 1,
+        "cochran_q_test": 1,
+        "mcc_classifier_eval": 1,
     }
     for name, budget in budgets.items():
         plan, _ = _plans(spark, name)

@@ -433,3 +433,65 @@ def test_partial_corr_matches_numpy(spark, ev):
     # identical (not just up to sign)
     assert abs(r.r_hour_dow - ryz) < 1e-5
     assert abs(r.partial_r_value_hour - pr) < 1e-5
+
+
+def test_cochran_q_matches_literal_blocks(spark, ev):
+    k = ev.event_type.nunique()
+    counts: dict = {}
+    for u, et in zip(ev.user_id, ev.event_type):
+        counts[(u, et)] = counts.get((u, et), 0) + 1
+    totals: dict = {}
+    for (u, _), c in counts.items():
+        totals[u] = totals.get(u, 0) + c
+    cj: dict = {}
+    ri: dict = {}
+    for (u, et), c in counts.items():
+        x = 1 if c * k > totals[u] else 0
+        cj[et] = cj.get(et, 0) + x
+        ri[u] = ri.get(u, 0) + x
+    n = sum(ri.values())
+    sr2 = sum(r * r for r in ri.values())
+    sc2 = sum(c * c for c in cj.values())
+    denom = k * n - sr2
+    q = (k - 1) * (k * sc2 - n * n) / denom if denom else None
+    for r in QUERIES["cochran_q_test"](spark, SF_DIR).collect():
+        assert r.n_users_over == cj[r.event_type]
+        assert r.n_users == len(ri)
+        if q is None:
+            assert r.cochran_q is None
+        else:
+            assert abs(r.cochran_q - q) < 1e-5
+
+
+def test_mcc_matches_literal_confusion(spark):
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    tp = fp = fn = tn = 0
+    for lang, text in zip(docs.lang, docs.text):
+        ws = text.split(" ")
+        feats = ws + [" ".join(p) for p in zip(ws, ws[1:])]
+        if not feats:
+            continue
+        wsum = sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for t in feats
+        )
+        keep = wsum > 0
+        en = lang == "en"
+        if keep and en:
+            tp += 1
+        elif keep:
+            fp += 1
+        elif en:
+            fn += 1
+        else:
+            tn += 1
+    r = QUERIES["mcc_classifier_eval"](spark, SF_DIR).first()
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(r.mcc - mcc) < 1e-6
+    assert abs(r.accuracy - (tp + tn) / (tp + fp + fn + tn)) < 1e-6
+    assert abs(r.f1 - 2 * tp / (2 * tp + fp + fn)) < 1e-6
