@@ -204,9 +204,9 @@ SELECT g.event_type, g.nj AS n_group, g.aj AS n_above,
        ROUND(CAST(g.nj AS DOUBLE) * t.a / t.n, 6) AS expected_above,
        ROUND(
          POWER(g.aj - CAST(g.nj AS DOUBLE) * t.a / t.n, 2)
-           / (CAST(g.nj AS DOUBLE) * t.a / t.n)
+           / NULLIF(CAST(g.nj AS DOUBLE) * t.a / t.n, 0)
          + POWER((g.nj - g.aj) - CAST(g.nj AS DOUBLE) * (t.n - t.a) / t.n, 2)
-           / (CAST(g.nj AS DOUBLE) * (t.n - t.a) / t.n), 6)
+           / NULLIF(CAST(g.nj AS DOUBLE) * (t.n - t.a) / t.n, 0), 6)
            AS chi2_contrib,
        ROUND(CAST(m.median_v AS DOUBLE), 2) AS grand_median
 FROM grp g, tot t, med m
@@ -265,14 +265,19 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = grp.crossJoin(F.broadcast(tot))
     ea = F.col("nj").cast("double") * F.col("a") / F.col("n")
     eb = F.col("nj").cast("double") * (F.col("n") - F.col("a")) / F.col("n")
+    # NULLIF-guarded denominators (ADVICE r11): on degenerate data where
+    # an expected count is 0 (e.g. every value equal -> a = 0), Spark's
+    # non-ANSI divide yields NULL but DuckDB IEEE mode yields inf/NaN —
+    # NULLIF makes both engines NULL, the cochran_q_test convention.
     return j.select(
         "event_type",
         F.col("nj").alias("n_group"),
         F.col("aj").alias("n_above"),
         F.round(ea, 6).alias("expected_above"),
         F.round(
-            F.pow(F.col("aj") - ea, 2) / ea
-            + F.pow((F.col("nj") - F.col("aj")) - eb, 2) / eb,
+            F.pow(F.col("aj") - ea, 2) / F.nullif(ea, F.lit(0.0))
+            + F.pow((F.col("nj") - F.col("aj")) - eb, 2)
+            / F.nullif(eb, F.lit(0.0)),
             6,
         ).alias("chi2_contrib"),
         F.round(F.col("median_v").cast("double"), 2).alias("grand_median"),
@@ -1043,7 +1048,11 @@ def fisher_g_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("y") / F.count(F.lit(1))).alias("ybar"),
     )
     freqs = (
-        tot.select(
+        # n >= 3 guard (ADVICE r11): Spark's sequence(1, 0) yields a
+        # DESCENDING [1, 0] while DuckDB's generate_series(1, 0) is
+        # empty — on a degenerate <=2-bucket span both engines must
+        # produce the empty periodogram (and thus an empty result).
+        tot.filter(F.col("n") >= 3).select(
             F.explode(F.sequence(F.lit(1), ((F.col("n") - 1) / 2).cast("int")))
             .alias("j"),
             "n",

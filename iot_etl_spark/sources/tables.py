@@ -103,7 +103,12 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     state = (os.path.realpath(sf_dir), _dir_signature(sf_dir))
     if not force and _REGISTERED.get(key) == state:
         try:
-            if spark.catalog.tableExists("lineitem"):
+            # one listTables RPC covers EVERY view — sentinel-checking a
+            # single table would miss any OTHER view dropped externally
+            # (ADVICE r11): the memo hit would return early and later
+            # spark.sql against the dropped view would fail.
+            existing = {t.name for t in spark.catalog.listTables()}
+            if all(t in existing for t in STAR_TABLES):
                 return
         except Exception:
             pass  # catalog probe failed -> fall through and re-register

@@ -62,6 +62,13 @@ def test_register_views_memoized_and_sf_switch(spark):
     tb.register_views(spark, "/root/testdata/sf0.01")
     assert spark.catalog.tableExists("lineitem")
 
+    # ... and ANY other dropped view too — the probe covers every
+    # STAR_TABLE via one listTables RPC, not a single sentinel
+    # (ADVICE r11: a lineitem-only probe missed a dropped 'events')
+    spark.catalog.dropTempView("events")
+    tb.register_views(spark, "/root/testdata/sf0.01")
+    assert spark.catalog.tableExists("events")
+
     # force always re-registers
     tb.register_views(spark, "/root/testdata/sf0.001", force=True)
     assert spark.sql("SELECT COUNT(*) c FROM region").first().c == n_small

@@ -50,16 +50,22 @@ def main() -> int:
                 fails += 1
                 print(" spark cols:", list(a.columns))
                 print(" duck  cols:", list(b.columns))
-                n = min(len(sa), len(sb))
-                diff = (sa.iloc[:n].to_numpy() != sb.iloc[:n].to_numpy()).any(axis=1)
-                import numpy as np
-
-                idx = np.where(diff)[0][:5]
-                for i in idx:
-                    print("  spark:", a.iloc[i].to_dict())
-                    print("  duck :", b.iloc[i].to_dict())
                 if len(sa) != len(sb):
                     print(f"  row counts differ: {len(sa)} vs {len(sb)}")
+                if list(sa.columns) == list(sb.columns):
+                    # multiset diff (ADVICE r11): positional alignment
+                    # after independent sorts misprints everything after
+                    # one inserted/missing row — value_counts handles
+                    # duplicates and shows genuinely unmatched rows.
+                    delta = sa.value_counts(dropna=False).subtract(
+                        sb.value_counts(dropna=False), fill_value=0
+                    )
+                    cols = list(sa.columns)
+                    for label, side in (("spark-only", delta[delta > 0]),
+                                        ("duck -only", delta[delta < 0])):
+                        for key, cnt in side.head(5).items():
+                            row = dict(zip(cols, key if isinstance(key, tuple) else (key,)))
+                            print(f"  {label} x{abs(int(cnt))}:", row)
         except Exception as e:  # noqa: BLE001
             fails += 1
             print(f"{name}: ERROR {type(e).__name__}: {e}")
