@@ -31,6 +31,7 @@ from iot_etl_spark.plans import queries_analytics5  # noqa: F401
 from iot_etl_spark.plans import queries_analytics6  # noqa: F401
 from iot_etl_spark.plans import queries_analytics7  # noqa: F401
 from iot_etl_spark.plans import queries_analytics8  # noqa: F401
+from iot_etl_spark.plans import queries_analytics9  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the

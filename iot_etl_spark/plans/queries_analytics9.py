@@ -1,0 +1,998 @@
+"""Round-12 analytics batch: distribution-free two-sample testing on
+the value-cell device (energy distance, Cramér–von Mises, the
+Ansari–Bradley scale test), distribution-shape testing from exact
+anchored moments (Jarque–Bera), the classical variance-homogeneity /
+unequal-variance ANOVA pair (Bartlett, Welch), rank post-hocs
+(Dunn after Kruskal–Wallis, Kendall's W after Friedman), level
+stationarity (KPSS), bivariate outlier analytics from exact integer
+moment matrices (Mahalanobis top-k, Hotelling's T²), inequality
+decomposition (Theil T/L by nation), survival-curve summarization
+(restricted mean survival time), and a held-out bigram-perplexity
+eval for the LM-filter lane.
+
+Reference parity: none exist in the reference (its analytics surface
+is TimescaleDB SQL, ``analytical_queries.sql``); they close the
+remaining textbook gaps of the established lanes — the two-sample
+family (ks/mannwhitney -> energy/CvM/AB), the ANOVA family
+(anova/brown_forsythe/tukey -> bartlett/welch/dunn), the concordance
+family (friedman -> Kendall W), the stationarity family
+(mann_kendall/kpss), the multivariate family (zscore/grubbs ->
+mahalanobis/hotelling), the inequality family (gini -> theil), the
+survival family (KM/NA/logrank -> RMST), and the LM ladder
+(unigram/bigram self-scored -> held-out perplexity).
+
+Determinism (the SCALE.md conventions): 2-dp values quantize EXACTLY
+to centi-unit BIGINT (vq = ROUND(value*100)); rank/score math runs on
+bounded (value-cell) frames via the cumulative-cell device, never a
+global per-row sort; any ``Σx² − (Σx)²/n`` shape subtracts AS
+INTEGERS in DECIMAL(38,0)/HUGEINT; per-term libm products quantize to
+BIGINT grids before distributed sums; every computed double is
+ROUND(x, 6) and shared-verbatim across engines where an expression
+tree decides the value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from iot_etl_spark.plans.registry import query, DUCK_TS
+from iot_etl_spark.sources.tables import load_table
+
+_DEC = "decimal(38,0)"
+
+# --------------------------------------------------------------------
+# Shared two-sample device: (vq, weekday-count, weekend-count) cells
+# with strictly-preceding cumulative counts / value-sums per side.
+# vq = ROUND(value*100) is EXACT (the generator writes 2-dp values),
+# so the cell frame is bounded by the value DOMAIN (~33k cells), not
+# by row count — every statistic below is integer math over it.
+
+_WE_CELLS_DUCK = f"""
+cells AS (
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS vq,
+           CAST(SUM(CASE WHEN dayofweek({DUCK_TS}) IN (0, 6)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS cw,
+           CAST(SUM(CASE WHEN dayofweek({DUCK_TS}) IN (0, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ce
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+)
+"""
+
+
+def _we_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vq, cw, ce) weekend/weekday value cells — one map-side-combined
+    aggregate bounded by the value domain. Spark dayofweek is 1=Sunday
+    (registry.py convention; DuckDB is 0=Sunday)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    we = F.dayofweek("ts").isin(1, 7).cast("int")
+    return ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("vq")
+    ).agg(
+        F.sum(1 - we).cast("long").alias("cw"),
+        F.sum(we).cast("long").alias("ce"),
+    )
+
+
+# ------------------------------------------- Energy distance (weekend)
+# Szekely-Rizzo E-statistic between the weekday and weekend value
+# distributions: D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|, the two-sample test
+# that is consistent against ALL alternatives (KS tests location-ish
+# shifts, AB tests scale; energy tests everything). Every pairwise
+# E|A−B| collapses onto the sorted cell frame: with strictly-below
+# cumulative counts C and value-sums S, the pairs where cell j holds
+# the LARGER value contribute count_j * (vq_j * C_j − S_j) — one
+# window pass, all integer (HUGEINT / DECIMAL(38,0)), so the O(n²)
+# pair sums are EXACT with zero pair expansion.
+
+_ENERGY_ORACLE = f"""
+WITH {_WE_CELLS_DUCK},
+cum AS (
+    SELECT vq, cw, ce,
+           CAST(COALESCE(SUM(cw) OVER w, 0) AS HUGEINT) AS pw,
+           CAST(COALESCE(SUM(ce) OVER w, 0) AS HUGEINT) AS pe,
+           CAST(COALESCE(SUM(vq * cw) OVER w, 0) AS HUGEINT) AS sw,
+           CAST(COALESCE(SUM(vq * ce) OVER w, 0) AS HUGEINT) AS se
+    FROM cells
+    WINDOW w AS (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING)
+),
+sums AS (
+    SELECT CAST(SUM(cw) AS BIGINT) AS n, CAST(SUM(ce) AS BIGINT) AS m,
+           CAST(SUM(ce * (vq * pw - sw) + cw * (vq * pe - se))
+                AS HUGEINT) AS sxy,
+           CAST(SUM(cw * (vq * pw - sw)) AS HUGEINT) AS sxx,
+           CAST(SUM(ce * (vq * pe - se)) AS HUGEINT) AS syy
+    FROM cum
+)
+SELECT n AS n_weekday, m AS n_weekend,
+       ROUND(CAST(sxy AS DOUBLE) / n / m / 100, 6) AS mean_cross_absdiff,
+       ROUND((2.0 * CAST(sxy AS DOUBLE) / n / m
+              - 2.0 * CAST(sxx AS DOUBLE) / n / n
+              - 2.0 * CAST(syy AS DOUBLE) / m / m) / 100, 6)
+           AS energy_distance,
+       ROUND(CAST(n AS DOUBLE) * m / (n + m)
+             * (2.0 * CAST(sxy AS DOUBLE) / n / m
+                - 2.0 * CAST(sxx AS DOUBLE) / n / n
+                - 2.0 * CAST(syy AS DOUBLE) / m / m) / 100, 6)
+           AS energy_stat
+FROM sums
+"""
+
+
+@query("energy_distance_weekend", oracle=_ENERGY_ORACLE)
+def energy_distance_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szekely-Rizzo ENERGY DISTANCE between the weekend and weekday
+    value distributions, with the test statistic nm/N * D² — the
+    omnibus two-sample test consistent against every alternative
+    (ks_weekend_value sees CDF gaps, ansari_bradley_scale sees
+    dispersion; energy sees anything, at the cost of power per watt).
+
+    Determinism: ALL THREE O(n²) pairwise |x−y| sums are EXACT
+    integers — sorted value cells + strictly-below cumulative (count,
+    value-sum) turn Σ|x−y| into Σ count_j*(vq_j*C_j − S_j) in
+    DECIMAL(38,0)/HUGEINT; doubles appear only in the final
+    shared-verbatim readout.
+
+    100 TB shape: one map-side cell aggregate bounded by the value
+    domain; one single-partition window over the bounded cell frame
+    (the cumulative-cell device, the KW/gini pattern); no pair
+    expansion anywhere at any scale."""
+    cells = _we_cells(spark, sf_dir)
+    wlt = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    z = F.lit(0).cast("long")
+    cum = cells.select(
+        "vq", "cw", "ce",
+        F.coalesce(F.sum("cw").over(wlt), z).cast(_DEC).alias("pw"),
+        F.coalesce(F.sum("ce").over(wlt), z).cast(_DEC).alias("pe"),
+        F.coalesce(F.sum(F.col("vq") * F.col("cw")).over(wlt), z)
+        .cast(_DEC).alias("sw"),
+        F.coalesce(F.sum(F.col("vq") * F.col("ce")).over(wlt), z)
+        .cast(_DEC).alias("se"),
+    )
+    sums = cum.agg(
+        F.sum("cw").cast("long").alias("n"),
+        F.sum("ce").cast("long").alias("m"),
+        F.sum(
+            F.col("ce").cast(_DEC) * (F.col("vq").cast(_DEC) * F.col("pw") - F.col("sw"))
+            + F.col("cw").cast(_DEC) * (F.col("vq").cast(_DEC) * F.col("pe") - F.col("se"))
+        ).alias("sxy"),
+        F.sum(
+            F.col("cw").cast(_DEC) * (F.col("vq").cast(_DEC) * F.col("pw") - F.col("sw"))
+        ).alias("sxx"),
+        F.sum(
+            F.col("ce").cast(_DEC) * (F.col("vq").cast(_DEC) * F.col("pe") - F.col("se"))
+        ).alias("syy"),
+    )
+    nd, md = F.col("n").cast("double"), F.col("m").cast("double")
+    d2 = (
+        2.0 * F.col("sxy").cast("double") / nd / md
+        - 2.0 * F.col("sxx").cast("double") / nd / nd
+        - 2.0 * F.col("syy").cast("double") / md / md
+    )
+    return sums.select(
+        F.col("n").alias("n_weekday"),
+        F.col("m").alias("n_weekend"),
+        F.round(F.col("sxy").cast("double") / nd / md / 100, 6).alias(
+            "mean_cross_absdiff"
+        ),
+        F.round(d2 / 100, 6).alias("energy_distance"),
+        F.round(nd * md / (nd + md) * d2 / 100, 6).alias("energy_stat"),
+    )
+
+# ------------------------------- Cramér–von Mises two-sample (weekend)
+# Anderson's rank form with midrank ties (what scipy's
+# cramervonmises_2samp computes): U = n·Σ(r_i − i)² + m·Σ(s_j − j)²
+# over pooled midranks r/s and within-sample positions i/j, then
+# T = U/(nmN) − (4nm−1)/(6N). Everything collapses onto value cells:
+# the members of sample X in cell j share one midrank R (2R = 2P+c+1,
+# P = pooled strictly-below count) and occupy positions pw+1..pw+cw,
+# so Σ(R−i)² over the cell is a closed-form integer — carried ×4 as
+# Σ(2R−2i)² = cw·(2a)² − 4·(2a)·T(cw) + 4·Q(cw) with 2a = 2P+c+1−2pw,
+# T(c)=c(c+1)/2, Q(c)=c(c+1)(2c+1)/6. U is EXACT (HUGEINT /
+# DECIMAL(38,0)); T is one shared-verbatim double readout.
+
+_CVM_U4_SIDE = """
+SUM({cx} * (2 * p + c + 1 - 2 * {px}) * (2 * p + c + 1 - 2 * {px})
+    - 4 * (2 * p + c + 1 - 2 * {px}) * ({cx} * ({cx} + 1) / 2)
+    + 4 * ({cx} * ({cx} + 1) * (2 * {cx} + 1) / 6))
+"""
+
+_CVM_ORACLE = f"""
+WITH {_WE_CELLS_DUCK},
+cum AS (
+    SELECT vq, cw, ce, cw + ce AS c,
+           CAST(COALESCE(SUM(cw + ce) OVER w, 0) AS HUGEINT) AS p,
+           CAST(COALESCE(SUM(cw) OVER w, 0) AS HUGEINT) AS pw,
+           CAST(COALESCE(SUM(ce) OVER w, 0) AS HUGEINT) AS pe
+    FROM cells
+    WINDOW w AS (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING)
+),
+sums AS (
+    SELECT CAST(SUM(cw) AS BIGINT) AS n, CAST(SUM(ce) AS BIGINT) AS m,
+           CAST({_CVM_U4_SIDE.format(cx="cw", px="pw")} AS HUGEINT) AS u4x,
+           CAST({_CVM_U4_SIDE.format(cx="ce", px="pe")} AS HUGEINT) AS u4y
+    FROM cum
+)
+SELECT n AS n_weekday, m AS n_weekend,
+       CAST((n * u4x + m * u4y) / 4 AS DOUBLE) AS u_stat,
+       ROUND(CAST((n * u4x + m * u4y) / 4 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * m * (n + m))
+             - (4.0 * n * m - 1) / (6.0 * (n + m)), 6) AS cvm_t
+FROM sums
+"""
+
+
+@query("cramer_von_mises_weekend", oracle=_CVM_ORACLE)
+def cramer_von_mises_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR–VON MISES two-sample test of the weekend vs weekday
+    value distributions (Anderson's rank form with midrank ties — the
+    integrated-squared-CDF-gap companion to ks_weekend_value's
+    supremum gap: KS keys on the single worst point, CvM accumulates
+    the whole curve, so many small distributed gaps that KS misses
+    move CvM).
+
+    Determinism: U is an EXACT integer — per value cell, the sample's
+    Σ(midrank − within-sample-position)² has a closed form in the
+    strictly-below cumulative counts, carried ×4 so midrank halves
+    stay integral; DECIMAL(38,0)/HUGEINT accumulation; the statistic
+    is one shared-verbatim double readout.
+
+    100 TB shape: one map-side cell aggregate bounded by the value
+    domain + one single-partition window over the bounded cell frame
+    (the cumulative-cell device); no per-row rank, no sort."""
+    cells = _we_cells(spark, sf_dir)
+    wlt = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    z = F.lit(0).cast("long")
+    cum = cells.select(
+        "cw", "ce", (F.col("cw") + F.col("ce")).alias("c"),
+        F.coalesce(F.sum(F.col("cw") + F.col("ce")).over(wlt), z)
+        .cast(_DEC).alias("p"),
+        F.coalesce(F.sum("cw").over(wlt), z).cast(_DEC).alias("pw"),
+        F.coalesce(F.sum("ce").over(wlt), z).cast(_DEC).alias("pe"),
+    )
+
+    def u4(cx: str, px: str):
+        a2 = 2 * F.col("p") + F.col("c") + 1 - 2 * F.col(px)  # 2a, integer
+        cxc = F.col(cx).cast(_DEC)
+        return F.sum(
+            cxc * a2 * a2
+            - 4 * a2 * (cxc * (cxc + 1) / 2)
+            + 4 * (cxc * (cxc + 1) * (2 * cxc + 1) / 6)
+        )
+
+    sums = cum.agg(
+        F.sum("cw").cast("long").alias("n"),
+        F.sum("ce").cast("long").alias("m"),
+        u4("cw", "pw").alias("u4x"),
+        u4("ce", "pe").alias("u4y"),
+    )
+    nd, md = F.col("n").cast("double"), F.col("m").cast("double")
+    u = (
+        (F.col("n").cast(_DEC) * F.col("u4x") + F.col("m").cast(_DEC) * F.col("u4y"))
+        / 4
+    ).cast("double")
+    return sums.select(
+        F.col("n").alias("n_weekday"),
+        F.col("m").alias("n_weekend"),
+        u.alias("u_stat"),
+        F.round(
+            u / (nd * md * (nd + md)) - (4.0 * nd * md - 1) / (6.0 * (nd + md)),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+# ------------------------------------ Ansari–Bradley scale test (weekend)
+# Rank-based DISPERSION test: pooled scores a_i = min(i, N+1−i) peak at
+# the center, so a sample concentrated in the middle (smaller spread)
+# collects a LARGER score sum. Midrank ties give every member of a
+# value cell the cell's average score f_j/c_j, where f_j — the sum of
+# min(i, N+1−i) over the cell's rank interval — has a closed integer
+# form (two triangular-number segments split at h = (N+1) div 2). The
+# normal approximation uses the EXACT finite-population moments of a
+# without-replacement score sample, so ties need no special casing.
+
+_AB_F_CLOSED = """
+(CASE WHEN {L} <= h
+      THEN (least({U}, h) * (least({U}, h) + 1) / 2
+            - ({L} - 1) * {L} / 2) ELSE 0 END
+ + CASE WHEN {U} > h
+        THEN (nn + 1) * ({U} - greatest({L}, h + 1) + 1)
+             - ({U} * ({U} + 1) / 2
+                - (greatest({L}, h + 1) - 1) * greatest({L}, h + 1) / 2)
+        ELSE 0 END)
+"""
+
+_AB_ORACLE = f"""
+WITH {_WE_CELLS_DUCK},
+tot AS (
+    SELECT CAST(SUM(cw) AS BIGINT) AS n, CAST(SUM(ce) AS BIGINT) AS m,
+           CAST(SUM(cw + ce) AS BIGINT) AS nn,
+           CAST((SUM(cw + ce) + 1) // 2 AS BIGINT) AS h
+    FROM cells
+),
+cum AS (
+    SELECT vq, cw, ce, cw + ce AS c,
+           CAST(COALESCE(SUM(cw + ce) OVER (ORDER BY vq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS p
+    FROM cells
+),
+scored AS (
+    SELECT ce, c,
+           {_AB_F_CLOSED.format(L="(p + 1)", U="(p + c)")} AS f
+    FROM cum, tot
+),
+agg AS (
+    SELECT CAST(SUM(f) AS HUGEINT) AS ftot,
+           CAST(SUM(CAST(ROUND(ce * (CAST(f AS DOUBLE) / c) * 1e6)
+                         AS BIGINT)) AS HUGEINT) AS t_micro,
+           CAST(SUM(CAST(ROUND((CAST(f AS DOUBLE) * f / c) * 1e3)
+                         AS BIGINT)) AS HUGEINT) AS ssq_milli
+    FROM scored
+)
+SELECT t.m AS n_weekend, t.n AS n_weekday,
+       ROUND(CAST(a.t_micro AS DOUBLE) / 1e6, 6) AS ab_t_weekend,
+       ROUND(CAST(t.m AS DOUBLE) * a.ftot / t.nn, 6) AS ab_expected,
+       ROUND((CAST(a.t_micro AS DOUBLE) / 1e6
+              - CAST(t.m AS DOUBLE) * a.ftot / t.nn)
+             / SQRT(CAST(t.m AS DOUBLE) * t.n / (CAST(t.nn AS DOUBLE)
+                    * (t.nn - 1))
+                    * (CAST(a.ssq_milli AS DOUBLE) / 1e3
+                       - CAST(a.ftot AS DOUBLE) * a.ftot / t.nn)), 6)
+           AS z_approx
+FROM tot t, agg a
+"""
+
+
+@query("ansari_bradley_scale", oracle=_AB_ORACLE)
+def ansari_bradley_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSARI–BRADLEY rank test of SCALE: do weekend values disperse
+    differently than weekday values around a common center? The rank
+    companion to brown_forsythe_variance_by_type (which needs moments)
+    — AB only needs ranks, so heavy tails can't inflate it; it
+    completes the two-sample corner of the battery (location:
+    mannwhitney; shape: ks/CvM/energy; scale: this).
+
+    Determinism: every cell's score sum f_j (min(i, N+1−i) over the
+    cell's rank interval) is a closed-form INTEGER — two triangular
+    segments split at h = (N+1) div 2; the weekend score sum and the
+    score second moment quantize per-cell exact-integer divisions to
+    1e-6/1e-3 grids before the distributed sum; mean and variance use
+    the exact finite-population formulas, so the z is one
+    shared-verbatim double readout.
+
+    100 TB shape: the same bounded cell device as energy/CvM — one
+    map-side aggregate, one window over cells; rescale note: the
+    quantized grids carry ~100x headroom over the sf0.1 magnitudes
+    (cw·f/c ≤ N²/2), drop to 1e-3/1 at 1e9+ pooled rows."""
+    cells = _we_cells(spark, sf_dir)
+    tot = cells.agg(
+        F.sum("cw").cast("long").alias("n"),
+        F.sum("ce").cast("long").alias("m"),
+        F.sum(F.col("cw") + F.col("ce")).cast("long").alias("nn"),
+        ((F.sum(F.col("cw") + F.col("ce")) + 1) / 2)
+        .cast("long").alias("h"),
+    )
+    wlt = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cells.select(
+        "ce", (F.col("cw") + F.col("ce")).alias("c"),
+        F.coalesce(F.sum(F.col("cw") + F.col("ce")).over(wlt), F.lit(0))
+        .cast("long").alias("p"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "f",
+        F.expr(
+            _AB_F_CLOSED.format(L="(p + 1)", U="(p + c)")
+        ).cast("long"),
+    )
+    agg = scored.agg(
+        F.sum(F.col("f").cast(_DEC)).alias("ftot"),
+        F.sum(
+            F.round(F.col("ce") * (F.col("f").cast("double") / F.col("c")) * 1e6)
+            .cast("long").cast(_DEC)
+        ).alias("t_micro"),
+        F.sum(
+            F.round((F.col("f").cast("double") * F.col("f") / F.col("c")) * 1e3)
+            .cast("long").cast(_DEC)
+        ).alias("ssq_milli"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    nnd = F.col("nn").cast("double")
+    t_ab = F.col("t_micro").cast("double") / 1e6
+    exp_t = md * F.col("ftot").cast("double") / F.col("nn")
+    var_t = (
+        md * F.col("n") / (nnd * (F.col("nn") - 1))
+        * (
+            F.col("ssq_milli").cast("double") / 1e3
+            - F.col("ftot").cast("double") * F.col("ftot") / F.col("nn")
+        )
+    )
+    return tot.crossJoin(F.broadcast(agg)).select(
+        F.col("m").alias("n_weekend"),
+        F.col("n").alias("n_weekday"),
+        F.round(t_ab, 6).alias("ab_t_weekend"),
+        F.round(exp_t, 6).alias("ab_expected"),
+        F.round((t_ab - exp_t) / F.sqrt(var_t), 6).alias("z_approx"),
+    )
+
+# --------------------------------------------------------------------
+# Shared k-group moment device: (event_type, vq, c) cells. Group
+# moments come off the bounded cell frame, so every statistic below
+# reads the fact table exactly once per query.
+
+_TYPE_CELLS_DUCK = f"""
+cells AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vq,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+)
+"""
+
+
+def _type_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vq"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+# ---------------------------------------------- Jarque–Bera normality
+# Skewness / excess kurtosis / JB per event type from ANCHORED exact
+# moments: center the integer values on the per-type integer mean
+# floor a = Σvq div n BEFORE the power sums, so d = vq − a is bounded
+# by the value RANGE and Σd^k stays exact in DECIMAL(38,0)/HUGEINT at
+# any row count (the un-anchored Σx⁴-moment form overflows 38 digits
+# once n·mean⁴ passes 1e38 — the Chow lesson applied to 4th powers).
+# The residual mean Σd/n lies in [0, 1), so the central-moment
+# corrections are small same-magnitude terms — no catastrophic
+# cancellation — and the whole readout is one shared-verbatim double
+# expression per statistic.
+
+_JB_M1 = "(CAST(sd AS DOUBLE) / n)"
+_JB_M2 = f"(CAST(sd2 AS DOUBLE) / n - {_JB_M1} * {_JB_M1})"
+_JB_M3 = (
+    f"(CAST(sd3 AS DOUBLE) / n - 3 * {_JB_M1} * (CAST(sd2 AS DOUBLE) / n)"
+    f" + 2 * {_JB_M1} * {_JB_M1} * {_JB_M1})"
+)
+_JB_M4 = (
+    f"(CAST(sd4 AS DOUBLE) / n - 4 * {_JB_M1} * (CAST(sd3 AS DOUBLE) / n)"
+    f" + 6 * {_JB_M1} * {_JB_M1} * (CAST(sd2 AS DOUBLE) / n)"
+    f" - 3 * {_JB_M1} * {_JB_M1} * {_JB_M1} * {_JB_M1})"
+)
+# x^1.5 as x*SQRT(x), NOT POWER(x, 1.5): sqrt is IEEE
+# correctly-rounded on both engines, libm pow is not (last-ulp
+# divergence observed live on jb_stat at sf0.001).
+_JB_SKEW = f"({_JB_M3} / NULLIF({_JB_M2} * SQRT({_JB_M2}), 0))"
+_JB_EXK = f"({_JB_M4} / NULLIF({_JB_M2} * {_JB_M2}, 0) - 3)"
+# CAST(n AS DOUBLE): bare `n / 6.0` is BIGINT/DECIMAL in Spark and
+# runs as decimal division (the SCALE.md bare-literal trap — observed
+# live as a 1e-8-relative jb_stat drift).
+_JB_STAT = (
+    f"(CAST(n AS DOUBLE) / 6.0 * ({_JB_SKEW} * {_JB_SKEW}"
+    f" + {_JB_EXK} * {_JB_EXK} / 4.0))"
+)
+
+_JB_ORACLE = f"""
+WITH {_TYPE_CELLS_DUCK},
+anchor AS (
+    SELECT event_type,
+           CAST(SUM(c * vq) // SUM(c) AS BIGINT) AS a
+    FROM cells GROUP BY 1
+),
+m AS (
+    SELECT c.event_type,
+           CAST(SUM(c.c) AS BIGINT) AS n,
+           CAST(SUM(c.c * (c.vq - a.a)) AS HUGEINT) AS sd,
+           CAST(SUM(c.c * (c.vq - a.a) * (c.vq - a.a)) AS HUGEINT) AS sd2,
+           CAST(SUM(CAST(c.c AS HUGEINT) * (c.vq - a.a) * (c.vq - a.a)
+                    * (c.vq - a.a)) AS HUGEINT) AS sd3,
+           CAST(SUM(CAST(c.c AS HUGEINT) * ((c.vq - a.a) * (c.vq - a.a))
+                    * ((c.vq - a.a) * (c.vq - a.a))) AS HUGEINT) AS sd4
+    FROM cells c JOIN anchor a ON c.event_type = a.event_type
+    GROUP BY 1
+)
+SELECT event_type, n AS n_group,
+       ROUND((a.a + {_JB_M1}) / 100, 6) AS mean_value,
+       ROUND({_JB_SKEW}, 6) AS skewness,
+       ROUND({_JB_EXK}, 6) AS ex_kurtosis,
+       ROUND({_JB_STAT}, 6) AS jb_stat
+FROM m JOIN anchor a USING (event_type)
+"""
+
+
+@query("jarque_bera_by_type", oracle=_JB_ORACLE)
+def jarque_bera_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE–BERA normality test per event type — skewness g1 and
+    excess kurtosis g2 from exact central moments, JB = n/6 (g1² +
+    g2²/4). The formal gate on every normality-assuming member of the
+    battery (anova_oneway, tukey_hsd, the z-flaggers): a large JB says
+    "use the rank twins instead" (kruskal_wallis, mood, dunn).
+
+    Determinism: moments are ANCHORED — values center on the integer
+    per-type mean floor before the power sums, so Σd^k is exact
+    integer at any scale (d is bounded by the value RANGE; the
+    unanchored Σx⁴ form would pass 1e38 at ~1e12 rows) and the
+    residual mean Σd/n ∈ [0,1) makes the central-moment corrections
+    cancellation-free; skew/kurtosis/JB are shared-verbatim double
+    readouts (scale-invariant, so centi-units drop out).
+
+    100 TB shape: one map-side cell aggregate bounded by the value
+    domain per type; anchor + moments are two aggregates OVER CELLS
+    (the fact table is read once); NULLIF guards the degenerate
+    zero-variance group."""
+    cells = _type_cells(spark, sf_dir).localCheckpoint()
+    anchor = cells.groupBy("event_type").agg(
+        F.expr("CAST(sum(c * vq) div sum(c) AS BIGINT)").alias("a")
+    )
+    d = F.col("vq") - F.col("a")
+    d2 = (d * d).cast(_DEC)
+    m = (
+        cells.join(F.broadcast(anchor), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c").cast(_DEC) * d.cast(_DEC)).alias("sd"),
+            F.sum(F.col("c").cast(_DEC) * d2).alias("sd2"),
+            F.sum(F.col("c").cast(_DEC) * d2 * d.cast(_DEC)).alias("sd3"),
+            F.sum(F.col("c").cast(_DEC) * d2 * d2).alias("sd4"),
+        )
+    )
+    return m.join(F.broadcast(anchor), "event_type").select(
+        "event_type",
+        F.col("n").alias("n_group"),
+        F.round((F.col("a") + F.expr(_JB_M1)) / 100, 6).alias("mean_value"),
+        F.round(F.expr(_JB_SKEW), 6).alias("skewness"),
+        F.round(F.expr(_JB_EXK), 6).alias("ex_kurtosis"),
+        F.round(F.expr(_JB_STAT), 6).alias("jb_stat"),
+    )
+
+# ------------------------------------- Bartlett variance homogeneity
+# k-group equal-variance test from exact integer moments: the
+# Σx²−(Σx)²/n shape subtracts AS INTEGERS (a_i = n·s2 − s1², the
+# SCALE.md Chow rule), so each group variance is one exact-integer /
+# exact-integer double. ln appears only in the final k-row readout.
+
+_BARTLETT_ORACLE = f"""
+WITH {_TYPE_CELLS_DUCK},
+grp AS (
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(c) * SUM(CAST(c AS HUGEINT) * vq * vq)
+                - SUM(CAST(c AS HUGEINT) * vq) * SUM(CAST(c AS HUGEINT) * vq)
+               AS HUGEINT) AS a
+    FROM cells GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           SUM(CAST(a AS DOUBLE) / n) AS sp2num,
+           SUM((n - 1) * LN(CAST(a AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)))) AS lsum,
+           SUM(1.0 / (n - 1)) AS csum
+    FROM grp
+)
+SELECT g.event_type, g.n AS n_group,
+       ROUND(CAST(g.a AS DOUBLE) / (CAST(g.n AS DOUBLE) * (g.n - 1))
+             / 1e4, 6) AS var_value,
+       ROUND(((t.nn - t.k) * LN(t.sp2num / (t.nn - t.k)) - t.lsum)
+             / (1 + (t.csum - 1.0 / (t.nn - t.k))
+                    / (3.0 * (t.k - 1))), 6) AS bartlett_stat
+FROM grp g, tot t
+"""
+
+
+@query("bartlett_variance_test", oracle=_BARTLETT_ORACLE)
+def bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTLETT'S TEST of variance homogeneity across event types —
+    the classical (normality-assuming, maximally powerful) member of
+    the scale battery: brown_forsythe is the robust screen,
+    ansari_bradley the rank fallback, Bartlett the sharp instrument
+    when jarque_bera_by_type clears the normality gate.
+
+    Determinism: per-group a_i = n·Σx² − (Σx)² subtracts AS INTEGERS
+    in DECIMAL(38,0)/HUGEINT (the SCALE.md cancellation rule); each
+    variance is one exact-integer ratio; ln and the k-term sums run
+    over the 5-row group frame (the KW 5-term-double convention —
+    last-ulp accumulation noise sits ~9 orders below the ROUND 6
+    boundary). ln(centi² units) cancels exactly in M because
+    Σ(n_i−1) = N−k. NULLIF-free: every n_i ≥ 2 here; a one-row group
+    would make a_i/0 NULL and propagate NULL, not a wrong number.
+
+    100 TB shape: one map-side cell aggregate bounded by the value
+    domain; the group frame is k rows; nothing else exists."""
+    cells = _type_cells(spark, sf_dir)
+    grp = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        (
+            F.sum("c").cast(_DEC)
+            * F.sum(F.col("c").cast(_DEC) * F.col("vq") * F.col("vq"))
+            - F.sum(F.col("c").cast(_DEC) * F.col("vq"))
+            * F.sum(F.col("c").cast(_DEC) * F.col("vq"))
+        ).alias("a"),
+    )
+    var_d = F.col("a").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("a").cast("double") / F.col("n")).alias("sp2num"),
+        F.sum((F.col("n") - 1) * F.log(var_d)).alias("lsum"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("csum"),
+    )
+    stat = (
+        (F.col("nn") - F.col("k")) * F.log(F.col("sp2num") / (F.col("nn") - F.col("k")))
+        - F.col("lsum")
+    ) / (
+        1
+        + (F.col("csum") - 1.0 / (F.col("nn") - F.col("k")))
+        / (3.0 * (F.col("k") - 1))
+    )
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n").alias("n_group"),
+        F.round(var_d / 1e4, 6).alias("var_value"),
+        F.round(stat, 6).alias("bartlett_stat"),
+    )
+
+
+# ------------------------------------------------ Welch's ANOVA
+# k-group mean comparison WITHOUT the equal-variance assumption —
+# what anova_oneway_value should have been wherever
+# brown_forsythe/bartlett reject homogeneity. Weights w_i = n_i/s_i²
+# from the same exact integer moments.
+
+_WELCH_ANOVA_ORACLE = f"""
+WITH {_TYPE_CELLS_DUCK},
+grp AS (
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CAST(c AS HUGEINT) * vq) AS HUGEINT) AS s1,
+           CAST(SUM(c) * SUM(CAST(c AS HUGEINT) * vq * vq)
+                - SUM(CAST(c AS HUGEINT) * vq) * SUM(CAST(c AS HUGEINT) * vq)
+               AS HUGEINT) AS a
+    FROM cells GROUP BY 1
+),
+wg AS (
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / n AS mean_c,
+           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * (n - 1))
+               / CAST(a AS DOUBLE) AS w
+    FROM grp
+),
+t1 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+           SUM(w) AS wsum, SUM(w * mean_c) AS wmsum
+    FROM wg
+),
+t2 AS (
+    SELECT SUM(g.w * (g.mean_c - t.wmsum / t.wsum)
+               * (g.mean_c - t.wmsum / t.wsum)) / (t.k - 1) AS anum,
+           SUM((1 - g.w / t.wsum) * (1 - g.w / t.wsum)
+               / (g.n - 1)) AS bden,
+           ANY_VALUE(t.k) AS k, ANY_VALUE(t.nn) AS nn
+    FROM wg g, t1 t
+    GROUP BY t.k, t.nn, t.wsum
+)
+SELECT k, nn AS n_total,
+       ROUND(anum / (1 + 2.0 * (k - 2)
+                     * (3.0 * bden / (CAST(k AS DOUBLE) * k - 1))
+                     / 3.0), 6) AS welch_f,
+       ROUND((CAST(k AS DOUBLE) * k - 1) / (3.0 * bden), 6) AS df2
+FROM t2
+"""
+
+
+@query("welch_anova_value", oracle=_WELCH_ANOVA_ORACLE)
+def welch_anova_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S HETEROSCEDASTIC ANOVA of value across event types —
+    the k-group mean test that drops one-way ANOVA's equal-variance
+    assumption (the k-group generalization of welch_ttest, and the
+    parametric escape hatch when bartlett_variance_test rejects).
+    F* = Σw_i(x̄_i − x̄_w)²/(k−1) over 1 + 2(k−2)Λ/3, Λ =
+    3Σ(1−w_i/W)²/((n_i−1)(k²−1)), df2 = 1/Λ.
+
+    Determinism: group means and variances come from exact integer
+    moments (s1, and the integer-subtracted a = n·Σx² − (Σx)²);
+    weights w = n(n(n−1))/a are one double division each;
+    the k-term combination sums follow the KW 5-term-double
+    convention. Centi-units cancel in F (w·mean² is unit-free).
+
+    100 TB shape: identical to bartlett — one bounded cell aggregate,
+    then k-row algebra."""
+    cells = _type_cells(spark, sf_dir)
+    grp = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast(_DEC) * F.col("vq")).alias("s1"),
+        (
+            F.sum("c").cast(_DEC)
+            * F.sum(F.col("c").cast(_DEC) * F.col("vq") * F.col("vq"))
+            - F.sum(F.col("c").cast(_DEC) * F.col("vq"))
+            * F.sum(F.col("c").cast(_DEC) * F.col("vq"))
+        ).alias("a"),
+    )
+    wg = grp.select(
+        "event_type", "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_c"),
+        (
+            F.col("n").cast("double")
+            * (F.col("n").cast("double") * (F.col("n") - 1))
+            / F.col("a").cast("double")
+        ).alias("w"),
+    )
+    t1 = wg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("w").alias("wsum"),
+        F.sum(F.col("w") * F.col("mean_c")).alias("wmsum"),
+    )
+    j = wg.crossJoin(F.broadcast(t1))
+    dev = F.col("mean_c") - F.col("wmsum") / F.col("wsum")
+    t2 = j.groupBy("k", "nn", "wsum").agg(
+        (F.sum(F.col("w") * dev * dev) / (F.col("k") - 1)).alias("anum"),
+        F.sum(
+            (1 - F.col("w") / F.col("wsum"))
+            * (1 - F.col("w") / F.col("wsum"))
+            / (F.col("n") - 1)
+        ).alias("bden"),
+    )
+    kd = F.col("k").cast("double")
+    lam = 3.0 * F.col("bden") / (kd * kd - 1)
+    return t2.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        F.round(
+            F.col("anum") / (1 + 2.0 * (F.col("k") - 2) * lam / 3.0), 6
+        ).alias("welch_f"),
+        F.round((kd * kd - 1) / (3.0 * F.col("bden")), 6).alias("df2"),
+    )
+
+# -------------------------------------------- Dunn post-hoc pairwise
+# The follow-up kruskal_wallis_value_by_type lacks: WHICH type pairs
+# differ. Dunn's z on the same sort-free tie-group rank device (mean
+# midranks from integer 2*rank sums, pooled tie correction).
+
+_DUNN_ORACLE = f"""
+WITH {_TYPE_CELLS_DUCK},
+vals AS (
+    SELECT vq, CAST(SUM(c) AS BIGINT) AS cv FROM cells GROUP BY 1
+),
+w AS (
+    SELECT vq, cv,
+           CAST(COALESCE(SUM(cv) OVER (ORDER BY vq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prev
+    FROM vals
+),
+grp AS (
+    SELECT c.event_type,
+           CAST(SUM(c.c) AS BIGINT) AS nj,
+           CAST(SUM(CAST(c.c AS HUGEINT)
+                    * (2 * CAST(w.prev AS HUGEINT) + w.cv + 1)) AS HUGEINT)
+               AS r2j
+    FROM cells c JOIN w ON c.vq = w.vq
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(cv) AS BIGINT) AS n,
+           CAST(SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS HUGEINT) AS tsum
+    FROM w
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ROUND(CAST(a.r2j AS DOUBLE) / (2.0 * a.nj), 6) AS mean_rank_a,
+       ROUND(CAST(b.r2j AS DOUBLE) / (2.0 * b.nj), 6) AS mean_rank_b,
+       ROUND((CAST(a.r2j AS DOUBLE) / (2.0 * a.nj)
+              - CAST(b.r2j AS DOUBLE) / (2.0 * b.nj))
+             / SQRT((CAST(t.n AS DOUBLE) * (t.n + 1) / 12.0
+                     - CAST(t.tsum AS DOUBLE) / (12.0 * (t.n - 1)))
+                    * (1.0 / a.nj + 1.0 / b.nj)), 6) AS dunn_z
+FROM grp a JOIN grp b ON a.event_type < b.event_type, tot t
+"""
+
+
+@query("dunn_posthoc_pairwise", oracle=_DUNN_ORACLE)
+def dunn_posthoc_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUNN'S POST-HOC test for every event-type pair — the step after
+    kruskal_wallis_value_by_type rejects: z_ab = (R̄_a − R̄_b) / sqrt(
+    (N(N+1)/12 − Σ(t³−t)/(12(N−1))) (1/n_a + 1/n_b)) on the POOLED
+    midranks (not pairwise re-ranks — that would be pairwise
+    Mann-Whitneys, a different test). The rank twin of
+    tukey_hsd_pairwise.
+
+    Determinism: the same sort-free tie-group device as KW — integer
+    2*rank sums in DECIMAL(38,0)/HUGEINT off bounded value cells; the
+    z is one shared-verbatim double readout per pair; pairs ordered
+    type_a < type_b.
+
+    100 TB shape: one bounded cell aggregate, one window over cells,
+    then a k-row self-join (k=5 -> 10 pairs). Nothing scales with
+    rows."""
+    cells = _type_cells(spark, sf_dir)
+    vals = cells.groupBy("vq").agg(F.sum("c").cast("long").alias("cv"))
+    wprev = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    w = vals.select(
+        "vq", "cv",
+        F.coalesce(F.sum("cv").over(wprev), F.lit(0)).cast("long").alias("prev"),
+    )
+    grp = (
+        cells.join(w, "vq")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("nj"),
+            F.sum(
+                F.col("c").cast(_DEC)
+                * (2 * F.col("prev") + F.col("cv") + 1).cast(_DEC)
+            ).alias("r2j"),
+        )
+    )
+    tot = w.agg(
+        F.sum("cv").cast("long").alias("n"),
+        F.sum(
+            F.col("cv").cast(_DEC) * F.col("cv").cast(_DEC) * F.col("cv").cast(_DEC)
+            - F.col("cv").cast(_DEC)
+        ).alias("tsum"),
+    )
+    a = grp.select(
+        F.col("event_type").alias("type_a"),
+        F.col("nj").alias("na"), F.col("r2j").alias("r2a"),
+    )
+    b = grp.select(
+        F.col("event_type").alias("type_b"),
+        F.col("nj").alias("nb"), F.col("r2j").alias("r2b"),
+    )
+    ra = F.col("r2a").cast("double") / (2.0 * F.col("na"))
+    rb = F.col("r2b").cast("double") / (2.0 * F.col("nb"))
+    nd = F.col("n").cast("double")
+    sig2 = nd * (F.col("n") + 1) / 12.0 - F.col("tsum").cast("double") / (
+        12.0 * (F.col("n") - 1)
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a", "type_b",
+            F.round(ra, 6).alias("mean_rank_a"),
+            F.round(rb, 6).alias("mean_rank_b"),
+            F.round(
+                (ra - rb)
+                / F.sqrt(sig2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+                6,
+            ).alias("dunn_z"),
+        )
+    )
+
+
+# ------------------------------------------- Kendall's W concordance
+# Effect size for friedman_test_day_blocks: how CONSISTENTLY do the
+# calendar days rank the event types? W = 3·S4/(b²k(k²−1)) with
+# S4 = Σ_j (R2_j − b(k+1))² — the ×2-carried version of
+# 12·Σ(R_j − b(k+1)/2)²/(b²k(k²−1)), so S4 is an exact integer.
+
+_KENDALL_W_ORACLE = f"""
+WITH k AS (
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events
+    WHERE value IS NOT NULL
+),
+cells AS (
+    SELECT date_trunc('day', {DUCK_TS}) AS day, event_type,
+           CAST(ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT))
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mq
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+full_blocks AS (
+    SELECT day FROM cells, k GROUP BY day, k.k
+    HAVING COUNT(*) = ANY_VALUE(k.k)
+),
+ranked AS (
+    SELECT c.day, c.event_type,
+           2 * RANK() OVER (PARTITION BY c.day ORDER BY c.mq)
+             + CAST(COUNT(*) OVER (PARTITION BY c.day, c.mq) AS BIGINT) - 1
+               AS r2
+    FROM cells c JOIN full_blocks f ON c.day = f.day
+),
+sums AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS b,
+           CAST(SUM(CAST(r2 AS HUGEINT)) AS HUGEINT) AS r2sum
+    FROM ranked GROUP BY 1
+),
+s AS (
+    SELECT CAST(SUM(dev * dev) AS HUGEINT) AS s4,
+           MAX(b) AS b, CAST(COUNT(*) AS BIGINT) AS k
+    FROM (
+        SELECT b,
+               r2sum - MAX(b) OVER () * (COUNT(*) OVER () + 1) AS dev
+        FROM sums
+    )
+)
+SELECT b AS n_blocks, k,
+       ROUND(3.0 * CAST(s4 AS DOUBLE)
+             / (CAST(b AS DOUBLE) * b * k
+                * (CAST(k AS DOUBLE) * k - 1)), 6) AS kendall_w,
+       ROUND(CAST(b AS DOUBLE) * (k - 1)
+             * (3.0 * CAST(s4 AS DOUBLE)
+                / (CAST(b AS DOUBLE) * b * k
+                   * (CAST(k AS DOUBLE) * k - 1))), 6) AS friedman_q_implied
+FROM s
+"""
+
+
+@query("kendall_w_concordance", oracle=_KENDALL_W_ORACLE)
+def kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S COEFFICIENT OF CONCORDANCE W over the Friedman rank
+    frame: b complete calendar days each rank the k event types by
+    daily mean value; W ∈ [0,1] is the effect size
+    friedman_test_day_blocks's Q lacks (Q grows with b even at fixed
+    agreement; W = Q/(b(k−1)) normalizes it — the implied Q is
+    reported as the cross-check against the Friedman query).
+
+    Determinism: same integer rank device as Friedman (1e-6 cell
+    means, ×2-carried within-block average ranks); the sum of squared
+    deviations is the ×2-carried S4 = Σ(R2_j − b(k+1))², an EXACT
+    integer in DECIMAL(38,0)/HUGEINT; W is one shared-verbatim double.
+
+    100 TB shape: one bounded (day × type) cell aggregate; rank
+    windows over ≤ k rows per day; k-row algebra after."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    k = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    cells = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(
+            F.round(
+                F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+                / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("mq")
+        )
+        .localCheckpoint()  # bounded days x types frame (the friedman
+        # convention): completeness filter + rank join read it once
+    )
+    full = (
+        cells.crossJoin(F.broadcast(k))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == F.col("k"))
+        .select("day")
+    )
+    wday = Window.partitionBy("day").orderBy("mq")
+    wtie = Window.partitionBy("day", "mq")
+    ranked = cells.join(full, "day").select(
+        "event_type",
+        (
+            2 * F.rank().over(wday)
+            + F.count(F.lit(1)).over(wtie).cast("long")
+            - 1
+        ).alias("r2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("b"),
+        F.sum(F.col("r2").cast(_DEC)).alias("r2sum"),
+    )
+    wall = Window.partitionBy()
+    dev = F.col("r2sum") - (
+        F.max("b").over(wall) * (F.count(F.lit(1)).over(wall) + 1)
+    ).cast(_DEC)
+    s = sums.select(
+        dev.alias("dev"), F.col("b"),
+    ).agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("s4"),
+        F.max("b").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    bd = F.col("b").cast("double")
+    kd = F.col("k").cast("double")
+    wstat = 3.0 * F.col("s4").cast("double") / (bd * bd * F.col("k") * (kd * kd - 1))
+    return s.select(
+        F.col("b").alias("n_blocks"),
+        "k",
+        F.round(wstat, 6).alias("kendall_w"),
+        F.round(bd * (F.col("k") - 1) * wstat, 6).alias("friedman_q_implied"),
+    )
