@@ -996,3 +996,856 @@ def kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wstat, 6).alias("kendall_w"),
         F.round(bd * (F.col("k") - 1) * wstat, 6).alias("friedman_q_implied"),
     )
+
+# --------------------------------------------- KPSS level stationarity
+# The null-reversed companion to mann_kendall_trend: KPSS's H0 is
+# "level-stationary" (Mann-Kendall's H0 is "no trend"), so running
+# both separates trend-stationary from unit-root behavior. Partial
+# sums and autocovariances of the hourly mean series stay EXACT by
+# working on d_t = n*mq_t - sum(mq) (the n-scaled residual, integer);
+# the n-scales cancel in the ratio: eta = sum(S_d^2) / (n * (g0 +
+# 2*sum(w_l*g_l))). The Bartlett bandwidth floor(4*(n/100)^0.25) is
+# chosen by PURE-INTEGER comparison (b^4 * 100 <= 256 * n), never
+# libm pow at a floor boundary.
+
+_KPSS_SERIES = f"""
+series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS idx, mq
+    FROM (
+        SELECT date_trunc('hour', {DUCK_TS}) AS bucket,
+               CAST(ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT))
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mq
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    )
+)
+"""
+
+_KPSS_ORACLE = f"""
+WITH {_KPSS_SERIES},
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(mq AS HUGEINT)) AS HUGEINT) AS sm
+    FROM series
+),
+d AS (
+    SELECT idx, CAST(t.n * mq - t.sm AS HUGEINT) AS d
+    FROM series, tot t
+),
+ssq AS (
+    SELECT CAST(SUM(s * s) AS HUGEINT) AS ssq
+    FROM (
+        SELECT CAST(SUM(d) OVER (ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS HUGEINT) AS s
+        FROM d
+    )
+),
+bw AS (
+    SELECT CAST(MAX(b) AS BIGINT) AS b
+    FROM (SELECT unnest(generate_series(0, 20)) AS b), tot
+    WHERE b * b * b * b * 100 <= 256 * n
+),
+gam AS (
+    SELECT l, CAST(SUM(d1.d * d2.d) AS HUGEINT) AS g
+    FROM (SELECT unnest(generate_series(0, (SELECT b FROM bw))) AS l),
+         d d1 JOIN d d2 ON d2.idx = d1.idx + l
+    GROUP BY 1
+),
+sig AS (
+    SELECT SUM(CASE WHEN l = 0 THEN CAST(g AS DOUBLE)
+                    ELSE 2 * (1 - CAST(l AS DOUBLE) / (b + 1))
+                         * CAST(g AS DOUBLE) END) AS lrv
+    FROM gam, bw
+)
+SELECT t.n AS n_hours, bw.b AS bandwidth,
+       ROUND(CAST(ssq.ssq AS DOUBLE) / (CAST(t.n AS DOUBLE) * sig.lrv), 6)
+           AS kpss_eta
+FROM tot t, bw, ssq, sig
+"""
+
+
+@query("kpss_level_stationarity", oracle=_KPSS_ORACLE)
+def kpss_level_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS LEVEL-STATIONARITY test of the hourly mean-value series —
+    the reversed-null companion to mann_kendall_trend (KPSS rejects
+    when the level WANDERS; Mann-Kendall rejects when it TRENDS;
+    together they classify trend-stationary vs unit-root vs
+    stationary, the check every forecaster in the registry implicitly
+    assumes). eta = Σ_t S_t² / (n² σ̂²_lr) with a Bartlett-window
+    long-run variance at bandwidth floor(4 (n/100)^0.25).
+
+    Determinism: the series sits on the 1e-6 integer grid (the
+    friedman/fisher cell-mean convention); residuals are carried
+    n-SCALED (d_t = n·mq_t − Σmq, exact integer), so partial sums,
+    their squares, and every autocovariance Σ d_t d_{t+l} are exact
+    DECIMAL(38,0)/HUGEINT — the n-scales cancel in the final ratio.
+    The bandwidth comes from an integer inequality (b⁴·100 ≤ 256n),
+    not libm pow, so a 1-ulp pow flip can't move the floor.
+
+    100 TB shape: ONE map-side aggregate to the hourly series
+    (bounded by the time span); the lag frame is hours × bandwidth
+    (~13 lags) — everything downstream is time-bounded, row-count
+    independent."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.round(
+            F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+            / F.count(F.lit(1)).cast("double")
+        ).cast("long").alias("mq")
+    )
+    series = hourly.select(
+        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("idx"), "mq"
+    ).localCheckpoint()  # time-bounded; residual frame + lag self-join
+    # + totals all read it without replaying the fact scan
+    tot = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("mq").cast(_DEC)).alias("sm"),
+    )
+    d = series.crossJoin(F.broadcast(tot)).select(
+        "idx",
+        (F.col("n").cast(_DEC) * F.col("mq").cast(_DEC) - F.col("sm")).alias("d"),
+        "n",
+    ).localCheckpoint()  # reused by the cumulative window AND the lag join
+    wc = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    ssq = d.select(F.sum("d").over(wc).alias("s")).agg(
+        F.sum(F.col("s") * F.col("s")).alias("ssq")
+    )
+    bw = (
+        tot.select(F.explode(F.sequence(F.lit(0), F.lit(20))).alias("b"), "n")
+        .filter(
+            F.col("b") * F.col("b") * F.col("b") * F.col("b") * 100
+            <= 256 * F.col("n")
+        )
+        .agg(F.max("b").cast("long").alias("b"))
+    )
+    lags = bw.select(F.explode(F.sequence(F.lit(0), F.col("b").cast("int"))).alias("l"))
+    d1 = d.select(F.col("idx").alias("i1"), F.col("d").alias("v1"))
+    d2 = d.select(F.col("idx").alias("i2"), F.col("d").alias("v2"))
+    gam = (
+        lags.join(d1)
+        .join(d2, F.col("i2") == F.col("i1") + F.col("l"))
+        .groupBy("l")
+        .agg(F.sum(F.col("v1") * F.col("v2")).alias("g"))
+    )
+    sig = gam.crossJoin(F.broadcast(bw)).agg(
+        F.sum(
+            F.when(F.col("l") == 0, F.col("g").cast("double")).otherwise(
+                2 * (1 - F.col("l").cast("double") / (F.col("b") + 1))
+                * F.col("g").cast("double")
+            )
+        ).alias("lrv")
+    )
+    return (
+        tot.crossJoin(F.broadcast(bw))
+        .crossJoin(F.broadcast(ssq))
+        .crossJoin(F.broadcast(sig))
+        .select(
+            F.col("n").alias("n_hours"),
+            F.col("b").alias("bandwidth"),
+            F.round(
+                F.col("ssq").cast("double")
+                / (F.col("n").cast("double") * F.col("lrv")),
+                6,
+            ).alias("kpss_eta"),
+        )
+    )
+
+# -------------------------------------- Mahalanobis bivariate top-k
+# Covariance-aware outlier scan over (value, props.k): the quadratic
+# form Q = C·u² − 2B·u·v + A·v² is EXACT integer (u = n·x − Σx,
+# v = n·y − Σy, and A/B/C the integer-subtracted central moments), so
+# the top-k ORDERING is integer-decided; the reported distance
+# d² = (n−1)·Q/(n·det) is one shared-verbatim double.
+
+MAHA_TOP = 25
+
+_MAHA_BASE_DUCK = f"""
+base AS (
+    SELECT event_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS x,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS y,
+           value
+    FROM events
+    WHERE value IS NOT NULL
+      AND json_extract_string(props, '$.k') IS NOT NULL
+)
+"""
+
+_MAHA_ORACLE = f"""
+WITH {_MAHA_BASE_DUCK},
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT))
+               AS HUGEINT) AS a,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT))
+               AS HUGEINT) AS b,
+           CAST(COUNT(*) * SUM(CAST(y AS HUGEINT) * y)
+                - SUM(CAST(y AS HUGEINT)) * SUM(CAST(y AS HUGEINT))
+               AS HUGEINT) AS c
+    FROM base
+),
+scored AS (
+    SELECT base.event_id, base.event_type, base.value, base.y AS k_prop,
+           m.c * (m.n * base.x - m.sx) * (m.n * base.x - m.sx)
+             - 2 * m.b * (m.n * base.x - m.sx) * (m.n * base.y - m.sy)
+             + m.a * (m.n * base.y - m.sy) * (m.n * base.y - m.sy) AS q,
+           m.n, m.a * m.c - m.b * m.b AS det
+    FROM base, mom m
+)
+SELECT event_id, event_type, value, k_prop,
+       ROUND(SQRT(CAST(q AS DOUBLE) / CAST(det AS DOUBLE)
+                  * (CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE)), 6)
+           AS mahalanobis_d
+FROM scored
+ORDER BY q DESC, event_id
+LIMIT {MAHA_TOP}
+"""
+
+
+@query("mahalanobis_outlier_topk", oracle=_MAHA_ORACLE)
+def mahalanobis_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{MAHA_TOP} MAHALANOBIS outliers in the bivariate (value,
+    props.k) cloud — the covariance-aware generalization of
+    zscore_anomaly and grubbs_outlier_scan: a point can be
+    unremarkable on each axis yet extreme against the joint
+    correlation structure, which per-axis z-scores cannot see.
+
+    Determinism: the quadratic form Q = C·u² − 2B·u·v + A·v² is EXACT
+    integer in DECIMAL(38,0)/HUGEINT (u = n·x − Σx clears the double
+    mean; A/B/C are the integer-subtracted central moments — the
+    SCALE.md Chow rule in matrix form), so the top-k ORDER is decided
+    by integer comparison with an event_id tiebreak; the reported
+    d² = (n−1)Q/(n·det) via the Cramer 2×2 inverse is one
+    shared-verbatim double.
+
+    100 TB shape: one moment aggregate (6 sums), one broadcast
+    join-back, one TakeOrderedAndProject — no shuffle of the fact
+    beyond the aggregate's partials. Rescale note: Q ~ n³·x²·y²
+    passes DECIMAL(38,0) around ~1e9 rows; there, anchor x/y on
+    integer mean floors first (the jarque_bera device) — ranks and
+    distances are translation-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "event_type", "value",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.get_json_object("props", "$.k").cast("long").alias("y"),
+    ).filter(F.col("value").isNotNull() & F.col("y").isNotNull())
+    xd, yd = F.col("x").cast(_DEC), F.col("y").cast(_DEC)
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        (F.count(F.lit(1)) * F.sum(xd * xd) - F.sum(xd) * F.sum(xd)).alias("a"),
+        (F.count(F.lit(1)) * F.sum(xd * yd) - F.sum(xd) * F.sum(yd)).alias("b"),
+        (F.count(F.lit(1)) * F.sum(yd * yd) - F.sum(yd) * F.sum(yd)).alias("c"),
+    )
+    j = base.crossJoin(F.broadcast(mom))
+    u = F.col("n").cast(_DEC) * F.col("x") - F.col("sx")
+    v = F.col("n").cast(_DEC) * F.col("y") - F.col("sy")
+    scored = j.select(
+        "event_id", "event_type", "value",
+        F.col("y").alias("k_prop"),
+        (F.col("c") * u * u - 2 * F.col("b") * u * v + F.col("a") * v * v)
+        .alias("q"),
+        "n",
+        (F.col("a") * F.col("c") - F.col("b") * F.col("b")).alias("det"),
+    )
+    return (
+        scored.orderBy(F.col("q").desc(), "event_id")
+        .limit(MAHA_TOP)
+        .select(
+            "event_id", "event_type", "value", "k_prop",
+            F.round(
+                F.sqrt(
+                    F.col("q").cast("double") / F.col("det").cast("double")
+                    * (F.col("n").cast("double") - 1) / F.col("n").cast("double")
+                ),
+                6,
+            ).alias("mahalanobis_d"),
+        )
+    )
+
+
+# ------------------------------------------ Hotelling's T² (weekend)
+# Two-sample multivariate mean test on (value, props.k): does the
+# weekend JOINT centroid differ from the weekday one? The
+# multivariate mannwhitney/welch_ttest companion — two univariate
+# t-tests miss a shift along the correlation axis.
+
+_HOTELLING_ORACLE = f"""
+WITH grp AS (
+    SELECT CASE WHEN dayofweek({DUCK_TS}) IN (0, 6) THEN 1 ELSE 0 END AS we,
+           CAST(ROUND(value * 100) AS BIGINT) AS x,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+    FROM events
+    WHERE value IS NOT NULL
+      AND json_extract_string(props, '$.k') IS NOT NULL
+),
+mom AS (
+    SELECT we,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT))
+               AS HUGEINT) AS a,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT))
+               AS HUGEINT) AS b,
+           CAST(COUNT(*) * SUM(CAST(y AS HUGEINT) * y)
+                - SUM(CAST(y AS HUGEINT)) * SUM(CAST(y AS HUGEINT))
+               AS HUGEINT) AS c
+    FROM grp GROUP BY 1
+),
+piv AS (
+    SELECT MAX(CASE WHEN we = 0 THEN n END) AS n1,
+           MAX(CASE WHEN we = 1 THEN n END) AS n2,
+           MAX(CASE WHEN we = 0 THEN CAST(sx AS DOUBLE) / n END) AS mx1,
+           MAX(CASE WHEN we = 1 THEN CAST(sx AS DOUBLE) / n END) AS mx2,
+           MAX(CASE WHEN we = 0 THEN CAST(sy AS DOUBLE) / n END) AS my1,
+           MAX(CASE WHEN we = 1 THEN CAST(sy AS DOUBLE) / n END) AS my2,
+           SUM(CAST(a AS DOUBLE) / n) AS wxx,
+           SUM(CAST(b AS DOUBLE) / n) AS wxy,
+           SUM(CAST(c AS DOUBLE) / n) AS wyy
+    FROM mom
+)
+SELECT n1 AS n_weekday, n2 AS n_weekend,
+       ROUND((mx1 - mx2) / 100, 6) AS dx_value,
+       ROUND(my1 - my2, 6) AS dy_k,
+       ROUND(CAST(n1 AS DOUBLE) * n2 / (n1 + n2) * (n1 + n2 - 2)
+             * ((wyy * (mx1 - mx2) * (mx1 - mx2)
+                 - 2 * wxy * (mx1 - mx2) * (my1 - my2)
+                 + wxx * (my1 - my2) * (my1 - my2))
+                / NULLIF(wxx * wyy - wxy * wxy, 0)), 6) AS t2_stat,
+       ROUND(CAST(n1 AS DOUBLE) * n2 / (n1 + n2) * (n1 + n2 - 3) / 2.0
+             * ((wyy * (mx1 - mx2) * (mx1 - mx2)
+                 - 2 * wxy * (mx1 - mx2) * (my1 - my2)
+                 + wxx * (my1 - my2) * (my1 - my2))
+                / NULLIF(wxx * wyy - wxy * wxy, 0)), 6) AS f_stat
+FROM piv
+"""
+
+
+@query("hotelling_t2_weekend", oracle=_HOTELLING_ORACLE)
+def hotelling_t2_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOTELLING'S T² two-sample test of the joint (value, props.k)
+    mean vector, weekend vs weekday — the multivariate companion to
+    welch_ttest/mannwhitney: a centroid shift along the correlation
+    axis is invisible to two marginal t-tests but loads fully here.
+    T² = (n1n2/N)(N−2) dᵀW⁻¹d over the pooled within-group scatter W;
+    F = (N−3)/(2(N−2))·T² ~ F(2, N−3).
+
+    Determinism: per-group scatters come from the integer-subtracted
+    moment forms (exact DECIMAL(38,0)/HUGEINT); W entries are exact-
+    integer / n ratios; the quadratic form and the Cramer 2×2 solve
+    are one shared-verbatim double readout; NULLIF guards the
+    degenerate collinear case.
+
+    100 TB shape: ONE 2-group moment aggregate (map-side combine, 12
+    cells) then scalar algebra — nothing else touches the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("we"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.get_json_object("props", "$.k").cast("long").alias("y"),
+        "value",
+    ).filter(F.col("value").isNotNull() & F.col("y").isNotNull())
+    xd, yd = F.col("x").cast(_DEC), F.col("y").cast(_DEC)
+    mom = base.groupBy("we").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        (F.count(F.lit(1)) * F.sum(xd * xd) - F.sum(xd) * F.sum(xd)).alias("a"),
+        (F.count(F.lit(1)) * F.sum(xd * yd) - F.sum(xd) * F.sum(yd)).alias("b"),
+        (F.count(F.lit(1)) * F.sum(yd * yd) - F.sum(yd) * F.sum(yd)).alias("c"),
+    )
+    piv = mom.agg(
+        F.max(F.when(F.col("we") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("we") == 1, F.col("n"))).alias("n2"),
+        F.max(
+            F.when(F.col("we") == 0, F.col("sx").cast("double") / F.col("n"))
+        ).alias("mx1"),
+        F.max(
+            F.when(F.col("we") == 1, F.col("sx").cast("double") / F.col("n"))
+        ).alias("mx2"),
+        F.max(
+            F.when(F.col("we") == 0, F.col("sy").cast("double") / F.col("n"))
+        ).alias("my1"),
+        F.max(
+            F.when(F.col("we") == 1, F.col("sy").cast("double") / F.col("n"))
+        ).alias("my2"),
+        F.sum(F.col("a").cast("double") / F.col("n")).alias("wxx"),
+        F.sum(F.col("b").cast("double") / F.col("n")).alias("wxy"),
+        F.sum(F.col("c").cast("double") / F.col("n")).alias("wyy"),
+    )
+    dx, dy = F.col("mx1") - F.col("mx2"), F.col("my1") - F.col("my2")
+    qform = (
+        F.col("wyy") * dx * dx - 2 * F.col("wxy") * dx * dy + F.col("wxx") * dy * dy
+    ) / F.nullif(
+        F.col("wxx") * F.col("wyy") - F.col("wxy") * F.col("wxy"), F.lit(0.0)
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nn = F.col("n1") + F.col("n2")
+    return piv.select(
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        F.round(dx / 100, 6).alias("dx_value"),
+        F.round(dy, 6).alias("dy_k"),
+        F.round(n1d * n2d / nn * (nn - 2) * qform, 6).alias("t2_stat"),
+        F.round(n1d * n2d / nn * (nn - 3) / 2.0 * qform, 6).alias("f_stat"),
+    )
+
+# ---------------------------------- Theil inequality decomposition
+# Theil T of customer revenue, decomposed by nation: T = Σ_g s_g T_g
+# (within) + Σ_g s_g ln(x̄_g/μ) (between) — the property Gini lacks
+# (gini_customer_revenue reports the level; Theil says WHERE the
+# inequality lives). Revenue is exact cents; per-customer entropy
+# terms quantize to 1e-9 before the distributed sum.
+
+_THEIL_ORACLE = """
+WITH cust AS (
+    SELECT c.c_custkey, n.n_name,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rq
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+),
+grp AS (
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS ng,
+           CAST(SUM(CAST(rq AS HUGEINT)) AS HUGEINT) AS rg
+    FROM cust GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(rg) AS HUGEINT) AS r
+    FROM grp
+),
+within AS (
+    SELECT c.n_name,
+           CAST(SUM(CAST(ROUND(
+               (CAST(c.rq * g.ng AS DOUBLE) / g.rg)
+               * LN(CAST(c.rq * g.ng AS DOUBLE) / g.rg) * 1e9)
+               AS BIGINT)) AS HUGEINT) AS tsum_nano
+    FROM cust c JOIN grp g USING (n_name)
+    GROUP BY 1
+)
+SELECT g.n_name, g.ng AS n_customers,
+       ROUND(CAST(g.rg AS DOUBLE) / t.r, 6) AS revenue_share,
+       ROUND(CAST(w.tsum_nano AS DOUBLE) / 1e9 / g.ng, 6) AS theil_within,
+       ROUND(CAST(g.rg AS DOUBLE) / t.r
+             * LN((CAST(g.rg AS DOUBLE) * t.n)
+                  / (CAST(t.r AS DOUBLE) * g.ng)), 6) AS between_term
+FROM grp g JOIN within w USING (n_name), tot t
+"""
+
+
+@query("theil_inequality_decomposition", oracle=_THEIL_ORACLE)
+def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T INEQUALITY of customer revenue DECOMPOSED BY NATION —
+    the additive between/within split the Gini family cannot do
+    (gini_customer_revenue and the per-nation Gini report levels;
+    Theil T = Σ_g s_g·T_g + Σ_g s_g·ln(x̄_g/μ) says how much
+    inequality lives inside nations vs between them — the standard
+    market-concentration decomposition).
+
+    Determinism: revenue in exact cents (BIGINT); the per-customer
+    ratio x_i/x̄_g forms as the exact integer product rq·n_g cast to
+    double over the exact integer R_g (one division, shared
+    verbatim); each entropy term quantizes to 1e-9 BIGINT before the
+    distributed per-nation sum; between-terms are 25-row algebra.
+
+    100 TB shape: one customer-keyed revenue aggregate (the only fact
+    shuffle), one broadcast of the 25-row nation frame back onto it,
+    per-nation sums — entropy terms never leave the map side."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rq")
+        )
+    )
+    grp = cust.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.col("rq").cast(_DEC)).alias("rg"),
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("long").alias("n"), F.sum("rg").alias("r")
+    )
+    ratio = F.expr("CAST(rq * ng AS DOUBLE) / rg")
+    within = (
+        cust.join(F.broadcast(grp), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(ratio * F.log(ratio) * 1e9).cast("long").cast(_DEC)
+            ).alias("tsum_nano")
+        )
+    )
+    return (
+        grp.join(within, "n_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("ng").alias("n_customers"),
+            F.round(F.col("rg").cast("double") / F.col("r"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(
+                F.col("tsum_nano").cast("double") / 1e9 / F.col("ng"), 6
+            ).alias("theil_within"),
+            F.round(
+                F.col("rg").cast("double") / F.col("r")
+                * F.log(
+                    (F.col("rg").cast("double") * F.col("n"))
+                    / (F.col("r").cast("double") * F.col("ng"))
+                ),
+                6,
+            ).alias("between_term"),
+        )
+    )
+
+# --------------------------------- Restricted mean survival time
+# RMST(tau) = area under the Kaplan-Meier curve up to tau — the
+# scalar summary that turns the KM curve into a decision number
+# ("expected activity-gap minutes within the next tau"), robust where
+# the median is undefined because S never crosses 0.5. Reuses the
+# exact kaplan_meier_waits construction (queries_analytics2.py):
+# integer log-sum hazards; survival quantized to nano BEFORE the
+# width-weighted sum, so the area is an exact integer per tau.
+
+RMST_TAUS = (60, 240, 480)  # minutes
+
+_RMST_ORACLE = f"""
+WITH ts_ AS (
+    SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+    FROM events
+),
+obs AS (SELECT CAST(max(us) AS BIGINT) AS obs_end FROM ts_),
+spells AS (
+    SELECT CAST((COALESCE(next_us, obs_end) - us) // 60000000 AS BIGINT)
+               AS t_min,
+           CASE WHEN next_us IS NULL THEN 0 ELSE 1 END AS observed
+    FROM (
+        SELECT user_id, us,
+               LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS next_us
+        FROM ts_
+    ), obs
+),
+cells AS (
+    SELECT t_min, CAST(SUM(observed) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM spells GROUP BY 1
+),
+risk AS (
+    SELECT *, CAST(SUM(c) OVER (ORDER BY t_min DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+    FROM cells
+),
+terms AS (
+    SELECT t_min, d, n,
+           CASE WHEN d = n THEN NULL
+                WHEN d = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(LN(1 - CAST(d AS DOUBLE) / n) * 1e9) AS BIGINT)
+           END AS nano
+    FROM risk
+),
+cum AS (
+    SELECT t_min,
+           CAST(COALESCE(SUM(nano) OVER wa, 0) AS BIGINT) AS cum_nano,
+           CAST(COUNT(*) FILTER (nano IS NULL) OVER wa AS BIGINT) AS died_out,
+           LEAD(t_min) OVER (ORDER BY t_min) AS next_t
+    FROM terms
+    WINDOW wa AS (ORDER BY t_min ROWS UNBOUNDED PRECEDING)
+),
+snano AS (
+    SELECT t_min, next_t,
+           CASE WHEN died_out > 0 THEN 0
+                ELSE CAST(ROUND(EXP(CAST(cum_nano AS DOUBLE) / 1e9) * 1e9)
+                          AS BIGINT) END AS s_nano
+    FROM cum
+),
+first_t AS (SELECT CAST(MIN(t_min) AS BIGINT) AS t0 FROM snano),
+taus AS (SELECT unnest(ARRAY{list(RMST_TAUS)}) AS tau),
+area AS (
+    SELECT tau,
+           CAST(SUM(s_nano * GREATEST(0, LEAST(COALESCE(next_t, tau), tau)
+                                         - LEAST(t_min, tau)))
+               AS HUGEINT) AS a_nano
+    FROM snano, taus
+    GROUP BY 1
+)
+SELECT a.tau AS tau_min,
+       ROUND((LEAST(f.t0, a.tau) * CAST(1e9 AS BIGINT)
+              + CAST(a.a_nano AS DOUBLE)) / 1e9, 6) AS rmst_min
+FROM area a, first_t f
+ORDER BY 1
+"""
+
+
+@query("rmst_restricted_mean_survival", oracle=_RMST_ORACLE)
+def rmst_restricted_mean_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME of the inter-event waiting
+    process at tau = {RMST_TAUS} minutes — the area under
+    kaplan_meier_waits' curve up to each horizon: "of the next tau
+    minutes, how many does the typical wait survive?" The scalar the
+    survival lane lacked (KM/Nelson-Aalen report curves, logrank a
+    comparison; RMST is THE reportable effect size, defined even when
+    S(t) never reaches 0.5 and a median wait does not exist).
+
+    Determinism: identical exact construction as kaplan_meier_waits
+    (integer cells, descending-cumsum risk sets, nano-quantized
+    integer log-sum hazards); the step survival S(t) additionally
+    quantizes to nano BEFORE the width-weighted area sum, so each
+    RMST is an exact integer in nano-minute units; the [0, first
+    step) segment contributes width * 1.0 exactly.
+
+    100 TB shape: one user-keyed LEAD shuffle for spells, then
+    everything runs over duration-bounded cells crossed with 3 taus;
+    same cost envelope as the KM query it summarizes."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ = ev.select("user_id", F.unix_micros("ts").cast("long").alias("us"))
+    obs = ts_.agg(F.max("us").cast("long").alias("obs_end"))
+    w_u = Window.partitionBy("user_id").orderBy("us")
+    spells = (
+        ts_.withColumn("next_us", F.lead("us").over(w_u))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.expr("(coalesce(next_us, obs_end) - us) div 60000000")
+            .cast("long").alias("t_min"),
+            F.col("next_us").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    cells = spells.groupBy("t_min").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w_desc = (
+        Window.partitionBy().orderBy(F.col("t_min").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = cells.withColumn("n", F.sum("c").over(w_desc).cast("long"))
+    terms = risk.withColumn(
+        "nano",
+        F.when(F.col("d") == F.col("n"), F.lit(None))
+        .when(F.col("d") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                F.log(1 - F.col("d").cast("double") / F.col("n")) * F.lit(1e9)
+            ).cast("long")
+        ),
+    )
+    w_asc = (
+        Window.partitionBy().orderBy("t_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = terms.select(
+        "t_min",
+        F.coalesce(F.sum("nano").over(w_asc), F.lit(0)).cast("long")
+        .alias("cum_nano"),
+        F.count(F.when(F.col("nano").isNull(), 1)).over(w_asc).cast("long")
+        .alias("died_out"),
+        F.lead("t_min").over(Window.orderBy("t_min")).alias("next_t"),
+    )
+    snano = cum.select(
+        "t_min", "next_t",
+        F.when(F.col("died_out") > 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                F.exp(F.col("cum_nano").cast("double") / 1e9) * 1e9
+            ).cast("long")
+        ).alias("s_nano"),
+    ).localCheckpoint()  # duration-bounded step frame: the 3-tau area
+    # cross and the first-step probe both read it
+    first_t = snano.agg(F.min("t_min").cast("long").alias("t0"))
+    taus = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in RMST_TAUS])).alias("tau")
+    )
+    area = (
+        snano.crossJoin(F.broadcast(taus))
+        .groupBy("tau")
+        .agg(
+            F.sum(
+                F.col("s_nano").cast(_DEC)
+                * F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(F.coalesce("next_t", "tau"), F.col("tau"))
+                    - F.least("t_min", "tau"),
+                ).cast(_DEC)
+            ).alias("a_nano")
+        )
+    )
+    return (
+        area.crossJoin(F.broadcast(first_t))
+        .select(
+            F.col("tau").alias("tau_min"),
+            F.round(
+                (
+                    F.least("t0", "tau").cast(_DEC)
+                    * F.lit(1_000_000_000).cast(_DEC)
+                    + F.col("a_nano")
+                ).cast("double")
+                / 1e9,
+                6,
+            ).alias("rmst_min"),
+        )
+        .orderBy("tau_min")
+    )
+
+# ----------------------------------- Held-out bigram perplexity eval
+# The eval the LM-filter lane lacked: bigram_lm_score trains and
+# scores on the SAME corpus (useful as a filter signal, useless as a
+# model eval). Here a 90/10 md5 hash split trains add-1-smoothed
+# bigram counts on train and reports HELD-OUT perplexity per
+# language — unseen contexts/words fall through to the uniform
+# 1/(V+1) floor exactly (the implicit <unk>), so OOV handling is
+# part of the measured number.
+
+_PPL_HELD_DUCK_WS = """
+w AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
+               < 9 AS is_train,
+           string_split(text, ' ') AS ws
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, lang, is_train, ws[i-1] AS prev, ws[i] AS cur
+    FROM (
+        SELECT doc_id, lang, is_train, ws,
+               unnest(generate_series(2, len(ws))) AS i
+        FROM w
+    )
+)
+"""
+
+_PPL_ORACLE = f"""
+WITH {_PPL_HELD_DUCK_WS},
+big AS (
+    SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2
+    FROM bg WHERE is_train GROUP BY 1, 2
+),
+ctx AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY 1),
+voc AS (
+    SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+    FROM (SELECT unnest(ws) AS t FROM w WHERE is_train)
+),
+sc AS (
+    SELECT h.lang, h.doc_id,
+           CAST(ROUND(LN((COALESCE(b.c2, 0) + 1.0)
+                         / (COALESCE(x.c1, 0) + v.v + 1)) * 1e9) AS BIGINT)
+               AS lp_nano
+    FROM bg h
+    LEFT JOIN big b ON b.prev = h.prev AND b.cur = h.cur
+    LEFT JOIN ctx x ON x.prev = h.prev
+    CROSS JOIN voc v
+    WHERE NOT h.is_train
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(lp_nano) AS DOUBLE) / 1e9 / COUNT(*), 6)
+           AS avg_logprob,
+       ROUND(EXP(-(CAST(SUM(lp_nano) AS DOUBLE) / 1e9 / COUNT(*))), 6)
+           AS perplexity
+FROM sc GROUP BY 1
+"""
+
+
+@query("bigram_perplexity_heldout", oracle=_PPL_ORACLE)
+def bigram_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT BIGRAM PERPLEXITY per language: train add-1-smoothed
+    bigram counts on the md5-90% split, score the held-out 10%,
+    report exp(−mean log P(cur|prev)) — the top rung of the LM ladder
+    (unigram_logprob_score -> bigram_lm_score -> a real train/test
+    eval), and the CCNet-style quality signal measured the honest
+    way: a model scored on its own training text cannot detect
+    memorized boilerplate; a held-out perplexity can. Unseen contexts
+    and OOV words hit the uniform 1/(V+1) floor exactly — the
+    implicit <unk> class.
+
+    Determinism: the split is the registry's md5-hash convention
+    (conv/substr == '0x'||substr identity); every log-probability is
+    one double from three exact integers (c2, c1, V), quantized to
+    1e-9 BEFORE the per-language sum.
+
+    100 TB shape: the LM tables (bigram types, contexts, vocab size)
+    are sublinear in corpus size and broadcast; the held-out bigram
+    stream never shuffles for scoring (map-side joins), and the
+    per-language rollup is the only stream-keyed aggregate — the
+    bigram_lm_score scaling story with the same top-K-prune caveat
+    for a full 100 TB vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        F.expr(
+            "cast(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 10 < 9"
+        ).alias("is_train"),
+    )
+    bg = docs.select(
+        "doc_id", "lang", "is_train",
+        F.explode(
+            F.expr(
+                "transform(array(split(text, ' ')), ws -> "
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(2, size(ws)), i -> "
+                "struct(ws[i-2] AS prev, ws[i-1] AS cur)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<prev: STRING, cur: STRING>>) END)[0]"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "lang", "is_train",
+        F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"),
+    )
+    big = (
+        bg.filter("is_train")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("c2").cast("long").alias("c1"))
+    voc = (
+        docs.filter("is_train")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("v"))
+    )
+    lp_nano = F.round(
+        F.log(
+            (F.coalesce("c2", F.lit(0)) + 1.0)
+            / (F.coalesce("c1", F.lit(0)) + F.col("v") + 1)
+        )
+        * 1e9
+    ).cast("long")
+    sc = (
+        bg.filter(~F.col("is_train"))
+        .join(F.broadcast(big), ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .crossJoin(F.broadcast(voc))
+        .select("lang", "doc_id", lp_nano.alias("lp_nano"))
+    )
+    mean_lp = F.sum(F.col("lp_nano").cast(_DEC)).cast("double") / 1e9 / F.count(
+        F.lit(1)
+    )
+    return sc.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(mean_lp, 6).alias("avg_logprob"),
+        F.round(F.exp(-mean_lp), 6).alias("perplexity"),
+    )
