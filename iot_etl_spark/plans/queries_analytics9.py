@@ -1849,3 +1849,144 @@ def bigram_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_lp, 6).alias("avg_logprob"),
         F.round(F.exp(-mean_lp), 6).alias("perplexity"),
     )
+
+# --------------------------- Anderson-Darling k-sample (midrank form)
+# Scholz-Stephens A2akN across the k event types — the tail-weighted
+# omnibus companion to kruskal_wallis (location) and the two-sample
+# lane: the 1/(B(N−B)) weight loads the DISTRIBUTION TAILS, where KW's
+# linear ranks are flattest. Midrank tie handling on the ×2-carried
+# integer device: 2B_j = 2H_j − h_j, 2M_ij = 2F_ij − f_ij over the
+# DENSE (type × distinct-value) grid, numerator X = N·2M − n_i·2B and
+# denominator D4 = 2B(2N−2B) − N·h_j both exact integers (the /4s
+# cancel); each term quantizes to 1e-9 before the distributed sum.
+
+_AD_ORACLE = f"""
+WITH {_TYPE_CELLS_DUCK},
+vals AS (
+    SELECT vq, CAST(SUM(c) AS BIGINT) AS h,
+           CAST(SUM(SUM(c)) OVER (ORDER BY vq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS hh
+    FROM cells GROUP BY vq
+),
+grp AS (
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS ni FROM cells GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS n FROM grp),
+dense AS (
+    SELECT g.event_type, g.ni, v.vq, v.h,
+           2 * v.hh - v.h AS b2,
+           2 * CAST(SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.event_type
+                    ORDER BY v.vq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) - COALESCE(c.c, 0) AS m2
+    FROM grp g CROSS JOIN vals v
+    LEFT JOIN cells c ON c.event_type = g.event_type AND c.vq = v.vq
+),
+terms AS (
+    SELECT event_type, ni,
+           CAST(SUM(CAST(ROUND(
+               CAST((t.n * CAST(m2 AS HUGEINT) - ni * CAST(b2 AS HUGEINT))
+                    * (t.n * CAST(m2 AS HUGEINT) - ni * CAST(b2 AS HUGEINT))
+                   AS DOUBLE)
+               * h
+               / NULLIF(CAST(b2 AS DOUBLE) * (2 * t.n - b2) - t.n * h, 0)
+               / t.n / ni * 1e9) AS BIGINT)) AS HUGEINT) AS contrib_nano
+    FROM dense, tot t
+    GROUP BY 1, 2
+)
+SELECT t1.event_type, t1.ni AS n_group,
+       ROUND(CAST(t1.contrib_nano AS DOUBLE) / 1e9, 6) AS ad_contrib,
+       ROUND((CAST(t.n AS DOUBLE) - 1) / t.n
+             * (SELECT SUM(CAST(contrib_nano AS DOUBLE) / 1e9) FROM terms),
+             6) AS a2_akn
+FROM terms t1, tot t
+"""
+
+
+@query("anderson_darling_ksample", oracle=_AD_ORACLE)
+def anderson_darling_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANDERSON-DARLING k-SAMPLE test (Scholz-Stephens A2akN, midrank
+    tie form — what scipy's anderson_ksamp computes) of value across
+    event types: the ECDF-gap integral weighted by 1/(B(N−B)), which
+    loads the distribution TAILS where kruskal_wallis's linear ranks
+    and mood's median split are blindest — the k-sample member of the
+    two-sample lane (ks/CvM/energy) this round completes.
+
+    Determinism: the ×2-carried midrank device keeps every piece
+    integer — 2B = 2H − h pooled, 2M = 2F − f per type over the DENSE
+    type × value grid (absent cells still carry their cumulative
+    mass, which a sparse groupBy would drop — the chi2_type_dow
+    densification lesson); numerator and denominator integers cancel
+    their /4s exactly; each (type, cell) term is one double quantized
+    to 1e-9 before the per-type sum; NULLIF guards the
+    single-distinct-value degenerate.
+
+    100 TB shape: one bounded cell aggregate; the dense grid is
+    k × |value domain| (~165k rows at any data size); two windows
+    over bounded frames; no per-row rank anywhere."""
+    cells = _type_cells(spark, sf_dir).localCheckpoint()  # bounded
+    # (type, vq) frame: pooled cum, dense grid, and group sizes all
+    # read it without replaying the fact scan
+    winc = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+    vals = (
+        cells.groupBy("vq")
+        .agg(F.sum("c").cast("long").alias("h"))
+        .withColumn("hh", F.sum("h").over(winc).cast("long"))
+    )
+    grp = cells.groupBy("event_type").agg(F.sum("c").cast("long").alias("ni"))
+    tot = grp.agg(F.sum("ni").cast("long").alias("n"))
+    wtyp = Window.partitionBy("event_type").orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dense = (
+        grp.crossJoin(vals)
+        .join(cells, ["event_type", "vq"], "left")
+        .select(
+            "event_type", "ni", "vq", "h",
+            (2 * F.col("hh") - F.col("h")).alias("b2"),
+            F.coalesce("c", F.lit(0)).alias("f"),
+        )
+        .withColumn(
+            "m2",
+            2 * F.sum("f").over(wtyp).cast("long") - F.col("f"),
+        )
+    )
+    x = (
+        F.col("n").cast(_DEC) * F.col("m2").cast(_DEC)
+        - F.col("ni").cast(_DEC) * F.col("b2").cast(_DEC)
+    )
+    den4 = F.col("b2").cast("double") * (2 * F.col("n") - F.col("b2")) - F.col(
+        "n"
+    ) * F.col("h")
+    t_nano = F.round(
+        (x * x).cast("double")
+        * F.col("h")
+        / F.nullif(den4, F.lit(0.0))
+        / F.col("n")
+        / F.col("ni")
+        * 1e9
+    ).cast("long")
+    terms = (
+        dense.crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "ni")
+        .agg(F.sum(t_nano.cast(_DEC)).alias("contrib_nano"))
+        .localCheckpoint()  # k rows; read per-type AND for the total
+    )
+    total = terms.agg(
+        F.sum(F.col("contrib_nano").cast("double") / 1e9).alias("csum")
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            F.col("ni").alias("n_group"),
+            F.round(F.col("contrib_nano").cast("double") / 1e9, 6).alias(
+                "ad_contrib"
+            ),
+            F.round(
+                (F.col("n").cast("double") - 1) / F.col("n") * F.col("csum"), 6
+            ).alias("a2_akn"),
+        )
+    )

@@ -1573,3 +1573,119 @@ def stream_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+# ------------------- chained session-window -> daily aggregation
+# The FOURTH multi-stateful combination (agg->agg:
+# stream_two_level_agg; dedup->agg: stream_dedup_then_agg; join->agg:
+# stream_join_then_agg; now session->agg): data-driven session
+# windows feeding a fixed daily rollup in ONE streaming query — the
+# "daily engagement from live sessions" pattern, where the first
+# stateful level has no fixed extent at all.
+SESSION_AGG_WM_S = 3600
+SESSION_AGG_GAP_MIN = 30
+
+_SESSION_AGG_ORACLE = f"""
+WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+t AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS vq
+    FROM events
+),
+mk AS (
+    SELECT user_id, ts, vq,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL {SESSION_AGG_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts, vq,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq
+    FROM mk
+),
+sess AS (
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL {SESSION_AGG_GAP_MIN} MINUTE AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n_ev,
+           CAST(SUM(vq) AS BIGINT) AS sv
+    FROM s GROUP BY user_id, sess_seq
+),
+d AS (
+    SELECT date_trunc('day', s_end - INTERVAL 1 MICROSECOND) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(sv) AS BIGINT) AS sum_cents,
+           CAST(SUM(epoch_us(s_end) - epoch_us(s_start)) AS BIGINT) AS dur_us
+    FROM sess GROUP BY 1
+)
+SELECT epoch_us(day) // 1000000 AS day_epoch, n_sessions, n_events,
+       ROUND(CAST(sum_cents AS DOUBLE) / 100, 6) AS sum_value,
+       ROUND(CAST(dur_us AS DOUBLE) / 1e6 / n_sessions, 6)
+           AS avg_session_seconds
+FROM d, m
+WHERE day + INTERVAL 1 DAY <= mx - INTERVAL {SESSION_AGG_WM_S} SECONDS
+"""
+
+
+@query("stream_session_then_agg", oracle=_SESSION_AGG_ORACLE)
+def stream_session_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED session-window -> daily aggregation in one streaming
+    query — the FOURTH and final cell of the multi-stateful matrix
+    (agg->agg, dedup->agg, join->agg, session->agg): per-user
+    {SESSION_AGG_GAP_MIN}-minute-gap session windows (data-driven
+    extent, state merges windows as events arrive) feed a fixed daily
+    rollup of session counts, event counts, value, and mean session
+    duration, append mode. A session lands in the day containing its
+    event-time END (window_time = end − 1µs, the chained-window
+    convention); a day emits iff the watermark (max event time −
+    {SESSION_AGG_WM_S}s) passed its end — every session in an emitted
+    day is closed by construction (session_end ≤ day_end ≤ watermark).
+    The oracle is the batch gaps-and-islands sessionization under the
+    identical cutoff, so BOTH the engine's session-merge semantics and
+    the two-level emission contract are hash-checked.
+
+    100 TB shape: level-1 state is one open session per active user
+    (a hot user widens one session, never accumulates windows),
+    level-2 one row per open day; both evict on the same watermark
+    clock. Value sums ride exact cents; durations exact micros.
+    Reference parity: the reference sessionizes in batch SQL only
+    (SURVEY §2 W-family); this is the streaming twin of
+    session_stats feeding the daily ladder."""
+    src = read_stream_source(
+        spark, "parquet", path=f"{sf_dir.rstrip('/')}/events.parquet"
+    )
+    sess = (
+        src.withWatermark("ts", f"{SESSION_AGG_WM_S} seconds")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_AGG_GAP_MIN} minutes"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("sv"),
+            (
+                F.unix_micros("session_window.end")
+                - F.unix_micros("session_window.start")
+            ).alias("dur_us"),
+        )
+    )
+    daily = (
+        sess.groupBy(F.window(F.window_time("session_window"), "1 day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.sum("sv").cast("long").alias("sum_cents"),
+            F.sum("dur_us").cast("long").alias("dur_us"),
+        )
+    )
+    _, out = run_stream_to_memory(daily, output_mode="append")
+    return out.select(
+        F.unix_timestamp("window.start").cast("long").alias("day_epoch"),
+        "n_sessions", "n_events",
+        F.round(F.col("sum_cents").cast("double") / 100, 6).alias("sum_value"),
+        F.round(
+            F.col("dur_us").cast("double") / 1e6 / F.col("n_sessions"), 6
+        ).alias("avg_session_seconds"),
+    )
