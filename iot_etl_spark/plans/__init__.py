@@ -35,22 +35,39 @@ from iot_etl_spark.plans import queries_analytics9  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
-# window is curated per round for maximum fresh evidence. Round-11
-# rotation (VERDICT r10 item 2): the round-11 registrations lead
-# (fresh evidence first), then the rotation continues into the
-# round-3-green tier exactly where round 10 stopped — round 10's
-# slots 44-50 covered the tier head through ``dedup_clusters``, so
-# this window resumes at ``dedup_exact``; names past slot 50 (with 16
-# round-11 registrations the tier is covered through
-# ``stream_sliding_agg``, leaving 8 tier names) stay listed in order
-# for round 12, which then starts the round-4 tier.
+# window is curated per round for maximum fresh evidence. Round-12
+# rotation (VERDICT r11 item 1): the 16 round-12 registrations lead
+# (fresh evidence first), then the 8 round-3-green leftovers round 11
+# did not reach (stream_static_enrich .. unigram_logprob_score), then
+# the round-4-green tier begins in alphabetical order — its head
+# (burst_detection .. q19_disjunctive_revenue) fills the window; the
+# remaining 24 round-4 names stay listed in order for round 13.
 # Names listed here but not (yet) registered are ignored; registered
 # names absent from the list keep their original relative order after
 # the prioritized block.
-# Names first registered in round 11, in registration order. This is
-# the single source of truth the STATUS.md changelog count is checked
-# against (tests/test_contract.py::test_status_ledger_matches_registry)
-# so the ledger can't drift from the registry (VERDICT r10 item 4).
+# ROUND{N}_REGISTRATIONS constants are the single source of truth the
+# STATUS.md changelog counts are checked against
+# (tests/test_contract.py::test_status_ledger_matches_registry) so the
+# ledger can't drift from the registry (VERDICT r10 item 4).
+ROUND12_REGISTRATIONS: list[str] = [
+    "energy_distance_weekend",
+    "cramer_von_mises_weekend",
+    "ansari_bradley_scale",
+    "jarque_bera_by_type",
+    "bartlett_variance_test",
+    "welch_anova_value",
+    "dunn_posthoc_pairwise",
+    "kendall_w_concordance",
+    "kpss_level_stationarity",
+    "mahalanobis_outlier_topk",
+    "hotelling_t2_weekend",
+    "theil_inequality_decomposition",
+    "rmst_restricted_mean_survival",
+    "bigram_perplexity_heldout",
+    "anderson_darling_ksample",
+    "stream_session_then_agg",
+]
+
 ROUND11_REGISTRATIONS: list[str] = [
     "friedman_test_day_blocks",
     "mood_median_test",
@@ -70,43 +87,10 @@ ROUND11_REGISTRATIONS: list[str] = [
     "mcc_classifier_eval",
 ]
 
-_DRIVER_WINDOW_FIRST: list[str] = ROUND11_REGISTRATIONS + [
-    # ---- regression re-checks: the round-3-green tier, resumed at
-    # the first name round 10's window did not reach
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "device_mad_builtin",
-    "dim_time_calendar",
-    "doc_chunks",
-    "doc_fingerprint",
-    "embedding_cosine_topk",
-    "embedding_dim_stats",
-    "embedding_int8_quant",
-    "embedding_ivf_topk",
-    "embedding_label_centroids",
-    "embedding_similar_pairs",
-    "knn_join",
-    "langid_confusion",
-    "minhash_lsh_candidates",
-    "multimodal_bytes_stats",
-    "pii_redaction_stats",
-    "q10_returned_items",
-    "q5_local_supplier_volume",
-    "quality_percentile_gate",
-    "repetition_stats",
-    "sample_mix_summary",
-    "sample_stratified",
-    "semantic_dedup_verdict",
-    "session_stats",
-    "simhash_fingerprint",
-    "simhash_near_pairs",
-    "stream_dedup",
-    "stream_ewma_by_device",
-    "stream_interval_join",
-    "stream_json_decode",
-    "stream_raw_passthrough",
-    "stream_session_window",
-    "stream_sliding_agg",
+_DRIVER_WINDOW_FIRST: list[str] = ROUND12_REGISTRATIONS + [
+    # ---- regression re-checks: the 8 round-3-green leftovers round
+    # 11's window did not reach (its 16 registrations + tier names
+    # through stream_sliding_agg filled slots 1-50)
     "stream_static_enrich",
     "stream_tumbling_agg",
     "text_normalize_stats",
@@ -115,6 +99,59 @@ _DRIVER_WINDOW_FIRST: list[str] = ROUND11_REGISTRATIONS + [
     "token_count_by_lang",
     "token_heavy_hitters",
     "unigram_logprob_score",
+    # ---- then the round-4-green tier (50 names, alphabetical); the
+    # first 26 fill this window's remaining slots, the rest stay
+    # ordered for round 13
+    "burst_detection",
+    "changepoint_cusum",
+    "cohort_retention",
+    "constraint_audit",
+    "dedup_family_signatures",
+    "device_availability",
+    "device_cooccurrence",
+    "device_mad_pandas",
+    "embedding_centroid_drift",
+    "funnel_conversion",
+    "grouping_sets_matrix",
+    "inter_arrival_stats",
+    "length_bucket_histogram",
+    "markov_event_transitions",
+    "mixture_sampling_weights",
+    "ngram_novelty",
+    "pack_efficiency_stats",
+    "pmi_cooccurrence",
+    "props_variant_extract",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_blame_supplier",
+    "q22_dormant_high_balance",
+    "q2_min_cost_supplier",
+    "q4_priority_with_returns",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "quantile_sketch_audit",
+    "regr_value_trend",
+    "reservoir_sample_per_type",
+    "schema_drift_audit",
+    "seasonal_residual_anomaly",
+    "sequence_packing",
+    "session_path_topk",
+    "sql_lateral_recent_orders",
+    "sql_recursive_dedup_roots",
+    "text_lang_mix",
+    "tfidf_top_terms",
+    "token_entropy_stats",
+    "unpivot_type_metrics",
+    "user_event_signature",
+    "value_autocorr",
 ]
 
 

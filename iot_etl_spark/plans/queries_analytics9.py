@@ -368,7 +368,8 @@ def ansari_bradley_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side aggregate, one window over cells; rescale note: the
     quantized grids carry ~100x headroom over the sf0.1 magnitudes
     (cw·f/c ≤ N²/2), drop to 1e-3/1 at 1e9+ pooled rows."""
-    cells = _we_cells(spark, sf_dir)
+    cells = _we_cells(spark, sf_dir).localCheckpoint()  # bounded by
+    # the value domain; tot + the score walk both read it
     tot = cells.agg(
         F.sum("cw").cast("long").alias("n"),
         F.sum("ce").cast("long").alias("m"),
@@ -606,7 +607,8 @@ def bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one map-side cell aggregate bounded by the value
     domain; the group frame is k rows; nothing else exists."""
-    cells = _type_cells(spark, sf_dir)
+    cells = _type_cells(spark, sf_dir).localCheckpoint()  # bounded;
+    # the k-row group frame is consumed by tot AND the final readout
     grp = cells.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("n"),
         (
@@ -706,7 +708,8 @@ def welch_anova_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: identical to bartlett — one bounded cell aggregate,
     then k-row algebra."""
-    cells = _type_cells(spark, sf_dir)
+    cells = _type_cells(spark, sf_dir).localCheckpoint()  # bounded;
+    # wg feeds t1 AND the t2 combination
     grp = cells.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("n"),
         F.sum(F.col("c").cast(_DEC) * F.col("vq")).alias("s1"),
@@ -813,7 +816,8 @@ def dunn_posthoc_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one bounded cell aggregate, one window over cells,
     then a k-row self-join (k=5 -> 10 pairs). Nothing scales with
     rows."""
-    cells = _type_cells(spark, sf_dir)
+    cells = _type_cells(spark, sf_dir).localCheckpoint()  # bounded;
+    # vals, both pair sides, and tot all derive from it
     vals = cells.groupBy("vq").agg(F.sum("c").cast("long").alias("cv"))
     wprev = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
     w = vals.select(
@@ -1482,6 +1486,9 @@ def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
             .cast("long")
             .alias("rq")
         )
+        # customer-bounded frame consumed by grp, within, and the
+        # readout — checkpoint so the orders join runs once
+        .localCheckpoint()
     )
     grp = cust.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("long").alias("ng"),
@@ -1501,7 +1508,7 @@ def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return (
-        grp.join(within, "n_name")
+        grp.join(F.broadcast(within), "n_name")
         .crossJoin(F.broadcast(tot))
         .select(
             "n_name",
@@ -1707,7 +1714,6 @@ def rmst_restricted_mean_survival(spark: SparkSession, sf_dir: str) -> DataFrame
                 6,
             ).alias("rmst_min"),
         )
-        .orderBy("tau_min")
     )
 
 # ----------------------------------- Held-out bigram perplexity eval

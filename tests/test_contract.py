@@ -29,26 +29,26 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 11, VERDICT r10 item 2): the
-    # round-11 registrations lead, then the round-3-green tier resumes
-    # at dedup_exact (round 10's window covered the tier head through
-    # dedup_clusters in slots 44-50). Pin the resume point and a few
-    # mid-tier names so a new registration cannot silently displace
-    # the window.
+    # driver-window curation (round 12, VERDICT r11 item 1): the
+    # round-12 registrations lead, then the 8 round-3-green leftovers
+    # (stream_static_enrich .. unigram_logprob_score), then the
+    # round-4-green tier head (alphabetical from burst_detection).
+    # Pin the block heads/tails so a new registration cannot silently
+    # displace the window.
     first50 = list(qs)[:50]
     for must in (
-        # resume point + mid-tier names of the round-3 block
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "embedding_cosine_topk",
-        "minhash_lsh_candidates",
-        "stream_session_window",
+        "energy_distance_weekend",      # round-12 registration head
+        "stream_session_then_agg",      # round-12 registration tail
+        "stream_static_enrich",         # round-3 leftover head
+        "unigram_logprob_score",        # round-3 leftover tail
+        "burst_detection",              # round-4 tier head
+        "q19_disjunctive_revenue",      # slot 50 (26th round-4 name)
     ):
         assert must in first50, must
-    # round 10's window must have rotated OUT (its names were all
+    # round 11's window must have rotated OUT (its names were all
     # driver-checked last round)
-    assert "kruskal_wallis_value_by_type" not in first50
-    assert "hourly_event_type_pivot" not in first50
+    assert "friedman_test_day_blocks" not in first50
+    assert "dedup_exact" not in first50
 
 
 def test_bench_emits_contract_json_line(tmp_path):
@@ -88,30 +88,65 @@ def test_bench_emits_contract_json_line(tmp_path):
 
 
 def test_status_ledger_matches_registry():
-    """STATUS.md's round-11 ledger cannot drift from the registry
-    (VERDICT r10 item 4): every name in ROUND11_REGISTRATIONS must be
-    registered with an oracle, lead the driver window in order, and
-    appear in STATUS.md's round-11 changelog; any '+N naive ... pins'
-    claim in that changelog must match the two r11 property modules'
+    """STATUS.md's per-round ledgers cannot drift from the registry
+    (VERDICT r10 item 4): every name in ROUND{11,12}_REGISTRATIONS
+    must be registered with an oracle, the round-12 block must lead
+    the driver window in order, and every registration must appear in
+    its round's STATUS changelog; any '+N naive ... pins' claim in
+    the round-11 changelog must match the two r11 property modules'
     actual test count."""
     import re
 
     sys.path.insert(0, REPO)
     from iot_etl_spark.plans import ORACLES, QUERIES
     from iot_etl_spark.plans import ROUND11_REGISTRATIONS as R11
+    from iot_etl_spark.plans import ROUND12_REGISTRATIONS as R12
 
     names = list(QUERIES)
-    assert names[: len(R11)] == R11
-    for n in R11:
+    assert names[: len(R12)] == R12
+    for n in R11 + R12:
         assert n in ORACLES, n
     status = open(os.path.join(REPO, "STATUS.md")).read()
-    sec = status.split("## Round-11 changelog")[1].split("## Round-10")[0]
+    sec11 = status.split("## Round-11 changelog")[1].split("## Round-10")[0]
     for n in R11:
-        assert n in sec, f"{n} missing from the STATUS round-11 changelog"
-    claim = re.search(r"\+(\d+) naive-reimplementation pins", sec)
+        assert n in sec11, f"{n} missing from the STATUS round-11 changelog"
+    sec12 = status.split("## Round-12 changelog")[1].split("## Round-11")[0]
+    for n in R12:
+        assert n in sec12, f"{n} missing from the STATUS round-12 changelog"
+    claim = re.search(r"\+(\d+) naive-reimplementation pins", sec11)
     if claim:
         n_tests = 0
         for mod in ("test_r11_properties.py", "test_r11b_properties.py"):
             src = open(os.path.join(REPO, "tests", mod)).read()
             n_tests += len(re.findall(r"^def test_", src, re.M))
         assert int(claim.group(1)) == n_tests, (claim.group(1), n_tests)
+
+
+def test_campaign_ledger_headline_is_mechanical():
+    """The oracle-independence campaign's 'N pinned of M' headline is
+    DERIVED, not hand-maintained (VERDICT r11 item 3): a registry
+    query counts as pinned iff a campaign module
+    (tests/test_*_properties.py or tests/test_r*_invariants.py)
+    references QUERIES['name']; STATUS.md's round-12 changelog must
+    carry exactly 'Campaign ledger (mechanical): **N of M**' with N =
+    that derived count and M = the live registry size."""
+    import glob
+    import re
+
+    sys.path.insert(0, REPO)
+    from iot_etl_spark.plans import QUERIES
+
+    campaign = sorted(
+        glob.glob(os.path.join(REPO, "tests", "test_*_properties.py"))
+    ) + sorted(glob.glob(os.path.join(REPO, "tests", "test_r*_invariants.py")))
+    assert len(campaign) >= 26  # the module set only grows
+    pat = re.compile(r"QUERIES\[\s*['\"]([a-z0-9_]+)['\"]\s*\]")
+    pinned: set[str] = set()
+    for f in campaign:
+        with open(f) as fh:
+            pinned |= {n for n in pat.findall(fh.read()) if n in QUERIES}
+    status = open(os.path.join(REPO, "STATUS.md")).read()
+    m = re.search(r"Campaign ledger \(mechanical\): \*\*(\d+) of (\d+)\*\*", status)
+    assert m, "STATUS.md must carry the mechanical campaign-ledger headline"
+    assert int(m.group(1)) == len(pinned), (int(m.group(1)), len(pinned))
+    assert int(m.group(2)) == len(QUERIES), (int(m.group(2)), len(QUERIES))

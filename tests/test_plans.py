@@ -515,3 +515,50 @@ def test_round11_plan_shapes(spark):
         plan, _ = _plans(spark, name)
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_round12_plan_shapes(spark):
+    """Round-12 batch: no cartesian products, no global sorts
+    (Exchange rangepartitioning), statistic frames broadcast, and the
+    fact never re-scanned more than the documented budget (bounded
+    cell frames are localCheckpoint'd -> Scan ExistingRDD; the two
+    rescan-by-design queries are mahalanobis — aggregate then score —
+    and the LM pair, whose sublinear tables derive from the same
+    corpus scan)."""
+    import re
+
+    budgets = {  # max FileScan nodes allowed in the final plan
+        "energy_distance_weekend": 1,
+        "cramer_von_mises_weekend": 1,
+        "ansari_bradley_scale": 1,
+        "jarque_bera_by_type": 1,
+        "bartlett_variance_test": 1,
+        "welch_anova_value": 1,
+        "dunn_posthoc_pairwise": 1,
+        "kendall_w_concordance": 1,
+        "kpss_level_stationarity": 1,
+        "mahalanobis_outlier_topk": 2,
+        "hotelling_t2_weekend": 1,
+        "theil_inequality_decomposition": 1,
+        "rmst_restricted_mean_survival": 1,
+        "bigram_perplexity_heldout": 4,
+        "anderson_darling_ksample": 1,
+    }
+    for name, budget in budgets.items():
+        plan, _ = _plans(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert not re.search(r"Sort \[[^\]]*\], true", plan), name
+        assert plan.count("FileScan") <= budget, (
+            name, plan.count("FileScan"))
+
+    # top-k is TakeOrderedAndProject (never a global sort) and the
+    # moment frame rides a broadcast back onto the fact
+    plan, _ = _plans(spark, "mahalanobis_outlier_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # LM tables broadcast onto the held-out stream (no fact-side
+    # shuffle for scoring)
+    plan, _ = _plans(spark, "bigram_perplexity_heldout")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
