@@ -188,6 +188,18 @@ PICKS = [
      "simplified silhouette: exploded vectors join the ROUND(6) "
      "centroid frame via broadcast - one scan, O(n*k) distances, "
      "never pairwise"),
+    ("energy_distance_weekend",
+     "O(n^2) pairwise |x-y| sums with ZERO pair expansion: one bounded "
+     "value-cell aggregate + one cumulative window, all integer"),
+    ("mahalanobis_outlier_topk",
+     "exact-integer quadratic-form ranking: one 6-moment aggregate "
+     "broadcast back, TakeOrderedAndProject, no global sort"),
+    ("theil_inequality_decomposition",
+     "between/within decomposition: one customer-keyed fact shuffle, "
+     "dims broadcast, entropy terms quantized map-side"),
+    ("anderson_darling_ksample",
+     "dense type x value grid off ONE checkpointed cell frame: "
+     "windows over bounded frames, zero fact rescans"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
