@@ -385,6 +385,17 @@ def _lzw_compress(indices: bytes, min_code: int) -> bytes:
         w = bytes([px])
     if w:
         put(table[w])
+        # A streaming decoder cannot know this was the final data code:
+        # it appends one more (never-used) dictionary entry on reading
+        # it, and if that append lands exactly on 2^width the decoder
+        # widens BEFORE reading END. Mirror that phantom assignment so
+        # END is emitted at the width the decoder will read it with —
+        # without this, any image whose dictionary hits 2^w on the last
+        # code truncates (caught by the hypothesis round-trip property
+        # at w=7, h=28, seed=139 in round 12).
+        next_code += 1
+        if next_code == (1 << width_bits) + 1 and width_bits < 12:
+            width_bits += 1
     put(end)
     data = bytearray()
     for i in range(0, len(bits), 8):

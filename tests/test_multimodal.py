@@ -686,3 +686,20 @@ def test_mp3_sideinfo_zeroed_fixture_and_frame_parity():
     assert out["mean_global_gain"] == 0
     assert out["max_main_data_begin"] == 0
     assert not parse_mp3_sideinfo(b"\x00" * 64)["ok"]
+
+
+def test_gif_lzw_width_growth_on_final_code_regression():
+    """Regression pin for the round-12 hypothesis catch (w=7, h=28,
+    seed=139): when the decoder's phantom append on the FINAL data
+    code lands exactly on 2^width, it widens before reading END — the
+    encoder must mirror that growth or the END code truncates."""
+    import numpy as np
+
+    from iot_etl_spark.extensions.multimodal import _decode_gif, make_gif_bytes
+
+    out = _decode_gif(make_gif_bytes(7, 28, 139, flat=False))
+    assert out["ok"], out.get("error")
+    rng = np.random.default_rng(139)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    idx = rng.integers(0, 64, (28, 7), dtype=np.uint8)
+    assert abs(out["mean_pixel"] - float(pal[idx].mean())) < 1e-9
