@@ -66,6 +66,15 @@ ROUND12_REGISTRATIONS: list[str] = [
     "bigram_perplexity_heldout",
     "anderson_darling_ksample",
     "stream_session_then_agg",
+    # second round-12 batch (ordered-alternative, spectral/circular,
+    # regression diagnostics, retrieval agreement)
+    "page_trend_test",
+    "jonckheere_terpstra_dayparts",
+    "spectral_entropy_hourly",
+    "rayleigh_event_times",
+    "breusch_pagan_lm",
+    "cooks_distance_topk",
+    "rbo_rank_agreement",
 ]
 
 ROUND11_REGISTRATIONS: list[str] = [

@@ -33,6 +33,8 @@ tree decides the value.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from iot_etl_spark.plans.registry import query, DUCK_TS
@@ -1996,3 +1998,941 @@ def anderson_darling_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a2_akn"),
         )
     )
+
+# --------------------------------------------------------------------
+# Ordered-alternative pair: Page's L (within-block) and
+# Jonckheere-Terpstra (pooled) over the ORDERED day-part treatment
+# night(0) -> morning(1) -> afternoon(2) -> evening(3). Friedman/KW
+# are omnibus — they cannot say "values RISE through the day"; these
+# two test exactly that monotone alternative, from the same exact
+# integer rank/cell devices.
+
+_DAYPART_DUCK = f"CAST(EXTRACT(hour FROM {DUCK_TS}) // 6 AS BIGINT)"
+
+_PAGE_ORACLE = f"""
+WITH k AS (SELECT CAST(4 AS BIGINT) AS k),
+cells AS (
+    SELECT date_trunc('day', {DUCK_TS}) AS day,
+           {_DAYPART_DUCK} AS part,
+           CAST(ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT))
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mq
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+full_blocks AS (
+    SELECT day FROM cells, k GROUP BY day, k.k HAVING COUNT(*) = ANY_VALUE(k.k)
+),
+ranked AS (
+    SELECT c.part,
+           2 * RANK() OVER (PARTITION BY c.day ORDER BY c.mq)
+             + CAST(COUNT(*) OVER (PARTITION BY c.day, c.mq) AS BIGINT) - 1
+               AS r2
+    FROM cells c JOIN full_blocks f ON c.day = f.day
+),
+sums AS (
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS b,
+           CAST(SUM(CAST(r2 AS HUGEINT)) AS HUGEINT) AS r2sum
+    FROM ranked GROUP BY 1
+),
+l AS (
+    SELECT CAST(SUM((part + 1) * r2sum) AS HUGEINT) AS l2,
+           MAX(b) AS b, CAST(COUNT(*) AS BIGINT) AS k
+    FROM sums
+)
+SELECT b AS n_blocks, k,
+       ROUND(CAST(l2 AS DOUBLE) / 2, 6) AS page_l,
+       ROUND((CAST(l2 AS DOUBLE) / 2 - CAST(b AS DOUBLE) * k * (k + 1)
+              * (k + 1) / 4)
+             * 12 / (CAST(k AS DOUBLE) * (k + 1)
+                     * SQRT(CAST(b AS DOUBLE) * (k - 1))), 6) AS page_z
+FROM l
+"""
+
+
+@query("page_trend_test", oracle=_PAGE_ORACLE)
+def page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE'S L TEST for an ordered alternative across day-parts
+    (night -> morning -> afternoon -> evening): each complete calendar
+    day ranks its four day-part mean values; L = Σ_j j·R_j loads
+    monotone-increasing treatment effects that Friedman's omnibus Q
+    dilutes across all permutations. The within-block companion to
+    jonckheere_terpstra_dayparts.
+
+    Determinism: the exact friedman rank device (1e-6 cell means,
+    ×2-carried midranks, DECIMAL(38,0)/HUGEINT rank sums); L2 = 2L is
+    an exact integer; the z uses the exact permutation moments
+    E[L] = bk(k+1)²/4, Var[L] = bk²(k+1)²(k−1)/144 in one
+    shared-verbatim double readout (midrank ties identical on both
+    engines, documented like friedman's).
+
+    100 TB shape: one (day × 4)-cell aggregate; rank windows over ≤ 4
+    rows; 4-row algebra after."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (F.hour("ts") / 6).cast("long").alias("part"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+                / F.count(F.lit(1)).cast("double")
+            ).cast("long").alias("mq")
+        )
+        .localCheckpoint()  # bounded (day x 4) frame: completeness
+        # filter + rank join read it once
+    )
+    full = (
+        cells.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == 4)
+        .select("day")
+    )
+    wday = Window.partitionBy("day").orderBy("mq")
+    wtie = Window.partitionBy("day", "mq")
+    ranked = cells.join(full, "day").select(
+        "part",
+        (
+            2 * F.rank().over(wday)
+            + F.count(F.lit(1)).over(wtie).cast("long") - 1
+        ).alias("r2"),
+    )
+    sums = ranked.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("b"),
+        F.sum(F.col("r2").cast(_DEC)).alias("r2sum"),
+    )
+    l = sums.agg(
+        F.sum((F.col("part") + 1).cast(_DEC) * F.col("r2sum")).alias("l2"),
+        F.max("b").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    bd, kd = F.col("b").cast("double"), F.col("k").cast("double")
+    page_l = F.col("l2").cast("double") / 2
+    return l.select(
+        F.col("b").alias("n_blocks"),
+        "k",
+        F.round(page_l, 6).alias("page_l"),
+        F.round(
+            (page_l - bd * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1) / 4)
+            * 12
+            / (kd * (F.col("k") + 1) * F.sqrt(bd * (F.col("k") - 1))),
+            6,
+        ).alias("page_z"),
+    )
+
+
+_JT_ORACLE = f"""
+WITH cells AS (
+    SELECT {_DAYPART_DUCK} AS g, CAST(ROUND(value * 100) AS BIGINT) AS vq,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT vq FROM cells),
+grps AS (SELECT DISTINCT g FROM cells),
+dense AS (
+    SELECT gr.g, v.vq, COALESCE(c.c, 0) AS c,
+           CAST(COALESCE(SUM(c.c) OVER (PARTITION BY gr.g ORDER BY v.vq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS HUGEINT) AS plt
+    FROM grps gr CROSS JOIN vals v
+    LEFT JOIN cells c ON c.g = gr.g AND c.vq = v.vq
+),
+j2 AS (
+    SELECT CAST(SUM(dj.c * (2 * di.plt + COALESCE(ci.c, 0))) AS HUGEINT) AS j2
+    FROM dense di JOIN dense dj ON di.vq = dj.vq AND di.g < dj.g
+    LEFT JOIN cells ci ON ci.g = di.g AND ci.vq = di.vq
+),
+sizes AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sn2,
+           CAST(SUM(CAST(c AS HUGEINT) * c * (2 * c + 3)) AS HUGEINT) AS sn23
+    FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS c FROM cells GROUP BY 1)
+)
+SELECT s.n AS n_rows,
+       ROUND(CAST(j.j2 AS DOUBLE) / 2, 6) AS jt_stat,
+       ROUND((CAST(s.n AS DOUBLE) * s.n - CAST(s.sn2 AS DOUBLE)) / 4, 6)
+           AS jt_expected,
+       ROUND((CAST(j.j2 AS DOUBLE) / 2
+              - (CAST(s.n AS DOUBLE) * s.n - CAST(s.sn2 AS DOUBLE)) / 4)
+             / SQRT((CAST(s.n AS DOUBLE) * s.n * (2 * s.n + 3)
+                     - CAST(s.sn23 AS DOUBLE)) / 72), 6) AS jt_z
+FROM j2 j, sizes s
+"""
+
+
+@query("jonckheere_terpstra_dayparts", oracle=_JT_ORACLE)
+def jonckheere_terpstra_dayparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JONCKHEERE-TERPSTRA test for a monotone value trend across the
+    ORDERED day-parts (night < morning < afternoon < evening):
+    J = Σ_{{i<j}} U_ij over ordered group pairs, each U counting
+    cross-pairs where the later day-part's value is larger (ties
+    half-weighted). The pooled companion to page_trend_test, and the
+    ordered-alternative upgrade of kruskal_wallis (which squanders
+    power on non-monotone permutations).
+
+    Determinism: J2 = 2J is an exact integer off the DENSE
+    (group × value-cell) grid — per cell, group j's count times
+    (2·strictly-below-count_i + ties_i); expectation and the no-tie
+    normal variance [n²(2n+3) − Σn_i²(2n_i+3)]/72 are one
+    shared-verbatim readout (tie share at the 2-dp lattice is
+    identical on both engines, documented).
+
+    100 TB shape: one bounded cell aggregate, per-group cumulative
+    windows over the dense 4 × |value domain| grid, a 6-pair join of
+    bounded frames. Nothing scales with rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = (
+        ev.groupBy(
+            (F.hour("ts") / 6).cast("long").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("vq"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # bounded; dense grid + sizes read it
+    )
+    vals = cells.select("vq").distinct()
+    grps = cells.select("g").distinct()
+    wg = Window.partitionBy("g").orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dense = (
+        grps.crossJoin(vals)
+        .join(cells, ["g", "vq"], "left")
+        .select(
+            "g", "vq",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .withColumn(
+            "plt", F.coalesce(F.sum("c").over(wg), F.lit(0)).cast(_DEC)
+        )
+    )
+    di = dense.select(
+        F.col("g").alias("gi"), F.col("vq"),
+        F.col("c").alias("ci"), F.col("plt"),
+    )
+    dj = dense.select(
+        F.col("g").alias("gj"), F.col("vq").alias("vqj"),
+        F.col("c").alias("cj"),
+    )
+    j2 = (
+        di.join(
+            F.broadcast(dj),
+            (F.col("vq") == F.col("vqj")) & (F.col("gi") < F.col("gj")),
+        )
+        .agg(
+            F.sum(
+                F.col("cj").cast(_DEC) * (2 * F.col("plt") + F.col("ci"))
+            ).alias("j2")
+        )
+    )
+    sizes = (
+        cells.groupBy("g")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c").cast(_DEC) * F.col("c")).alias("sn2"),
+            F.sum(
+                F.col("c").cast(_DEC) * F.col("c") * (2 * F.col("c") + 3)
+            ).alias("sn23"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    jt = F.col("j2").cast("double") / 2
+    exp_j = (nd * F.col("n") - F.col("sn2").cast("double")) / 4
+    var_j = (
+        nd * F.col("n") * (2 * F.col("n") + 3) - F.col("sn23").cast("double")
+    ) / 72
+    return j2.crossJoin(F.broadcast(sizes)).select(
+        F.col("n").alias("n_rows"),
+        F.round(jt, 6).alias("jt_stat"),
+        F.round(exp_j, 6).alias("jt_expected"),
+        F.round((jt - exp_j) / F.sqrt(var_j), 6).alias("jt_z"),
+    )
+
+# ------------------------------------------- Spectral entropy (hourly)
+# How CONCENTRATED is the hourly series' power spectrum? Normalized
+# Shannon entropy of the periodogram — near 1 = white noise, near 0 =
+# one dominant cycle. The scalar summary beside fisher_g_periodicity's
+# formal max-share test, over the SAME exact-integer periodogram.
+
+_SPECENT_ORACLE = f"""
+WITH series AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS idx,
+           CAST(svq AS DOUBLE) / cnt / 1e6 AS y
+    FROM (
+        SELECT date_trunc('hour', {DUCK_TS}) AS bucket,
+               CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS svq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    )
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) / COUNT(*) AS ybar
+    FROM series
+),
+freqs AS (
+    SELECT unnest(generate_series(1, CAST((n - 1) // 2 AS INTEGER))) AS j, n
+    FROM tot WHERE n >= 3
+),
+terms AS (
+    SELECT f.j,
+           CAST(SUM(CAST(ROUND((s.y - t.ybar)
+                * cos(2 * pi() * f.j * s.idx / f.n) * 1e9) AS BIGINT))
+               AS HUGEINT) AS aq,
+           CAST(SUM(CAST(ROUND((s.y - t.ybar)
+                * sin(2 * pi() * f.j * s.idx / f.n) * 1e9) AS BIGINT))
+               AS HUGEINT) AS bq
+    FROM freqs f JOIN series s ON TRUE, tot t
+    GROUP BY 1
+),
+pgram AS (
+    SELECT j,
+           CAST(aq AS DOUBLE) * CAST(aq AS DOUBLE)
+             + CAST(bq AS DOUBLE) * CAST(bq AS DOUBLE) AS i_j
+    FROM terms
+),
+s AS (SELECT SUM(i_j) AS si, CAST(COUNT(*) AS BIGINT) AS m,
+             MAX(i_j) AS imax
+      FROM pgram),
+ent AS (
+    SELECT CAST(SUM(CAST(ROUND(CASE WHEN p.i_j > 0
+               THEN -(p.i_j / s.si) * LN(p.i_j / s.si) ELSE 0 END * 1e12)
+               AS BIGINT)) AS HUGEINT) AS e_pico
+    FROM pgram p, s
+)
+SELECT s.m AS n_freqs,
+       ROUND(CAST(e.e_pico AS DOUBLE) / 1e12, 6) AS spectral_entropy,
+       ROUND(CAST(e.e_pico AS DOUBLE) / 1e12 / LN(CAST(s.m AS DOUBLE)), 6)
+           AS spectral_entropy_norm,
+       ROUND(s.imax / s.si, 6) AS peak_share
+FROM s, ent e
+"""
+
+
+@query("spectral_entropy_hourly", oracle=_SPECENT_ORACLE)
+def spectral_entropy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL ENTROPY of the hourly mean-value series: normalized
+    Shannon entropy of the periodogram across all Fourier frequencies
+    — the scalar regularity summary (≈1 white noise, →0 one dominant
+    cycle) beside fisher_g_periodicity's formal max-share test.
+    peak_share cross-references Fisher's g on the SAME spectrum.
+
+    Determinism: the identical exact periodogram construction as
+    fisher_g (1e-9-quantized per-term cos/sin products, integer a/b
+    sums); each −p·ln p entropy term quantizes to 1e-12 before the
+    distributed sum; the n≥3 degenerate-span guard matches fisher's.
+
+    100 TB shape: identical to fisher_g — one bounded hourly
+    aggregate, a time-bounded term frame, per-frequency rollups."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)")).alias("svq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    series = hourly.select(
+        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("idx"),
+        (F.col("svq").cast("double") / F.col("cnt") / 1e6).alias("y"),
+    ).localCheckpoint()
+    tot = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("y") / F.count(F.lit(1))).alias("ybar"),
+    )
+    freqs = tot.filter(F.col("n") >= 3).select(
+        F.explode(F.sequence(F.lit(1), ((F.col("n") - 1) / 2).cast("int")))
+        .alias("j"),
+        "n",
+    )
+    terms = (
+        freqs.join(series)
+        .crossJoin(F.broadcast(tot.select("ybar")))
+        .select(
+            "j",
+            F.expr(
+                "CAST(ROUND((y - ybar) * cos(2 * pi() * j * idx / n) * 1e9)"
+                " AS BIGINT)"
+            ).alias("ca"),
+            F.expr(
+                "CAST(ROUND((y - ybar) * sin(2 * pi() * j * idx / n) * 1e9)"
+                " AS BIGINT)"
+            ).alias("cb"),
+        )
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("ca").cast(_DEC)).alias("aq"),
+            F.sum(F.col("cb").cast(_DEC)).alias("bq"),
+        )
+    )
+    pgram = terms.select(
+        (
+            F.col("aq").cast("double") * F.col("aq").cast("double")
+            + F.col("bq").cast("double") * F.col("bq").cast("double")
+        ).alias("i_j")
+    ).localCheckpoint()  # frequency-bounded; totals + entropy read it
+    s = pgram.agg(
+        F.sum("i_j").alias("si"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.max("i_j").alias("imax"),
+    )
+    p = F.col("i_j") / F.col("si")
+    ent = pgram.crossJoin(F.broadcast(s)).agg(
+        F.sum(
+            F.round(
+                F.when(F.col("i_j") > 0, -p * F.log(p)).otherwise(0.0) * 1e12
+            ).cast("long").cast(_DEC)
+        ).alias("e_pico")
+    )
+    return s.crossJoin(F.broadcast(ent)).select(
+        F.col("m").alias("n_freqs"),
+        F.round(F.col("e_pico").cast("double") / 1e12, 6).alias(
+            "spectral_entropy"
+        ),
+        F.round(
+            F.col("e_pico").cast("double") / 1e12
+            / F.log(F.col("m").cast("double")),
+            6,
+        ).alias("spectral_entropy_norm"),
+        F.round(F.col("imax") / F.col("si"), 6).alias("peak_share"),
+    )
+
+
+# ------------------------------------------ Rayleigh circular test
+# Event TIMES as angles on the 24 h circle: mean resultant length R
+# and the Rayleigh z = nR² test for non-uniformity — the circular-
+# statistics lane (hour_of_day_profile shows the histogram; this is
+# the TEST that the clock pattern is real, with sub-second phase
+# resolution a binned chi2 throws away).
+
+_RAYLEIGH_ORACLE = f"""
+WITH a AS (
+    SELECT 2 * pi() * (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+               / 86400000000.0 AS theta
+    FROM events
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(cos(theta) * 1e9) AS BIGINT)) AS HUGEINT)
+               AS cq,
+           CAST(SUM(CAST(ROUND(sin(theta) * 1e9) AS BIGINT)) AS HUGEINT)
+               AS sq
+    FROM a
+)
+SELECT n AS n_events,
+       ROUND(CAST(cq AS DOUBLE) / 1e9 / n, 6) AS mean_cos,
+       ROUND(CAST(sq AS DOUBLE) / 1e9 / n, 6) AS mean_sin,
+       ROUND(SQRT(CAST(cq AS DOUBLE) * cq + CAST(sq AS DOUBLE) * sq)
+             / 1e9 / n, 6) AS resultant_r,
+       ROUND((CAST(cq AS DOUBLE) * cq + CAST(sq AS DOUBLE) * sq)
+             / 1e18 / n, 6) AS rayleigh_z
+FROM s
+"""
+
+
+@query("rayleigh_event_times", oracle=_RAYLEIGH_ORACLE)
+def rayleigh_event_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAYLEIGH TEST of event-time uniformity on the 24-hour circle:
+    each event's time-of-day becomes an angle θ; the mean resultant
+    length R = |Σe^{{iθ}}|/n and z = nR² test whether activity
+    clusters around a preferred clock time — the circular-statistics
+    lane the registry lacked (hour_of_day_profile bins a histogram;
+    this keeps microsecond phase and gives a test statistic;
+    fisher_g_periodicity finds cycles ACROSS days, this finds the
+    phase concentration WITHIN the day).
+
+    Determinism: per-event cos θ / sin θ quantize to 1e-9 BIGINT on
+    the map side (the acf convention), so both component sums are
+    exact integers and R/z are shared-verbatim readouts of two
+    integers.
+
+    100 TB shape: ONE map-side-combined aggregate — two quantized
+    trig sums and a count; the theoretical minimum shuffle (a few
+    bytes per partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    theta = (
+        2 * F.lit(math.pi)
+        * (F.unix_micros("ts") % 86400000000)
+        / F.lit(86400000000.0)
+    )
+    s = ev.select(
+        F.round(F.cos(theta) * 1e9).cast("long").alias("cn"),
+        F.round(F.sin(theta) * 1e9).cast("long").alias("sn"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cn").cast(_DEC)).alias("cq"),
+        F.sum(F.col("sn").cast(_DEC)).alias("sq"),
+    )
+    cd, sd = F.col("cq").cast("double"), F.col("sq").cast("double")
+    nd = F.col("n")
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.round(cd / 1e9 / nd, 6).alias("mean_cos"),
+        F.round(sd / 1e9 / nd, 6).alias("mean_sin"),
+        F.round(F.sqrt(cd * F.col("cq") + sd * F.col("sq")) / 1e9 / nd, 6)
+        .alias("resultant_r"),
+        F.round((cd * F.col("cq") + sd * F.col("sq")) / 1e18 / nd, 6)
+        .alias("rayleigh_z"),
+    )
+
+# ---------------------------------------------- Regression diagnostics
+# The checks sensor_drift / ridge_normal_equations assume away:
+# Breusch-Pagan (is the error variance constant over time?) and
+# Cook's distance (which single readings steer the fit?). Both run on
+# the GLOBAL value ~ hours-since-start OLS from exact integer moments;
+# residual-derived quantities quantize before any distributed sum.
+
+_OLS_BASE_DUCK = f"""
+base AS (
+    SELECT event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS y,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                - (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                   FROM events) AS BIGINT) AS x,
+           value
+    FROM events WHERE value IS NOT NULL
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT))
+               AS HUGEINT) AS a,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT))
+               AS HUGEINT) AS sxy_c
+    FROM base
+)
+"""
+
+# slope/intercept as shared-verbatim doubles of exact integers
+_OLS_B = "(CAST(sxy_c AS DOUBLE) / CAST(a AS DOUBLE))"
+_OLS_A = f"((CAST(sy AS DOUBLE) - {_OLS_B} * CAST(sx AS DOUBLE)) / n)"
+_OLS_E = f"(y - {_OLS_A} - {_OLS_B} * x)"  # residual, centi units
+
+_BP_BASE_DUCK = """
+base AS (
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS y,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS x
+    FROM events WHERE value IS NOT NULL
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT))
+               AS HUGEINT) AS a,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT))
+               AS HUGEINT) AS sxy_c
+    FROM base
+)
+"""
+
+_BP_ORACLE = f"""
+WITH {_BP_BASE_DUCK},
+aux AS (
+    SELECT m.n, m.a,
+           CAST(SUM(CAST(ROUND({_OLS_E} * {_OLS_E} * 1e3) AS BIGINT))
+               AS HUGEINT) AS sz,
+           CAST(SUM(CAST(x AS HUGEINT)
+                    * CAST(ROUND({_OLS_E} * {_OLS_E} * 1e3) AS BIGINT))
+               AS HUGEINT) AS sxz,
+           CAST(SUM(CAST(CAST(ROUND({_OLS_E} * {_OLS_E} * 1e3) AS BIGINT)
+                         AS HUGEINT)
+                    * CAST(ROUND({_OLS_E} * {_OLS_E} * 1e3) AS BIGINT))
+               AS HUGEINT) AS szz
+    FROM base, mom m
+    GROUP BY 1, 2
+)
+SELECT n AS n_rows,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST((SELECT sx FROM mom) AS DOUBLE) * CAST(sz AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                - CAST((SELECT sx FROM mom) AS DOUBLE) * CAST(sz AS DOUBLE))
+             / (CAST(a AS DOUBLE)
+                * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                   - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+             * n, 6) AS bp_lm
+FROM aux
+"""
+
+
+@query("breusch_pagan_lm", oracle=_BP_ORACLE)
+def breusch_pagan_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BREUSCH-PAGAN LM test for heteroscedasticity of the global
+    value ~ hours-since-start regression: LM = n·R² of the auxiliary
+    regression of squared residuals on time. A large LM says error
+    variance drifts over the observation window — the assumption
+    audit behind every OLS consumer in the registry (sensor_drift,
+    regr_value_trend, ridge), and the reason to prefer the robust
+    lanes when it fires.
+
+    Determinism: slope/intercept are shared-verbatim doubles of exact
+    integer moments (the integer-subtracted a = nΣx²−(Σx)² form);
+    each squared residual quantizes to milli units (exact BIGINT)
+    BEFORE the auxiliary moment sums, so R²'s inputs are exact
+    integers and LM is one shared-verbatim readout.
+
+    100 TB shape: two map-side-combined aggregates over the fact (one
+    for moments, one for the auxiliary moments with the 1-row moment
+    frame broadcast) — no shuffle wider than a scalar row."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # raw epoch hours: the LM statistic is shift-invariant and every
+    # ingredient is an integer-subtracted central form, so no
+    # min-subtraction pass is needed (2 fact scans total)
+    base = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.expr("unix_micros(ts) div 3600000000").alias("x"),
+    )
+    xd, yd = F.col("x").cast(_DEC), F.col("y").cast(_DEC)
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        (F.count(F.lit(1)) * F.sum(xd * xd) - F.sum(xd) * F.sum(xd)).alias("a"),
+        (F.count(F.lit(1)) * F.sum(xd * yd) - F.sum(xd) * F.sum(yd)).alias(
+            "sxy_c"
+        ),
+    )
+    zq = F.expr(f"CAST(ROUND({_OLS_E} * {_OLS_E} * 1e3) AS BIGINT)")
+    aux = (
+        base.crossJoin(F.broadcast(mom))
+        .groupBy("n", "a", "sx")
+        .agg(
+            F.sum(zq.cast(_DEC)).alias("sz"),
+            F.sum(xd * zq.cast(_DEC)).alias("sxz"),
+            F.sum(zq.cast(_DEC) * zq.cast(_DEC)).alias("szz"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxz").cast("double") - F.col("sx").cast("double") * F.col(
+        "sz"
+    ).cast("double")
+    den = F.col("a").cast("double") * (
+        nd * F.col("szz").cast("double")
+        - F.col("sz").cast("double") * F.col("sz").cast("double")
+    )
+    return aux.select(
+        F.col("n").alias("n_rows"),
+        F.round(num * num / den * F.col("n"), 6).alias("bp_lm"),
+    )
+
+
+COOKS_TOP = 25
+
+_COOKS_ORACLE = f"""
+WITH {_OLS_BASE_DUCK},
+res AS (
+    SELECT base.event_id, base.value, base.x, m.n, m.a,
+           {_OLS_E} AS e,
+           CAST(m.n * base.x - m.sx AS HUGEINT) AS u
+    FROM base, mom m
+),
+mse AS (
+    SELECT SUM(e * e) / (ANY_VALUE(n) - 2) AS mse FROM res
+),
+scored AS (
+    SELECT event_id, value, x,
+           1.0 / n + CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(a AS DOUBLE)) AS h,
+           e
+    FROM res
+)
+SELECT event_id, value, x AS hours_since_start,
+       ROUND(h, 6) AS leverage,
+       ROUND(e * e * h / (2 * m.mse * (1 - h) * (1 - h)), 6) AS cooks_d
+FROM scored, mse m
+ORDER BY CAST(ROUND(e * e * h / (2 * m.mse * (1 - h) * (1 - h)) * 1e9)
+              AS BIGINT) DESC, event_id
+LIMIT {COOKS_TOP}
+"""
+
+
+@query("cooks_distance_topk", oracle=_COOKS_ORACLE)
+def cooks_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COOKS_TOP} COOK'S DISTANCE influence points of the global
+    value ~ hours-since-start OLS — which single readings most steer
+    the fitted line (D = e²h/(p·MSE·(1−h)²), p=2). The influence
+    companion to mahalanobis_outlier_topk: Mahalanobis flags points
+    far from the CLOUD, Cook's flags points that bend the MODEL —
+    high-leverage endpoints with modest residuals outrank mid-span
+    spikes.
+
+    Determinism: leverage h = 1/n + u²/(n·a) with u = n·x − Σx exact
+    integer and a the integer-subtracted Σx² form; residuals are
+    shared-verbatim doubles of exact moments; the top-k ORDER is the
+    1e-9-quantized BIGINT of D with an event_id tiebreak (MSE is a
+    5-term… n-term double sum — identical inputs both engines, and
+    the quantized rank key absorbs last-ulp noise).
+
+    100 TB shape: one moment aggregate + one MSE aggregate, each
+    map-side; the scoring pass is a projection under
+    TakeOrderedAndProject. Same two-scan envelope as mahalanobis."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hours = F.expr("unix_micros(ts) div 3600000000")
+    base = ev.select(
+        "event_id", "value",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        hours.alias("h"),
+    )
+    h0 = base.agg(F.min("h").alias("h0"))
+    base = base.crossJoin(F.broadcast(h0)).select(
+        "event_id", "value", "y", (F.col("h") - F.col("h0")).alias("x")
+    ).localCheckpoint()  # scored twice (MSE + ranking): one fact scan
+    xd, yd = F.col("x").cast(_DEC), F.col("y").cast(_DEC)
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        (F.count(F.lit(1)) * F.sum(xd * xd) - F.sum(xd) * F.sum(xd)).alias("a"),
+        (F.count(F.lit(1)) * F.sum(xd * yd) - F.sum(xd) * F.sum(yd)).alias(
+            "sxy_c"
+        ),
+    )
+    res = base.crossJoin(F.broadcast(mom)).select(
+        "event_id", "value", "x", "n", "a",
+        F.expr(_OLS_E).alias("e"),
+        (F.col("n").cast(_DEC) * F.col("x") - F.col("sx")).alias("u"),
+    )
+    mse = res.agg(
+        (F.sum(F.col("e") * F.col("e")) / (F.any_value("n") - 2)).alias("mse")
+    )
+    h = 1.0 / F.col("n") + F.col("u").cast("double") * F.col("u").cast(
+        "double"
+    ) / (F.col("n").cast("double") * F.col("a").cast("double"))
+    d = F.col("e") * F.col("e") * h / (
+        2 * F.col("mse") * (1 - h) * (1 - h)
+    )
+    return (
+        res.crossJoin(F.broadcast(mse))
+        .select(
+            "event_id", "value",
+            F.col("x").alias("hours_since_start"),
+            F.round(h, 6).alias("leverage"),
+            F.round(d, 6).alias("cooks_d"),
+            F.round(d * 1e9).cast("long").alias("_rank_key"),
+        )
+        .orderBy(F.col("_rank_key").desc(), "event_id")
+        .limit(COOKS_TOP)
+        .drop("_rank_key")
+    )
+
+# ------------------------------------- RBO retriever rank agreement
+# Do the dense (cosine) and lexical (BM25) retrievers AGREE? Rank-
+# Biased Overlap at p=0.9 over their top-K lists per query — the
+# retrieval-eval the judged-metrics lane (ndcg/mrr/rbp/err grade
+# each retriever vs labels) cannot answer: two retrievers can score
+# identically on labels while returning disjoint tails. Low RBO =
+# fusion (rrf_hybrid_retrieval) has headroom; RBO ~ 1 = the second
+# retriever is redundant.
+
+RBO_P = 0.9
+RBO_K = 20
+# (1-p) p^(d-1) discounts precomputed HERE and embedded as literals in
+# BOTH engines' SQL — repr() round-trips the exact double, so neither
+# engine evaluates POWER (the libm-pow divergence class).
+_RBO_W = {d: (1 - RBO_P) * RBO_P ** (d - 1) for d in range(1, RBO_K + 1)}
+_RBO_W_SQL = ", ".join(f"({d}, {w!r})" for d, w in _RBO_W.items())
+
+# the lexical ranker IS bm25_retrieval's scorer — one shared term text
+from iot_etl_spark.plans.queries_text import _BM25_TERM_SQL as _BM25_TERM  # noqa: E402
+
+_RBO_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM v
+      WHERE vec_id IN (0, 7, 42)),
+dense AS (
+    SELECT qid, vec_id AS id, rnk AS dr FROM (
+        SELECT q.qid, v.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_inner_product(v.emb, q.qemb)
+                                  / (sqrt(list_inner_product(v.emb, v.emb))
+                                     * sqrt(list_inner_product(q.qemb, q.qemb))),
+                            6) DESC, v.vec_id) AS rnk
+        FROM v JOIN q ON v.vec_id <> q.qid
+    ) WHERE rnk <= {RBO_K}
+),
+tok AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+    ) WHERE tok <> ''
+),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+dfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id IN (0, 7, 42)),
+terms AS (
+    SELECT qt.qid, t.doc_id,
+           CAST(ROUND(({_BM25_TERM}) * 1e9) AS BIGINT) AS nano
+    FROM qt
+    JOIN tf t ON t.tok = qt.tok AND t.doc_id <> qt.qid
+    JOIN dfx ON dfx.tok = qt.tok
+    JOIN dl ON dl.doc_id = t.doc_id, st
+),
+lex AS (
+    SELECT qid, doc_id AS id, rnk AS lr FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY SUM(nano) DESC, doc_id) AS rnk
+        FROM terms GROUP BY qid, doc_id
+    ) WHERE rnk <= {RBO_K}
+),
+matched AS (
+    SELECT d.qid, GREATEST(d.dr, l.lr) AS m
+    FROM dense d JOIN lex l ON d.qid = l.qid AND d.id = l.id
+),
+w AS (SELECT * FROM (VALUES {_RBO_W_SQL}) AS t(d, wt)),
+xd AS (
+    SELECT q.qid, w.d, w.wt,
+           CAST(COUNT(m.m) AS BIGINT) AS x
+    FROM (SELECT DISTINCT qid FROM dense) q
+    CROSS JOIN w
+    LEFT JOIN matched m ON m.qid = q.qid AND m.m <= w.d
+    GROUP BY 1, 2, 3
+)
+SELECT qid AS query_id,
+       CAST(MAX(CASE WHEN d = 10 THEN x END) AS BIGINT) AS overlap_at_10,
+       CAST(MAX(CASE WHEN d = {RBO_K} THEN x END) AS BIGINT)
+           AS overlap_at_{RBO_K},
+       ROUND(CAST(SUM(CAST(ROUND(wt * x / d * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12, 6) AS rbo_min
+FROM xd GROUP BY 1
+"""
+
+
+@query("rbo_rank_agreement", oracle=_RBO_ORACLE)
+def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber et al.) between the dense cosine
+    retriever and the BM25 lexical retriever, per query: rbo_min =
+    Σ_d (1−p)p^(d−1)·|A_d ∩ B_d|/d over the top-{RBO_K} prefixes at
+    p={RBO_P} (the truncated lower bound), plus raw prefix overlaps.
+    The retriever-AGREEMENT eval the judged metrics can't express —
+    two retrievers with equal NDCG can be disjoint below the head,
+    which is exactly when RRF fusion pays.
+
+    Determinism: both rankings order INTEGERS (rounded cosine /
+    BM25's nano-quantized sum — the pagerank fixed-point device); the
+    RBO discounts are precomputed in Python and embedded as repr'd
+    literals in BOTH engines' plans, so libm POWER never runs; each
+    depth term quantizes to 1e-12 before the per-query sum.
+
+    100 TB shape: reuses the two retrievers' shapes verbatim (dense:
+    3-query broadcast against the embedding scan; lexical: one
+    postings shuffle with the query-term side broadcast); agreement
+    math runs on 3 × {RBO_K} rank rows crossed with {RBO_K} weights.
+    Reference parity: none — retrieval-eval extension."""
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    q = v.filter(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "qemb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    wdense = Window.partitionBy("qid").orderBy(
+        F.col("cos6").desc(), F.col("vec_id")
+    )
+    dense = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(dot / (nrm(F.col("emb")) * nrm(F.col("qemb"))), 6)
+            .alias("cos6"),
+        )
+        .withColumn("dr", F.row_number().over(wdense))
+        .filter(F.col("dr") <= RBO_K)
+        .select("qid", F.col("vec_id").alias("id"), "dr")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qt = (
+        tf.filter(F.col("doc_id").isin(0, 7, 42))
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    qdf = dfx.join(F.broadcast(qt.select("tok").distinct()), "tok")
+    wlex = Window.partitionBy("qid").orderBy(F.col("nano").desc(), "doc_id")
+    lex = (
+        tf.join(F.broadcast(qt), "tok")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(qdf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "qid", "doc_id",
+            F.round(F.expr(_BM25_TERM) * F.lit(1e9)).cast("long")
+            .alias("nano"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("nano").cast("long").alias("nano"))
+        .withColumn("lr", F.row_number().over(wlex))
+        .filter(F.col("lr") <= RBO_K)
+        .select("qid", F.col("doc_id").alias("id"), "lr")
+    )
+    matched = dense.join(F.broadcast(lex), ["qid", "id"]).select(
+        F.col("qid").alias("mqid"), F.greatest("dr", "lr").alias("m")
+    )
+    w = spark.createDataFrame(
+        [(d, wt) for d, wt in _RBO_W.items()],
+        T.StructType(
+            [T.StructField("d", T.IntegerType()),
+             T.StructField("wt", T.DoubleType())]
+        ),
+    )
+    qids = dense.select("qid").distinct()
+    # matched's key is RENAMED before the join: both frames descend
+    # from `dense`, so a same-name join condition self-resolves to one
+    # attribute (trivially true) and a drop() can remove the wrong
+    # column — the self-join ambiguity trap, hit live here.
+    xd = (
+        qids.crossJoin(F.broadcast(w))
+        .join(
+            F.broadcast(matched),
+            (F.col("mqid") == F.col("qid")) & (F.col("m") <= F.col("d")),
+            "left",
+        )
+        .groupBy("qid", "d", "wt")
+        .agg(F.count("m").cast("long").alias("x"))
+    )
+    return xd.groupBy("qid").agg(
+        F.max(F.when(F.col("d") == 10, F.col("x"))).cast("long")
+        .alias("overlap_at_10"),
+        F.max(F.when(F.col("d") == RBO_K, F.col("x"))).cast("long")
+        .alias(f"overlap_at_{RBO_K}"),
+        F.round(
+            F.sum(
+                F.round(F.col("wt") * F.col("x") / F.col("d") * 1e12)
+                .cast("long").cast(_DEC)
+            ).cast("double")
+            / 1e12,
+            6,
+        ).alias("rbo_min"),
+    ).withColumnRenamed("qid", "query_id")

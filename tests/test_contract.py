@@ -38,11 +38,11 @@ def test_entry_module_contract():
     first50 = list(qs)[:50]
     for must in (
         "energy_distance_weekend",      # round-12 registration head
-        "stream_session_then_agg",      # round-12 registration tail
+        "rbo_rank_agreement",           # round-12 registration tail
         "stream_static_enrich",         # round-3 leftover head
         "unigram_logprob_score",        # round-3 leftover tail
         "burst_detection",              # round-4 tier head
-        "q19_disjunctive_revenue",      # slot 50 (26th round-4 name)
+        "props_variant_extract",        # slot 50 (19th round-4 name)
     ):
         assert must in first50, must
     # round 11's window must have rotated OUT (its names were all

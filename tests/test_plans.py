@@ -543,6 +543,16 @@ def test_round12_plan_shapes(spark):
         "rmst_restricted_mean_survival": 1,
         "bigram_perplexity_heldout": 4,
         "anderson_darling_ksample": 1,
+        # second round-12 batch
+        "page_trend_test": 1,
+        "jonckheere_terpstra_dayparts": 1,
+        "spectral_entropy_hourly": 1,
+        "rayleigh_event_times": 1,
+        "breusch_pagan_lm": 2,
+        "cooks_distance_topk": 1,
+        # mirrors bm25_retrieval's postings construction (tf feeds
+        # dl/st/dfx/qt) over the small documents table
+        "rbo_rank_agreement": 10,
     }
     for name, budget in budgets.items():
         plan, _ = _plans(spark, name)
@@ -554,6 +564,9 @@ def test_round12_plan_shapes(spark):
 
     # top-k is TakeOrderedAndProject (never a global sort) and the
     # moment frame rides a broadcast back onto the fact
+    for name in ("mahalanobis_outlier_topk", "cooks_distance_topk"):
+        plan, _ = _plans(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
     plan, _ = _plans(spark, "mahalanobis_outlier_topk")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -508,3 +508,194 @@ def test_stream_session_then_agg_matches_session_walk(spark, ev):
         assert o.n_sessions == r.n_sessions and o.n_events == r.n_events
         assert abs(o.sum_value - r.sum_cents / 100) < 1e-6
         assert abs(o.avg_session_seconds - r.dur / r.n_sessions) < 1e-5
+
+
+# ----------------------------- second round-12 batch (same contract)
+
+
+def test_page_trend_matches_literal_blocks(spark, ev):
+    d = ev[ev.value.notna()].copy()
+    d["day"] = d.ts.dt.floor("D")
+    d["part"] = d.ts.dt.hour // 6
+    cells = (
+        d.assign(vmq=np.round(d.value.to_numpy() * 1e6).astype(np.int64))
+        .groupby(["day", "part"])["vmq"].agg(["sum", "count"])
+    )
+    cells["mq"] = np.round(cells["sum"] / cells["count"]).astype(np.int64)
+    piv = cells["mq"].unstack().dropna()
+    b, k = len(piv), 4
+    ranks = piv.rank(axis=1, method="average")
+    rj = ranks.sum(axis=0)  # indexed by part 0..3
+    l_stat = sum((j + 1) * rj[j] for j in range(4))
+    e_l = b * k * (k + 1) ** 2 / 4
+    var_l = b * k**2 * (k + 1) ** 2 * (k - 1) / 144
+    row = QUERIES["page_trend_test"](spark, SF_DIR).toPandas().iloc[0]
+    assert row.n_blocks == b and row.k == k
+    assert abs(row.page_l - l_stat) < 1e-6
+    assert abs(row.page_z - (l_stat - e_l) / math.sqrt(var_l)) < 1e-6
+
+
+def test_jonckheere_matches_literal_pair_loops(spark, ev):
+    d = ev[ev.value.notna()].copy()
+    d["part"] = d.ts.dt.hour // 6
+    d["vq"] = np.round(d.value.to_numpy() * 100).astype(np.int64)
+    groups = {g: sub.vq.to_numpy() for g, sub in d.groupby("part")}
+    keys = sorted(groups)
+    j_stat = 0.0
+    for a_i in range(len(keys)):
+        for b_i in range(a_i + 1, len(keys)):
+            x, y = groups[keys[a_i]], groups[keys[b_i]]
+            j_stat += (x[:, None] < y[None, :]).sum()
+            j_stat += 0.5 * (x[:, None] == y[None, :]).sum()
+    n = len(d)
+    sizes = np.array([len(v) for v in groups.values()], dtype=np.int64)
+    e_j = (n * n - (sizes**2).sum()) / 4
+    var_j = (
+        n * n * (2 * n + 3) - (sizes**2 * (2 * sizes + 3)).sum()
+    ) / 72
+    row = (
+        QUERIES["jonckheere_terpstra_dayparts"](spark, SF_DIR)
+        .toPandas().iloc[0]
+    )
+    assert row.n_rows == n
+    assert abs(row.jt_stat - j_stat) < 1e-6
+    assert abs(row.jt_expected - e_j) < 1e-6
+    assert abs(row.jt_z - (j_stat - e_j) / math.sqrt(var_j)) < 1e-6
+
+
+def test_spectral_entropy_matches_numpy_periodogram(spark, ev):
+    d = ev[ev.value.notna()].copy()
+    d["hour"] = d.ts.dt.floor("h")
+    cells = (
+        d.assign(vmq=np.round(d.value.to_numpy() * 1e6).astype(np.int64))
+        .groupby("hour")["vmq"].agg(["sum", "count"]).sort_index()
+    )
+    y = (cells["sum"] / cells["count"] / 1e6).to_numpy()
+    n = len(y)
+    e = y - y.mean()
+    idx = np.arange(n)
+    i_j = np.array([
+        (e * np.cos(2 * np.pi * j * idx / n)).sum() ** 2
+        + (e * np.sin(2 * np.pi * j * idx / n)).sum() ** 2
+        for j in range(1, (n - 1) // 2 + 1)
+    ])
+    p = i_j / i_j.sum()
+    se = -(p[p > 0] * np.log(p[p > 0])).sum()
+    row = QUERIES["spectral_entropy_hourly"](spark, SF_DIR).toPandas().iloc[0]
+    assert row.n_freqs == len(i_j)
+    assert abs(row.spectral_entropy - se) < 1e-4
+    assert abs(row.spectral_entropy_norm - se / math.log(len(i_j))) < 1e-4
+    assert abs(row.peak_share - p.max()) < 1e-4
+    assert 0 <= row.spectral_entropy_norm <= 1
+
+
+def test_rayleigh_matches_numpy_trig(spark, ev):
+    us = ev.ts.astype("datetime64[us]").astype(np.int64)
+    theta = 2 * np.pi * (us % 86_400_000_000) / 86_400_000_000
+    n = len(theta)
+    c, s = np.cos(theta).sum(), np.sin(theta).sum()
+    r = math.hypot(c, s) / n
+    row = QUERIES["rayleigh_event_times"](spark, SF_DIR).toPandas().iloc[0]
+    assert row.n_events == n
+    assert abs(row.mean_cos - c / n) < 1e-6
+    assert abs(row.mean_sin - s / n) < 1e-6
+    assert abs(row.resultant_r - r) < 1e-6
+    assert abs(row.rayleigh_z - n * r * r) < 1e-4
+
+
+@pytest.fixture(scope="module")
+def ols(ev):
+    d = ev[ev.value.notna()].copy()
+    h = ev.ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+    d["x"] = (h - h.min()).astype(float)[ev.value.notna()]
+    d["y"] = np.round(d.value.to_numpy() * 100).astype(np.int64).astype(float)
+    slope, intercept = np.polyfit(d.x, d.y, 1)
+    d["e"] = d.y - intercept - slope * d.x
+    return d
+
+
+def test_breusch_pagan_matches_numpy_aux_regression(spark, ols):
+    d = ols
+    z = d.e**2
+    r = np.corrcoef(d.x, z)[0, 1]
+    lm = len(d) * r * r
+    row = QUERIES["breusch_pagan_lm"](spark, SF_DIR).toPandas().iloc[0]
+    assert row.n_rows == len(d)
+    assert abs(row.bp_lm - lm) < 1e-3  # milli-quantized residual squares
+
+
+def test_cooks_distance_matches_numpy_influence(spark, ols):
+    d = ols
+    n = len(d)
+    sxx = ((d.x - d.x.mean()) ** 2).sum()
+    h = 1 / n + (d.x - d.x.mean()) ** 2 / sxx
+    mse = (d.e**2).sum() / (n - 2)
+    cd = d.e**2 * h / (2 * mse * (1 - h) ** 2)
+    frame = pd.DataFrame(
+        {"event_id": d.event_id, "cd": cd, "h": h}
+    ).sort_values(["cd", "event_id"], ascending=[False, True])
+    top = frame.head(25)
+    out = QUERIES["cooks_distance_topk"](spark, SF_DIR).toPandas()
+    assert set(out.event_id) == set(top.event_id)
+    got = out.set_index("event_id")
+    for _, r in top.iterrows():
+        assert abs(got.loc[r.event_id].cooks_d - r.cd) < 1e-6
+        assert abs(got.loc[r.event_id].leverage - r.h) < 1e-6
+
+
+def test_rbo_matches_literal_prefix_overlap(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    import re
+
+    tf: dict = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+        c = {}
+        for t in toks:
+            c[t] = c.get(t, 0) + 1
+        tf[r.doc_id] = c
+    df: dict = {}
+    for c in tf.values():
+        for t in c:
+            df[t] = df.get(t, 0) + 1
+    n_docs = len(tf)
+    total_len = sum(sum(c.values()) for c in tf.values())
+    avg_dl = total_len / n_docs
+    out = QUERIES["rbo_rank_agreement"](spark, SF_DIR).toPandas().set_index(
+        "query_id"
+    )
+    p = 0.9
+    for q in (0, 7, 42):
+        qv = m[ids == q][0]
+        cos = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+        dense = [
+            vid for _, vid in sorted(
+                ((-round(c, 6), vid) for vid, c in zip(ids, cos) if vid != q)
+            )[:20]
+        ]
+        scores = {}
+        dlq = {d: sum(c.values()) for d, c in tf.items()}
+        for t in tf[q]:
+            idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            for d, c in tf.items():
+                if d == q or t not in c:
+                    continue
+                tfx = c[t]
+                term = idf * tfx * 2.2 / (
+                    tfx + 1.2 * (0.25 + 0.75 * dlq[d] / avg_dl)
+                )
+                scores[d] = scores.get(d, 0) + round(term * 1e9)
+        lex = [d for _, d in sorted(
+            ((-s, d) for d, s in scores.items())
+        )[:20]]
+        rbo = 0.0
+        for depth in range(1, 21):
+            x = len(set(dense[:depth]) & set(lex[:depth]))
+            rbo += (1 - p) * p ** (depth - 1) * x / depth
+        r = out.loc[q]
+        assert r.overlap_at_10 == len(set(dense[:10]) & set(lex[:10]))
+        assert r.overlap_at_20 == len(set(dense[:20]) & set(lex[:20]))
+        assert abs(r.rbo_min - rbo) < 1e-6
