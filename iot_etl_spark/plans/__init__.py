@@ -36,12 +36,12 @@ from iot_etl_spark.plans import queries_analytics9  # noqa: F401
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
 # window is curated per round for maximum fresh evidence. Round-12
-# rotation (VERDICT r11 item 1): the 16 round-12 registrations lead
+# rotation (VERDICT r11 item 1): the 27 round-12 registrations lead
 # (fresh evidence first), then the 8 round-3-green leftovers round 11
 # did not reach (stream_static_enrich .. unigram_logprob_score), then
 # the round-4-green tier begins in alphabetical order — its head
-# (burst_detection .. q19_disjunctive_revenue) fills the window; the
-# remaining 24 round-4 names stay listed in order for round 13.
+# (burst_detection .. mixture_sampling_weights) fills the window; the
+# remaining 35 round-4 names stay listed in order for round 13.
 # Names listed here but not (yet) registered are ignored; registered
 # names absent from the list keep their original relative order after
 # the prioritized block.
@@ -75,6 +75,11 @@ ROUND12_REGISTRATIONS: list[str] = [
     "breusch_pagan_lm",
     "cooks_distance_topk",
     "rbo_rank_agreement",
+    # third round-12 batch (changepoint/trend/randomness, graph panel)
+    "pettitt_changepoint_daily",
+    "seasonal_mann_kendall",
+    "bartels_rank_randomness",
+    "link_prediction_scores",
 ]
 
 ROUND11_REGISTRATIONS: list[str] = [
@@ -109,7 +114,7 @@ _DRIVER_WINDOW_FIRST: list[str] = ROUND12_REGISTRATIONS + [
     "token_heavy_hitters",
     "unigram_logprob_score",
     # ---- then the round-4-green tier (50 names, alphabetical); the
-    # first 26 fill this window's remaining slots, the rest stay
+    # first 15 fill this window's remaining slots, the rest stay
     # ordered for round 13
     "burst_detection",
     "changepoint_cusum",

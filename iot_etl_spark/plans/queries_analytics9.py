@@ -2936,3 +2936,498 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo_min"),
     ).withColumnRenamed("qid", "query_id")
+
+# -------------------------------------------------- Pettitt changepoint
+# Nonparametric single-changepoint test on the daily event-count
+# series: U_t = Σ_{i<=t} Σ_{j>t} sgn(y_j − y_i), K = max|U_t| — the
+# rank-based member of the changepoint family (binseg fits means,
+# CUSUM/Page-Hinkley track drifts, Chow assumes a known split; Pettitt
+# finds an UNKNOWN split with no distributional assumption).
+
+_PETTITT_ORACLE = f"""
+WITH daily AS (
+    SELECT epoch_us(date_trunc('day', {DUCK_TS})) // 1000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+pairs AS (
+    SELECT a.day AS di, b.day AS dj,
+           CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS s
+    FROM daily a JOIN daily b ON b.day > a.day
+),
+u AS (
+    SELECT t.day AS t,
+           CAST(SUM(CASE WHEN p.di <= t.day AND p.dj > t.day
+                         THEN p.s ELSE 0 END) AS BIGINT) AS u_t
+    FROM (SELECT day FROM daily) t, pairs p
+    GROUP BY 1
+),
+k AS (
+    SELECT t AS change_day, ABS(u_t) AS k_stat, u_t
+    FROM u ORDER BY ABS(u_t) DESC, t LIMIT 1
+)
+SELECT n_.n AS n_days, k.change_day AS change_day_epoch,
+       k.u_t AS u_at_change, k.k_stat,
+       ROUND(2 * EXP(-6.0 * k.k_stat * k.k_stat
+                     / (CAST(n_.n AS DOUBLE) * n_.n * n_.n
+                        + CAST(n_.n AS DOUBLE) * n_.n)), 6) AS p_approx
+FROM k, n_
+"""
+
+
+@query("pettitt_changepoint_daily", oracle=_PETTITT_ORACLE)
+def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT TEST for a single unknown changepoint in the daily
+    event-count series — the nonparametric member of the changepoint
+    family: binseg fits means, CUSUM/Page-Hinkley track sequential
+    drift, chow_break_test assumes a KNOWN split; Pettitt locates an
+    unknown split through rank statistics immune to outlier days.
+    K = max_t |Σ_{{i≤t}}Σ_{{j>t}} sgn(y_j − y_i)|, with the standard
+    2·exp(−6K²/(n³+n²)) significance approximation.
+
+    Determinism: U_t sums are exact integers over the day-pair frame;
+    the argmax breaks ties toward the earlier day; the only double is
+    the final shared-verbatim p-approximation.
+
+    100 TB shape: one map-side day aggregate (bounded by the span),
+    then day² pair math (30 days → 435 pairs) — time-bounded,
+    row-count-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            (F.unix_micros(F.date_trunc("day", F.col("ts"))) / 1_000_000)
+            .cast("long").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint()  # span-bounded; pairs + t-grid + n read it
+    )
+    n_ = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = daily.select(F.col("day").alias("di"), F.col("y").alias("yi"))
+    b = daily.select(F.col("day").alias("dj"), F.col("y").alias("yj"))
+    pairs = a.join(F.broadcast(b), F.col("dj") > F.col("di")).select(
+        "di", "dj",
+        F.when(F.col("yj") > F.col("yi"), 1)
+        .when(F.col("yj") < F.col("yi"), -1)
+        .otherwise(0).alias("s"),
+    )
+    u = (
+        daily.select(F.col("day").alias("t"))
+        .join(F.broadcast(pairs))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("di") <= F.col("t")) & (F.col("dj") > F.col("t")),
+                    F.col("s"),
+                ).otherwise(0)
+            ).cast("long").alias("u_t")
+        )
+    )
+    k = (
+        u.orderBy(F.abs(F.col("u_t")).desc(), "t")
+        .limit(1)
+        .select(
+            F.col("t").alias("change_day"),
+            F.abs(F.col("u_t")).cast("long").alias("k_stat"),
+            F.col("u_t").alias("u_at_change"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return k.crossJoin(F.broadcast(n_)).select(
+        F.col("n").alias("n_days"),
+        F.col("change_day").alias("change_day_epoch"),
+        "u_at_change",
+        "k_stat",
+        F.round(
+            2 * F.exp(
+                -6.0 * F.col("k_stat") * F.col("k_stat")
+                / (nd * F.col("n") * F.col("n") + nd * F.col("n"))
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+# --------------------------------------------- Seasonal Mann-Kendall
+# Hirsch-Slack seasonal trend test: one Mann-Kendall S per hour-of-day
+# season over that hour's DAILY mean-value sequence, then
+# S = Σ S_s, Var = Σ Var_s (tie-corrected), z with continuity
+# correction — the trend detector that a diurnal cycle cannot fool
+# (plain mann_kendall_trend mixes 3 AM against 3 PM; this only ever
+# compares an hour with the same hour on other days).
+
+_SMK_ORACLE = f"""
+WITH cells AS (
+    SELECT EXTRACT(hour FROM {DUCK_TS}) AS season,
+           date_trunc('day', {DUCK_TS}) AS day,
+           CAST(ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT))
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mq
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+s_term AS (
+    SELECT a.season,
+           CAST(SUM(CASE WHEN b.mq > a.mq THEN 1
+                         WHEN b.mq < a.mq THEN -1 ELSE 0 END) AS BIGINT) AS s
+    FROM cells a JOIN cells b ON a.season = b.season AND b.day > a.day
+    GROUP BY 1
+),
+v_term AS (
+    SELECT season,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cells c2
+                  WHERE c2.season = cells.season GROUP BY c2.mq)
+            WHERE t > 1) AS tie_term
+    FROM cells GROUP BY season
+),
+tot AS (
+    SELECT CAST(SUM(s.s) AS BIGINT) AS s_total,
+           SUM((CAST(v.n AS DOUBLE) * (v.n - 1) * (2 * v.n + 5)
+                - v.tie_term) / 18) AS var_total,
+           CAST(COUNT(*) AS BIGINT) AS n_seasons
+    FROM s_term s JOIN v_term v USING (season)
+)
+SELECT n_seasons, s_total,
+       ROUND(var_total, 6) AS var_total,
+       ROUND((s_total - CASE WHEN s_total > 0 THEN 1
+                             WHEN s_total < 0 THEN -1 ELSE 0 END)
+             / SQRT(var_total), 6) AS z
+FROM tot
+"""
+
+
+@query("seasonal_mann_kendall", oracle=_SMK_ORACLE)
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL MANN-KENDALL (Hirsch-Slack) trend test: a separate
+    Mann-Kendall S per hour-of-day season over that hour's daily mean
+    values, combined as S = ΣS_s with Var = ΣVar_s (tie-corrected per
+    season) — the monotone-trend detector the diurnal cycle cannot
+    fool, where plain mann_kendall_trend compares 3 AM readings
+    against 3 PM ones and calls the cycle a trend.
+
+    Determinism: season series live on the 1e-6 integer cell grid
+    (the friedman mean convention); every S_s is an exact integer
+    pair sum; tie terms are exact integers; the z (with continuity
+    correction) is one shared-verbatim double.
+
+    100 TB shape: one (hour, day) cell aggregate bounded by the span;
+    per-season pair joins over ~30-row series (24 x 435 pairs);
+    24-row combination after."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = (
+        ev.groupBy(
+            F.hour("ts").cast("long").alias("season"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.expr("CAST(ROUND(value * 1e6) AS BIGINT)"))
+                / F.count(F.lit(1)).cast("double")
+            ).cast("long").alias("mq")
+        )
+        .localCheckpoint()  # bounded (24 x days); pairs + ties read it
+    )
+    a = cells.select("season", F.col("day").alias("di"), F.col("mq").alias("mi"))
+    b = cells.select(
+        F.col("season").alias("s2"), F.col("day").alias("dj"),
+        F.col("mq").alias("mj"),
+    )
+    s_term = (
+        a.join(
+            F.broadcast(b),
+            (F.col("season") == F.col("s2")) & (F.col("dj") > F.col("di")),
+        )
+        .groupBy("season")
+        .agg(
+            F.sum(
+                F.when(F.col("mj") > F.col("mi"), 1)
+                .when(F.col("mj") < F.col("mi"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s")
+        )
+    )
+    ties = (
+        cells.groupBy("season", "mq")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("season")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("t") > 1,
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5),
+                ).otherwise(0)
+            ).cast("long").alias("tie_term"),
+            F.count(F.lit(1)).alias("_cells"),
+        )
+        .drop("_cells")
+    )
+    v_term = cells.groupBy("season").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).join(ties, "season")
+    nd = F.col("n").cast("double")
+    tot = (
+        s_term.join(v_term, "season")
+        .agg(
+            F.sum("s").cast("long").alias("s_total"),
+            F.sum(
+                (nd * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term"))
+                / 18
+            ).alias("var_total"),
+            F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        )
+    )
+    cc = F.when(F.col("s_total") > 0, 1).when(F.col("s_total") < 0, -1).otherwise(0)
+    return tot.select(
+        "n_seasons", "s_total",
+        F.round(F.col("var_total"), 6).alias("var_total"),
+        F.round(
+            (F.col("s_total") - cc) / F.sqrt(F.col("var_total")), 6
+        ).alias("z"),
+    )
+
+# ------------------------------------------- Bartels rank randomness
+# Von Neumann's successive-difference ratio on RANKS of the daily
+# event counts: RVN = Σ(r_t − r_{t+1})² / Σ(r_t − r̄)². The serial-
+# correlation randomness test beside runs_test (which only sees
+# above/below-median signs): RVN < 2 flags positive day-to-day
+# persistence, > 2 flags alternation.
+
+_BARTELS_ORACLE = f"""
+WITH daily AS (
+    SELECT epoch_us(date_trunc('day', {DUCK_TS})) // 1000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT day,
+           2 * RANK() OVER (ORDER BY y)
+             + CAST(COUNT(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS r2
+    FROM daily
+),
+seq AS (
+    SELECT r2, LEAD(r2) OVER (ORDER BY day) AS r2n,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM ranked
+),
+agg AS (
+    SELECT MAX(n) AS n,
+           CAST(SUM(CASE WHEN r2n IS NULL THEN 0
+                         ELSE (r2 - r2n) * (r2 - r2n) END) AS HUGEINT) AS n4,
+           CAST(SUM((r2 - n - 1) * (r2 - n - 1)) AS HUGEINT) AS d4
+    FROM seq
+)
+SELECT n AS n_days,
+       ROUND(CAST(n4 AS DOUBLE) / CAST(d4 AS DOUBLE), 6) AS rvn,
+       ROUND((CAST(n4 AS DOUBLE) / CAST(d4 AS DOUBLE) - 2)
+             / SQRT(4.0 * (n - 2) * (5 * CAST(n AS DOUBLE) * n - 2 * n - 9)
+                    / (5.0 * n * (n + 1) * (n - 1) * (n - 1))), 6) AS z
+FROM agg
+"""
+
+
+@query("bartels_rank_randomness", oracle=_BARTELS_ORACLE)
+def bartels_rank_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTELS RANK TEST of randomness (the rank version of von
+    Neumann's successive-difference ratio) on the daily event-count
+    sequence: RVN = Σ(r_t − r_{{t+1}})²/Σ(r_t − r̄)² over midranks in
+    DAY order. The serial-correlation companion to
+    runs_test_randomness — runs only sees above/below-median signs,
+    Bartels weighs HOW FAR consecutive days jump in rank (RVN < 2 =
+    persistence, > 2 = alternation).
+
+    Determinism: ×2-carried midranks make numerator and denominator
+    EXACT integers (2r̄ = n+1 exactly, so deviations are integers);
+    RVN and the large-sample z (Var = 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²))
+    are shared-verbatim double readouts.
+
+    100 TB shape: one span-bounded day aggregate; rank/lead windows
+    over the ~30-row day frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / 1_000_000)
+        .cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wr = Window.orderBy("y")
+    wt = Window.partitionBy("y")
+    ranked = daily.select(
+        "day",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt).cast("long") - 1
+        ).alias("r2"),
+    )
+    wd = Window.orderBy("day")
+    seq = ranked.select(
+        "r2",
+        F.lead("r2").over(wd).alias("r2n"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    agg = seq.groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(F.col("r2n").isNull(), F.lit(0).cast("long")).otherwise(
+                (F.col("r2") - F.col("r2n")) * (F.col("r2") - F.col("r2n"))
+            ).cast(_DEC)
+        ).alias("n4"),
+        F.sum(
+            ((F.col("r2") - F.col("n") - 1) * (F.col("r2") - F.col("n") - 1))
+            .cast(_DEC)
+        ).alias("d4"),
+    )
+    nd = F.col("n").cast("double")
+    rvn = F.col("n4").cast("double") / F.col("d4").cast("double")
+    var = (
+        4.0 * (F.col("n") - 2) * (5 * nd * F.col("n") - 2 * F.col("n") - 9)
+        / (5.0 * F.col("n") * (F.col("n") + 1) * (F.col("n") - 1) * (F.col("n") - 1))
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.round(rvn, 6).alias("rvn"),
+        F.round((rvn - 2) / F.sqrt(var), 6).alias("z"),
+    )
+
+# ---------------------------------------- Link-prediction score panel
+# The five classic common-neighbor link predictors for the SAME
+# candidate pairs, side by side: CN, Jaccard, Adamic-Adar, Resource
+# Allocation, Preferential Attachment. adamic_adar_linkpred ships one
+# of them; ranking disagreements BETWEEN predictors is the actual
+# model-selection signal (RA punishes hubs hardest, PA ignores
+# common neighbors entirely).
+
+LINKPRED_TOP = 25
+
+from iot_etl_spark.plans.graphedges import (  # noqa: E402
+    COACT_BUCKET_CAP, duck_capped_activity,
+)
+
+_LP_ORACLE = f"""
+WITH a AS (
+    SELECT b, user_id FROM {duck_capped_activity(
+        "epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) // 1000000",
+        COACT_BUCKET_CAP,
+    )}
+),
+e AS (
+    SELECT DISTINCT x.user_id AS ua, y.user_id AS ub
+    FROM a x JOIN a y ON x.b = y.b AND x.user_id < y.user_id
+),
+n AS (
+    SELECT ua AS z, ub AS x FROM e
+    UNION ALL
+    SELECT ub AS z, ua AS x FROM e
+),
+deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM n GROUP BY 1),
+wedge AS (
+    SELECT n1.x AS ua, n2.x AS ub, n1.z
+    FROM n n1 JOIN n n2 ON n1.z = n2.z AND n1.x < n2.x
+),
+sc AS (
+    SELECT w.ua, w.ub,
+           CAST(COUNT(*) AS BIGINT) AS cn,
+           SUM(1.0 / ln(deg.d)) AS aa,
+           SUM(1.0 / deg.d) AS ra
+    FROM wedge w JOIN deg ON deg.z = w.z
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT sc.*, da.d AS da, db.d AS db
+    FROM sc
+    LEFT JOIN e ON e.ua = sc.ua AND e.ub = sc.ub
+    JOIN deg da ON da.z = sc.ua
+    JOIN deg db ON db.z = sc.ub
+    WHERE e.ua IS NULL
+)
+SELECT ua AS user_a, ub AS user_b, cn AS common_neighbors,
+       ROUND(CAST(cn AS DOUBLE) / (da + db - cn), 6) AS jaccard,
+       ROUND(aa, 6) AS adamic_adar,
+       ROUND(ra, 6) AS resource_allocation,
+       CAST(da * db AS BIGINT) AS pref_attachment
+FROM cand
+ORDER BY cn DESC, ua, ub
+LIMIT {LINKPRED_TOP}
+"""
+
+
+@query("link_prediction_scores", oracle=_LP_ORACLE)
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK-PREDICTION SCORE PANEL over the capped co-activity graph:
+    the top {LINKPRED_TOP} non-adjacent pairs by common-neighbor
+    count, scored by all five classic predictors at once — CN,
+    Jaccard = CN/(d_a + d_b − CN), Adamic-Adar (Σ 1/ln d_z), Resource
+    Allocation (Σ 1/d_z), Preferential Attachment (d_a·d_b). The
+    model-selection view adamic_adar_linkpred alone can't give: where
+    the five DISAGREE is exactly where hub structure matters (RA
+    punishes hubs hardest, PA ignores common neighbors entirely).
+
+    Determinism: ranked by the INTEGER common-neighbor count with
+    (ua, ub) tiebreaks; AA/RA weights ride the wedge rows as
+    ln/div of exact integer degrees (shared-verbatim); Jaccard and PA
+    are pure integer-ratio readouts.
+
+    100 TB shape: identical to adamic_adar_linkpred — the shared
+    degree-attached edge stage, weights attached BEFORE the wedge
+    expansion (both 1/ln d and 1/d ride 2|E| rows), one (a, b)
+    aggregate, one anti-join, TakeOrderedAndProject; the pair-degree
+    attach is a broadcast of the node-degree projection."""
+    from iot_etl_spark.plans.graphedges import capped_edges_with_degrees
+
+    edeg = capped_edges_with_degrees(spark, sf_dir)
+    e = edeg.select("ua", "ub")
+    n = edeg.select(
+        F.col("ua").alias("z"), F.col("ub").alias("x"),
+        F.col("da").cast("double").alias("d"),
+    ).unionAll(
+        edeg.select(
+            F.col("ub").alias("z"), F.col("ua").alias("x"),
+            F.col("db").cast("double").alias("d"),
+        )
+    )
+    n1 = n.filter(F.col("d") >= 2).select(
+        "z", F.col("x").alias("wa"),
+        (1.0 / F.log(F.col("d"))).alias("invlog"),
+        (1.0 / F.col("d")).alias("invd"),
+    )
+    n2 = n.select(F.col("z").alias("z2"), F.col("x").alias("wb"))
+    wedge = n1.join(
+        n2, (F.col("z") == F.col("z2")) & (F.col("wa") < F.col("wb"))
+    ).select(F.col("wa").alias("ua"), F.col("wb").alias("ub"), "invlog", "invd")
+    sc = wedge.groupBy("ua", "ub").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("invlog").alias("aa"),
+        F.sum("invd").alias("ra"),
+    )
+    # node degrees as a projection of the materialized stage
+    nodes = (
+        edeg.select(F.col("ua").alias("node"), F.col("da").alias("d"))
+        .unionAll(edeg.select(F.col("ub").alias("node"), F.col("db").alias("d")))
+        .distinct()
+    )
+    cand = (
+        sc.join(e, ["ua", "ub"], "left_anti")
+        .join(
+            F.broadcast(nodes.select(F.col("node").alias("ua"),
+                                     F.col("d").alias("da"))), "ua"
+        )
+        .join(
+            F.broadcast(nodes.select(F.col("node").alias("ub"),
+                                     F.col("d").alias("db"))), "ub"
+        )
+    )
+    return (
+        cand.orderBy(F.col("cn").desc(), "ua", "ub")
+        .limit(LINKPRED_TOP)
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double") / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            F.round("aa", 6).alias("adamic_adar"),
+            F.round("ra", 6).alias("resource_allocation"),
+            (F.col("da").cast("long") * F.col("db")).cast("long")
+            .alias("pref_attachment"),
+        )
+    )

@@ -38,11 +38,11 @@ def test_entry_module_contract():
     first50 = list(qs)[:50]
     for must in (
         "energy_distance_weekend",      # round-12 registration head
-        "rbo_rank_agreement",           # round-12 registration tail
+        "link_prediction_scores",      # round-12 registration tail
         "stream_static_enrich",         # round-3 leftover head
         "unigram_logprob_score",        # round-3 leftover tail
         "burst_detection",              # round-4 tier head
-        "props_variant_extract",        # slot 50 (19th round-4 name)
+        "mixture_sampling_weights",     # slot 50 (15th round-4 name)
     ):
         assert must in first50, must
     # round 11's window must have rotated OUT (its names were all

@@ -553,6 +553,14 @@ def test_round12_plan_shapes(spark):
         # mirrors bm25_retrieval's postings construction (tf feeds
         # dl/st/dfx/qt) over the small documents table
         "rbo_rank_agreement": 10,
+        # third round-12 batch
+        "pettitt_changepoint_daily": 1,
+        "seasonal_mann_kendall": 1,
+        "bartels_rank_randomness": 1,
+        # every FileScan here reads the SMALL materialized edge-stage
+        # parquet (edge list + degree projections + anti-join side),
+        # never the fact table — the adamic_adar stage-reuse shape
+        "link_prediction_scores": 9,
     }
     for name, budget in budgets.items():
         plan, _ = _plans(spark, name)

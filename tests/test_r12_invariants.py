@@ -699,3 +699,118 @@ def test_rbo_matches_literal_prefix_overlap(spark):
         assert r.overlap_at_10 == len(set(dense[:10]) & set(lex[:10]))
         assert r.overlap_at_20 == len(set(dense[:20]) & set(lex[:20]))
         assert abs(r.rbo_min - rbo) < 1e-6
+
+
+# ----------------------------- third round-12 batch (same contract)
+
+
+def test_pettitt_matches_literal_u_walk(spark, ev):
+    day = ev.ts.dt.floor("D").astype("datetime64[us]").astype(np.int64) // 1_000_000
+    y = pd.DataFrame({"day": day}).groupby("day").size()
+    days = list(y.index)
+    vals = y.to_numpy()
+    n = len(vals)
+    best = None
+    for ti, t in enumerate(days):
+        u = 0
+        for i in range(n):
+            for j in range(n):
+                if days[i] <= t < days[j]:
+                    u += int(np.sign(vals[j] - vals[i]))
+        if best is None or abs(u) > best[1]:
+            best = (t, abs(u), u)
+    t_star, k, u_at = best
+    row = QUERIES["pettitt_changepoint_daily"](spark, SF_DIR).toPandas().iloc[0]
+    assert row.n_days == n
+    assert row.k_stat == k and row.change_day_epoch == t_star
+    assert row.u_at_change == u_at
+    assert abs(row.p_approx - 2 * math.exp(-6 * k * k / (n**3 + n**2))) < 1e-6
+
+
+def test_seasonal_mann_kendall_matches_pair_loops(spark, ev):
+    d = ev[ev.value.notna()].copy()
+    d["season"] = d.ts.dt.hour
+    d["day"] = d.ts.dt.floor("D")
+    cells = (
+        d.assign(vmq=np.round(d.value.to_numpy() * 1e6).astype(np.int64))
+        .groupby(["season", "day"])["vmq"].agg(["sum", "count"])
+    )
+    cells["mq"] = np.round(cells["sum"] / cells["count"]).astype(np.int64)
+    s_total, var_total, n_seasons = 0, 0.0, 0
+    for season, g in cells.groupby(level="season"):
+        mq = g["mq"].sort_index(level="day").to_numpy()
+        n = len(mq)
+        s = sum(
+            int(np.sign(mq[j] - mq[i]))
+            for i in range(n) for j in range(i + 1, n)
+        )
+        ties = pd.Series(mq).value_counts()
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in ties if t > 1)
+        var_total += (n * (n - 1) * (2 * n + 5) - tie) / 18
+        s_total += s
+        n_seasons += 1
+    z = (s_total - np.sign(s_total)) / math.sqrt(var_total)
+    row = QUERIES["seasonal_mann_kendall"](spark, SF_DIR).toPandas().iloc[0]
+    assert row.n_seasons == n_seasons and row.s_total == s_total
+    assert abs(row.var_total - var_total) < 1e-5
+    assert abs(row.z - z) < 1e-6
+
+
+def test_bartels_matches_literal_rank_ratio(spark, ev):
+    day = ev.ts.dt.floor("D").astype("datetime64[us]").astype(np.int64) // 1_000_000
+    y = pd.DataFrame({"day": day}).groupby("day").size().sort_index()
+    r = y.rank(method="average").to_numpy()
+    n = len(r)
+    rvn = ((r[:-1] - r[1:]) ** 2).sum() / ((r - r.mean()) ** 2).sum()
+    var = 4 * (n - 2) * (5 * n * n - 2 * n - 9) / (
+        5 * n * (n + 1) * (n - 1) ** 2
+    )
+    row = QUERIES["bartels_rank_randomness"](spark, SF_DIR).toPandas().iloc[0]
+    assert row.n_days == n
+    assert abs(row.rvn - rvn) < 1e-9
+    assert abs(row.z - (rvn - 2) / math.sqrt(var)) < 1e-6
+
+
+def test_link_prediction_scores_matches_set_algebra(spark, ev):
+    # rebuild the minute-bucket co-activity graph from raw events (the
+    # 64-cap never binds at sf0.001's 15 users)
+    from collections import defaultdict
+
+    mins = ev.ts.values.astype("datetime64[m]")
+    act = pd.DataFrame({"b": mins, "u": ev.user_id}).drop_duplicates()
+    edges = set()
+    for _, sub in act.groupby("b"):
+        us = sorted(sub.u)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                edges.add((int(us[i]), int(us[j])))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    cand = []
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            cn = len(common)
+            cand.append((
+                -cn, a, b,
+                cn / (len(adj[a]) + len(adj[b]) - cn),
+                sum(1 / math.log(len(adj[z])) for z in common),
+                sum(1 / len(adj[z]) for z in common),
+                len(adj[a]) * len(adj[b]),
+            ))
+    cand.sort()
+    out = QUERIES["link_prediction_scores"](spark, SF_DIR).toPandas()
+    assert len(out) == min(25, len(cand))
+    for o, (negcn, a, b, jac, aa, ra, pa) in zip(out.itertuples(), cand[:25]):
+        assert (o.user_a, o.user_b, o.common_neighbors) == (a, b, -negcn)
+        assert abs(o.jaccard - jac) < 1e-6
+        assert abs(o.adamic_adar - aa) < 1e-6
+        assert abs(o.resource_allocation - ra) < 1e-6
+        assert o.pref_attachment == pa
