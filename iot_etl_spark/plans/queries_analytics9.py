@@ -3403,9 +3403,15 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edeg.select(F.col("ub").alias("node"), F.col("db").alias("d")))
         .distinct()
     )
-    cand = (
+    # rank by the INTEGER cn first, attach degrees to the 25 survivors
+    # only — the degree joins never touch the full candidate set
+    head = (
         sc.join(e, ["ua", "ub"], "left_anti")
-        .join(
+        .orderBy(F.col("cn").desc(), "ua", "ub")
+        .limit(LINKPRED_TOP)
+    )
+    return (
+        head.join(
             F.broadcast(nodes.select(F.col("node").alias("ua"),
                                      F.col("d").alias("da"))), "ua"
         )
@@ -3413,10 +3419,6 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(nodes.select(F.col("node").alias("ub"),
                                      F.col("d").alias("db"))), "ub"
         )
-    )
-    return (
-        cand.orderBy(F.col("cn").desc(), "ua", "ub")
-        .limit(LINKPRED_TOP)
         .select(
             F.col("ua").alias("user_a"),
             F.col("ub").alias("user_b"),
