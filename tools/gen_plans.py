@@ -200,6 +200,12 @@ PICKS = [
     ("anderson_darling_ksample",
      "dense type x value grid off ONE checkpointed cell frame: "
      "windows over bounded frames, zero fact rescans"),
+    ("rbo_rank_agreement",
+     "two full retriever builds (dense broadcast probe + BM25 "
+     "postings), agreement math on 60 broadcast rank rows"),
+    ("link_prediction_scores",
+     "shared degree-attached edge stage; weights ride 2|E| rows "
+     "before the wedge; degrees join the 25 survivors after top-k"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
