@@ -150,6 +150,9 @@ def main() -> None:
     # min is kept. A genuine plan regression re-reproduces on the
     # re-pass (all three samples slow); a pressure window does not.
     REPASS_FACTOR, REPASS_FLOOR, REPASS_CAP = 1.5, 0.3, 40
+    warm_raw = dict(warm)  # unadjusted pass-2 timings (ADVICE r12:
+    # preserved so round-over-round comparisons can be made on
+    # same-protocol numbers, not just the repass-defended minima)
     repass: dict[str, float] = {}
     cands = []
     for n in names:
@@ -220,6 +223,7 @@ def main() -> None:
         "queries_best": best,
         "value_best": round(sum(ok_best), 3),
         "queries_repass": repass,
+        "queries_warm_raw": warm_raw,
         "n_repassed": len(repass),
         "repass_rule": (
             f"warm > max({REPASS_FACTOR}x, +{REPASS_FLOOR}s) of min(cold, "

@@ -3404,20 +3404,25 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # rank by the INTEGER cn first, attach degrees to the 25 survivors
-    # only — the degree joins never touch the full candidate set
+    # only — the degree joins never touch the full candidate set.
+    # Broadcast DIRECTION (VERDICT r12 item 3): ship the 25-row head to
+    # the executors scanning the |V|-row nodes side — never the other
+    # way around; at 100x the node-degree table is the unbounded one.
     head = (
         sc.join(e, ["ua", "ub"], "left_anti")
         .orderBy(F.col("cn").desc(), "ua", "ub")
         .limit(LINKPRED_TOP)
     )
     return (
-        head.join(
-            F.broadcast(nodes.select(F.col("node").alias("ua"),
-                                     F.col("d").alias("da"))), "ua"
+        F.broadcast(
+            F.broadcast(head).join(
+                nodes.select(F.col("node").alias("ua"), F.col("d").alias("da")),
+                "ua",
+            )
         )
         .join(
-            F.broadcast(nodes.select(F.col("node").alias("ub"),
-                                     F.col("d").alias("db"))), "ub"
+            nodes.select(F.col("node").alias("ub"), F.col("d").alias("db")),
+            "ub",
         )
         .select(
             F.col("ua").alias("user_a"),
