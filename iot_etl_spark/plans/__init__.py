@@ -32,6 +32,7 @@ from iot_etl_spark.plans import queries_analytics6  # noqa: F401
 from iot_etl_spark.plans import queries_analytics7  # noqa: F401
 from iot_etl_spark.plans import queries_analytics8  # noqa: F401
 from iot_etl_spark.plans import queries_analytics9  # noqa: F401
+from iot_etl_spark.plans import queries_analytics10  # noqa: F401
 
 # --------------------------------------------------------------- ordering
 # The correctness driver checks the FIRST 50 registry entries, so the
@@ -49,6 +50,26 @@ from iot_etl_spark.plans import queries_analytics9  # noqa: F401
 # STATUS.md changelog counts are checked against
 # (tests/test_contract.py::test_status_ledger_matches_registry) so the
 # ledger can't drift from the registry (VERDICT r10 item 4).
+ROUND13_REGISTRATIONS: list[str] = [
+    "kuiper_test_hours",
+    "cliffs_delta_weekend",
+    "mood_scale_test",
+    "von_neumann_ratio_daily",
+    # second round-13 batch (trend/blocked/reliability)
+    "cox_stuart_trend",
+    "quade_test_blocks",
+    "cronbach_alpha_hours",
+    "icc_oneway_types",
+    # third round-13 batch (complexity, sketches, model QA, OLAP)
+    "permutation_entropy_daily",
+    "sample_entropy_daily",
+    "kmv_distinct_setops",
+    "bloom_filter_fpr_audit",
+    "dagostino_k2_normality",
+    "classifier_ks_separation",
+    "herfindahl_concentration",
+]
+
 ROUND12_REGISTRATIONS: list[str] = [
     "energy_distance_weekend",
     "cramer_von_mises_weekend",
@@ -101,36 +122,13 @@ ROUND11_REGISTRATIONS: list[str] = [
     "mcc_classifier_eval",
 ]
 
-_DRIVER_WINDOW_FIRST: list[str] = ROUND12_REGISTRATIONS + [
-    # ---- regression re-checks: the 8 round-3-green leftovers round
-    # 11's window did not reach (its 16 registrations + tier names
-    # through stream_sliding_agg filled slots 1-50)
-    "stream_static_enrich",
-    "stream_tumbling_agg",
-    "text_normalize_stats",
-    "text_quality_stats",
-    "time_weighted_avg",
-    "token_count_by_lang",
-    "token_heavy_hitters",
-    "unigram_logprob_score",
-    # ---- then the round-4-green tier (50 names, alphabetical); the
-    # first 15 fill this window's remaining slots, the rest stay
-    # ordered for round 13
-    "burst_detection",
-    "changepoint_cusum",
-    "cohort_retention",
-    "constraint_audit",
-    "dedup_family_signatures",
-    "device_availability",
-    "device_cooccurrence",
-    "device_mad_pandas",
-    "embedding_centroid_drift",
-    "funnel_conversion",
-    "grouping_sets_matrix",
-    "inter_arrival_stats",
-    "length_bucket_histogram",
-    "markov_event_transitions",
-    "mixture_sampling_weights",
+# Round-13 window (VERDICT r12 item 2): the 15 round-13 registrations
+# lead (fresh evidence first), then the 35 round-4-tier names the
+# round-12 window did not reach (ngram_novelty .. value_autocorr,
+# alphabetical) — exactly filling the 50-slot driver window so that
+# after this round no registry name carries driver evidence older
+# than round 5. The round-5 tier (50 names) rotates in round 14.
+_DRIVER_WINDOW_FIRST: list[str] = ROUND13_REGISTRATIONS + [
     "ngram_novelty",
     "pack_efficiency_stats",
     "pmi_cooccurrence",

@@ -29,26 +29,23 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 12, VERDICT r11 item 1): the
-    # round-12 registrations lead, then the 8 round-3-green leftovers
-    # (stream_static_enrich .. unigram_logprob_score), then the
-    # round-4-green tier head (alphabetical from burst_detection).
-    # Pin the block heads/tails so a new registration cannot silently
-    # displace the window.
+    # driver-window curation (round 13, VERDICT r12 item 2): the 15
+    # round-13 registrations lead, then the 35 remaining round-4-tier
+    # names (ngram_novelty .. value_autocorr) fill slots 16-50
+    # exactly. Pin the block heads/tails so a new registration cannot
+    # silently displace the window.
     first50 = list(qs)[:50]
     for must in (
-        "energy_distance_weekend",      # round-12 registration head
-        "link_prediction_scores",      # round-12 registration tail
-        "stream_static_enrich",         # round-3 leftover head
-        "unigram_logprob_score",        # round-3 leftover tail
-        "burst_detection",              # round-4 tier head
-        "mixture_sampling_weights",     # slot 50 (15th round-4 name)
+        "kuiper_test_hours",            # round-13 registration head
+        "herfindahl_concentration",     # round-13 registration tail
+        "ngram_novelty",                # round-4 tier remainder head
+        "value_autocorr",               # slot 50 (35th round-4 name)
     ):
         assert must in first50, must
-    # round 11's window must have rotated OUT (its names were all
+    # round 12's window must have rotated OUT (its names were all
     # driver-checked last round)
-    assert "friedman_test_day_blocks" not in first50
-    assert "dedup_exact" not in first50
+    assert "energy_distance_weekend" not in first50
+    assert "burst_detection" not in first50
 
 
 def test_bench_emits_contract_json_line(tmp_path):
@@ -101,10 +98,11 @@ def test_status_ledger_matches_registry():
     from iot_etl_spark.plans import ORACLES, QUERIES
     from iot_etl_spark.plans import ROUND11_REGISTRATIONS as R11
     from iot_etl_spark.plans import ROUND12_REGISTRATIONS as R12
+    from iot_etl_spark.plans import ROUND13_REGISTRATIONS as R13
 
     names = list(QUERIES)
-    assert names[: len(R12)] == R12
-    for n in R11 + R12:
+    assert names[: len(R13)] == R13
+    for n in R11 + R12 + R13:
         assert n in ORACLES, n
     status = open(os.path.join(REPO, "STATUS.md")).read()
     sec11 = status.split("## Round-11 changelog")[1].split("## Round-10")[0]
@@ -113,6 +111,9 @@ def test_status_ledger_matches_registry():
     sec12 = status.split("## Round-12 changelog")[1].split("## Round-11")[0]
     for n in R12:
         assert n in sec12, f"{n} missing from the STATUS round-12 changelog"
+    sec13 = status.split("## Round-13 changelog")[1].split("## Round-12")[0]
+    for n in R13:
+        assert n in sec13, f"{n} missing from the STATUS round-13 changelog"
     claim = re.search(r"\+(\d+) naive-reimplementation pins", sec11)
     if claim:
         n_tests = 0

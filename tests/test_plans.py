@@ -583,3 +583,45 @@ def test_round12_plan_shapes(spark):
     plan, _ = _plans(spark, "bigram_perplexity_heldout")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round13_plan_shapes(spark):
+    """Round-13 batch: no cartesian products, no global sorts, and
+    per-query FileScan budgets (bounded cell/daily frames are
+    localCheckpoint'd -> Scan ExistingRDD, so most budgets are 0-1;
+    kmv re-reads the cached shingle stage for the two exact twins;
+    hhi reads the three star tables once each)."""
+    import re
+
+    budgets = {
+        "kuiper_test_hours": 1,
+        "cliffs_delta_weekend": 0,
+        "mood_scale_test": 0,
+        "von_neumann_ratio_daily": 0,
+        "cox_stuart_trend": 0,
+        "quade_test_blocks": 0,
+        "cronbach_alpha_hours": 0,
+        "icc_oneway_types": 1,
+        "permutation_entropy_daily": 0,
+        "sample_entropy_daily": 0,
+        "kmv_distinct_setops": 2,
+        "bloom_filter_fpr_audit": 1,
+        "dagostino_k2_normality": 0,
+        "classifier_ks_separation": 1,
+        "herfindahl_concentration": 3,
+    }
+    for name, budget in budgets.items():
+        plan, _ = _plans(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert not re.search(r"Sort \[[^\]]*\], true", plan), name
+        assert plan.count("FileScan") <= budget, (
+            name, plan.count("FileScan"))
+    # the KS argmax is a TakeOrderedAndProject over score cells, and
+    # the HHI dim joins broadcast (the lineitem side never shuffles
+    # for supplier/nation enrichment)
+    plan, _ = _plans(spark, "classifier_ks_separation")
+    assert "TakeOrderedAndProject" in plan
+    plan, _ = _plans(spark, "herfindahl_concentration")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
