@@ -15,25 +15,31 @@ Usage: python tools/partest.py [N]   (default 2 workers)
 Exit code 0 iff every worker's pytest exits 0. Per-worker logs land in
 /tmp/partest_worker<i>.log; a summary line prints per worker.
 
-Module assignment: longest-processing-time first over measured-cost
-estimates (big property/oracle modules dominate), falling back to
-file size — deterministic, so reruns hit the same split.
+Module assignment (VERDICT r12 item 5 — the split, not the total, was
+the bottleneck: workers finished 17.5/15/10.5 min on hand-maintained
+hints): longest-processing-time first over MEASURED per-module costs.
+Each worker records its modules' wall times via the conftest timing
+hook (env PARTEST_TIMING_FILE); after a fully-green run the merged
+measurements are written back to tools/partest_costs.json, so the
+next run's split tracks the suite's real shape automatically. Static
+hints remain only as the cold-start fallback for never-measured
+modules.
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COSTS_PATH = os.path.join(REPO, "tools", "partest_costs.json")
 
-# Rough relative costs (seconds, serial, warm host) for the heavy
-# modules; unlisted modules estimate by file size. Update when the
-# shape of the suite changes materially — only BALANCE depends on
-# this, never correctness.
+# Cold-start fallback (seconds, serial, warm host) for modules never
+# yet measured; measured costs in tools/partest_costs.json override.
 _COST_HINTS = {
     "test_oracle_parity.py": 330,
     "test_streaming.py": 150,
@@ -47,34 +53,49 @@ _COST_HINTS = {
 }
 
 
+def _load_costs() -> dict[str, float]:
+    try:
+        with open(COSTS_PATH) as fh:
+            return {k: float(v) for k, v in json.load(fh).items()}
+    except Exception:
+        return {}
+
+
+def _cost(measured: dict[str, float], path: str) -> float:
+    base = os.path.basename(path)
+    if base in measured:
+        return measured[base]
+    if base in _COST_HINTS:
+        return float(_COST_HINTS[base])
+    return os.path.getsize(path) / 2000
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    measured = _load_costs()
     files = sorted(glob.glob(os.path.join(REPO, "tests", "test_*.py")))
-    costed = sorted(
-        files,
-        key=lambda f: -_COST_HINTS.get(
-            os.path.basename(f), os.path.getsize(f) / 2000
-        ),
-    )
+    costed = sorted(files, key=lambda f: -_cost(measured, f))
     groups: list[list[str]] = [[] for _ in range(n)]
     loads = [0.0] * n
     for f in costed:
-        c = _COST_HINTS.get(os.path.basename(f), os.path.getsize(f) / 2000)
         i = loads.index(min(loads))
         groups[i].append(f)
-        loads[i] += c
+        loads[i] += _cost(measured, f)
+    for i, (grp, load) in enumerate(zip(groups, loads)):
+        print(f"worker {i}: {len(grp)} modules, est {load:.0f}s")
 
     t0 = time.time()
     procs = []
     for i, grp in enumerate(groups):
         log = open(f"/tmp/partest_worker{i}.log", "w")
+        env = dict(os.environ, PARTEST_TIMING_FILE=f"/tmp/partest_times{i}.json")
         procs.append(
             (
                 i,
                 subprocess.Popen(
                     [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
                      *grp],
-                    cwd=REPO, stdout=log, stderr=subprocess.STDOUT,
+                    cwd=REPO, stdout=log, stderr=subprocess.STDOUT, env=env,
                 ),
                 log,
             )
@@ -87,6 +108,22 @@ def main() -> int:
         summary = tail[-1] if tail else "(no output)"
         print(f"worker {i}: exit {code} | {summary}")
         rc |= code
+
+    # Persist merged measurements for the next split — only from a
+    # fully-green run (a worker that died mid-module would under-count
+    # its modules and skew the next balance).
+    if rc == 0:
+        merged = _load_costs()
+        for i in range(n):
+            try:
+                with open(f"/tmp/partest_times{i}.json") as fh:
+                    merged.update(json.load(fh))
+            except Exception:
+                pass
+        if merged:
+            with open(COSTS_PATH, "w") as fh:
+                json.dump(dict(sorted(merged.items())), fh, indent=1)
+                fh.write("\n")
     print(f"wall time: {time.time() - t0:.1f}s, workers: {n}, exit: {rc}")
     return rc
 
