@@ -205,7 +205,28 @@ PICKS = [
      "postings), agreement math on 60 broadcast rank rows"),
     ("link_prediction_scores",
      "shared degree-attached edge stage; weights ride 2|E| rows "
-     "before the wedge; degrees join the 25 survivors after top-k"),
+     "before the wedge; the 25-row top-k head BROADCASTS into the "
+     "|V|-row degree joins (r13: direction flipped per VERDICT r12)"),
+    # round-13 registrations
+    ("kuiper_test_hours",
+     "24-cell hour grid: one map-side count aggregate, one bounded "
+     "window, exact-integer sups — nothing scales past the scan"),
+    ("cliffs_delta_weekend",
+     "cumulative-cell device: checkpointed value cells, one "
+     "single-partition window, pair counts with zero pair expansion"),
+    ("kmv_distinct_setops",
+     "theta sketch: map-side-distinct hash stream -> "
+     "TakeOrderedAndProject(K=512) per side; merge + estimates are "
+     "O(K) algebra; exact twins priced as the audit"),
+    ("bloom_filter_fpr_audit",
+     "bounded 65536-row bit set BROADCAST onto exploded probe "
+     "positions; membership is an integer join, no shuffle of probes"),
+    ("herfindahl_concentration",
+     "lineitem scan with supplier+nation BROADCAST; exact-integer "
+     "revenue squares on the bounded supplier frame; no global sort"),
+    ("dagostino_k2_normality",
+     "anchored-moment device: cells checkpointed, anchor broadcast, "
+     "transform chain is O(k) row algebra over 5 moment rows"),
 ]
 
 HEADER = """# PLANS — captured physical plans for the headline queries
