@@ -1186,9 +1186,16 @@ def parse_mp3_sideinfo(payload: bytes) -> dict:
     mono / 32 stereo — main_data_begin(9), private(5 mono / 3
     stereo), scfsi(4·ch), then 2 granules × ch × 59 bits; MPEG-2 LSF
     is 9 / 17 bytes — main_data_begin(8), private(1 / 2), 1 granule ×
-    ch × 63 bits. Only offsets up to global_gain are read
-    (12+9+8 bits, identical in both); the rest of each granule block
-    is skipped, never synthesized."""
+    ch × 63 bits. The WHOLE granule block is decoded (round 13):
+    part2_3_length(12), big_values(9), global_gain(8),
+    scalefac_compress(4 / 9 LSF), then the window-switching fork
+    (short blocks: block_type(2) + mixed(1) + 2×table_select(5) +
+    3×subblock_gain(3); normal: 3×table_select(5) + region counts
+    (4+3)), preflag(1, MPEG-1 only), scalefac_scale(1),
+    count1table_select(1). What is NOT read is main_data itself
+    (scalefactors + Huffman codes behind the bit reservoir) — the
+    documented entropy-decode fallthrough. The summary includes the
+    Huffman-codebook histogram and the short-block count."""
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         ss = payload[6:10]
@@ -1236,16 +1243,52 @@ def parse_mp3_sideinfo(payload: bytes) -> dict:
             p23 = r.read(12)
             bigv = r.read(9)
             gain = r.read(8)
-            r.skip(gr_bits - 29)
+            # FULL granule decode (VERDICT r12 item 7, the next rung
+            # after the r11 head fields): scalefac_compress is 4 bits
+            # in MPEG-1, 9 in LSF; then the window-switching fork —
+            # short/mixed blocks carry 2 Huffman TABLE SELECTIONS +
+            # 3 subblock gains, normal blocks 3 table selections + 2
+            # region counts. Everything the spec exposes before the
+            # bit-reservoir main_data (scalefactors + Huffman codes,
+            # the documented entropy-decode fallthrough).
+            sfc = r.read(4 if version == 1 else 9)
+            wsf = r.read(1)
+            if wsf:
+                btype = r.read(2)
+                mixed = r.read(1)
+                tables = [r.read(5), r.read(5)]
+                subgain = [r.read(3), r.read(3), r.read(3)]
+                r0 = r1 = None
+            else:
+                btype, mixed, subgain = 0, 0, []
+                tables = [r.read(5), r.read(5), r.read(5)]
+                r0, r1 = r.read(4), r.read(3)
+            preflag = r.read(1) if version == 1 else None
+            sfscale = r.read(1)
+            count1t = r.read(1)
             grans.append(
                 {"part2_3_length": p23, "big_values": bigv,
-                 "global_gain": gain}
+                 "global_gain": gain, "scalefac_compress": sfc,
+                 "window_switching": wsf, "block_type": btype,
+                 "mixed_block": mixed, "table_select": tables,
+                 "subblock_gain": subgain, "region0_count": r0,
+                 "region1_count": r1, "preflag": preflag,
+                 "scalefac_scale": sfscale,
+                 "count1table_select": count1t}
             )
         frames.append({"main_data_begin": mdb, "granules": grans})
         pos += frame_len
     if not frames:
         return {"ok": False, "error": "no Layer-III frames"}
     gains = [g["global_gain"] for f in frames for g in f["granules"]]
+    table_hist: dict[int, int] = {}
+    n_short = 0
+    for f in frames:
+        for g in f["granules"]:
+            if g["window_switching"] and g["block_type"] == 2:
+                n_short += 1
+            for t in g["table_select"]:
+                table_hist[t] = table_hist.get(t, 0) + 1
     return {
         "ok": True,
         "n_frames": len(frames),
@@ -1255,6 +1298,11 @@ def parse_mp3_sideinfo(payload: bytes) -> dict:
         "total_part2_3_bits": sum(
             g["part2_3_length"] for f in frames for g in f["granules"]
         ),
+        # which Huffman codebooks the encoder selected, and how often
+        # it fell back to short (transient) blocks — the audio-codec
+        # profile a curation pass can filter on with zero codec deps
+        "huffman_table_histogram": dict(sorted(table_hist.items())),
+        "n_short_block_granules": n_short,
         "frames": frames,
     }
 

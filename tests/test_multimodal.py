@@ -703,3 +703,78 @@ def test_gif_lzw_width_growth_on_final_code_regression():
     pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
     idx = rng.integers(0, 64, (28, 7), dtype=np.uint8)
     assert abs(out["mean_pixel"] - float(pal[idx].mean())) < 1e-9
+
+
+def _mp3_frame_full_granules(grans: list[dict]) -> bytes:
+    """One mono MPEG-1 frame whose two granule blocks carry the given
+    FULL field sets (round-13 side-info extension)."""
+    from iot_etl_spark.extensions.multimodal import _MP3_BITRATES, _MP3_RATES
+
+    hdr = bytes([0xFF, 0xFB,
+                 (_MP3_BITRATES[(1, 3)].index(128) << 4)
+                 | (_MP3_RATES[1].index(44100) << 2),
+                 0xC0])
+    w = _BitWriter()
+    w.write(0, 9)   # main_data_begin
+    w.write(0, 5)   # private
+    w.write(0, 4)   # scfsi
+    for g in grans:
+        w.write(g.get("p23", 0), 12)
+        w.write(g.get("bigv", 0), 9)
+        w.write(g.get("gain", 0), 8)
+        w.write(g.get("sfc", 0), 4)
+        w.write(g.get("wsf", 0), 1)
+        if g.get("wsf"):
+            w.write(g["btype"], 2)
+            w.write(g.get("mixed", 0), 1)
+            for t in g["tables"]:       # 2 selections
+                w.write(t, 5)
+            for s in g.get("subgain", (0, 0, 0)):
+                w.write(s, 3)
+        else:
+            for t in g["tables"]:       # 3 selections
+                w.write(t, 5)
+            w.write(g.get("r0", 0), 4)
+            w.write(g.get("r1", 0), 3)
+        w.write(g.get("preflag", 0), 1)
+        w.write(g.get("sfscale", 0), 1)
+        w.write(g.get("count1t", 0), 1)
+    si = w.tobytes(17)
+    frame_len = 144 * 128 * 1000 // 44100
+    return hdr + si + b"\x00" * (frame_len - 4 - len(si))
+
+
+def test_mp3_sideinfo_full_granule_roundtrip():
+    """Round-13 extension: the Huffman TABLE SELECTIONS, block types,
+    region counts and flag bits round-trip through crafted bitfields,
+    and the codebook histogram aggregates them."""
+    from iot_etl_spark.extensions.multimodal import parse_mp3_sideinfo
+
+    out = parse_mp3_sideinfo(
+        _mp3_frame_full_granules([
+            # normal block: 3 codebooks + region counts + flags
+            {"p23": 777, "bigv": 120, "gain": 200, "sfc": 9,
+             "tables": [7, 13, 24], "r0": 5, "r1": 2,
+             "preflag": 1, "sfscale": 1, "count1t": 1},
+            # short (transient) block: 2 codebooks + subblock gains
+            {"p23": 555, "bigv": 80, "gain": 150, "sfc": 3, "wsf": 1,
+             "btype": 2, "mixed": 1, "tables": [15, 31],
+             "subgain": (1, 2, 7)},
+        ])
+    )
+    assert out["ok"] and out["n_frames"] == 1
+    g0, g1 = out["frames"][0]["granules"]
+    assert g0["scalefac_compress"] == 9
+    assert g0["window_switching"] == 0 and g0["block_type"] == 0
+    assert g0["table_select"] == [7, 13, 24]
+    assert g0["region0_count"] == 5 and g0["region1_count"] == 2
+    assert g0["preflag"] == 1 and g0["scalefac_scale"] == 1
+    assert g0["count1table_select"] == 1
+    assert g1["window_switching"] == 1 and g1["block_type"] == 2
+    assert g1["mixed_block"] == 1
+    assert g1["table_select"] == [15, 31]
+    assert g1["subblock_gain"] == [1, 2, 7]
+    assert g1["region0_count"] is None
+    assert out["huffman_table_histogram"] == {7: 1, 13: 1, 15: 1,
+                                              24: 1, 31: 1}
+    assert out["n_short_block_granules"] == 1
