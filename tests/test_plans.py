@@ -570,6 +570,17 @@ def test_round12_plan_shapes(spark):
         assert plan.count("FileScan") <= budget, (
             name, plan.count("FileScan"))
 
+    # broadcast DIRECTION pin (VERDICT r12 item 3): the degree attach
+    # must broadcast the 25-row top-k HEAD into the |V|-row node
+    # joins, never the reverse — i.e. a BroadcastExchange's DIRECT
+    # child (next printed line) is the TakeOrderedAndProject that
+    # builds the head. At 100x the degree table is the unbounded
+    # side.
+    plan, _ = _plans(spark, "link_prediction_scores")
+    assert re.search(
+        r"BroadcastExchange[^\n]*\n[^\n]*TakeOrderedAndProject", plan
+    ), "no BroadcastExchange directly over the top-k head"
+
     # top-k is TakeOrderedAndProject (never a global sort) and the
     # moment frame rides a broadcast back onto the fact
     for name in ("mahalanobis_outlier_topk", "cooks_distance_topk"):
