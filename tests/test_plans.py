@@ -340,8 +340,13 @@ def test_round7_plan_shapes(spark):
     assert plan.count("Exchange") == 2
 
     plan, _ = _plans(spark, "clamped_running_balance")
-    assert plan.count("FlatMapGroupsInPandas") == 1
+    # r13: grouped-map -> partition-map fold (guide §4.5); the shuffle
+    # onto the Arrow stage stays single and a JVM Sort (not Python)
+    # orders each user's deltas
+    assert plan.count("MapInPandas") + plan.count("PythonMapInArrow") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 0
     assert plan.count("Exchange") == 1
+    assert "Sort " in plan
 
     plan, _ = _plans(spark, "benjamini_hochberg_fdr")
     assert plan.count("FileScan") == 1
