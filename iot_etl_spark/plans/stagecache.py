@@ -28,12 +28,26 @@ import hashlib
 import inspect
 import os
 import shutil
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE_ROOT = "/tmp/iot_etl_stages"
 _TAG_LEN = 12
+
+# Read-back memo: session -> {cache path: lazy df}. The tag already
+# fingerprints inputs AND builder code, so a memoized plan can only go
+# stale through cross-process eviction — guarded by re-checking the
+# _READY marker (one stat) on every hit; a missing marker falls back
+# to the full rebuild/retry path below. Saves the ~100 ms
+# DataFrameReader cost per consumer call (several queries share each
+# stage, and the bench runs every query twice). No data is cached —
+# the memo holds the lazy scan plan, and every action re-reads the
+# materialized parquet.
+_READBACK_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 # Stages are written in a FIXED 32-file layout: a materialized stage's
 # natural file count is whatever the build plan's last shuffle left
@@ -157,6 +171,10 @@ def cached_stage(
     family = sf_family(name, sf_dir)
     path = os.path.join(_CACHE_ROOT, f"{family}_{tag}")
     marker = os.path.join(path, "_READY")
+    per_session = _READBACK_MEMO.setdefault(spark, {})
+    hit = per_session.get(path)
+    if hit is not None and os.path.exists(marker):
+        return hit
     # Retry-once self-healing (VERDICT r8 item 3): if another process
     # evicted this tag between the marker check and the footer read,
     # re-materialize under the current tag instead of surfacing
@@ -178,6 +196,7 @@ def cached_stage(
         try:
             df = spark.read.parquet(path)  # resolves schema eagerly
             if os.path.exists(marker):
+                per_session[path] = df
                 return df
         except Exception:
             if attempt:

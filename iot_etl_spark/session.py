@@ -21,6 +21,7 @@ SparkSession); every public query entry point calls it defensively.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -45,13 +46,25 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Sessions already guarded this process: each conf.set is a Py4J round
+# trip (~0.5-1 ms), and every load_table call guards defensively —
+# ~800 calls/bench-pass made the 7-conf loop a measurable slice of the
+# sub-second query tail (guide §1: fixed overhead). Nothing in the
+# engine or its tests mutates these keys mid-session, so once applied
+# to a live session object they stay applied.
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent)."""
+    if spark in _CONFS_APPLIED:
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - read-only conf on some builds
             pass
+    _CONFS_APPLIED.add(spark)
     return spark
 
 
