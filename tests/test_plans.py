@@ -348,6 +348,15 @@ def test_round7_plan_shapes(spark):
     assert plan.count("Exchange") == 1
     assert "Sort " in plan
 
+    plan, _ = _plans(spark, "device_mad_pandas")
+    # r13: same grouped-map -> partition-map rewrite as
+    # clamped_running_balance (guide §4.5) — one Exchange onto the
+    # Arrow stage, a JVM Sort grouping each user's values
+    assert plan.count("MapInPandas") + plan.count("PythonMapInArrow") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 0
+    assert plan.count("Exchange") == 1
+    assert "Sort " in plan
+
     plan, _ = _plans(spark, "benjamini_hochberg_fdr")
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange SinglePartition") <= 1
