@@ -103,7 +103,11 @@ def main() -> int:
             f"read_parquet('{sf_dir.rstrip('/')}/{t}.parquet')"
         )
     qs, osql = entry.queries(), entry.oracle_sql()
-    names = [n for n in qs if pat in n]
+    if "," in pat:  # comma list = exact-name set (r13 targeted sweeps)
+        want = {x for x in pat.split(",") if x}
+        names = [n for n in qs if n in want]
+    else:
+        names = [n for n in qs if pat in n]
     fails: dict[str, str] = {}
     negzero: dict[str, str] = {}
     t_all = time.time()
