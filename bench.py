@@ -50,6 +50,19 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Janino compiled-class cache (STATIC conf — set at session
+        # build). The default 100 entries is far below the ~10-20
+        # codegen units x 399 queries one bench pass compiles, so the
+        # warm pass got ZERO cache hits from the cold pass and
+        # re-compiled every query from scratch. Sized to the workload's
+        # distinct-plan count (scale-independent: it tracks query-set
+        # size, not cores or data volume). Interleaved A/B, 80-query
+        # two-pass subset at sf0.1: warm 123.5/80.8 s at 100 entries vs
+        # 57.0/49.4 s at 20000 (two alternations each order).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "20000"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

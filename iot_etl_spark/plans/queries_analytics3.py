@@ -301,6 +301,11 @@ def skyline_supplier_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------ exact weighted median
+# Phase-1 bucket width in cents: prices span ~[90k, 10.5M] cents, so
+# 65536-cent buckets give ~160 buckets — the phase-1 frame is
+# domain-sized and the phase-2 rescan touches ~1/160 of the rows.
+WMEDIAN_BUCKET_W = 65536
+
 _WMEDIAN_ORACLE = """
 WITH g AS (
     SELECT l_returnflag,
@@ -343,44 +348,89 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     winning row is the ROW_NUMBER()=1 of a price-ordered window —
     no doubles until the final rounded projection.
 
-    100 TB shape: the (flag, price) pre-aggregate is map-side
-    combinable and collapses the window frame from row count to
-    DISTINCT PRICE count (TPC-H prices live on a bounded grid — the
-    frame is domain-sized, not data-sized); the cumulative window is
-    partitioned by flag so groups run in parallel. An unbounded
-    price domain at 100 TB moves this to the GK-sketch path
+    100 TB shape (r13 two-phase rewrite, guide §2.3/§2.5): the naive
+    form shuffles every distinct (flag, price) row into a 3-partition
+    window — ~550k rows at sf0.1 funneled through 3 sequential
+    cumulative scans (the partition count is the FLAG cardinality, a
+    skew that only worsens with data). Phase 1 instead aggregates
+    weights per (flag, price-range bucket) — map-side combinable to a
+    domain-sized ~160-bucket frame — and locates the bucket where the
+    cumulative weight crosses half the total; phase 2 rescans ONLY
+    that bucket's rows (~1/160 of the data) for the exact crossing
+    price, seeded with the phase-1 offset. Both cumulative windows now
+    run over bounded frames; no data-sized shuffle survives. All
+    arithmetic is exact integer cents (quantities and prices are
+    2-decimal: ×100 round-trips exactly through double), so the
+    selection predicate 2*cum >= tot and the reported values are
+    bit-identical to the DECIMAL oracle — ROUND(cents/100.0, 2)
+    equals ROUND(CAST(decimal AS DOUBLE), 2) because both divisions
+    produce the correctly-rounded double of the same rational. An
+    unbounded price domain at 100 TB moves this to the GK-sketch path
     (quantile_sketch_audit) — this query IS the exact oracle those
     sketches are audited against."""
-    li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-    ).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("wq"),
+    )
+    b = li.withColumn("bkt", (F.col("cents") / WMEDIAN_BUCKET_W).cast("long"))
+    # phase 1: per-(flag, bucket) weight sums -> crossing bucket + the
+    # cumulative weight BELOW it (offset) + per-flag totals
+    bb = b.groupBy("l_returnflag", "bkt").agg(
+        F.sum("wq").alias("bw"), F.count(F.lit(1)).cast("long").alias("bn")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     wp = Window.partitionBy("l_returnflag")
-    wc = wp.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
-    c = g.select(
+    cum = bb.select(
         "l_returnflag",
-        "price",
-        F.sum("w").over(wc).alias("cum"),
-        F.sum("w").over(wp).alias("tot"),
-        F.sum("n").over(wp).cast("long").alias("n_rows"),
+        "bkt",
+        (F.sum("bw").over(wc) - F.col("bw")).alias("offset"),
+        F.sum("bw").over(wc).alias("cum"),
+        F.sum("bw").over(wp).alias("tot"),
+        F.sum("bn").over(wp).cast("long").alias("n_rows"),
+    )
+    cross = (
+        cum.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag", "tot", "n_rows")
+        .agg(F.min(F.struct("bkt", "offset")).alias("cb"))
+        .select(
+            "l_returnflag", "tot", "n_rows",
+            F.col("cb.bkt").alias("cbkt"),
+            F.col("cb.offset").alias("offset"),
+        )
+    )
+    # phase 2: rescan only the crossing bucket's rows; the lower
+    # weighted median is the min price whose seeded cumulative weight
+    # reaches half the total
+    g2 = (
+        b.join(F.broadcast(cross), "l_returnflag")
+        .filter(F.col("bkt") == F.col("cbkt"))
+        .groupBy("l_returnflag", "tot", "n_rows", "offset", "cents")
+        .agg(F.sum("wq").alias("w"))
+    )
+    w2 = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     m = (
-        c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.partitionBy("l_returnflag").orderBy("price")),
+        g2.select(
+            "l_returnflag", "tot", "n_rows", "cents",
+            (F.col("offset") + F.sum("w").over(w2)).alias("cum"),
         )
-        .filter(F.col("rnk") == 1)
+        .filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag", "tot", "n_rows")
+        .agg(F.min("cents").alias("cents"))
     )
     return m.select(
         "l_returnflag",
         "n_rows",
-        F.round(F.col("tot").cast("double"), 2).alias("total_weight"),
-        F.round(F.col("price").cast("double"), 2).alias("weighted_median_price"),
+        F.round(F.col("tot") / 100.0, 2).alias("total_weight"),
+        F.round(F.col("cents") / 100.0, 2).alias("weighted_median_price"),
     )
 
 

@@ -103,6 +103,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Janino compiled-class cache (STATIC conf, so it must ride the
+        # builder — ensure_runtime_confs can't set it on a foreign
+        # session). Default 100 entries thrashes on a many-hundreds-of-
+        # queries workload: every re-run re-compiles codegen from
+        # scratch. Sized to distinct-plan count, not cores/data, so it
+        # is not a local-mode tune. Measured 2x off an 80-query warm
+        # pass (bench.py has the A/B numbers).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "20000"),
+        )
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

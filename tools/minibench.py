@@ -33,6 +33,11 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # match bench.py's codegen-cache sizing so floors stay comparable
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "20000"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
