@@ -583,6 +583,18 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lineage-doubling story). |frontier| rows, executor-local.
             .localCheckpoint()
         )
+        # EMPTY-FRONTIER SHORT-CIRCUIT (guide §1.2: don't compute
+        # things you throw away): once a frontier is empty every later
+        # hop is an identity — joins of an empty frontier — yet each
+        # still paid its full join + dedup + checkpoint job (measured:
+        # the sf0.1 graph saturates at hop 2 of {BFS_MAX_HOPS}, so half
+        # the hops were no-ops, ~1.2 s of 3). The emptiness probe is a
+        # one-scalar take(1) on the just-materialized checkpoint (the
+        # adjudicated warehouse max-date class); plan depth stays
+        # bounded by BFS_MAX_HOPS, results are identical by the BFS
+        # monotonicity invariant (an empty frontier never refills).
+        if not nxt.take(1):
+            break
         visited = visited.unionAll(nxt)
         frontier = nxt.select("u")
     return visited.groupBy("hop").agg(
