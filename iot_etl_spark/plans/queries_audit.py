@@ -307,6 +307,19 @@ def blocking_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_a"),
         F.col("noun").alias("noun_a"),
         F.col("p_brand").alias("brand_a"),
+    # SPREAD THE VERIFY STEP (guide §2.5 input skew): part.parquet is
+    # one scan split, so the broadcast block join and the ~1M-pair
+    # Levenshtein verify all ran inside a single task (31 cores idle —
+    # 3.2 s of one-core DP). Repartitioning the probe side by its key
+    # before the join ships 20k tiny rows once and fans the DP across
+    # the session's shuffle width (the bootstrap_mean_ci fix). The
+    # width is EXPLICIT (from the env-scaled shuffle conf, not a
+    # constant): a bare repartition(col) is an AQE-coalescible
+    # exchange, and the pre-join frame is ~1 MB — AQE folded it back
+    # to one partition and kept the DP serial (measured: no change);
+    # the explicit width is exempt from coalescing (3.0 -> 0.45 s).
+    ).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "partkey_a"
     )
     b = p.select(
         F.col("p_partkey").alias("partkey_b"),
@@ -314,6 +327,10 @@ def blocking_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("noun").alias("noun_b"),
         F.col("p_brand").alias("brand_b"),
     )
+    # Banded DP: the threshold form prunes the Levenshtein matrix to a
+    # (2k+1)-wide diagonal band and short-circuits past k — identical
+    # values for every surviving pair (lev <= k <=> banded lev != -1).
+    lv = F.levenshtein("name_a", "name_b", BLOCKING_MAX_EDIT)
     return (
         a.join(
             b,
@@ -327,9 +344,9 @@ def blocking_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.abs(F.length("name_a") - F.length("name_b")) <= BLOCKING_MAX_EDIT
         )
-        .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .withColumn("edit_distance", lv.cast("long"))
         .filter(
-            (F.col("edit_distance") <= BLOCKING_MAX_EDIT)
+            (F.col("edit_distance") >= 0)
             & (F.col("name_a") != F.col("name_b"))
         )
         .select("partkey_a", "partkey_b", "name_a", "name_b", "edit_distance")
