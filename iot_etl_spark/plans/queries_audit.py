@@ -2598,7 +2598,13 @@ def _editdist1_pairs(names: DataFrame) -> DataFrame:
     )
     other = variants.select(
         F.col("v").alias("v2"), F.col("pos").alias("pos2"), F.col("name").alias("name_b")
-    )
+    # SHUFFLE-HASH, not broadcast (guide §3.1): the planner's size
+    # estimate put the ~300k-row variant table under the broadcast
+    # threshold, so every action re-collected and re-hashed it on the
+    # driver (measured 1.9-2.5 s -> 0.87-1.0 s with the hint). The
+    # shuffle keyed by variant is also the documented 100 TB shape —
+    # a variant table is names x length rows and never broadcastable.
+    ).hint("SHUFFLE_HASH")
     compatible = (
         (F.col("pos") == F.col("pos2")) | (F.col("pos") == 0) | (F.col("pos2") == 0)
     )
@@ -2659,6 +2665,16 @@ def editdist_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_name").alias("name"))
         .distinct()
+        # SPREAD THE VARIANT FAN-OUT (guide §2.5 input skew, the
+        # blocking_link_pairs fix): the deletion-neighborhood explode,
+        # the variant join and the pair dedup all hang off the
+        # distinct's exchange, which AQE coalesces to one partition at
+        # this input size (~1 MB of names) — serializing the ~300k-row
+        # variant expansion on one core. Explicit width from the
+        # env-scaled shuffle conf; exempt from AQE coalescing.
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "name"
+        )
     )
     pairs = _editdist1_pairs(names)
     deg = (
