@@ -1488,14 +1488,39 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size, never catalog size); item counts and the 1-row order
     total are broadcast back onto the pair aggregate; the final top-k
     is TakeOrderedAndProject."""
-    op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    other = op.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b"))
+    # ONE order-keyed shuffle instead of three (guide §2.4): the
+    # basket (sorted distinct part set per order) is aggregated once;
+    # within-order pairs, per-item counts and the order total are all
+    # pure derivations of it, and the three consumers share the same
+    # exchange subtree (ReusedExchange dedupes the scan + partial
+    # agg). The former shape shuffled the distinct (order, part)
+    # frame once for the dedup and twice more into the self-join.
+    # The in-array pair expansion is bounded by BASKET size (~7 for
+    # lineitem orders) — never catalog size — so, unlike the
+    # adamic-adar hub case, per-row struct materialization is tiny.
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     pair = (
-        op.join(other, (F.col("l_orderkey") == F.col("o2"))
-                & (F.col("l_partkey") < F.col("part_b")))
-        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pq")
+        )
+        .select("pq.part_a", "pq.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 2)
     )
