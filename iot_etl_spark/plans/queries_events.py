@@ -1269,29 +1269,31 @@ def time_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = F.lit(GAPFILL_STEP_S).cast("long")
     b = (
         load_events(spark, sf_dir)
-        .groupBy("user_id", _bucket_epoch("hour").alias("bucket_epoch"))
+        .groupBy("user_id", _bucket_epoch("hour").alias("be"))
         .agg(
             F.count("value").alias("reading_count"),
             F.avg("value").alias("avg_value"),
         )
+        # Quantize averages to exact integer micro-units before
+        # interpolating: BIGINT arithmetic is engine-deterministic,
+        # while raw double averages carry accumulation-order ulp noise
+        # that the gap-ratio multiply amplifies past ROUND(.., 6).
+        .withColumn("au", F.round(F.col("avg_value") * 1000000, 0).cast("long"))
     )
-    grid = (
-        b.groupBy("user_id")
-        .agg(F.min("bucket_epoch").alias("mn"), F.max("bucket_epoch").alias("mx"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("mn", "mx", step)).alias("bucket_epoch"),
-        )
-    )
-    # Quantize averages to exact integer micro-units before
-    # interpolating: BIGINT arithmetic is engine-deterministic, while
-    # raw double averages carry accumulation-order ulp noise that the
-    # gap-ratio multiply amplifies past the ROUND(.., 6) boundary.
-    j = grid.join(b, ["user_id", "bucket_epoch"], "left").withColumn(
-        "au", F.round(F.col("avg_value") * 1000000, 0).cast("long")
-    )
-    order = Window.partitionBy("user_id").orderBy("bucket_epoch")
-    w_locf = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # SPARSE GAPFILL (guide §2.3 shuffle fewer bytes): the former shape
+    # synthesized the dense per-device grid FIRST (|devices| x range —
+    # 1.05M rows at sf0.1, 11x the 95k real buckets), joined the real
+    # aggregates back, and ran both window sorts over the dense frame.
+    # Every repair value is constant per GAP RUN, so the anchors (last/
+    # next non-null reading) are computed on the REAL buckets only —
+    # both window sorts now touch 1/11th the rows, the extents
+    # aggregate and the grid join disappear — and each row explodes
+    # into itself plus its following gap run with the interpolation
+    # constants attached. The per-device grid starts and ends at real
+    # buckets (its extents were min/max over b), so every gap row lies
+    # strictly inside one run; output rows are IDENTICAL.
+    order = Window.partitionBy("user_id").orderBy("be")
+    w_incl = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_prev = order.rowsBetween(Window.unboundedPreceding, -1)
     # "nearest non-null AFTER current" via a REVERSED sort with an
     # unbounded-PRECEDING frame: Spark evaluates unbounded-following
@@ -1300,25 +1302,47 @@ def time_grid_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grow incrementally in O(n). Same semantics, second sort pass.
     w_next = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("bucket_epoch").desc())
+        .orderBy(F.col("be").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    nonnull_bucket = F.when(F.col("au").isNotNull(), F.col("bucket_epoch"))
-    pv = F.last("au", ignorenulls=True).over(w_prev)
-    pb = F.last(nonnull_bucket, ignorenulls=True).over(w_prev)
-    nv = F.last("au", ignorenulls=True).over(w_next)
-    nb = F.last(nonnull_bucket, ignorenulls=True).over(w_next)
-    interp = (pv + (nv - pv) * (F.col("bucket_epoch") - pb) / (nb - pb)) / 1000000.0
-    return j.select(
+    nonnull_bucket = F.when(F.col("au").isNotNull(), F.col("be"))
+    anchored = b.select(
+        "user_id", "be", "reading_count", "avg_value", "au",
+        F.lead("be").over(order).alias("next_be"),
+        # LOCF for the real row and for every gap row after it: last
+        # non-null INCLUDING current (a run's gaps see the run head).
+        F.last("avg_value", ignorenulls=True).over(w_incl).alias("locf_raw"),
+        F.last("au", ignorenulls=True).over(w_incl).alias("pv_in"),
+        F.last(nonnull_bucket, ignorenulls=True).over(w_incl).alias("pb_in"),
+        # the real row's own interp anchors exclude itself
+        F.last("au", ignorenulls=True).over(w_prev).alias("pv_ex"),
+        F.last(nonnull_bucket, ignorenulls=True).over(w_prev).alias("pb_ex"),
+        # rows strictly after the run = rows strictly after its head
+        F.last("au", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(nonnull_bucket, ignorenulls=True).over(w_next).alias("nb"),
+    )
+    fanned = anchored.select(
+        "*",
+        F.explode(
+            F.sequence("be", F.coalesce(F.col("next_be") - step, F.col("be")), step)
+        ).alias("bucket_epoch"),
+    )
+    is_real = F.col("bucket_epoch") == F.col("be")
+    pv = F.when(is_real, F.col("pv_ex")).otherwise(F.col("pv_in"))
+    pb = F.when(is_real, F.col("pb_ex")).otherwise(F.col("pb_in"))
+    interp = (pv + (F.col("nv") - pv) * (F.col("bucket_epoch") - pb)
+              / (F.col("nb") - pb)) / 1000000.0
+    real_avg = F.when(is_real, F.col("avg_value"))
+    return fanned.select(
         "user_id",
         "bucket_epoch",
-        F.coalesce("reading_count", F.lit(0)).cast("long").alias("reading_count"),
-        F.round("avg_value", 6).alias("avg_value"),
-        F.round(F.last("avg_value", ignorenulls=True).over(w_locf), 6)
-            .alias("value_locf"),
-        F.when(F.col("avg_value").isNotNull(), F.round("avg_value", 6))
+        F.when(is_real, F.col("reading_count")).otherwise(F.lit(0))
+            .cast("long").alias("reading_count"),
+        F.round(real_avg, 6).alias("avg_value"),
+        F.round("locf_raw", 6).alias("value_locf"),
+        F.when(real_avg.isNotNull(), F.round(real_avg, 6))
             .otherwise(interp).alias("value_interp"),
-        F.col("avg_value").isNull().alias("is_gap"),
+        real_avg.isNull().alias("is_gap"),
     )
 
 
