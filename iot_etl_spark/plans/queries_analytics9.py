@@ -37,7 +37,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from iot_etl_spark.plans.registry import query, DUCK_TS
+from iot_etl_spark.plans.registry import query, DUCK_TS, spread_scan
 from iot_etl_spark.sources.tables import load_table
 
 _DEC = "decimal(38,0)"
@@ -1240,15 +1240,13 @@ def mahalanobis_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value",
         F.round(F.col("value") * 100).cast("long").alias("x"),
         F.get_json_object("props", "$.k").cast("long").alias("y"),
-    ).filter(F.col("value").isNotNull() & F.col("y").isNotNull()).repartition(
-        # SPREAD THE PER-ROW WORK (guide §2.5 input skew, the
-        # blocking_link_pairs fix): events.parquet is one scan split,
-        # so the JSON prop parse, the DECIMAL(38) moment partials and
-        # the per-row quadratic-form scoring all ran in a single task.
-        # Explicit width from the env-scaled shuffle conf — a bare
-        # repartition(col) is AQE-coalescible at this frame size.
-        int(spark.conf.get("spark.sql.shuffle.partitions")), "event_id"
-    )
+    ).filter(F.col("value").isNotNull() & F.col("y").isNotNull())
+    # SPREAD THE PER-ROW WORK (registry.spread_scan, guide §2.5):
+    # events.parquet is one scan split, so the JSON prop parse, the
+    # DECIMAL(38) moment partials and the per-row quadratic-form
+    # scoring all ran in a single task (1.8-2.1 -> 1.07-1.47 s
+    # spread); gated no-op at production split counts.
+    base = spread_scan(base, "event_id")
     xd, yd = F.col("x").cast(_DEC), F.col("y").cast(_DEC)
     mom = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

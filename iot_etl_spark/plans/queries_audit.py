@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from iot_etl_spark.plans.registry import DUCK_TS, query, duck_bucket_epoch
+from iot_etl_spark.plans.registry import DUCK_TS, query, duck_bucket_epoch, spread_scan
 from iot_etl_spark.sources.tables import load_table
 
 # ------------------------------------------------------ key skew audit
@@ -302,24 +302,20 @@ def blocking_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
     )
-    a = p.select(
-        F.col("p_partkey").alias("partkey_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("noun").alias("noun_a"),
-        F.col("p_brand").alias("brand_a"),
-    # SPREAD THE VERIFY STEP (guide §2.5 input skew): part.parquet is
-    # one scan split, so the broadcast block join and the ~1M-pair
-    # Levenshtein verify all ran inside a single task (31 cores idle —
-    # 3.2 s of one-core DP). Repartitioning the probe side by its key
-    # before the join ships 20k tiny rows once and fans the DP across
-    # the session's shuffle width (the bootstrap_mean_ci fix). The
-    # width is EXPLICIT (from the env-scaled shuffle conf, not a
-    # constant): a bare repartition(col) is an AQE-coalescible
-    # exchange, and the pre-join frame is ~1 MB — AQE folded it back
-    # to one partition and kept the DP serial (measured: no change);
-    # the explicit width is exempt from coalescing (3.0 -> 0.45 s).
-    ).repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")), "partkey_a"
+    # SPREAD THE VERIFY STEP (registry.spread_scan, guide §2.5 input
+    # skew): part.parquet is one scan split, so the broadcast block
+    # join and the ~1M-pair Levenshtein verify all ran inside a single
+    # task (31 cores idle — 3.2 s of one-core DP). Fanning the probe
+    # side out ships 20k tiny rows once and spreads the DP
+    # (3.0 -> 0.45 s measured); gated no-op at production split counts.
+    a = spread_scan(
+        p.select(
+            F.col("p_partkey").alias("partkey_a"),
+            F.col("p_name").alias("name_a"),
+            F.col("noun").alias("noun_a"),
+            F.col("p_brand").alias("brand_a"),
+        ),
+        "partkey_a",
     )
     b = p.select(
         F.col("p_partkey").alias("partkey_b"),

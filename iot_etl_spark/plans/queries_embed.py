@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from iot_etl_spark.plans.registry import query
+from iot_etl_spark.plans.registry import query, spread_scan
 from iot_etl_spark.sources.tables import load_table
 
 QUERY_VEC_ID = 0
@@ -525,16 +525,12 @@ def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") < TRUNC_SAMPLE_MOD * TRUNC_SAMPLE_MAX)
         )
         .select("vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("emb"))
-        # SPREAD THE PAIR EXPANSION (guide §2.5 input skew, the
-        # blocking_link_pairs fix): embeddings.parquet is one scan
-        # split, so the O(cap²) pair fan-out and every cosine fold ran
-        # in a single task. Explicit width from the env-scaled shuffle
-        # conf (a bare repartition(col) is AQE-coalescible at this
-        # frame size and folds back to one partition).
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id"
-        )
     )
+    # SPREAD THE PAIR EXPANSION (registry.spread_scan, guide §2.5):
+    # embeddings.parquet is one scan split, so the O(cap²) pair
+    # fan-out and every cosine fold ran in a single task
+    # (1.7 -> 0.66-0.74 s spread); gated no-op at production splits.
+    v = spread_scan(v, "vec_id")
     b = v.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("eb"))
     pairs = v.join(F.broadcast(b), F.col("vec_id") < F.col("vec_id_b")).select(
         F.col("emb").alias("ea"), "eb"

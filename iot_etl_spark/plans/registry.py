@@ -55,3 +55,28 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def spread_scan(df: DataFrame, *cols: str) -> DataFrame:
+    """Fan a scan-rooted frame out to the session's shuffle width when
+    the scan provides FEWER splits — the guide §2.5 input-skew fix for
+    expensive per-row work (pair expansions, edit-distance DP, JSON
+    parses, cosine folds) that would otherwise run serially inside one
+    scan task: the test tables are single-file/single-row-group
+    parquet, so every such stage inherited 1-way parallelism no matter
+    the core count. GATED on the actual scan split count, so at
+    production split counts (thousands of tasks at 100 TB) it is a
+    structural no-op and adds no exchange; when it does fire, the
+    explicit width is read from the env-scaled shuffle conf and is
+    exempt from AQE coalescing (a bare repartition(col) at these
+    frame sizes folds straight back to one partition — measured on
+    blocking_link_pairs: no change without the explicit width)."""
+    spark = df.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive Py4J guard
+        have = width
+    if have >= width:
+        return df
+    return df.repartition(width, *cols)
