@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from iot_etl_spark.operators.skew import salted_aggregate
 from iot_etl_spark.plans.queries_text import _DUCK_SHINGLES, _shingles_expr
-from iot_etl_spark.plans.registry import query
+from iot_etl_spark.plans.registry import query, spread_scan
 from iot_etl_spark.sources.tables import load_table
 
 # ------------------------------------------------------ heavy hitters
@@ -847,8 +847,15 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     then aggregate with map-side combine, and the vocabulary-grained
     unigram counts and 1-row totals broadcast back. Nothing scales
     with corpus size except the two hash aggs."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
+    # SPREAD THE PAIR GENERATION (registry.spread_scan, guide §2.5):
+    # documents.parquet is one scan split, so the map-side windowed
+    # pair fan-out and the token explode ran serially. Gated no-op at
+    # production split counts.
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("ws")
+        ),
+        "doc_id",
     )
     pair_expr = f"""
         flatten(transform(ws, (w, i) ->
