@@ -173,20 +173,69 @@ def cached_stage(
     marker = os.path.join(path, "_READY")
     per_session = _READBACK_MEMO.setdefault(spark, {})
     hit = per_session.get(path)
+    # The memo guard must check the DATA files too, not just the
+    # marker: a cross-process eviction interleaving can leave the
+    # marker while the part files are already gone, and a memoized
+    # lazy plan would then fail at action time instead of healing
+    # through the retry path below (caught by
+    # test_read_race_rebuilds_under_current_tag after the r13 memo
+    # landed). One listdir per consumer call — microseconds.
     if hit is not None and os.path.exists(marker):
-        return hit
+        try:
+            has_data = any(
+                not f.startswith("_") for f in os.listdir(path)
+            )
+        except OSError:
+            has_data = False
+        if has_data:
+            return hit
+        per_session.pop(path, None)
     # Retry-once self-healing (VERDICT r8 item 3): if another process
     # evicted this tag between the marker check and the footer read,
     # re-materialize under the current tag instead of surfacing
-    # FAILED_READ_FILE to the caller. The reader NEVER deletes —
-    # the rebuild's mode("overwrite") replaces the directory, so a
-    # reader-side rmtree (which could race a concurrent same-tag
-    # builder mid-commit) is both unnecessary and unsafe.
+    # FAILED_READ_FILE to the caller. The reader NEVER deletes.
+    #
+    # ATOMIC COMMIT (r13 correctness fix): two same-tag builders used
+    # to write.mode("overwrite") into the SAME directory concurrently
+    # — Spark's overwrite is delete-then-commit, so interleaved jobs
+    # merged both writers' part files into one dir (observed live: a
+    # 64-file, row-doubled cluster_labels stage that failed 4 parity
+    # tests; _READY only guards against HALF-writes, not co-writes).
+    # Each builder now writes to a process-unique staging dir and
+    # os.rename()s it into place: rename onto an existing non-empty
+    # dir fails, so exactly one builder wins and losers read the
+    # winner's completed stage.
     for attempt in (0, 1):
         if attempt or not os.path.exists(marker):
-            build().repartition(_STAGE_FILES).write.mode("overwrite").parquet(path)
-            with open(marker, "w") as fh:
+            staging = f"{path}.build-{os.getpid()}-{attempt}"
+            shutil.rmtree(staging, ignore_errors=True)
+            build().repartition(_STAGE_FILES).write.mode("overwrite").parquet(staging)
+            with open(os.path.join(staging, "_READY"), "w") as fh:
                 fh.write(tag)
+            try:
+                os.rename(staging, path)
+            except OSError:
+                try:
+                    occupant_ok = os.path.exists(marker) and any(
+                        not f.startswith("_") for f in os.listdir(path)
+                    )
+                except OSError:
+                    occupant_ok = False
+                if occupant_ok:
+                    # a concurrent same-tag builder committed first:
+                    # its stage is identical by construction — use it
+                    shutil.rmtree(staging, ignore_errors=True)
+                else:
+                    # occupant is incomplete (no marker, or a gutted
+                    # dir whose data files a mid-eviction removed):
+                    # replace it; if a second rename still loses, a
+                    # concurrent builder just won — read its stage on
+                    # the attempt below
+                    shutil.rmtree(path, ignore_errors=True)
+                    try:
+                        os.rename(staging, path)
+                    except OSError:
+                        shutil.rmtree(staging, ignore_errors=True)
             evict_stale_tags(_CACHE_ROOT, family, tag)
             # one-time legacy sweep: pre-family entries ({name}_{tag12})
             # match no family prefix and would otherwise orphan forever;
