@@ -41,29 +41,24 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from pyspark.sql import SparkSession
+    # The session comes from the ENGINE's own constructor (VERDICT r13
+    # item 2): the harness carries no engine confs of its own — every
+    # static conf (codegen cache size, runtime conf set) lives in
+    # iot_etl_spark.session.get_spark, so a conf change there is
+    # measured here without a duplicated copy drifting. The bench only
+    # pins the protocol knobs: master/shuffle width from
+    # $SPARK_GRAFT_CPUS (get_spark reads the same env var), UI off,
+    # and the 16 GB driver heap the two-pass 399-query run needs.
+    from iot_etl_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("iot_etl_spark_bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # Janino compiled-class cache (STATIC conf — set at session
-        # build). The default 100 entries is far below the ~10-20
-        # codegen units x 399 queries one bench pass compiles, so the
-        # warm pass got ZERO cache hits from the cold pass and
-        # re-compiled every query from scratch. Sized to the workload's
-        # distinct-plan count (scale-independent: it tracks query-set
-        # size, not cores or data volume). Interleaved A/B, 80-query
-        # two-pass subset at sf0.1: warm 123.5/80.8 s at 100 entries vs
-        # 57.0/49.4 s at 20000 (two alternations each order).
-        .config(
-            "spark.sql.codegen.cache.maxEntries",
-            os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "20000"),
-        )
-        .getOrCreate()
+    spark = get_spark(
+        app_name="iot_etl_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -97,6 +92,21 @@ def main() -> None:
             qs[warm](spark, wdir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+
+    # Deterministic cold pass (VERDICT r13 item 1 "What's wrong" #1):
+    # materialized stages persist under /tmp/iot_etl_stages across
+    # invocations (keyed on testdata fingerprints), so without this
+    # eviction a "cold JVM" pass was only cold-DISK when no prior run
+    # had minted the tags — value_cold under-counted mint cost
+    # non-deterministically. Evicting the cache root right before
+    # pass 1 (AFTER the untimed warmup, so warmup-minted entries go
+    # too) makes cold always include every stage/serving-table mint;
+    # pass 2 measures the steady state as before.
+    import shutil
+
+    from iot_etl_spark.plans.stagecache import _CACHE_ROOT
+
+    shutil.rmtree(_CACHE_ROOT, ignore_errors=True)
 
     # Warm/cold protocol (VERDICT r5 item 2): the registry runs TWICE
     # in one invocation. Pass 1 ("cold") pays one-time costs — stage-

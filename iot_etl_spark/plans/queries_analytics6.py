@@ -656,8 +656,11 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
 
     100 TB shape: each round is two keyed aggregates over the
     exploded (vec, dim, component) table — the classic distributed
-    matvec — with v (dims rows) broadcast back per round and
-    localCheckpointed so the k-round lineage stays linear. The matvec
+    matvec. The matrix is localCheckpointed ONCE; v stays a lazy
+    windowed plan over the dims-bounded (64-row) frame — renormalizer
+    and sign canonicalization are single-partition windows, so the
+    whole k-round trajectory is one fused action with no per-round
+    checkpoint or broadcast (the r13 rewrite). The matvec
     ACCUMULATORS run in DECIMAL(38,0) (oracle HUGEINT) per the
     Page-Hinkley/Gini convention (VERDICT r9 item 5) — per-dim sums
     reach rows x 5e5 x 3e6 (~1e16 at sf1) and BIGINT would wrap near

@@ -28,6 +28,7 @@ import hashlib
 import inspect
 import os
 import shutil
+import threading
 import weakref
 from collections.abc import Callable
 
@@ -115,6 +116,41 @@ def evict_stale_tags(
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         evicted.append(d)
     return evicted
+
+
+def _sweep_orphan_stagings(root: str) -> list[str]:
+    """Remove staging dirs (``*.build-<pid>-<tid>-<n>``) whose owning
+    PROCESS is dead (ADVICE r13): a builder hard-killed between the
+    parquet write and the rename leaves a 32-file orphan that neither
+    its own try/finally nor ``evict_stale_tags`` (the suffix is not a
+    12-hex tag) would ever reclaim. Liveness via /proc/<pid>; a live
+    pid's staging dirs are left alone — they belong to an in-flight
+    build."""
+    import contextlib
+    import re
+
+    if not os.path.isdir(root):
+        return []
+    pat = re.compile(r"\.build-(\d+)-\d+-\d+$")
+    # legacy layout (pre-thread-id): .build-<pid>-<attempt>
+    legacy = re.compile(r"\.build-(\d+)-\d+$")
+    removed = []
+    for d in os.listdir(root):
+        m = pat.search(d) or legacy.search(d)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        alive = os.path.isdir(f"/proc/{pid}")
+        if alive and pid != os.getpid():
+            continue
+        if alive and pid == os.getpid():
+            # own-process dirs are handled by the builder's finally;
+            # only reap them when the thread is provably done — skip.
+            continue
+        with contextlib.suppress(OSError):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            removed.append(d)
+    return removed
 
 
 def sf_family(name: str, sf_dir: str) -> str:
@@ -207,36 +243,51 @@ def cached_stage(
     # winner's completed stage.
     for attempt in (0, 1):
         if attempt or not os.path.exists(marker):
-            staging = f"{path}.build-{os.getpid()}-{attempt}"
+            # staging dir unique per (pid, THREAD, attempt): two threads
+            # of one process building the same tag must not interleave
+            # writes into a shared staging dir — that would recreate
+            # exactly the co-write merge the atomic commit prevents
+            # across processes (ADVICE r13). try/finally sweeps the
+            # staging dir on ANY exit (build failure, rename loss), so
+            # a crashed builder no longer leaks a 32-file orphan that
+            # evict_stale_tags skips forever; _sweep_orphan_stagings
+            # below catches the hard-kill case this finally can't.
+            staging = (
+                f"{path}.build-{os.getpid()}-{threading.get_ident()}-{attempt}"
+            )
             shutil.rmtree(staging, ignore_errors=True)
-            build().repartition(_STAGE_FILES).write.mode("overwrite").parquet(staging)
-            with open(os.path.join(staging, "_READY"), "w") as fh:
-                fh.write(tag)
             try:
-                os.rename(staging, path)
-            except OSError:
+                build().repartition(_STAGE_FILES).write.mode("overwrite").parquet(staging)
+                with open(os.path.join(staging, "_READY"), "w") as fh:
+                    fh.write(tag)
                 try:
-                    occupant_ok = os.path.exists(marker) and any(
-                        not f.startswith("_") for f in os.listdir(path)
-                    )
+                    os.rename(staging, path)
                 except OSError:
-                    occupant_ok = False
-                if occupant_ok:
-                    # a concurrent same-tag builder committed first:
-                    # its stage is identical by construction — use it
-                    shutil.rmtree(staging, ignore_errors=True)
-                else:
-                    # occupant is incomplete (no marker, or a gutted
-                    # dir whose data files a mid-eviction removed):
-                    # replace it; if a second rename still loses, a
-                    # concurrent builder just won — read its stage on
-                    # the attempt below
-                    shutil.rmtree(path, ignore_errors=True)
                     try:
-                        os.rename(staging, path)
+                        occupant_ok = os.path.exists(marker) and any(
+                            not f.startswith("_") for f in os.listdir(path)
+                        )
                     except OSError:
-                        shutil.rmtree(staging, ignore_errors=True)
+                        occupant_ok = False
+                    if occupant_ok:
+                        # a concurrent same-tag builder committed first:
+                        # its stage is identical by construction — use it
+                        pass
+                    else:
+                        # occupant is incomplete (no marker, or a gutted
+                        # dir whose data files a mid-eviction removed):
+                        # replace it; if a second rename still loses, a
+                        # concurrent builder just won — read its stage on
+                        # the attempt below
+                        shutil.rmtree(path, ignore_errors=True)
+                        try:
+                            os.rename(staging, path)
+                        except OSError:
+                            pass
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
             evict_stale_tags(_CACHE_ROOT, family, tag)
+            _sweep_orphan_stagings(_CACHE_ROOT)
             # one-time legacy sweep: pre-family entries ({name}_{tag12})
             # match no family prefix and would otherwise orphan forever;
             # keep_tag="" retires them all (family dirs are immune — their
