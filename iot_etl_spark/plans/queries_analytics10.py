@@ -1029,13 +1029,20 @@ def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the daily frame is bounded by the date range; the
     triple join and pattern histogram run on that bounded frame."""
-    daily = _daily(spark, sf_dir).localCheckpoint()
-    a = daily.select(F.col("idx").alias("ia"), F.col("tq").alias("ta"))
-    b = daily.select(F.col("idx").alias("ib"), F.col("tq").alias("tb"))
-    c = daily.select(F.col("idx").alias("ic"), F.col("tq").alias("tc"))
+    # r14 (guide §2.4/§1.2): idx is a contiguous row_number, so the
+    # triple self-join (b = a+1, c = a+2) is exactly lead(tq, 1/2)
+    # OVER (ORDER BY idx) — one pass, no checkpoint, no join; the
+    # entropy readout folds into windows over the <=6-row pattern
+    # histogram instead of two broadcast-join hops.
+    daily = _daily(spark, sf_dir)
+    w_lead = Window.orderBy("idx")
     pat = (
-        a.join(b, F.col("ib") == F.col("ia") + 1)
-        .join(c, F.col("ic") == F.col("ia") + 2)
+        daily.select(
+            F.col("tq").alias("ta"),
+            F.lead("tq", 1).over(w_lead).alias("tb"),
+            F.lead("tq", 2).over(w_lead).alias("tc"),
+        )
+        .filter(F.col("tc").isNotNull())
         .select(
             (
                 F.when(F.col("tb") < F.col("ta"), 4).otherwise(0)
@@ -1045,18 +1052,22 @@ def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cnt = pat.groupBy("pid").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    tot = cnt.agg(
-        F.sum("c").cast("long").alias("t"),
-        F.count(F.lit(1)).cast("long").alias("n_patterns"),
-    )
-    terms = cnt.join(F.broadcast(tot)).select(
+    w_all = Window.partitionBy()
+    terms = cnt.select(
+        "c",
+        F.sum("c").over(w_all).cast("long").alias("t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_patterns"),
+    ).select(
+        "t",
+        "n_patterns",
         F.expr(
             "CAST(ROUND(-(CAST(c AS DOUBLE) / t)"
             " * LN(CAST(c AS DOUBLE) / t) * 1e12) AS BIGINT)"
-        ).alias("hq")
+        ).alias("hq"),
     )
-    hsum = terms.agg(F.sum("hq").cast("long").alias("hsum"))
-    return hsum.join(F.broadcast(tot)).select(
+    return terms.groupBy("t", "n_patterns").agg(
+        F.sum("hq").cast("long").alias("hsum")
+    ).select(
         F.col("t").alias("n_triples"),
         F.col("n_patterns"),
         F.round(F.expr("CAST(hsum AS DOUBLE) / 1e12"), 6).alias("perm_entropy"),
@@ -1289,24 +1300,45 @@ def kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces — priced here as the audit, skipped in production."""
     from iot_etl_spark.plans.queries_text import _shingle_sets_cached
 
+    # r14 (guide §2.4): the shingle stream used to be exploded and
+    # distinct-shuffled THREE times (per-side hashes, per-side exact
+    # counts, union exact count), with md5 computed per OCCURRENCE.
+    # One explode -> one groupBy(shingle) with side-membership flags
+    # gives a vocabulary-sized frame from which everything derives:
+    # xa = SUM(h0), xb = SUM(h1), xu = COUNT(*) (exact set identities),
+    # and the per-side hash streams are flag-filtered projections with
+    # md5 computed once per DISTINCT shingle. The per-side DISTINCT on
+    # hv is kept: two shingles can collide in the 48-bit space and the
+    # sketch is defined on the distinct hash multiset.
     sh = (
         _shingle_sets_cached(spark, sf_dir)
         .select(
             (F.col("doc_id") % 2).alias("side"), F.explode("s").alias("s")
         )
     )
-    hashes = sh.select(
-        "side",
-        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("long").alias("hv"),
-    ).distinct().localCheckpoint()
+    g = (
+        sh.groupBy("s")
+        .agg(
+            F.max((F.col("side") == 0).cast("int")).alias("h0"),
+            F.max((F.col("side") == 1).cast("int")).alias("h1"),
+        )
+        .select(
+            "h0",
+            "h1",
+            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
+        .localCheckpoint()
+    )
 
-    def sketch(side: int) -> DataFrame:
+    def sketch(flag: str) -> DataFrame:
         return (
-            hashes.filter(F.col("side") == side)
-            .select("hv").orderBy("hv").limit(_KMV_K)
+            g.filter(F.col(flag) == 1)
+            .select("hv").distinct().orderBy("hv").limit(_KMV_K)
         )
 
-    ska, skb = sketch(0), sketch(1)
+    ska, skb = sketch("h0"), sketch("h1")
     sku = ska.union(skb).distinct().orderBy("hv").limit(_KMV_K)
 
     def stats(df: DataFrame, c: str, t: str) -> DataFrame:
@@ -1315,19 +1347,16 @@ def kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hv").cast("long").alias(t),
         )
 
-    exact = sh.select("side", "s").distinct().agg(
-        F.sum((F.col("side") == 0).cast("long")).alias("xa"),
-        F.sum((F.col("side") == 1).cast("long")).alias("xb"),
-    )
-    exact_u = sh.select("s").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("xu")
+    exact = g.agg(
+        F.sum("h0").cast("long").alias("xa"),
+        F.sum("h1").cast("long").alias("xb"),
+        F.count(F.lit(1)).cast("long").alias("xu"),
     )
     row = (
         stats(ska, "ca", "ta")
         .join(stats(skb, "cb", "tb"))
         .join(stats(sku, "cu", "tu"))
         .join(exact)
-        .join(exact_u)
     )
     ea = _KMV_EST(c="ca", k=_KMV_K, norm=_KMV_NORM, th="ta")
     eb = _KMV_EST(c="cb", k=_KMV_K, norm=_KMV_NORM, th="tb")

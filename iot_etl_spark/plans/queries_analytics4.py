@@ -2879,6 +2879,8 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair expansion stays confined to (noun, brand) blocks exactly
     like blocking_link_pairs; patterns collapse to <= 4 cells before
     any double arithmetic."""
+    from iot_etl_spark.plans.registry import spread_scan
+
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
@@ -2887,7 +2889,21 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
     )
-    a = p.select(*[F.col(c).alias(f"{c}_a") for c in p.columns])
+    # r14 (guide §2.4/§2.5/§1.2): the pair expansion used to be
+    # computed TWICE (once for the m-aggregate, once for the cells) and
+    # the three u-statistics ran as three more scans, all stitched with
+    # four broadcast crossJoins. Now: ONE pair expansion into the
+    # <=4-row cells frame; m-statistics are windows over cells (mt =
+    # SUM(pseudo*ta) over pairs == SUM(ta*n_pseudo) over cells — exact
+    # integer identity); ud rides the p_type aggregate (N = SUM c). The
+    # probe side is spread (the block join broadcasts one side, so the
+    # expansion + edit-distance ran inside the single part.parquet scan
+    # task), and the pseudo-match predicate uses the banded
+    # levenshtein(a, b, 2) (lev <= 2 <=> banded >= 0, the
+    # blocking_link_pairs device — identical boolean, bounded DP).
+    a = spread_scan(
+        p.select(*[F.col(c).alias(f"{c}_a") for c in p.columns]), "noun_a"
+    )
     b = p.select(*[F.col(c).alias(f"{c}_b") for c in p.columns])
     pairs = (
         a.join(
@@ -2905,40 +2921,42 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("sa"),
             (
-                F.levenshtein(F.col("p_name_a"), F.col("p_name_b")) <= 2
+                F.levenshtein(F.col("p_name_a"), F.col("p_name_b"), 2) >= 0
             )
             .cast("int")
             .alias("pseudo"),
         )
     )
-    m_ = pairs.agg(
-        F.sum("pseudo").cast("long").alias("mp"),
-        F.sum(F.col("pseudo") * F.col("ta")).cast("long").alias("mt"),
-        F.sum(F.col("pseudo") * F.col("sa")).cast("long").alias("ms"),
+    cells = pairs.groupBy("ta", "sa").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("pseudo").cast("long").alias("n_pseudo"),
+    )
+    w = Window.partitionBy()
+    cells = (
+        cells.withColumn("mp", F.sum("n_pseudo").over(w).cast("long"))
+        .withColumn(
+            "mt", F.sum(F.col("n_pseudo") * F.col("ta")).over(w).cast("long")
+        )
+        .withColumn(
+            "ms", F.sum(F.col("n_pseudo") * F.col("sa")).over(w).cast("long")
+        )
     )
     ut = (
         p.groupBy("p_type")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.expr("CAST(SUM(c * (c - 1)) AS BIGINT)").alias("ut"))
+        .agg(
+            F.expr("CAST(SUM(c * (c - 1)) AS BIGINT)").alias("ut"),
+            F.expr(
+                "CAST(SUM(c) * (SUM(c) - 1) AS BIGINT)"
+            ).alias("ud"),
+        )
     )
     us = (
         p.groupBy("p_size")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.expr("CAST(SUM(c * (c - 1)) AS BIGINT)").alias("us"))
     )
-    ud = p.agg(
-        F.expr("CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT)").alias("ud")
-    )
-    cells = pairs.groupBy("ta", "sa").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("pseudo").cast("long").alias("n_pseudo"),
-    )
-    out = (
-        cells.crossJoin(F.broadcast(m_))
-        .crossJoin(F.broadcast(ut))
-        .crossJoin(F.broadcast(us))
-        .crossJoin(F.broadcast(ud))
-    )
+    out = cells.crossJoin(F.broadcast(ut)).crossJoin(F.broadcast(us))
     return out.selectExpr(
         "CAST(ta AS BIGINT) AS type_agree",
         "CAST(sa AS BIGINT) AS size_agree",
@@ -3054,6 +3072,18 @@ def acf_pacf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one scan into the hourly rollup; the lag joins run
     over the ~720-row series frame (bounded by span, not rows), the
     PACF algebra on one row."""
+    # r14 (guide §2.4/§1.2): the hourly series subtree used to be
+    # recomputed THREE times (tot + both self-join sides) and the
+    # readout chained FOUR broadcast crossJoins (lags, tot, base, rp).
+    # The lag join b.idx = a.idx + k over a span-bounded series is
+    # exactly lag(y, k) OVER (ORDER BY idx): nine lag columns in the
+    # window that already sorts for row_number (same ordering — no new
+    # exchange), stacked into (k, ya) rows, produce the IDENTICAL
+    # integer-quantized cross-product terms (same per-term ROUND, sum
+    # of BIGINTs is order-free). ybar/n ride the same single-partition
+    # window; den and r1..r3 become windows over the 9-row nums frame.
+    # Plan: 1 scan, 3 Exchanges, 0 broadcasts (was 3 scans + 4
+    # broadcast chains).
     ev = load_table(spark, sf_dir, "events")
     series = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
@@ -3068,42 +3098,51 @@ def acf_pacf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(svq AS DOUBLE) / cnt / 1e6").alias("y"),
         )
     )
-    tot = series.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("SUM(y) / COUNT(*)").alias("ybar"),
+    w_all = Window.partitionBy()
+    w_lag = Window.orderBy("idx")
+    lagged = series.select(
+        F.col("y").alias("yb"),
+        F.expr("SUM(y) OVER () / COUNT(*) OVER ()").alias("ybar"),
+        *[
+            F.lag("y", k).over(w_lag).alias(f"y{k}")
+            for k in range(ACF_MAX_LAG + 1)
+        ],
     )
-    lags = spark.range(0, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
-    a = series.select(F.col("idx").alias("ia"), F.col("y").alias("ya"))
-    b = series.select(F.col("idx").alias("ib"), F.col("y").alias("yb"))
-    nums = (
-        a.crossJoin(F.broadcast(lags))
-        .join(b, F.col("ib") == F.col("ia") + F.col("k"))
-        .crossJoin(F.broadcast(tot))
-        .groupBy("k")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CAST(ROUND((ya - ybar) * (yb - ybar) * 1e9) AS BIGINT)"
-                )
-            )
-            .cast("long")
-            .alias("num"),
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
+    stack_args = ", ".join(f"{k}, y{k}" for k in range(ACF_MAX_LAG + 1))
+    terms = lagged.select(
+        "yb",
+        "ybar",
+        F.expr(
+            f"stack({ACF_MAX_LAG + 1}, {stack_args}) AS (k, ya)"
+        ),
+    ).filter(F.col("ya").isNotNull())
+    nums = terms.groupBy("k").agg(
+        F.sum(
+            F.expr("CAST(ROUND((ya - ybar) * (yb - ybar) * 1e9) AS BIGINT)")
         )
+        .cast("long")
+        .alias("num"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
     )
-    base = nums.filter(F.col("k") == 0).select(F.col("num").alias("den"))
-    acf = nums.crossJoin(F.broadcast(base)).select(
+    acf = nums.select(
         "k",
-        F.expr("CAST(num AS DOUBLE) / den").alias("r"),
         "n_terms",
+        (
+            F.col("num").cast("double")
+            / F.max(F.when(F.col("k") == 0, F.col("num"))).over(w_all)
+        ).alias("r"),
     )
-    rp = acf.agg(
-        F.expr("MAX(CASE WHEN k = 1 THEN r END)").alias("r1"),
-        F.expr("MAX(CASE WHEN k = 2 THEN r END)").alias("r2"),
-        F.expr("MAX(CASE WHEN k = 3 THEN r END)").alias("r3"),
+    acf = acf.select(
+        "k",
+        "n_terms",
+        "r",
+        F.max(F.when(F.col("k") == 1, F.col("r"))).over(w_all).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("r"))).over(w_all).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("r"))).over(w_all).alias("r3"),
     )
-    return acf.crossJoin(F.broadcast(rp)).selectExpr(
-        "k AS lag",
+    return acf.selectExpr(
+        "CAST(k AS BIGINT) AS lag",  # stack literals are INT; the
+        # contract (and the old range()-built frame) is BIGINT
         "n_terms",
         "ROUND(r, 6) AS acf",
         f"ROUND(CASE WHEN k = 1 THEN r1 WHEN k = 2 THEN {_PACF_2} "
@@ -3530,35 +3569,48 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id_a", "doc_id_b", "jac")
     )
-    th = spark.createDataFrame(
-        [(t,) for t in _DEDUP_THRESHOLDS], "threshold double"
+    # r14 (guide §2.4): the old form crossJoined every scored pair
+    # against the 5 thresholds and ran TWO countDistincts per
+    # threshold — a 5x fan-out further doubled by the distinct-Expand.
+    # The thresholds are nested (ascending), so each pair reduces to
+    # its LEVEL L = number of thresholds it passes (monotone flags;
+    # null-safe via otherwise(0)); n_pairs(t_i) = count(L >= i) is a
+    # 6-row suffix sum of the level histogram, and a doc counts toward
+    # t_i iff its MAX pair level >= i — so n_doc_slots comes from two
+    # per-side max-level aggregates feeding one more tiny histogram.
+    # Identical counts, zero Expand, no 5x fan-out.
+    lvl_expr = sum(
+        F.when(F.col("jac") >= F.lit(t), 1).otherwise(0)
+        for t in _DEDUP_THRESHOLDS
     )
-    counts = (
-        scored.crossJoin(F.broadcast(th))
+    lvl = scored.select("doc_id_a", "doc_id_b", lvl_expr.alias("L"))
+    ph = lvl.groupBy("L").agg(F.count(F.lit(1)).alias("c"))
+    dh = (
+        lvl.groupBy("doc_id_a").agg(F.max("L").alias("L")).select("L")
+        .unionAll(
+            lvl.groupBy("doc_id_b").agg(F.max("L").alias("L")).select("L")
+        )
+        .groupBy("L")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    th = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(_DEDUP_THRESHOLDS)],
+        "threshold double, i int",
+    )
+    n_pairs = (
+        th.join(F.broadcast(ph), F.col("L") >= F.col("i"), "left")
+        .groupBy("threshold", "i")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_pairs"))
+    )
+    n_slots = (
+        th.join(F.broadcast(dh), F.col("L") >= F.col("i"), "left")
         .groupBy("threshold")
         .agg(
-            F.count(F.when(F.col("jac") >= F.col("threshold"), 1))
-            .cast("long")
-            .alias("n_pairs"),
-            (
-                F.countDistinct(
-                    F.when(F.col("jac") >= F.col("threshold"), F.col("doc_id_a"))
-                )
-                + F.countDistinct(
-                    F.when(F.col("jac") >= F.col("threshold"), F.col("doc_id_b"))
-                )
-            )
-            .cast("long")
-            .alias("n_doc_slots"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_doc_slots")
         )
     )
-    # an empty candidate set must still emit all thresholds (zero rows)
-    return th.join(counts, "threshold", "left").select(
-        "threshold",
-        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
-        F.coalesce(F.col("n_doc_slots"), F.lit(0))
-        .cast("long")
-        .alias("n_doc_slots"),
+    return n_pairs.join(n_slots, "threshold").select(
+        "threshold", "n_pairs", "n_doc_slots"
     )
 
 
@@ -3797,6 +3849,14 @@ def kendall_taub_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         ),
     ).groupBy("h", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # r14 (guide §1.2): the cells0 subtree (events scan + contingency
+    # aggregate) was referenced SIX times (hh, bb, the densify join,
+    # nn, n1, n2) and re-scanned for each; pin the bounded (<= 24 x
+    # bands) frame once and derive the marginals as window columns on
+    # the passes below — the tie terms n1/n2 collapse into the final
+    # aggregate via n1 = SUM(n*(m_h-1))/2 (exact integer identity per
+    # h-block), so the three scalar crossJoins disappear too.
+    cells0 = cells0.localCheckpoint()
     # densify (see oracle note): the chained windows need every (h, b)
     hh = cells0.select("h").distinct()
     bb = cells0.select("b").distinct()
@@ -3827,6 +3887,7 @@ def kendall_taub_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n").over(w_pre), F.lit(0)).cast("long").alias(
             "pre_b"
         ),
+        F.sum("n").over(Window.partitionBy("h")).cast("long").alias("m_h"),
     )
     w_h = (
         Window.partitionBy("b")
@@ -3837,40 +3898,24 @@ def kendall_taub_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         "b",
         "n",
+        "m_h",
         F.coalesce(F.sum("suf_b").over(w_h), F.lit(0)).cast("long").alias(
             "gt_gt"
         ),
         F.coalesce(F.sum("pre_b").over(w_h), F.lit(0)).cast("long").alias(
             "gt_lt"
         ),
+        F.sum("n").over(Window.partitionBy("b")).cast("long").alias("m_b"),
     )
     counts = grid.agg(
         F.sum(F.col("n") * F.col("gt_gt")).cast("long").alias("concordant"),
         F.sum(F.col("n") * F.col("gt_lt")).cast("long").alias("discordant"),
-    )
-    nn = cells.agg(F.sum("n").cast("long").alias("nn"))
-    n1 = (
-        cells.groupBy("h")
-        .agg(F.sum("n").alias("m"))
-        .agg(
-            (F.sum(F.col("m") * (F.col("m") - 1)) / 2)
-            .cast("long")
-            .alias("n1")
-        )
-    )
-    n2 = (
-        cells.groupBy("b")
-        .agg(F.sum("n").alias("m"))
-        .agg(
-            (F.sum(F.col("m") * (F.col("m") - 1)) / 2)
-            .cast("long")
-            .alias("n2")
-        )
+        F.sum("n").cast("long").alias("nn"),
+        (F.sum(F.col("n") * (F.col("m_h") - 1)) / 2).cast("long").alias("n1"),
+        (F.sum(F.col("n") * (F.col("m_b") - 1)) / 2).cast("long").alias("n2"),
     )
     return (
-        counts.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
+        counts
         .selectExpr(
             "concordant",
             "discordant",

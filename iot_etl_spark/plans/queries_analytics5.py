@@ -916,6 +916,15 @@ def ljung_box_whitenoise(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one scan into the hourly rollup; lag joins run on
     the ~span-sized series frame (bounded by calendar, not rows); the
     final fold is 8 rows."""
+    # r14 (guide §2.4/§1.2, the acf_pacf_hourly rewrite applied here):
+    # the lag self-join b.idx = a.idx + k over the span-bounded series
+    # is lag(y, k) OVER (ORDER BY idx) — nine lag columns in the window
+    # that already sorts for row_number, stacked into (k, ya) rows.
+    # Identical integer-quantized terms (same per-term ROUND, BIGINT
+    # sum is order-free); n/ybar ride the same single-partition window;
+    # den becomes a window over the 9-row nums frame. Removes the
+    # series triple-compute (and its localCheckpoint), the lag
+    # crossJoin, and all four broadcast chains.
     ev = load_table(spark, sf_dir, "events")
     series = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
@@ -929,35 +938,38 @@ def ljung_box_whitenoise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy("bucket")).alias("idx"),
             F.expr("CAST(svq AS DOUBLE) / cnt / 1e6").alias("y"),
         )
-        .localCheckpoint()  # span-sized; consumed by tot + both join sides
     )
-    tot = series.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("SUM(y) / COUNT(*)").alias("ybar"),
+    w_all = Window.partitionBy()
+    w_lag = Window.orderBy("idx")
+    lagged = series.select(
+        F.col("y").alias("yb"),
+        F.expr("SUM(y) OVER () / COUNT(*) OVER ()").alias("ybar"),
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n"),
+        *[
+            F.lag("y", k).over(w_lag).alias(f"y{k}")
+            for k in range(LB_MAX_LAG + 1)
+        ],
     )
-    lags = spark.range(0, LB_MAX_LAG + 1).select(F.col("id").alias("k"))
-    a = series.select(F.col("idx").alias("ia"), F.col("y").alias("ya"))
-    b = series.select(F.col("idx").alias("ib"), F.col("y").alias("yb"))
-    nums = (
-        a.crossJoin(F.broadcast(lags))
-        .join(b, F.col("ib") == F.col("ia") + F.col("k"))
-        .crossJoin(F.broadcast(tot))
-        .groupBy("k")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CAST(ROUND((ya - ybar) * (yb - ybar) * 1e9) AS BIGINT)"
-                )
-            )
-            .cast("long")
-            .alias("num")
+    stack_args = ", ".join(f"{k}, y{k}" for k in range(LB_MAX_LAG + 1))
+    pairs = lagged.select(
+        "yb",
+        "ybar",
+        "n",
+        F.expr(f"stack({LB_MAX_LAG + 1}, {stack_args}) AS (k, ya)"),
+    ).filter(F.col("ya").isNotNull())
+    nums = pairs.groupBy("k").agg(
+        F.sum(
+            F.expr("CAST(ROUND((ya - ybar) * (yb - ybar) * 1e9) AS BIGINT)")
         )
+        .cast("long")
+        .alias("num"),
+        F.max("n").alias("n"),
     )
-    base = nums.filter(F.col("k") == 0).select(F.col("num").alias("den"))
     terms = (
-        nums.filter(F.col("k") >= 1)
-        .crossJoin(F.broadcast(base))
-        .crossJoin(F.broadcast(tot))
+        nums.withColumn(
+            "den", F.max(F.when(F.col("k") == 0, F.col("num"))).over(w_all)
+        )
+        .filter(F.col("k") >= 1)
         .select(
             F.expr(
                 "CAST(ROUND(CAST(num AS DOUBLE) * num / den / den"

@@ -1058,11 +1058,17 @@ def fisher_g_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+    # r14 (guide §1.2): the n x m term aggregate used to be computed
+    # TWICE (peak pick + totals) and the readout chained two broadcast
+    # crossJoins; n rides the frequency aggregate (constant per group)
+    # and peak/sum/count become one window pass over the m-row
+    # periodogram — terms computed once, zero crossJoins.
     terms = (
         freqs.join(series)
         .crossJoin(F.broadcast(tot.select("ybar")))
         .select(
             "j",
+            "n",
             F.expr(
                 "CAST(ROUND((y - ybar) * cos(2 * pi() * j * idx / n) * 1e9)"
                 " AS BIGINT)"
@@ -1076,33 +1082,36 @@ def fisher_g_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("ca").cast("decimal(38,0)")).alias("aq"),
             F.sum(F.col("cb").cast("decimal(38,0)")).alias("bq"),
+            F.max("n").alias("n"),
         )
     )
     pgram = terms.select(
         "j",
+        "n",
         (
             F.col("aq").cast("double") * F.col("aq").cast("double")
             + F.col("bq").cast("double") * F.col("bq").cast("double")
         ).alias("i_j"),
     )
-    top = pgram.orderBy(F.col("i_j").desc(), "j").limit(1).select(
-        F.col("j").alias("peak_j"), F.col("i_j").alias("i_max")
-    )
-    agg = pgram.agg(
-        F.sum("i_j").alias("si"), F.count(F.lit(1)).cast("long").alias("n_freqs")
-    )
-    return (
-        tot.crossJoin(F.broadcast(top))
-        .crossJoin(F.broadcast(agg))
-        .select(
-            F.col("n").alias("n_hours"),
-            "n_freqs",
-            F.col("peak_j").cast("long").alias("peak_j"),
-            F.round(F.col("n").cast("double") / F.col("peak_j"), 6).alias(
-                "period_hours"
-            ),
-            F.round(F.col("i_max") / F.col("si"), 6).alias("fisher_g"),
-        )
+    w_all = Window.partitionBy()
+    pk = pgram.select(
+        "j",
+        "n",
+        "i_j",
+        F.sum("i_j").over(w_all).alias("si"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_freqs"),
+        F.row_number()
+        .over(Window.orderBy(F.col("i_j").desc(), "j"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return pk.select(
+        F.col("n").alias("n_hours"),
+        "n_freqs",
+        F.col("j").cast("long").alias("peak_j"),
+        F.round(F.col("n").cast("double") / F.col("j"), 6).alias(
+            "period_hours"
+        ),
+        F.round(F.col("i_j") / F.col("si"), 6).alias("fisher_g"),
     )
 
 
@@ -2005,30 +2014,39 @@ def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     ).localCheckpoint()  # users x k cells, consumed by u and x
+    # r14 (guide §2.4/§1.2): the per-user total was a separate
+    # aggregate JOINED back (extra shuffle pair) — it is a window over
+    # the same user key; sc2/k ride the k-row cj frame as a window
+    # (bounded — the user-scaled frames never see a global window);
+    # final readout is ONE broadcast crossJoin instead of three.
     k = c.agg(F.countDistinct("event_type").cast("long").alias("k"))
-    u = c.groupBy("user_id").agg(F.sum("cnt").cast("long").alias("total"))
     x = (
-        c.join(u, "user_id")
-        .crossJoin(F.broadcast(k))
+        c.crossJoin(F.broadcast(k))
         .select(
-            "user_id", "event_type",
-            (F.col("cnt") * F.col("k") > F.col("total")).cast("int").alias("x"),
+            "user_id", "event_type", "k",
+            (
+                F.col("cnt") * F.col("k")
+                > F.sum("cnt").over(Window.partitionBy("user_id")).cast("long")
+            ).cast("int").alias("x"),
         )
     )
-    cj = x.groupBy("event_type").agg(F.sum("x").cast("long").alias("c"))
+    cj = x.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("c"), F.max("k").alias("k")
+    )
     ri = x.groupBy("user_id").agg(F.sum("x").cast("long").alias("r"))
     tot = ri.agg(
         F.sum("r").cast("long").alias("n"),
         F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"),
         F.count(F.lit(1)).cast("long").alias("n_users"),
     )
-    kk = cj.crossJoin(F.broadcast(k)).agg(
-        F.max("k").alias("k"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    cj = cj.withColumn(
+        "sc2",
+        F.sum(F.col("c") * F.col("c"))
+        .over(Window.partitionBy())
+        .cast("long"),
     )
     return (
         cj.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(kk))
         .select(
             "event_type",
             F.col("c").alias("n_users_over"),

@@ -1142,6 +1142,15 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     back), then all work happens on the dense |sources| x vocab grid —
     pair expansion is over SOURCES (a handful), never documents or
     tokens. Reference parity: none — corpus-curation extension."""
+    # r14 (guide §2.4/§1.2): the tokenize explode used to run TWICE
+    # (vocab build + the mapped recount) and the cell frame was
+    # re-derived four times (tot, both distinct sides, the densify
+    # join). One (source, token) count — map-side combinable,
+    # vocabulary-scaled — is pinned once; the global vocab ranks on
+    # SUM of its per-source counts (identical to the old token-stream
+    # COUNT(*)), the mapped recount is a re-aggregate of the same
+    # frame, and the per-source totals become a window on the bounded
+    # dense grid instead of an aggregate + broadcast join.
     docs = load_table(spark, sf_dir, "documents")
     tk = (
         docs.select(
@@ -1150,8 +1159,13 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("t") != "")
     )
+    stc = (
+        tk.groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     vocab = (
-        tk.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        stc.groupBy("t").agg(F.sum("c").alias("c"))
         .withColumn(
             "rk",
             F.row_number().over(
@@ -1161,20 +1175,25 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= JS_VOCAB)
         .select("t", F.lit(True).alias("_inv"))
     )
-    mapped = tk.join(F.broadcast(vocab), "t", "left").select(
-        "source",
-        F.when(F.col("_inv").isNull(), F.lit("<oov>")).otherwise(F.col("t")).alias("t"),
+    cnt = (
+        stc.join(F.broadcast(vocab), "t", "left")
+        .groupBy(
+            "source",
+            F.when(F.col("_inv").isNull(), F.lit("<oov>"))
+            .otherwise(F.col("t"))
+            .alias("t"),
+        )
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint()  # |sources| x (vocab+1) cells, read 3x below
     )
-    cnt = mapped.groupBy("source", "t").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     grid = (
         cnt.select("source").distinct()
         .crossJoin(cnt.select("t").distinct())
         .join(cnt, ["source", "t"], "left")
         .withColumn("c", F.coalesce("c", F.lit(0)))
-        .join(F.broadcast(tot), "source")
+        .withColumn(
+            "n", F.sum("c").over(Window.partitionBy("source")).cast("long")
+        )
     )
     a = grid.select(
         F.col("source").alias("src_a"), "t",

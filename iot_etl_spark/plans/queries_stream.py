@@ -16,6 +16,7 @@ from iot_etl_spark.streaming.pipeline import (
     apply_stream_transforms,
     windowed_aggregate,
     run_stream_to_memory,
+    stream_join_partitions,
 )
 
 SENSOR_FIXTURE = "/root/repo/tests/fixtures/sensor_stream.jsonl"
@@ -288,7 +289,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("click_ts").alias("click_us"),
         "click_value",
     )
-    _, out = run_stream_to_memory(out_cols, output_mode="append")
+    _, out = run_stream_to_memory(
+        out_cols, output_mode="append", width=stream_join_partitions()
+    )
     return out
 
 
@@ -807,6 +810,7 @@ def stream_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     _, out = run_stream_to_memory(
         joined.select("event_id", "on_key", "purchase_ts", "click_value"),
         output_mode="append",
+        width=stream_join_partitions(),
     )
     bound = load_table(spark, sf_dir, "events").agg(
         (F.max("ts") - F.expr(f"INTERVAL {OUTER_JOIN_TAIL_CUT_S} SECONDS")).alias("cutoff")
@@ -926,6 +930,7 @@ def stream_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, out = run_stream_to_memory(
         joined.select("on_key", "purchase_ts", "click_ts", "click_value"),
         output_mode="append",
+        width=stream_join_partitions(),
     )
     bound = load_table(spark, sf_dir, "events").agg(
         (F.max("ts") - F.expr(f"INTERVAL {FO_PURCHASE_CUT_S} SECONDS")).alias("cp"),
@@ -936,39 +941,56 @@ def stream_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_p = F.col("purchase_ts") <= F.col("cp")
     v = F.col("click_value").cast("decimal(18,2)")
 
-    # purchase-bearing rows: demote clicks past CC, then classify
-    per_p = (
-        o.filter(F.col("purchase_ts").isNotNull() & kept_p)
+    # r14 (guide §2.4): matched / purchase_only / click_only used to
+    # be THREE separate aggregates over the memory-sink rows (per_p
+    # scanned twice, the click side a third scan, row-filter union).
+    # The three classes partition the rows disjointly, so ONE
+    # (on_key, purchase_ts) rollup covers all of them: purchase groups
+    # carry their kept-click count/sum; click_only rows group under
+    # their (key, NULL purchase) cell with plain count/sum — summing
+    # group counts re-derives the old per-row COUNT exactly. One scan,
+    # one shuffle, one status aggregate; per status group the old
+    # expressions are recovered verbatim, and grouped aggregates emit
+    # nothing for empty groups (the old n_rows > 0 filter).
+    is_p = F.col("purchase_ts").isNotNull()
+    g = (
+        o.filter((is_p & kept_p) | (~is_p & kept_c))
         .groupBy("on_key", "purchase_ts")
         .agg(
             F.count(F.when(kept_c, 1)).cast("long").alias("n_kept"),
-            F.sum(F.when(kept_c, v)).alias("sum_v"),
+            F.sum(F.when(kept_c, v)).alias("sum_v_kept"),
+            F.count(F.lit(1)).cast("long").alias("n_grp"),
+            F.sum(v).alias("sum_v_all"),
+        )
+        .withColumn(
+            "match_status",
+            F.when(F.col("purchase_ts").isNull(), F.lit("click_only"))
+            .when(F.col("n_kept") > 0, F.lit("matched"))
+            .otherwise(F.lit("purchase_only")),
         )
     )
-    matched = per_p.filter(F.col("n_kept") > 0).agg(
-        F.lit("matched").alias("match_status"),
-        F.sum("n_kept").cast("long").alias("n_rows"),
+    is_m = F.col("match_status") == "matched"
+    is_c = F.col("match_status") == "click_only"
+    return g.groupBy("match_status").agg(
+        F.sum(
+            F.when(is_c, F.col("n_grp"))
+            .when(is_m, F.col("n_kept"))
+            .otherwise(F.lit(1))
+        )
+        .cast("long")
+        .alias("n_rows"),
         F.countDistinct("on_key").cast("long").alias("n_users"),
         F.round(
-            F.coalesce(F.sum("sum_v"), F.lit(0)).cast("double"), 6
+            F.coalesce(
+                F.sum(
+                    F.when(is_c, F.col("sum_v_all")).when(
+                        is_m, F.col("sum_v_kept")
+                    )
+                ),
+                F.lit(0),
+            ).cast("double"),
+            6,
         ).alias("sum_click_value"),
-    )
-    ponly = per_p.filter(F.col("n_kept") == 0).agg(
-        F.lit("purchase_only").alias("match_status"),
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.countDistinct("on_key").cast("long").alias("n_users"),
-        F.lit(0.0).alias("sum_click_value"),
-    )
-    conly = o.filter(F.col("purchase_ts").isNull() & kept_c).agg(
-        F.lit("click_only").alias("match_status"),
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.countDistinct("on_key").cast("long").alias("n_users"),
-        F.round(
-            F.coalesce(F.sum(v), F.lit(0)).cast("double"), 6
-        ).alias("sum_click_value"),
-    )
-    return (
-        matched.unionAll(ponly).unionAll(conly).filter(F.col("n_rows") > 0)
     )
 
 
@@ -1560,7 +1582,9 @@ def stream_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy(
         F.window("purchase_ts", "1 day"), "on_key"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    _, out = run_stream_to_memory(agg, output_mode="append")
+    _, out = run_stream_to_memory(
+        agg, output_mode="append", width=stream_join_partitions()
+    )
     bound = load_table(spark, sf_dir, "events").agg(
         (F.max("ts") - F.expr(f"INTERVAL {JOIN_AGG_CUT_S} SECONDS")).alias("cutoff")
     )

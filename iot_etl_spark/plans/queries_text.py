@@ -456,13 +456,17 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.*")
-        .distinct()
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    # r14 (guide §2.3): rescore BEFORE the pair dedup — the Hamming
+    # gate commutes with DISTINCT and is selective, so the dedup
+    # shuffle carries only surviving (a, b, hamming) triples instead
+    # of every multi-block collision with both 64-bit fingerprints.
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= SIMHASH_HAMMING)
         .select("doc_id_a", "doc_id_b", "hamming")
+        .distinct()
     )
 
 
@@ -2010,16 +2014,33 @@ def capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of two bounded pair lists; the readout is one row from
     three counts. The Spark side reuses the MATERIALIZED band-sig and
     fingerprint stages, so this audit adds zero signature recomputes."""
+    # r14 (guide §2.4): n1, n2 and the overlap m used to be three
+    # separate subtrees — the band-candidate expansion and the SimHash
+    # pair join were each computed TWICE (once for their count, once
+    # for the overlap join), stitched with two crossJoins. Both pair
+    # frames are DISTINCT by construction (cand ends in .distinct();
+    # sp is one row per fingerprint pair), so a single union tagged by
+    # origin, one (a, b) aggregate, and one 1-row rollup produce all
+    # three counts with each capture list computed exactly once.
     cand1 = _band_candidate_pairs(_band_sigs_cached(spark, sf_dir))
     sp = simhash_near_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    c1 = cand1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
-    c2 = sp.agg(F.count(F.lit(1)).cast("long").alias("n2"))
-    cm = cand1.join(sp, ["doc_id_a", "doc_id_b"]).agg(
-        F.count(F.lit(1)).cast("long").alias("m")
+    tagged = cand1.select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("i1"), F.lit(0).alias("i2")
+    ).unionAll(
+        sp.select(
+            "doc_id_a", "doc_id_b", F.lit(0).alias("i1"), F.lit(1).alias("i2")
+        )
+    )
+    flags = tagged.groupBy("doc_id_a", "doc_id_b").agg(
+        F.max("i1").alias("i1"), F.max("i2").alias("i2")
+    )
+    stats = flags.agg(
+        F.sum("i1").cast("long").alias("n1"),
+        F.sum("i2").cast("long").alias("n2"),
+        F.sum(F.col("i1") * F.col("i2")).cast("long").alias("m"),
     )
     return (
-        c1.crossJoin(c2)
-        .crossJoin(cm)
+        stats
         .select(
             F.col("n1").alias("n_minhash_pairs"),
             F.col("n2").alias("n_simhash_pairs"),

@@ -36,9 +36,48 @@ DEFAULT_WATERMARK = "2 minutes"
 
 _SINGLETON_DIRS: dict[str, str] = {}
 
+# Streaming-source schema memo (r14, guide §1.2 fixed cost): the file
+# source needs an explicit schema, and every read_stream_source call
+# paid a driver-side batch footer read (~0.1-0.2 s) to get it — twice
+# per two-stream query, for all 23 stream_* queries per bench pass.
+# Keyed on (realpath, mtime_ns, size) like the batch loader's plan
+# memo, so a regenerated file re-reads its footer. Holds only the
+# SCHEMA (a StructType value, no session objects, no data).
+_STREAM_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _stream_source_schema(spark: SparkSession, path: str):
+    import os as _os
+
+    # Glob patterns / not-yet-existing paths (test harness dirs) fall
+    # back to the plain footer read, unmemoized — the memo only serves
+    # the bench/driver shape (a stable directory of real files).
+    try:
+        real = _os.path.realpath(path)
+        files = []
+        if _os.path.isdir(real):
+            for f in sorted(_os.listdir(real)):
+                if not f.startswith(("_", ".")):
+                    fp = _os.path.realpath(_os.path.join(real, f))
+                    st = _os.stat(fp)
+                    files.append((fp, st.st_mtime_ns, st.st_size))
+        elif _os.path.isfile(real):
+            st = _os.stat(real)
+            files.append((real, st.st_mtime_ns, st.st_size))
+        else:
+            return spark.read.parquet(path).schema
+    except OSError:
+        return spark.read.parquet(path).schema
+    key = tuple(files)
+    schema = _STREAM_SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _STREAM_SCHEMA_MEMO[key] = schema
+    return schema
+
 
 @contextmanager
-def stream_shuffle_scope(spark: SparkSession):
+def stream_shuffle_scope(spark: SparkSession, width: int | None = None):
     """Scope ``spark.sql.shuffle.partitions`` to the streaming state
     size (``SPARK_GRAFT_STREAM_PARTITIONS``, default 8) for the
     duration of a ``.start()`` call — stateful streaming pins its
@@ -48,16 +87,42 @@ def stream_shuffle_scope(spark: SparkSession):
     is restored immediately after start; the caller's batch
     configuration is untouched. In production the knob goes the other
     way — state partitions must cover the cluster's cores — hence an
-    env knob, not a constant."""
+    env knob, not a constant.
+
+    ``width`` overrides the env knob for one query class: a
+    stream-stream join runs FOUR state stores per partition (two per
+    side), so its per-partition fixed cost is 4x an aggregate's and
+    its sweet spot sits lower on the same hardware (r14 A/B at sf0.1:
+    join drains 10-15% faster at 4 than 8; 2 is worse; the
+    Python-stateful class regresses below 8 — so only the join
+    queries pass an override, themselves env-tunable via
+    SPARK_GRAFT_STREAM_JOIN_PARTITIONS)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+        str(width)
+        if width is not None
+        else os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def stream_join_partitions() -> int:
+    """State-partition width for stream-stream JOIN drains (see
+    stream_shuffle_scope): 4 state stores per partition make the
+    per-partition floor 4x an aggregate's, so the join class gets its
+    own env-tunable width (default half the aggregate width, floor 4).
+    In production both knobs scale with cluster cores; the 4-store
+    multiplier argument is scale-independent."""
+    base = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_JOIN_PARTITIONS", str(max(4, base // 2))
+        )
+    )
 
 
 def _singleton_dir(file_path: str) -> str:
@@ -135,11 +200,12 @@ def read_stream_source(
         if path.endswith(".parquet"):
             path = _singleton_dir(path)
         # The file source needs an explicit schema; take it from a
-        # batch footer read (driver-side, no data scan) so the stream
-        # tracks whatever precision the generator wrote, then apply
-        # the same ts normalization the batch loader performs
-        # (ns-int64 -> truncate to us; NTZ us -> UTC TimestampType).
-        file_schema = spark.read.parquet(path).schema
+        # batch footer read (driver-side, no data scan, memoized on
+        # file mtime/size) so the stream tracks whatever precision the
+        # generator wrote, then apply the same ts normalization the
+        # batch loader performs (ns-int64 -> truncate to us; NTZ us ->
+        # UTC TimestampType).
+        file_schema = _stream_source_schema(spark, path)
         reader = spark.readStream.schema(file_schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -600,7 +666,10 @@ def stop_all_queries(spark: SparkSession) -> int:
 
 
 def run_stream_to_memory(
-    df: DataFrame, output_mode: str = "complete", name: str | None = None
+    df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    width: int | None = None,
 ) -> tuple[str, DataFrame]:
     """Drive a streaming frame to completion synchronously against an
     in-memory sink (hermetic test/oracle path): processAllAvailable,
@@ -622,7 +691,7 @@ def run_stream_to_memory(
     memory), which is why it's an env knob, not a constant."""
     spark = df.sparkSession
     name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
-    with stream_shuffle_scope(spark):
+    with stream_shuffle_scope(spark, width=width):
         q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
     try:
         q.processAllAvailable()

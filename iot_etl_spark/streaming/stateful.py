@@ -69,6 +69,8 @@ def _ewma_update_fn(alpha: float):
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np  # self-contained closure (see above)
+
         ewma, n = state.get if state.exists else (None, 0)
         # A key's micro-batch can span multiple Arrow chunks (default
         # ~10k rows), and chunk boundaries carry NO ordering guarantee;
@@ -77,17 +79,27 @@ def _ewma_update_fn(alpha: float):
         # Concatenate the key's whole batch and sort ONCE — buffering
         # the key-batch is the price of the global-order contract (the
         # state itself stays O(1); micro-batch duration bounds the
-        # buffer).
+        # buffer). r14 (guide §4.2): the per-key sort is np.lexsort
+        # over the two key arrays (event_id unique -> identical order
+        # to the old pandas sort_values) and the emission frame is
+        # built column-wise — this function runs once PER KEY per
+        # micro-batch, so its constant factors are the operator's
+        # floor.
         chunks = list(pdf_iter)
         if chunks:
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(
                 chunks, ignore_index=True
             )
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ewma = fold([float(v) for v in pdf["value"]], ewma)
-            n += len(pdf)
+            order = np.lexsort(
+                (pdf["event_id"].to_numpy(), pdf["ts"].to_numpy())
+            )
+            vals = pdf["value"].to_numpy()[order]
+            ewma = fold([float(v) for v in vals], ewma)
+            n += len(vals)
         state.update((ewma, n))
-        yield pd.DataFrame([{"user_id": key[0], "n_events": n, "ewma": ewma}])
+        yield pd.DataFrame(
+            {"user_id": (key[0],), "n_events": (n,), "ewma": (ewma,)}
+        )
 
     return update
 
@@ -199,23 +211,35 @@ def _funnel_update_fn():
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np  # self-contained closure (see above)
+
         s1, s2, s3 = state.get if state.exists else (None, None, None)
         # concat-then-sort-once: Arrow chunk boundaries are unordered,
         # so a per-chunk sort does NOT give global (t, event_id) order
-        # within the batch (see _ewma_update_fn for the full argument)
+        # within the batch (see _ewma_update_fn for the full argument;
+        # r14: np.lexsort + column-wise emission, same per-key-floor
+        # rationale as the EWMA operator — identical order, event_id
+        # is unique)
         chunks = list(pdf_iter)
         if chunks:
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(
                 chunks, ignore_index=True
             )
-            s1, s2, s3 = fold(pdf.sort_values(["t", "event_id"]), s1, s2, s3)
+            order = np.lexsort(
+                (pdf["event_id"].to_numpy(), pdf["t"].to_numpy())
+            )
+            rows = {
+                "event_type": pdf["event_type"].to_numpy()[order],
+                "t": pdf["t"].to_numpy()[order],
+            }
+            s1, s2, s3 = fold(rows, s1, s2, s3)
         state.update((s1, s2, s3))
         depth = 3 if s3 is not None else 2 if s2 is not None else (
             1 if s1 is not None else 0
         )
         yield pd.DataFrame(
-            [{"user_id": key[0], "funnel_depth": depth,
-              "s1": s1, "s2": s2, "s3": s3}]
+            {"user_id": (key[0],), "funnel_depth": (depth,),
+             "s1": (s1,), "s2": (s2,), "s3": (s3,)}
         )
 
     return update
