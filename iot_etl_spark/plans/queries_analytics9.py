@@ -3376,33 +3376,17 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion (both 1/ln d and 1/d ride 2|E| rows), one (a, b)
     aggregate, one anti-join, TakeOrderedAndProject; the pair-degree
     attach is a broadcast of the node-degree projection."""
-    from iot_etl_spark.plans.graphedges import capped_edges_with_degrees
+    # r14 (VERDICT r13 item 4): the wedge expansion + (a, b) aggregate
+    # is the SHARED materialized stage capped_wedge_scores (see
+    # adamic_adar_linkpred) — this query is now TakeOrdered over the
+    # pair-score table plus the 25-row degree attach.
+    from iot_etl_spark.plans.graphedges import (
+        capped_edges_with_degrees,
+        capped_wedge_scores,
+    )
 
     edeg = capped_edges_with_degrees(spark, sf_dir)
-    e = edeg.select("ua", "ub")
-    n = edeg.select(
-        F.col("ua").alias("z"), F.col("ub").alias("x"),
-        F.col("da").cast("double").alias("d"),
-    ).unionAll(
-        edeg.select(
-            F.col("ub").alias("z"), F.col("ua").alias("x"),
-            F.col("db").cast("double").alias("d"),
-        )
-    )
-    n1 = n.filter(F.col("d") >= 2).select(
-        "z", F.col("x").alias("wa"),
-        (1.0 / F.log(F.col("d"))).alias("invlog"),
-        (1.0 / F.col("d")).alias("invd"),
-    )
-    n2 = n.select(F.col("z").alias("z2"), F.col("x").alias("wb"))
-    wedge = n1.join(
-        n2, (F.col("z") == F.col("z2")) & (F.col("wa") < F.col("wb"))
-    ).select(F.col("wa").alias("ua"), F.col("wb").alias("ub"), "invlog", "invd")
-    sc = wedge.groupBy("ua", "ub").agg(
-        F.count(F.lit(1)).cast("long").alias("cn"),
-        F.sum("invlog").alias("aa"),
-        F.sum("invd").alias("ra"),
-    )
+    sc = capped_wedge_scores(spark, sf_dir)
     # node degrees as a projection of the materialized stage
     nodes = (
         edeg.select(F.col("ua").alias("node"), F.col("da").alias("d"))
@@ -3415,7 +3399,8 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the executors scanning the |V|-row nodes side — never the other
     # way around; at 100x the node-degree table is the unbounded one.
     head = (
-        sc.join(e, ["ua", "ub"], "left_anti")
+        sc.filter((F.col("adj") == 0) & (F.col("cn") >= 1))
+        .select("ua", "ub", "cn", "aa", "ra")
         .orderBy(F.col("cn").desc(), "ua", "ub")
         .limit(LINKPRED_TOP)
     )

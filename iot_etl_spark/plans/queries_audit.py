@@ -3392,42 +3392,22 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphedges.capped_coactivity_edges artifact. Reference parity:
     extends the reference's co-occurrence analytics family
     (device correlation) to edge prediction."""
-    from iot_etl_spark.plans.graphedges import capped_edges_with_degrees
+    # r14 (VERDICT r13 item 4): the wedge expansion + (a, b) aggregate
+    # is the SHARED materialized stage capped_wedge_scores — both
+    # link-prediction consumers used to replay it per query, and its
+    # builder folds the edge anti-join into the same shuffle (adj
+    # flag). This query is now a projection + filter + TakeOrdered
+    # over the pair-score table.
+    from iot_etl_spark.plans.graphedges import capped_wedge_scores
 
-    edeg = capped_edges_with_degrees(spark, sf_dir)
-    e = edeg.select("ua", "ub")
-    # degrees ride the materialized stage (VERDICT r8 item 7): the
-    # directed neighbor frame with 1/ln(deg z) attached is a pure
-    # union-of-projections — the per-query degree aggregate and its
-    # broadcast join are gone. Degree-1 vertices anchor no wedge and
-    # would make ln(deg) = 0: drop them BEFORE the weight.
-    n = edeg.select(
-        F.col("ua").alias("z"), F.col("ub").alias("x"),
-        F.col("da").cast("double").alias("d"),
-    ).unionAll(
-        edeg.select(
-            F.col("ub").alias("z"), F.col("ua").alias("x"),
-            F.col("db").cast("double").alias("d"),
-        )
-    )
-    n1 = n.filter(F.col("d") >= 2).select(
-        "z", F.col("x").alias("wa"), (1.0 / F.log(F.col("d"))).alias("invlog")
-    )
-    n2 = n.select(F.col("z").alias("z2"), F.col("x").alias("wb"))
-    wedge = n1.join(
-        n2, (F.col("z") == F.col("z2")) & (F.col("wa") < F.col("wb"))
-    ).select(F.col("wa").alias("ua"), F.col("wb").alias("ub"), "invlog")
-    aa = wedge.groupBy("ua", "ub").agg(
-        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
-        F.sum("invlog").alias("score"),
-    )
+    sc = capped_wedge_scores(spark, sf_dir)
     return (
-        aa.join(e, ["ua", "ub"], "left_anti")
+        sc.filter((F.col("adj") == 0) & (F.col("cn") >= 1))
         .select(
             F.col("ua").alias("user_a"),
             F.col("ub").alias("user_b"),
-            "common_neighbors",
-            F.round("score", 6).alias("aa_score"),
+            F.col("cn").alias("common_neighbors"),
+            F.round("aa", 6).alias("aa_score"),
         )
         .orderBy(F.col("common_neighbors").desc(), "user_a", "user_b")
         .limit(AA_TOP)
