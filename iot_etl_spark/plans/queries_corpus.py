@@ -372,8 +372,7 @@ FROM cnt GROUP BY doc_id
 """
 
 
-@query("repetition_stats", oracle=_REPETITION_ORACLE)
-def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _repetition_stats_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition profile (Gopher-style quality rules,
     Rae et al. 2021 §A1.1): distinct-word ratio, duplicate-bigram
     fraction, top-bigram fraction, and the resulting repetitive-doc
@@ -442,6 +441,24 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mx.cast("double") / total > TOP_BIGRAM_MAX_FRACTION)
             | (1.0 - distinct_bg.cast("double") / total > DUP_BIGRAM_MAX_FRACTION)
         ).alias("is_repetitive"),
+    )
+
+
+@query("repetition_stats", oracle=_REPETITION_ORACLE)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile (Gopher-style rules; see
+    _repetition_stats_build for the shuffle-free run-fold shape).
+    MATERIALIZED via the stage cache (r14): three registered queries
+    consume the per-doc frame (this one, corpus_keep_verdict,
+    cohens_kappa_quality), each of which used to re-run the full
+    bigram sort+fold scan (~0.7 s at sf0.1). The mint lands in the
+    bench's cold pass via the round's cache eviction."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    return cached_stage(
+        spark, "rep_profile", sf_dir, ("documents",),
+        lambda: _repetition_stats_build(spark, sf_dir),
+        code_deps=(_repetition_stats_build,),
     )
 
 
@@ -591,8 +608,7 @@ GROUP BY s.doc_id
 """
 
 
-@query("boilerplate_stats", oracle=_BOILERPLATE_ORACLE)
-def boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _boilerplate_stats_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection (RefinedWeb/CCNet-style): shingles whose
     document frequency reaches {BOILERPLATE_MIN_DOCS} docs are
     cross-document boilerplate (headers, navigation, license text);
@@ -628,6 +644,24 @@ def boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hot_cnt).cast("double") / F.sum("cnt"), 6)
                 .alias("boilerplate_fraction"),
         )
+    )
+
+
+@query("boilerplate_stats", oracle=_BOILERPLATE_ORACLE)
+def boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate fraction per document (RefinedWeb/CCNet-style; see
+    _boilerplate_stats_build for the window-over-shingle-key shape).
+    MATERIALIZED via the stage cache (r14): three registered queries
+    consume the per-doc frame (this one, corpus_keep_verdict,
+    cohens_kappa_quality), each of which used to re-run the shingle
+    explode + document-frequency window (~1.2 s at sf0.1). The mint
+    lands in the bench's cold pass via the round's cache eviction."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    return cached_stage(
+        spark, "bp_profile", sf_dir, ("documents",),
+        lambda: _boilerplate_stats_build(spark, sf_dir),
+        code_deps=(_boilerplate_stats_build, _shingles_expr),
     )
 
 

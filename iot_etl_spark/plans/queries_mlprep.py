@@ -254,25 +254,7 @@ FROM f WHERE n_unigrams + n_bigrams > 0
 """
 
 
-@query("quality_classifier_score", oracle=_CLASSIFIER_ORACLE)
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality filtering, fastText-shaped: a linear
-    classifier over hashed unigram+bigram features. Each feature's
-    weight is derived deterministically from its md5 (stand-in for a
-    trained weight table — the container has no model artifacts; the
-    Spark-side plumbing, feature hashing, and scoring algebra are the
-    real thing and swapping in trained weights is a broadcast join on
-    the same feature hash).
-
-    Score = mean feature weight (milli-units -> logit); keep = logit
-    positive — the CCNet/fastText keep/drop gate shape.
-
-    100 TB shape: ZERO shuffles — feature extraction, hashing, weight
-    lookup, and the per-doc sum all happen inside higher-order
-    functions on the scan (whole-stage codegen), so the classifier
-    runs at scan speed. With a trained vocabulary the weight table
-    joins in as a broadcast; the document stream still never
-    shuffles."""
+def _classifier_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     uni_sum = F.expr(
@@ -308,6 +290,43 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quality_logit"),
             ((F.col("_u") + F.col("_b")) > 0).alias("keep"),
         )
+    )
+
+
+@query("quality_classifier_score", oracle=_CLASSIFIER_ORACLE)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, fastText-shaped: a linear
+    classifier over hashed unigram+bigram features. Each feature's
+    weight is derived deterministically from its md5 (stand-in for a
+    trained weight table — the container has no model artifacts; the
+    Spark-side plumbing, feature hashing, and scoring algebra are the
+    real thing and swapping in trained weights is a broadcast join on
+    the same feature hash).
+
+    Score = mean feature weight (milli-units -> logit); keep = logit
+    positive — the CCNet/fastText keep/drop gate shape.
+
+    The per-doc score frame is MATERIALIZED via the stage cache (r14):
+    EIGHT registered queries consume it (this one, the kappa/verdict
+    composites, MCC, AUC, PR curve, Brier, calibration, KS), each of
+    which used to re-run the full tokenize+hash scan (~0.9 s at
+    sf0.1). Same pattern as the dedup family's signature stages; the
+    mint lands in the bench's cold pass via the round's cache
+    eviction.
+
+    100 TB shape: the score build is ZERO shuffles — feature
+    extraction, hashing, weight lookup, and the per-doc sum all happen
+    inside higher-order functions on the scan (whole-stage codegen),
+    so the classifier runs at scan speed; the materialized frame is
+    one narrow row per doc. With a trained vocabulary the weight table
+    joins in as a broadcast; the document stream still never
+    shuffles."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    return cached_stage(
+        spark, "cls_scores", sf_dir, ("documents",),
+        lambda: _classifier_scores_build(spark, sf_dir),
+        code_deps=(_classifier_scores_build,),
     )
 
 
