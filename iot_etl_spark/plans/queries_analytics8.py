@@ -1539,39 +1539,35 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct aggregate — the same two-shuffle budget as doc_chunks.
     In production the chunk table IS the dedup index: new corpus
     increments join it on chash."""
+    # r14 (guide §2.4): the chunk assembly used to posexplode every
+    # word, run a per-doc cumulative window over the word stream, and
+    # collect_list each chunk back together — a full word-stream
+    # shuffle plus sort for what is a per-row array slicing problem.
+    # Now the boundary flags and the chunk slices compute MAP-SIDE in
+    # one higher-order expression: starts = positions whose PREDECESSOR
+    # word carries the boundary flag (identical to the old exclusive
+    # prefix-sum chunk ids), each chunk is slice(ws, start, next-start)
+    # joined with spaces — byte-identical md5 input to the old
+    # order-reconstructed collect_list. The only shuffle left is the
+    # per-source rollup. (split() never yields an empty array, so the
+    # sequence(0, size-1) guard cases of the repo's descending-sequence
+    # trap cannot arise.)
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("ws")
+        "source", F.split("text", " ").alias("ws")
+    ).withColumn("b", F.expr(_cdc_bounds_expr()))
+    end_k = (
+        "IF(k + 2 <= size(st), element_at(st, k + 2) - 1, size(ws) - 1)"
     )
-    pos = docs.select(
-        "doc_id", "source",
-        F.posexplode(
-            F.arrays_zip(F.col("ws"), F.expr(_cdc_bounds_expr()).alias("b"))
-        ).alias("i", "wb"),
-    ).select(
-        "doc_id", "source", "i",
-        F.col("wb.ws").alias("word"),
-        F.col("wb.b").alias("bnd"),
+    chunk_expr = (
+        "flatten(transform(array(filter(sequence(0, size(ws) - 1), "
+        "s -> s = 0 OR element_at(b, s) = 1)), "
+        "st -> transform(st, (s, k) -> named_struct("
+        f"'chash', md5(concat_ws(' ', slice(ws, s + 1, ({end_k}) - s + 1))), "
+        f"'n_words', CAST(({end_k}) - s + 1 AS BIGINT)))))"
     )
-    wdoc = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    chunked = pos.withColumn(
-        "chunk_id", F.coalesce(F.sum("bnd").over(wdoc), F.lit(0)).cast("long")
-    )
-    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
-        F.md5(
-            F.array_join(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(i, word))),"
-                    " s -> s.word)"
-                ),
-                " ",
-            )
-        ).alias("chash"),
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-    )
+    chunks = docs.select(
+        "source", F.explode(F.expr(chunk_expr)).alias("c")
+    ).select("source", F.col("c.chash").alias("chash"), F.col("c.n_words").alias("n_words"))
     return chunks.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.countDistinct("chash").cast("long").alias("n_distinct_chunks"),

@@ -753,6 +753,26 @@ def rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_revenue_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-supplier DECIMAL revenue, materialized via the stage
+    cache (r14): both Pareto queries consume it, and the approx twin
+    used to compute the lineitem rollup TWICE (cut points + bucket
+    assignment). One narrow row per supplier; at 100 TB this is the
+    revenue rollup a warehouse maintains as a first-class aggregate."""
+    from iot_etl_spark.plans.stagecache import cached_stage
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.groupBy("l_suppkey").agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("r")
+        )
+
+    return cached_stage(spark, "supplier_rev", sf_dir, ("lineitem",), build)
+
+
 # ------------------------------------------------ supplier Pareto share
 _PARETO_ORACLE = """
 WITH rev AS (
@@ -787,13 +807,7 @@ def supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (suppliers, not lineitems). If the key dimension itself explodes,
     the EXECUTABLE swap is supplier_pareto_share_approx (ventile cut
     points broadcast, window over the <=20-row bucket frame)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-        ).alias("r")
-    )
+    rev = _supplier_revenue_cached(spark, sf_dir)  # r14 shared stage
     w = Window.orderBy(F.col("r").desc(), "l_suppkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -877,13 +891,11 @@ def supplier_pareto_share_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     and match DuckDB quantile_disc element-for-element (see
     rfm_segments_approx); per-bucket sums stay DECIMAL until the
     final division."""
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-        ).alias("r")
-    ).withColumn("rvd", F.round(F.col("r").cast("double"), 6))
+    # r14: the supplier rollup is the shared materialized stage (it was
+    # computed TWICE here: cut points + bucket assignment)
+    rev = _supplier_revenue_cached(spark, sf_dir).withColumn(
+        "rvd", F.round(F.col("r").cast("double"), 6)
+    )
     acc = F.lit(APPROX_CUT_ACCURACY)
     cuts = rev.agg(
         *[
@@ -1375,17 +1387,48 @@ def triangle_count_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     test SF (max observed occupancy 12 at sf0.1 → output == exact
     twin; pinned by tests/test_graph_caps.py); the degree-oriented
     wedge join downstream is unchanged. Oracle applies the identical
-    min-id cap. Edges come from the materialized degree-attached
-    capped stage shared with adamic_adar_linkpred
-    (graphedges.capped_edges_with_degrees)."""
+    min-id cap.
+
+    r14: per-node counts derive from the SHARED wedge-pair score
+    stage (graphedges.capped_wedge_scores, the link-prediction
+    family's artifact — now three consumers): for an ADJACENT pair
+    (a, b), cn(a, b) = |N(a) ∩ N(b)| counts exactly the third
+    vertices of triangles through that edge, and every triangle at u
+    lies on exactly TWO of u's edges as the (a, b) pair — so
+    n_tri(u) = Σ over v adjacent to u of cn(u, v) / 2, an exact
+    integer identity (the sum is even by construction). The
+    degree-1-anchor guard in the stage is immaterial here: a common
+    neighbor in a triangle has degree >= 2. Replaces the per-query
+    oriented wedge + closure join with a projection + explode + one
+    aggregate over the materialized pair table; the oriented-join
+    algebra remains in _triangle_from_edges for the exact twin."""
     from iot_etl_spark.plans.graphedges import (
-        capped_edges_with_degrees,
         capped_node_degrees,
+        capped_wedge_scores,
     )
 
-    return _triangle_from_edges(
-        capped_edges_with_degrees(spark, sf_dir),
-        capped_node_degrees(spark, sf_dir, "degree"),
+    sc = capped_wedge_scores(spark, sf_dir)
+    adj = sc.filter(F.col("adj") == 1).select("ua", "ub", "cn")
+    per_node = (
+        adj.select(F.col("ua").alias("u"), "cn")
+        .unionAll(adj.select(F.col("ub").alias("u"), "cn"))
+        .groupBy("u")
+        .agg((F.sum("cn") / 2).cast("long").alias("n_triangles"))
+    )
+    deg = capped_node_degrees(spark, sf_dir, "degree")
+    return (
+        deg.join(per_node, "u", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("u").alias("user_id"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
     )
 
 
