@@ -28,6 +28,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _read_steal() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the sandbox is
+    a VM on a shared host, and EXTERNAL contention shows up as steal
+    time invisible to loadavg (r14: two entry-idle runs smeared 20-25%
+    while a concurrent probe measured ~11% steal under load). Recorded
+    so an artifact's run conditions capture hypervisor pressure, not
+    just guest load."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:  # pragma: no cover - non-Linux
+        return 0, 0
+
+
 def main() -> None:
     # Sampled at PROCESS ENTRY, before the SparkSession exists: the
     # exclusivity heuristic must not count the bench's own JVM startup
@@ -36,6 +52,7 @@ def main() -> None:
     # prior load slipping under the threshold) are visible in the
     # artifact.
     load_entry = os.getloadavg()[0]
+    steal_entry = _read_steal()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -198,6 +215,10 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: repass {n} FAILED: {exc}", file=sys.stderr)
     load_end = os.getloadavg()[0]
+    steal_end = _read_steal()
+    steal_d = steal_end[0] - steal_entry[0]
+    total_d = steal_end[1] - steal_entry[1]
+    steal_pct = round(100.0 * steal_d / total_d, 2) if total_d > 0 else None
 
     ok = [v for v in warm.values() if v >= 0]
     ok_cold = [v for v in cold.values() if v >= 0]
@@ -234,6 +255,12 @@ def main() -> None:
             "loadavg_1m_prepass": round(load_prepass, 2),
             "loadavg_1m_end": round(load_end, 2),
             "host_cpus": os.cpu_count(),
+            # hypervisor steal over the whole run (% of guest CPU time
+            # stolen by the outer host): loadavg can read idle while
+            # external contention smears every stage 1.2-2x. > ~2%
+            # sustained means the artifact is not a clean exclusive
+            # regardless of the loadavg gate.
+            "steal_pct_run": steal_pct,
             "exclusive": exclusive,
             "exclusive_rule": "loadavg_1m_entry < 1.0",
         },

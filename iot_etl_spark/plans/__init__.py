@@ -122,13 +122,76 @@ ROUND11_REGISTRATIONS: list[str] = [
     "mcc_classifier_eval",
 ]
 
-# Round-13 window (VERDICT r12 item 2): the 15 round-13 registrations
-# lead (fresh evidence first), then the 35 round-4-tier names the
-# round-12 window did not reach (ngram_novelty .. value_autocorr,
-# alphabetical) — exactly filling the 50-slot driver window so that
-# after this round no registry name carries driver evidence older
-# than round 5. The round-5 tier (50 names) rotates in round 14.
-_DRIVER_WINDOW_FIRST: list[str] = ROUND13_REGISTRATIONS + [
+# Round-14 window (VERDICT r13 item 7, continuing the r12 schedule):
+# the round-5 tier — the 50 names whose newest driver evidence is the
+# round-5 CORRECTNESS artifact (verified against CORRECTNESS_r05..r13:
+# none of these appears in any later window) — rotates in, in its
+# round-5 window order. After this round no registry name carries
+# driver evidence older than round 7. Several of these were directly
+# rewritten by the r13/r14 optimization passes (basket_lift_pairs,
+# blocking_link_pairs, top_parts_per_segment, order_payment_reconcile,
+# quality_classifier_score, supplier_pareto_share{,_approx}), so the
+# rotation doubles as fresh driver evidence on the rewrites.
+ROUND5_TIER: list[str] = [
+    "pagerank_device_graph",
+    "triangle_count_graph",
+    "basket_lift_pairs",
+    "blocking_link_pairs",
+    "setsim_prefix_join",
+    "stream_txlog_ingest",
+    "stream_trending_topk",
+    "holt_forecast_per_device",
+    "key_skew_audit",
+    "hll_distinct_audit",
+    "minhash_estimate_audit",
+    "daily_active_flows",
+    "embedding_norm_outliers",
+    "rfm_segments",
+    "supplier_pareto_share",
+    "vocab_coverage_curve",
+    "dedup_cluster_size_hist",
+    "quality_classifier_score",
+    "duplicated_span_stats",
+    "shard_balance_audit",
+    "bigram_lm_score",
+    "split_leakage_audit",
+    "hashed_embedding_vectors",
+    "psi_value_drift",
+    "dedup_span_rewrite",
+    "corpus_datasheet",
+    "rolling_7d_active_users",
+    "time_to_first_purchase",
+    "json_key_coverage",
+    "user_activity_streaks",
+    "duplicate_events_audit",
+    "catalog_profile",
+    "shipping_delay_stats",
+    "wow_percent_change",
+    "cohort_revenue_triangle",
+    "column_profile_events",
+    "top_parts_per_segment",
+    "segment_weekly_share",
+    "zipf_slope_audit",
+    "order_lines_histogram",
+    "geo_rollup_acctbal",
+    "rfm_segments_approx",
+    "supplier_pareto_share_approx",
+    "quality_percentile_gate_approx",
+    "holt_forecast_recent",
+    "winsorized_value_stats",
+    "order_payment_reconcile",
+    "interval_overlap_load",
+    "dedup_keep_best",
+    "stream_dlq_stats",
+]
+
+_DRIVER_WINDOW_FIRST: list[str] = ROUND5_TIER
+
+# Round-13 window (VERDICT r12 item 2, superseded by the round-14
+# rotation above; kept as the ledger tier record): the 15 round-13
+# registrations led, then the 35 round-4-tier names the round-12
+# window did not reach (ngram_novelty .. value_autocorr, alphabetical).
+_ROUND13_WINDOW_TAIL: list[str] = [
     "ngram_novelty",
     "pack_efficiency_stats",
     "pmi_cooccurrence",

@@ -29,23 +29,18 @@ def test_entry_module_contract():
     assert set(qs) == set(osql)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
-    # driver-window curation (round 13, VERDICT r12 item 2): the 15
-    # round-13 registrations lead, then the 35 remaining round-4-tier
-    # names (ngram_novelty .. value_autocorr) fill slots 16-50
-    # exactly. Pin the block heads/tails so a new registration cannot
+    # driver-window curation (round 14, VERDICT r13 item 7): the
+    # round-5 tier (50 names, oldest driver evidence) fills the window
+    # exactly. Pin the block head/tail so a new registration cannot
     # silently displace the window.
+    from iot_etl_spark.plans import ROUND5_TIER
+
     first50 = list(qs)[:50]
-    for must in (
-        "kuiper_test_hours",            # round-13 registration head
-        "herfindahl_concentration",     # round-13 registration tail
-        "ngram_novelty",                # round-4 tier remainder head
-        "value_autocorr",               # slot 50 (35th round-4 name)
-    ):
-        assert must in first50, must
-    # round 12's window must have rotated OUT (its names were all
+    assert first50 == ROUND5_TIER
+    # round 13's window must have rotated OUT (its names were all
     # driver-checked last round)
-    assert "energy_distance_weekend" not in first50
-    assert "burst_detection" not in first50
+    assert "kuiper_test_hours" not in first50
+    assert "ngram_novelty" not in first50
 
 
 def test_bench_emits_contract_json_line(tmp_path):
@@ -101,7 +96,10 @@ def test_status_ledger_matches_registry():
     from iot_etl_spark.plans import ROUND13_REGISTRATIONS as R13
 
     names = list(QUERIES)
-    assert names[: len(R13)] == R13
+    # round-14 rotation: the round-5 tier leads the window now; the
+    # R13 block no longer needs to lead, but every tier name must
+    # still be registered (checked below) and the r14 window must be
+    # exactly the round-5 tier (pinned in test_entry_contract).
     for n in R11 + R12 + R13:
         assert n in ORACLES, n
     status = open(os.path.join(REPO, "STATUS.md")).read()
