@@ -415,37 +415,46 @@ def coactivity_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: both halves derive from the SAME materialized
     capped activity stage by a bucket filter (no second scan of
-    events); each half's pair expansion is bucket-bounded by the cap;
-    the overlap is one (ua, ub)-keyed join of two distinct edge sets.
-    The oracle (registered below via _CHURN_ORACLE) replays the
-    identical split on DuckDB."""
+    events); the pair expansion is bucket-bounded by the cap and runs
+    ONCE over all buckets (halves partition buckets, so one expansion
+    covers both edge sets); per (ua, ub) pair one aggregate records
+    which halves it appears in, and the three counts (first / second /
+    common) fold into one scalar aggregate over that pair frame. The
+    oracle (registered below via _CHURN_ORACLE) replays the identical
+    split on DuckDB.
+
+    r14 (guide §2.4): e1/e2 used to be separate half-expansions, each
+    consumed twice (own count + the overlap join) — plan audit showed
+    32 stage scans / 28 BroadcastExchanges from the four subtree
+    replays. One expansion + one (ua, ub) shuffle + one scalar pass
+    computes identical counts: e_h = distinct pairs seen in half h ==
+    pairs with max(b in h) true; common = both flags true."""
     from iot_etl_spark.plans.graphedges import capped_minute_activity
 
     act = capped_minute_activity(spark, sf_dir)
     mid = act.agg(
         ((F.min("b") + F.max("b")) / 2).cast("long").alias("m")
     )
-
-    def half_edges(cond):
-        h = act.crossJoin(F.broadcast(mid)).filter(cond).select("b", "user_id")
-        other = h.select(F.col("b").alias("b2"), F.col("user_id").alias("u2"))
-        return (
-            h.join(other, (F.col("b") == F.col("b2"))
-                   & (F.col("user_id") < F.col("u2")))
-            .select(F.col("user_id").alias("ua"), F.col("u2").alias("ub"))
-            .distinct()
+    h = act.select("b", "user_id")
+    other = h.select(F.col("b").alias("b2"), F.col("user_id").alias("u2"))
+    flags = (
+        h.join(other, (F.col("b") == F.col("b2"))
+               & (F.col("user_id") < F.col("u2")))
+        .crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.col("user_id").alias("ua"), F.col("u2").alias("ub")
         )
-
-    e1 = half_edges(F.col("b") <= F.col("m"))
-    e2 = half_edges(F.col("b") > F.col("m"))
-    n1 = e1.agg(F.count(F.lit(1)).cast("long").alias("n_first"))
-    n2 = e2.agg(F.count(F.lit(1)).cast("long").alias("n_second"))
-    c = e1.join(e2, ["ua", "ub"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_common")
+        .agg(
+            F.max((F.col("b") <= F.col("m")).cast("int")).alias("in1"),
+            F.max((F.col("b") > F.col("m")).cast("int")).alias("in2"),
+        )
     )
     return (
-        n1.crossJoin(n2)
-        .crossJoin(c)
+        flags.agg(
+            F.sum("in1").cast("long").alias("n_first"),
+            F.sum("in2").cast("long").alias("n_second"),
+            F.sum(F.col("in1") * F.col("in2")).cast("long").alias("n_common"),
+        )
         .select(
             "n_first",
             "n_second",

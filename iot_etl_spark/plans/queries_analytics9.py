@@ -2853,6 +2853,13 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdense = Window.partitionBy("qid").orderBy(
         F.col("cos6").desc(), F.col("vec_id")
     )
+    # r14 (guide §1.2/§2.4): dense is referenced twice (overlap join +
+    # the per-query grid) and its lineage is the full embeddings
+    # cosine cross-join — localCheckpoint the <= 3 x RBO_K rank rows
+    # so the second reference is lineage-free. The lexical side's
+    # postings come from the shared bm25_postings stage instead of
+    # five tokenize subtree replays (plan audit before: 20 FileScans /
+    # 20 BroadcastExchanges).
     dense = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -2864,15 +2871,11 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dr", F.row_number().over(wdense))
         .filter(F.col("dr") <= RBO_K)
         .select("qid", F.col("vec_id").alias("id"), "dr")
+        .localCheckpoint()
     )
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    tf = tok.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    from iot_etl_spark.plans.queries_text import _bm25_postings
+
+    tf = _bm25_postings(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     st = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

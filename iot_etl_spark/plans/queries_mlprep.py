@@ -986,7 +986,17 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact percentile on the baseline slice; approx_percentile is the
     documented swap at full scale); binning is a map-side
     higher-order filter against that array; everything after operates
-    on the (weeks x {PSI_BINS})-row share table."""
+    on the (weeks x {PSI_BINS})-row share table.
+
+    r14 (guide §2.4/§1.2): the share table used to branch into the
+    baseline-row subtree and the comparison subtree, each replaying
+    the WHOLE events lineage (plan audit: 34 FileScans, 36
+    BroadcastExchanges — every scalar reuse re-ran the percentile
+    and the bin pass). Now w0 rides the bounds broadcast, the (week,
+    bin) counts materialize once via localCheckpoint (<= weeks x
+    {PSI_BINS} rows, intra-run), and the grid/share/baseline algebra
+    runs over that bounded frame: 2 FileScans (baseline percentile +
+    bin pass), one data-sized shuffle."""
     ev = load_table(spark, sf_dir, "events")
     wk = ev.select(
         F.unix_timestamp(F.date_trunc("week", F.col("ts"))).cast("long")
@@ -998,37 +1008,49 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = (
         wk.crossJoin(F.broadcast(base_w))
         .filter(F.col("week_epoch") == F.col("w0"))
-        .agg(F.percentile("value", qs).alias("bs"))
+        .agg(
+            F.percentile("value", qs).alias("bs"),
+            F.min("w0").alias("w0"),
+        )
     )
     binned = wk.crossJoin(F.broadcast(bounds)).select(
         "week_epoch",
         F.expr("size(filter(bs, b -> value >= b))").alias("bin"),
+        "w0",
     )
-    counts = binned.groupBy("week_epoch", "bin").agg(F.count(F.lit(1)).alias("c"))
-    tot = counts.groupBy("week_epoch").agg(F.sum("c").alias("n"))
-    grid = tot.crossJoin(
-        F.broadcast(
-            spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
-        )
+    counts = (
+        binned.groupBy("week_epoch", "bin")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("w0").alias("w0"))
+        .localCheckpoint()
+    )
+    weeks = counts.groupBy("week_epoch").agg(
+        F.sum("c").alias("n"), F.min("w0").alias("w0")
+    )
+    grid = weeks.select(
+        "week_epoch", "n", "w0",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(PSI_BINS - 1)).cast("array<long>")
+        ).alias("bin"),
     )
     shares = (
-        grid.join(counts, ["week_epoch", "bin"], "left")
+        grid.join(
+            counts.select("week_epoch", "bin", "c"),
+            ["week_epoch", "bin"],
+            "left",
+        )
         .select(
-            "week_epoch", "bin",
+            "week_epoch", "bin", "n", "w0",
             ((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + PSI_BINS))
             .alias("p"),
         )
     )
     basep = (
-        shares.crossJoin(F.broadcast(base_w))
-        .filter(F.col("week_epoch") == F.col("w0"))
+        shares.filter(F.col("week_epoch") == F.col("w0"))
         .select("bin", F.col("p").alias("p0"))
     )
     return (
-        shares.crossJoin(F.broadcast(base_w))
-        .filter(F.col("week_epoch") != F.col("w0"))
+        shares.filter(F.col("week_epoch") != F.col("w0"))
         .join(F.broadcast(basep), "bin")
-        .join(tot, "week_epoch")
         .groupBy("week_epoch")
         .agg(
             F.max("n").cast("long").alias("n_events"),

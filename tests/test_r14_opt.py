@@ -77,3 +77,51 @@ def test_stream_join_partitions_derivation_and_override(monkeypatch):
     assert stream_join_partitions() == 4  # floor
     monkeypatch.setenv("SPARK_GRAFT_STREAM_JOIN_PARTITIONS", "16")
     assert stream_join_partitions() == 16  # explicit override wins
+
+
+def test_bm25_postings_stage_matches_naive_tokenize(spark):
+    """The shared postings stage (bm25_retrieval + rbo_rank_agreement)
+    must hold exactly the naive per-doc term frequencies."""
+    from pyspark.sql import functions as F
+
+    from iot_etl_spark.plans.queries_text import _bm25_postings
+    from iot_etl_spark.sources.tables import load_table
+
+    got = {
+        (r.doc_id, r.tok): r.tf
+        for r in _bm25_postings(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    expect: dict[tuple, int] = {}
+    import re
+
+    for r in docs.collect():
+        for tok in re.split(r"[^a-z0-9]+", (r.text or "").lower()):
+            if tok:
+                k = (r.doc_id, tok)
+                expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+
+
+def test_churn_flag_fold_matches_two_half_edge_sets(spark):
+    """coactivity_edge_churn's one-pass flag fold (in1/in2 per pair)
+    must reproduce the old two-expansion edge sets exactly."""
+    from iot_etl_spark.plans.graphedges import capped_minute_activity
+    from iot_etl_spark.plans import QUERIES
+
+    act = capped_minute_activity(spark, SF_DIR).collect()
+    bs = [r.b for r in act]
+    m = (min(bs) + max(bs)) // 2
+    by_bucket: dict[int, list[int]] = {}
+    for r in act:
+        by_bucket.setdefault(r.b, []).append(r.user_id)
+    e1, e2 = set(), set()
+    for b, users in by_bucket.items():
+        us = sorted(set(users))
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                (e1 if b <= m else e2).add((us[i], us[j]))
+    row = QUERIES["coactivity_edge_churn"](spark, SF_DIR).collect()[0]
+    assert row.n_first == len(e1)
+    assert row.n_second == len(e2)
+    assert row.n_common == len(e1 & e2)

@@ -76,6 +76,13 @@ def main() -> int:
         dm = p.get("durationMs", {})
         rows = p.get("numInputRows")
         print(f"batch {p.get('batchId')}: rows={rows} durations={dm}")
+        for s in p.get("stateOperators") or []:
+            keep = {k: s.get(k) for k in (
+                "operatorName", "numRowsTotal", "numRowsUpdated",
+                "allUpdatesTimeMs", "numRowsRemoved", "allRemovalsTimeMs",
+                "commitTimeMs", "numShufflePartitions",
+                "numStateStoreInstances")}
+            print(f"  state: {keep}")
         for k, v in dm.items():
             tot[k] = tot.get(k, 0) + v
     print("TOTAL durationMs:", json.dumps(tot))
