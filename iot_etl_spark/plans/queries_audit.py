@@ -1296,10 +1296,12 @@ def _triangle_from_edges(edeg: DataFrame, deg: DataFrame) -> DataFrame:
         e.hint("SHUFFLE_HASH"),
         (F.col("y") == F.col("ua")) & (F.col("z") == F.col("ub")),
     ).select("src", "y", "z")
+    # r14 (guide §2.4): the unionAll fan-out replayed the whole
+    # wedge + closure subtree THREE times (plan audit: 20 stage scans,
+    # 8 ShuffledHashJoins); exploding the triangle's three corners
+    # emits the identical vertex multiset from ONE subtree.
     per_node = (
-        tri.select(F.col("src").alias("u"))
-        .unionAll(tri.select(F.col("y").alias("u")))
-        .unionAll(tri.select(F.col("z").alias("u")))
+        tri.select(F.explode(F.array("src", "y", "z")).alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

@@ -1584,9 +1584,14 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_a", "doc_id_b",
         )
     )
+    # r14 (guide §2.4): the unionAll doubling computed the whole
+    # Jaccard-rescore subtree TWICE (plan audit: 20 stage scans / 16
+    # broadcasts); exploding the two endpoints doubles rows inside ONE
+    # subtree — identical doubled multiset, half the plan.
     doubled = cells.select(
-        "src_lo", "src_hi", F.col("doc_id_a").alias("doc_id")
-    ).unionAll(cells.select("src_lo", "src_hi", F.col("doc_id_b").alias("doc_id")))
+        "src_lo", "src_hi",
+        F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id"),
+    )
     return doubled.groupBy("src_lo", "src_hi").agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
         F.count_distinct("doc_id").alias("n_docs"),
