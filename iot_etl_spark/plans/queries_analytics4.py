@@ -3583,7 +3583,14 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("jac") >= F.lit(t), 1).otherwise(0)
         for t in _DEDUP_THRESHOLDS
     )
-    lvl = scored.select("doc_id_a", "doc_id_b", lvl_expr.alias("L"))
+    # localCheckpoint (r14, guide §1.2): lvl is consumed THREE times
+    # (pair histogram + the two per-side max-level aggregates), and
+    # each reference replayed the whole Jaccard-rescore lineage
+    # (plan audit: 18 stage scans / 16 broadcasts). The frame is
+    # bounded by the LSH candidate count, already aggregate-sized.
+    lvl = scored.select(
+        "doc_id_a", "doc_id_b", lvl_expr.alias("L")
+    ).localCheckpoint()
     ph = lvl.groupBy("L").agg(F.count(F.lit(1)).alias("c"))
     dh = (
         lvl.groupBy("doc_id_a").agg(F.max("L").alias("L")).select("L")
@@ -4413,6 +4420,12 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.8
         )
         .select("doc_id_a", "doc_id_b")
+        # localCheckpoint (r14, guide §1.2): lsh feeds both the
+        # anti-join and its own count — without the cut each reference
+        # replayed the token-space Jaccard rescore (plan audit: 16
+        # stage scans / 12 broadcasts). Bounded by the surviving
+        # near-dup pair count.
+        .localCheckpoint()
     )
     missed = exact.join(lsh, ["doc_id_a", "doc_id_b"], "left_anti")
     stats = (

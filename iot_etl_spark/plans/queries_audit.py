@@ -194,7 +194,11 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _band_sigs_cached(spark, sf_dir).withColumn(
         "mins", F.split("sig", "[|]")
     )
-    cand = _band_candidate_pairs(sig)
+    # localCheckpoint (r14, guide §1.2): cand anchors BOTH the
+    # per-band agreement branch and the exact-Jaccard branch — each
+    # reference replayed the band-bucket candidate self-join (plan
+    # audit: 12 stage scans / 8 broadcasts). LSH-bounded pair frame.
+    cand = _band_candidate_pairs(sig).localCheckpoint()
     per_band = (
         cand.join(
             sig.select(
@@ -2520,11 +2524,21 @@ def interval_overlap_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.max("l_shipdate")).alias("end_d"),
         )
     )
+    # r14 (guide §2.4): the unionAll emitted the +1/-1 sweep deltas by
+    # computing the fact join + span aggregate TWICE (plan audit: 8
+    # scans / 4 broadcasts); exploding both endpoints from one span
+    # row yields the identical delta multiset in one subtree.
     deltas = span.select(
-        F.col("start_d").alias("d"), F.lit(1).alias("delta")
-    ).unionAll(
-        span.select(F.date_add("end_d", 1).alias("d"), F.lit(-1).alias("delta"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("start_d").alias("d"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.date_add("end_d", 1).alias("d"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.d", "x.delta")
     byday = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return byday.select(

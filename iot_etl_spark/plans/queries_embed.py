@@ -660,11 +660,19 @@ def srp_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(ROUND(x * 1000000) AS BIGINT)").alias("vq"),
         )
     )
+    # localCheckpoint (r14, guide §1.2): bits feeds BOTH pair sides —
+    # without the cut each side replayed the posexplode + sign-matrix
+    # join + projection aggregate over the full embeddings table
+    # (plan audit: 10 broadcasts / 6 scans, two SortMergeJoins of the
+    # duplicated subtree). |V| x {planes} bounded rows; in production
+    # this materialization IS the packed-signature column the
+    # docstring describes.
     bits = (
         comp.join(F.broadcast(signs), "d")
         .groupBy("vec_id", "p")
         .agg(F.sum(F.col("sgn") * F.col("vq")).alias("s"))
         .select("vec_id", "p", (F.col("s") > 0).cast("int").alias("bit"))
+        .localCheckpoint()
     )
     pr = _similar_pairs_cached(spark, sf_dir)
     ba = bits.select(F.col("vec_id").alias("vec_id_a"), "p", F.col("bit").alias("bit_a"))

@@ -741,13 +741,26 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    # localCheckpoint the LM TABLES (r14, guide §1.2): big rode into
+    # the plan twice (its own broadcast + the ctx rollup) and uni
+    # once more — each replaying the document tokenize (plan audit: 8
+    # FileScans / 6 broadcasts). The tables are vocabulary-sized
+    # (sublinear in corpus, the same bound that lets them broadcast),
+    # so training runs exactly once and scoring re-streams only the
+    # bigram stream itself — the two-pass shape the docstring already
+    # commits to.
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("p1", F.col("c") / F.sum("c").over(Window.partitionBy()))
+        .localCheckpoint()
     )
-    big = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    big = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
     ctx = big.groupBy("prev").agg(F.sum("c2").alias("c1"))
     lp = F.log(
         LM_LAMBDA * F.col("c2") / F.col("c1")

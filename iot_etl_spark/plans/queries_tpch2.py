@@ -989,15 +989,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("unit").alias("unit_price"))
     )
-    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("unit_price").alias("best_price")
-    )
+    # r14 (guide §2.4): the decorrelated `best` aggregate + join-back
+    # replayed the whole offers subtree (fact scan + both broadcast
+    # prunes + the aggregate) a second time — plan audit: 26 FileScans
+    # / 22 BroadcastExchanges. A per-part MIN window over the single
+    # offers frame keeps every tie (rows where unit_price equals the
+    # partition minimum), which is exactly the equality join-back
+    # semantics — the value is compared against itself, never
+    # re-derived, so the double-equality stays engine-safe.
+    from pyspark.sql import Window
+
+    best_w = Window.partitionBy("l_partkey")
     return (
-        offers.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("unit_price") == F.col("best_price")),
-        )
+        offers.withColumn("best_price", F.min("unit_price").over(best_w))
+        .filter(F.col("unit_price") == F.col("best_price"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "l_partkey",
