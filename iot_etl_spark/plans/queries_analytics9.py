@@ -2853,13 +2853,12 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdense = Window.partitionBy("qid").orderBy(
         F.col("cos6").desc(), F.col("vec_id")
     )
-    # r14 (guide §1.2/§2.4): dense is referenced twice (overlap join +
-    # the per-query grid) and its lineage is the full embeddings
-    # cosine cross-join — localCheckpoint the <= 3 x RBO_K rank rows
-    # so the second reference is lineage-free. The lexical side's
-    # postings come from the shared bm25_postings stage instead of
-    # five tokenize subtree replays (plan audit before: 20 FileScans /
-    # 20 BroadcastExchanges).
+    # r14 (guide §1.2): dense is referenced twice (overlap join + the
+    # per-query grid) and its lineage is the full embeddings cosine
+    # cross-join — localCheckpoint the <= 3 x RBO_K rank rows so the
+    # second reference is lineage-free. The lexical side keeps the
+    # lazy tokenize (a shared postings stage re-measured SLOWER at
+    # bench scale — see queries_text._bm25_tf).
     dense = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -2873,9 +2872,9 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("id"), "dr")
         .localCheckpoint()
     )
-    from iot_etl_spark.plans.queries_text import _bm25_postings
+    from iot_etl_spark.plans.queries_text import _bm25_tf
 
-    tf = _bm25_postings(spark, sf_dir)
+    tf = _bm25_tf(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     st = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -1275,6 +1275,17 @@ _BM25_TERM_SQL = (
 
 
 def _bm25_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term frequencies (doc_id, tok, tf) — the postings
+    frame bm25_retrieval references five ways and rbo_rank_agreement's
+    lexical ranker re-derives. Deliberately NOT a materialized stage:
+    an r14 interleaved A/B measured the stage read-back (six scans of
+    a ~1 MB 32-file parquet) consistently ~0.5 s SLOWER than simply
+    re-running the tokenize subtrees at bench scale — the tokenize is
+    cheap vectorized compute spread across the scan fan-out, while the
+    tiny-file read-back serializes into open-cost-packed single-task
+    scans (guide §1: measure, keep the loser out). At a corpus scale
+    where the tokenize dominates, a stage (with production-sized
+    files) becomes the right trade; the seam is this one function."""
     docs = spread_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",
@@ -1288,26 +1299,6 @@ def _bm25_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tok.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
-
-
-def _bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document term frequencies (doc_id, tok, tf) — the postings
-    frame every lexical-retrieval consumer re-derived from a full
-    tokenize of documents. Materialized once per (documents parquet,
-    builder code) fingerprint (r14, guide §2.4/§6): bm25_retrieval
-    references it five ways in one plan (doc lengths, corpus stats,
-    document frequencies, query terms, candidate join) and
-    rbo_rank_agreement replays the identical lineage for its lexical
-    ranker — each reference was a separate tokenize subtree. A stage
-    scan is one bounded parquet read; the tokenize runs once per
-    corpus fingerprint."""
-    from iot_etl_spark.plans.stagecache import cached_stage
-
-    return cached_stage(
-        spark, "bm25_postings", sf_dir, ("documents",),
-        lambda: _bm25_tf(spark, sf_dir),
-        code_deps=(_bm25_tf,),
     )
 
 _BM25_ORACLE = f"""
@@ -1374,12 +1365,13 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     LLM-pipeline (RAG) extension."""
     from pyspark.sql import Window
 
-    # Postings come from the shared materialized stage (r14): each of
-    # the five tf references below is a bounded stage scan instead of
-    # its own tokenize subtree (the r13 spread_scan fan-out of the
-    # tokenize is now inside the stage builder, paid once per corpus
-    # fingerprint).
-    tf = _bm25_postings(spark, sf_dir)
+    # SPREAD THE TOKENIZE (registry.spread_scan, guide §2.5):
+    # documents.parquet is one scan split, and the tf lineage re-runs
+    # the tokenize + count per reference — serially without the
+    # fan-out. Measured 1.3-1.7 -> 1.1-1.4 s steady. A materialized
+    # postings stage AND a localCheckpoint both re-measured SLOWER
+    # (see _bm25_tf), so the plan stays lazy.
+    tf = _bm25_tf(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     st = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

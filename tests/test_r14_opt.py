@@ -79,17 +79,17 @@ def test_stream_join_partitions_derivation_and_override(monkeypatch):
     assert stream_join_partitions() == 16  # explicit override wins
 
 
-def test_bm25_postings_stage_matches_naive_tokenize(spark):
-    """The shared postings stage (bm25_retrieval + rbo_rank_agreement)
+def test_bm25_postings_frame_matches_naive_tokenize(spark):
+    """The shared postings frame (bm25_retrieval + rbo_rank_agreement)
     must hold exactly the naive per-doc term frequencies."""
     from pyspark.sql import functions as F
 
-    from iot_etl_spark.plans.queries_text import _bm25_postings
+    from iot_etl_spark.plans.queries_text import _bm25_tf
     from iot_etl_spark.sources.tables import load_table
 
     got = {
         (r.doc_id, r.tok): r.tf
-        for r in _bm25_postings(spark, SF_DIR).collect()
+        for r in _bm25_tf(spark, SF_DIR).collect()
     }
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     expect: dict[tuple, int] = {}
